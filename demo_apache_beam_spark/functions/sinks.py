@@ -1,0 +1,97 @@
+"""K1-K5 — sinks (reference: WriteToText.java, WriteToBigQuery.java,
+WriteWindowedToBigQuery.java).
+
+Mapping (SURVEY.md §2.6):
+
+- K1 unwindowed text (WriteToText.java:136-148) → formatted ``k: v`` rows
+  via ``concat_ws`` (JVM-side), written as text shards.
+- K2 one-file-set-per-window (WriteToText.java:73-134) →
+  ``partitionBy(window_start)`` directory layout; ``repartition(3)`` inside
+  each window matches the reference's ``withNumShards(3)``
+  (WriteToText.java:94). Directory-per-window replaces filename mangling —
+  same physical property (window-aligned output units), idiomatic for a
+  distributed FS at scale.
+- K3/K4 BigQuery append (WriteToBigQuery.java:95-106) → warehouse-table /
+  parquet append with CREATE_IF_NEEDED + WRITE_APPEND semantics
+  (``mode("append")``).
+- K5 schema synthesis (WriteToBigQuery.java:84-93) → ``StructType`` from a
+  column-spec dict.
+
+Column order in text output is deterministic (the reference iterates a
+HashMap — UserScore.java:126-127 — and is therefore nondeterministic; we fix
+that intentionally, SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def format_rows(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P3 BuildRowFn: ``"col: value, col: value"`` text rows
+    (WriteToText.java:53-70), deterministic column order."""
+    cols = columns or df.columns
+    pieces = []
+    for i, c in enumerate(cols):
+        prefix = f"{c}: " if i == 0 else f", {c}: "
+        pieces.append(F.concat(F.lit(prefix), F.col(c).cast("string")))
+    return df.select(F.concat(*pieces).alias("value"))
+
+
+def write_text(df: DataFrame, path: str, num_shards: int | None = None, mode: str = "overwrite") -> None:
+    """K1: unwindowed formatted text files."""
+    out = format_rows(df)
+    if num_shards:
+        out = out.repartition(num_shards)
+    out.write.mode(mode).text(path)
+
+
+def write_windowed_text(df: DataFrame, path: str, window_col: str = "window_start",
+                        num_shards: int = 3, mode: str = "overwrite") -> None:
+    """K2: window-partitioned text output, ``num_shards`` files per window
+    (WriteToText.java:89-94). The window lands in the directory name;
+    hashing rows into ``num_shards`` buckets and repartitioning by
+    (window, bucket) yields exactly ``num_shards`` files per window with no
+    global single-partition bottleneck — scales to any number of windows."""
+    other = [c for c in df.columns if c != window_col]
+    sharded = df.withColumn("_shard", F.abs(F.hash(*other)) % num_shards)
+    sharded = sharded.repartition(F.col(window_col), F.col("_shard"))
+    pieces = [
+        F.concat(F.lit(f"{c}: " if i == 0 else f", {c}: "), F.col(c).cast("string"))
+        for i, c in enumerate(other)
+    ]
+    final = sharded.select(F.concat(*pieces).alias("value"), F.col(window_col))
+    final.write.mode(mode).partitionBy(window_col).text(path)
+
+
+def write_table(df: DataFrame, path_or_table: str, mode: str = "append") -> None:
+    """K3: warehouse append sink (CREATE_IF_NEEDED + WRITE_APPEND →
+    parquet append creates the dataset on first write)."""
+    if "/" in path_or_table:
+        df.write.mode(mode).parquet(path_or_table)
+    else:
+        df.write.mode(mode).saveAsTable(path_or_table)
+
+
+def schema_from_spec(spec: dict[str, str]) -> T.StructType:
+    """K5: synthesize a StructType from a {name: sql_type} dict — the
+    engine's analogue of the reference's field-map → TableSchema
+    (WriteToBigQuery.java:84-93)."""
+    return T.StructType([T.StructField(n, _parse_type(t), True) for n, t in spec.items()])
+
+
+def _parse_type(name: str) -> T.DataType:
+    mapping = {
+        "string": T.StringType(),
+        "integer": T.IntegerType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+        "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+        "boolean": T.BooleanType(),
+    }
+    return mapping[name.lower()]
