@@ -1,0 +1,62 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full physical plan into the ``noop`` sink (no
+collect-to-driver cost, no file I/O) — what a cluster would measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.session import get_spark
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    spark = get_spark("bench", cpus=cpus)
+
+    # Warm the JVM + parquet footer caches once so timings measure the
+    # queries, not first-touch classloading.
+    load_table(spark, sf_dir, "events").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
