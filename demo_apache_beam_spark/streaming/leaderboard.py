@@ -1,0 +1,153 @@
+"""LeaderBoard — streaming team/user score boards
+(reference entry point: LeaderBoard.main, LeaderBoard.java:136-175).
+
+Beam semantics → Structured Streaming mapping (SURVEY.md §4.3):
+
+- ``FixedWindows(teamWindowDuration)`` + early/late firings +
+  ``accumulatingFiredPanes`` (LeaderBoard.java:188-200) →
+  ``withWatermark(...)`` + ``groupBy(window, team)`` in **update** output
+  mode: every micro-batch re-emits the updated cumulative aggregate per
+  (window, team) — accumulating panes by construction, with trigger cadence
+  standing in for the 5-min early-firing clock.
+- ``withAllowedLateness(120 min)`` (LeaderBoard.java:197,218) →
+  ``withWatermark(event_time, "120 minutes")`` — rows later than the
+  watermark horizon are dropped and their window state evicted.
+- Global-window user totals with the 10-min repeated trigger
+  (LeaderBoard.java:211-220) → unwindowed ``groupBy(user)`` in update mode
+  with ``trigger(processingTime=...)``.
+- Pane timing (EARLY/ON_TIME/LATE, LeaderBoard.java:101-104) — no Spark
+  built-in; annotated in the sink via the watermark listener
+  (``streaming/timing.py``).
+
+State backend: at the 100 TB design point configure RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) — per-key-per-window
+state lives in executor state stores keyed by (team, window), exactly
+Beam's windowed GroupByKey state, and is GC'd when the watermark passes
+window end + lateness (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_game_events
+from ..operators.windows import with_event_time
+
+FIVE_MINUTES = "5 minutes"  # early-firing cadence, LeaderBoard.java:45
+TEN_MINUTES = "10 minutes"  # late/global firing cadence, LeaderBoard.java:46
+
+
+def read_game_event_lines(spark: SparkSession, input_dir: str) -> DataFrame:
+    """S2 equivalent: unbounded read of injector-format CSV lines from a
+    file-source directory (tests / local runs; Kafka in production — same
+    downstream plan either way)."""
+    lines = spark.readStream.text(input_dir)
+    events = parse_game_events(lines)
+    return with_event_time(events)
+
+
+def calculate_team_scores(
+    events: DataFrame,
+    team_window_minutes: int = 60,
+    allowed_lateness_minutes: int = 120,
+) -> DataFrame:
+    """A3 ``CalculateTeamScores`` (LeaderBoard.java:177-201): windowed team
+    sums with watermark-bounded lateness, accumulating emission.
+
+    Input must carry an ``event_time`` timestamp column. Output columns:
+    ``window_start``, ``window_end``, ``team``, ``total_score``.
+    """
+    return (
+        events.withWatermark("event_time", f"{int(allowed_lateness_minutes)} minutes")
+        .groupBy(
+            F.window("event_time", f"{int(team_window_minutes)} minutes").alias("w"),
+            F.col("team"),
+        )
+        .agg(F.sum("score").cast("long").alias("total_score"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "team",
+            "total_score",
+        )
+    )
+
+
+def calculate_user_scores(
+    events: DataFrame, allowed_lateness_minutes: int = 120
+) -> DataFrame:
+    """A4 ``CalculateUserScores`` (LeaderBoard.java:202-221): global-window
+    running user totals. The watermark bounds how late a row may arrive;
+    with no window there is one state row per user (W3 GlobalWindows)."""
+    return (
+        events.withWatermark("event_time", f"{int(allowed_lateness_minutes)} minutes")
+        .groupBy("user")
+        .agg(F.sum("score").cast("long").alias("total_score"))
+    )
+
+
+def start_leaderboard(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    team_window_minutes: int = 60,
+    allowed_lateness_minutes: int = 120,
+    with_timing: bool = True,
+    team_trigger: str | None = FIVE_MINUTES,
+    user_trigger: str | None = TEN_MINUTES,
+):
+    """Run both LeaderBoard queries over one shared parsed stream
+    (LeaderBoard.java:144-171: one source, two sinks). Returns the two
+    StreamingQuery handles.
+
+    Each query appends to a parquet "table" (K3/K4 semantics) via
+    ``foreachBatch``; the team sink adds ``processing_time`` and the pane
+    ``timing`` column (P4/W8) through the timing annotator.
+    """
+    from .timing import TimingAnnotator
+
+    events = read_game_event_lines(spark, input_dir)
+
+    team = calculate_team_scores(events, team_window_minutes, allowed_lateness_minutes)
+    user = calculate_user_scores(events, allowed_lateness_minutes)
+
+    annotator = TimingAnnotator(f"{output_dir}/leaderboard_team") if with_timing else None
+
+    def team_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn("processing_time", F.current_timestamp())
+        if annotator is not None:
+            out = annotator.annotate(out)
+        out.write.mode("append").parquet(f"{output_dir}/leaderboard_team")
+
+    def user_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("processing_time", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{output_dir}/leaderboard_user")
+
+    # The listener must be attached before the first batch so EARLY panes in
+    # batch 2+ see a watermark.
+    if annotator is not None:
+        annotator.attach(spark, "leaderboard_team")
+
+    team_writer = (
+        team.writeStream.outputMode("update")
+        .foreachBatch(team_sink)
+        .option("checkpointLocation", f"{checkpoint_dir}/team")
+        .queryName("leaderboard_team")
+    )
+    if team_trigger:
+        team_writer = team_writer.trigger(processingTime=team_trigger)
+    team_q = team_writer.start()
+
+    user_writer = (
+        user.writeStream.outputMode("update")
+        .foreachBatch(user_sink)
+        .option("checkpointLocation", f"{checkpoint_dir}/user")
+        .queryName("leaderboard_user")
+    )
+    if user_trigger:
+        user_writer = user_writer.trigger(processingTime=user_trigger)
+    user_q = user_writer.start()
+    return team_q, user_q

@@ -1,0 +1,173 @@
+"""Streaming equivalence + late-data semantics (SURVEY.md §5.2 item 2).
+
+Drives the LeaderBoard queries with a file-source readStream; batch
+boundaries are made deterministic by writing one file, draining with
+``processAllAvailable()``, then writing the next.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_apache_beam_spark.operators.aggregate import sum_scores, windowed_sum_scores
+from demo_apache_beam_spark.operators.parse import parse_game_events
+from demo_apache_beam_spark.operators.windows import with_event_time
+from demo_apache_beam_spark.streaming.leaderboard import (
+    calculate_team_scores,
+    calculate_user_scores,
+    read_game_event_lines,
+)
+
+BASE_MS = 1700000000000  # 2023-11-14 22:13:20 UTC
+
+
+def _line(user, team, score, ts_ms):
+    return f"{user},{team},{score},{ts_ms},ignored"
+
+
+def _write_lines(dirpath, name, lines):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return str(tmp_path / "in"), str(tmp_path / "chk")
+
+
+def _drain_updates(spark, stream_df, checkpoint, state: dict, key_cols):
+    """Start an update-mode query whose foreachBatch upserts into ``state``
+    (final accumulated view == Beam's accumulating panes)."""
+
+    def sink(batch_df, _epoch):
+        for row in batch_df.collect():
+            d = row.asDict()
+            state[tuple(d[k] for k in key_cols)] = d["total_score"]
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def test_team_scores_stream_equals_batch(spark, stream_dirs):
+    in_dir, chk = stream_dirs
+    lines = [
+        _line(f"user{i % 4}_T{i % 3}", f"T{i % 3}", i % 20, BASE_MS + i * 60_000)
+        for i in range(120)
+    ]
+    _write_lines(in_dir, "a.txt", lines[:60])
+    _write_lines(in_dir, "b.txt", lines[60:])
+
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(events, team_window_minutes=60)
+    state: dict = {}
+    q = _drain_updates(spark, team, chk, state, ("window_start", "team"))
+    q.processAllAvailable()
+    q.stop()
+
+    # Batch answer over the same lines.
+    batch_lines = spark.createDataFrame([(s,) for s in lines], "value string")
+    batch = with_event_time(parse_game_events(batch_lines))
+    expect = {
+        (r["window_start"], r["team"]): r["total_score"]
+        for r in windowed_sum_scores(batch, "team", 60).collect()
+    }
+    assert state == expect
+
+
+def test_user_scores_stream_equals_batch(spark, stream_dirs):
+    in_dir, chk = stream_dirs
+    lines = [
+        _line(f"user{i % 7}", f"T{i % 3}", (i * 3) % 20, BASE_MS + i * 30_000)
+        for i in range(100)
+    ]
+    _write_lines(in_dir, "a.txt", lines)
+
+    events = read_game_event_lines(spark, in_dir)
+    user = calculate_user_scores(events)
+    state: dict = {}
+    q = _drain_updates(spark, user, chk, state, ("user",))
+    q.processAllAvailable()
+    q.stop()
+
+    batch_lines = spark.createDataFrame([(s,) for s in lines], "value string")
+    batch = parse_game_events(batch_lines)
+    expect = {(r["user"],): r["total_score"] for r in sum_scores(batch, "user").collect()}
+    assert state == expect
+
+
+def test_late_data_beyond_horizon_dropped(spark, stream_dirs):
+    """W5: a row later than the 120-min watermark horizon is dropped; a row
+    late but within the horizon is accumulated (LeaderBoard.java:65-68,197)."""
+    in_dir, chk = stream_dirs
+    hours = 10 * 3600 * 1000
+
+    # Batch 1: advance event time (and thus the watermark) to BASE+10h.
+    batch1 = [
+        _line("u1", "team_a", 5, BASE_MS),
+        _line("u1", "team_a", 7, BASE_MS + hours),
+    ]
+    _write_lines(in_dir, "a.txt", batch1)
+
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(events, team_window_minutes=60, allowed_lateness_minutes=120)
+    state: dict = {}
+    q = _drain_updates(spark, team, chk, state, ("window_start", "team"))
+    q.processAllAvailable()
+
+    # Batch 2: one row ~10h late (beyond horizon → dropped), one row 30min
+    # late relative to max event time (within horizon → accumulated).
+    batch2 = [
+        _line("u2", "team_a", 100, BASE_MS + 60_000),          # way beyond horizon
+        _line("u3", "team_a", 3, BASE_MS + hours - 1_800_000),  # 30 min late: ok
+    ]
+    _write_lines(in_dir, "b.txt", batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    first_window_totals = [v for (ws, team_), v in state.items() if team_ == "team_a" and v >= 100]
+    assert not first_window_totals, f"late row beyond horizon must be dropped: {state}"
+    assert sum(state.values()) == 5 + 7 + 3
+
+
+def test_start_leaderboard_end_to_end(spark, tmp_path):
+    """Full two-sink LeaderBoard with pane-timing annotation (W8/K4)."""
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    in_dir, out_dir, chk = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    hours = 10 * 3600 * 1000
+    _write_lines(in_dir, "a.txt", [
+        _line("u1", "team_a", 5, BASE_MS),
+        _line("u2", "team_b", 9, BASE_MS + 120_000),
+    ])
+    team_q, user_q = start_leaderboard(
+        spark, in_dir, out_dir, chk, team_trigger=None, user_trigger=None,
+    )
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+
+    # Batch 2 advances the watermark past the first window; batch 3 then
+    # refines a closed window (LATE) and opens a new one (EARLY).
+    _write_lines(in_dir, "b.txt", [_line("u1", "team_a", 7, BASE_MS + hours)])
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+    _write_lines(in_dir, "c.txt", [
+        _line("u9", "team_a", 2, BASE_MS + 60_000),       # refine closed window
+        _line("u1", "team_a", 4, BASE_MS + hours + 60_000),
+    ])
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+    team_q.stop(); user_q.stop()
+
+    team_out = spark.read.parquet(f"{out_dir}/leaderboard_team")
+    user_out = spark.read.parquet(f"{out_dir}/leaderboard_user")
+    assert {"window_start", "window_end", "team", "total_score", "processing_time", "timing"} <= set(team_out.columns)
+    timings = {r["timing"] for r in team_out.select("timing").distinct().collect()}
+    assert "EARLY" in timings  # batch-1 emissions precede any watermark
+    # final accumulated user totals present in the append log
+    users = {(r["user"], r["total_score"]) for r in user_out.collect()}
+    assert ("u1", 16) in users, users
