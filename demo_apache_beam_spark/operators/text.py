@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(engine extension beyond the reference surface — BASELINE.json north star).
+
+Everything here is native Spark SQL expressions (regexp / array functions)
+— no Python in the hot path, so a 100 TB ``documents`` table runs these
+inside whole-stage codegen straight off the parquet scan. Each operator
+adds named columns; the paired DuckDB oracles in ``queries.py`` replicate
+the exact expression trees so results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: One token = a maximal [a-z0-9]+ run over the lowercased text — the
+#: whitespace+punctuation tokenizer, portable across engines.
+TOKEN_RE = "[a-z0-9]+"
+
+#: Small marker-word inventories for the lang-id heuristic (top function
+#: words per language; public linguistic knowledge).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "es": ("el", "la", "que", "los", "una", "por", "con", "para"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "que"),
+}
+
+#: English stopwords for the quality score's stopword ratio.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
+    return df.withColumn(out_col, tokens_col(text_col))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Token counting: size of the tokenizer's output (BPE-ish splits can
+    swap in by changing TOKEN_RE — the plumbing is identical)."""
+    return df.withColumn(out_col, F.size(tokens_col(text_col)).cast("long"))
+
+
+def _marker_count(text_col: str, words: tuple[str, ...]) -> Column:
+    alternation = "|".join(words)
+    return F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '\\\\b({alternation})\\\\b', 0))"
+    ).cast("long")
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword signals, combined
+    into a [0,1] score. All ratios are pure double arithmetic — identical
+    expression trees on the oracle side reproduce them bit-for-bit."""
+    n_chars = F.length(text_col).cast("long")
+    n_tokens = F.size(tokens_col(text_col)).cast("long")
+    # characters that are neither alphanumeric nor whitespace
+    n_punct = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", ""))
+    ).cast("long")
+    n_stop = _marker_count(text_col, STOPWORDS)
+    df = (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_tokens", n_tokens)
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_ratio", n_stop / F.greatest(n_tokens, F.lit(1)))
+    )
+    # Heuristic score: reward moderate length and stopword presence,
+    # penalize punctuation soup. least/greatest keep it in [0,1].
+    return df.withColumn(
+        "quality_score",
+        F.least(F.col("q_n_tokens") / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0))) * F.lit(0.2),
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Language ID: CJK-codepoint check first, then marker-word scores with
+    a deterministic priority tie-break (en > de > es > fr; all-zero →
+    'unknown'). An n-gram heuristic, not a model — the shape a real
+    fastText-style scorer would slot into (same columns, same plan)."""
+    scores = {lang: _marker_count(text_col, words) for lang, words in LANG_MARKERS.items()}
+    has_cjk = F.expr(f"regexp_extract(lower({text_col}), '[\\\\u4e00-\\\\u9fff]', 0) != ''")
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, punctuation-stripped,
+    whitespace-collapsed text — stable under formatting-only edits (the
+    hash-normalization half of content-defined dedup)."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.withColumn(out_col, F.md5(normalized))

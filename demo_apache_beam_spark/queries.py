@@ -250,6 +250,237 @@ def leaderboard_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — text analysis on the documents table
+# ---------------------------------------------------------------------------
+
+_STOP_ALT = "|".join(("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+_EN = "|".join(("the", "and", "of", "is", "to", "in", "that", "it"))
+_DE = "|".join(("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+_ES = "|".join(("el", "la", "que", "los", "una", "por", "con", "para"))
+_FR = "|".join(("le", "les", "des", "est", "une", "dans", "pour", "que"))
+
+
+@register(
+    "text_analysis",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars_c,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b({_STOP_ALT})\\b')) AS n_stop,
+             len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b({_DE})\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b({_ES})\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b({_FR})\\b')) AS s_fr,
+             regexp_matches(lower(text), '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             n_punct / greatest(n_chars_c, 1) AS punct_ratio,
+             n_stop / greatest(n_tokens, 1) AS stopword_ratio,
+             s_en, s_de, s_es, s_fr, has_cjk, fingerprint,
+             greatest(s_en, s_de, s_es, s_fr) AS best
+      FROM t
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           least(n_tokens / 64.0, 1.0) * 0.5
+             + least(stopword_ratio * 4.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN best = 0 THEN 'unknown'
+                WHEN s_en = best THEN 'en'
+                WHEN s_de = best THEN 'de'
+                WHEN s_es = best THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           fingerprint
+    FROM r
+    """,
+    doc="Text analysis: token count, punctuation/stopword ratios, quality "
+        "score, heuristic language ID, normalized-text fingerprint.",
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import (
+        with_fingerprint,
+        with_language_id,
+        with_quality,
+        with_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_fingerprint(with_language_id(with_quality(with_token_count(docs))))
+    return out.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "quality_score", "lang_pred", "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — deduplication
+# ---------------------------------------------------------------------------
+
+# Both sides build the same corpus-with-duplicates so the dedup operators
+# have real work to do: exact copies (ids % 7) and near-copies with a
+# suffix (ids % 11), re-keyed above 1e6.
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_NEARDUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' shared near duplicate suffix marker', lang, n_chars
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(copies)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    copies = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" shared near duplicate suffix marker")))
+    )
+    return docs.unionByName(copies)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on the content digest, min-id winner "
+        "(shuffles 16-byte digests, not documents).",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+
+    return dedup_exact(_dup_corpus(spark, sf_dir)).select("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sets AS (
+      SELECT doc_id, lang, n_chars // 64 AS blk,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+      FROM corpus
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.ts, b.ts))
+               / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="n-gram Jaccard near-dup: blocked self-join (lang × length bucket), "
+        "token-set intersection-over-union ≥ 0.5.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir).withColumn("blk", F.expr("n_chars DIV 64"))
+    return jaccard_pairs(corpus, ["lang", "blk"], threshold=0.5)
+
+
+@register(
+    "dedup_minhash",
+    None,  # hash-function internals aren't portable to DuckDB — rows-only
+    doc="MinHash+LSH near-dup: 32 seeded-xxhash64 minima, 8 bands, bucket "
+        "equi-join candidates, exact shingle-Jaccard verification ≥ 0.5.",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_neardup_corpus(spark, sf_dir)).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 bit-votes aren't portable to DuckDB — rows-only
+    doc="SimHash near-dup: 64-bit sign-sum fingerprints, 8-bit band "
+        "candidates, Hamming ≤ 12 via bit_count(xor).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _neardup_corpus(spark, sf_dir), max_hamming=12, num_bands=8
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Extensions — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_knn",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cosine
+      FROM q, embeddings c
+      WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 (exact ANN baseline): broadcast query "
+        "set, single corpus scan, window rank. Verified bit-identical to "
+        "DuckDB's list_cosine_similarity.",
+)
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries_df, k=10)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embedding_knn_lsh",
+    None,  # approximate by design — recall vs brute force asserted in tests
+    doc="LSH-bucketed cosine top-10: random-hyperplane signatures, bucket "
+        "equi-join + multiprobe, exact re-rank inside buckets.",
+)
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries_df, k=10, num_planes=10, multiprobe_bits=4)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

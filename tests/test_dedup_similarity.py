@@ -1,0 +1,70 @@
+"""Behavioral tests for the rows-only operators (no DuckDB oracle):
+MinHash+LSH, SimHash, LSH kNN — asserted against planted duplicates and
+the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from demo_apache_beam_spark.queries import REGISTRY, _neardup_corpus
+from demo_apache_beam_spark.sources.tables import load_table
+
+
+def _planted_pairs(spark):
+    """Every planted near-dup is (doc_id, doc_id + 1000000) for id % 11 == 0."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 11 == 0).collect()]
+    return {(i, i + 1000000) for i in ids}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_minhash"].fn(spark, SF_SMALL).collect()
+    }
+    planted = _planted_pairs(spark)
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}: {planted - got}"
+    # verification step bounds precision: every reported pair really is similar
+    jacc = REGISTRY["dedup_minhash"].fn(spark, SF_SMALL)
+    assert jacc.filter(F.col("jaccard") < 0.5).count() == 0
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF_SMALL).collect()
+    }
+    planted = _planted_pairs(spark)
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from demo_apache_beam_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_knn_recall_vs_brute_force(spark):
+    exact = REGISTRY["embedding_knn"].fn(spark, SF_SMALL).collect()
+    approx = REGISTRY["embedding_knn_lsh"].fn(spark, SF_SMALL).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # LSH trades recall for a ~2^bits cheaper search; with 10 planes +
+    # multiprobe on 500 vectors we expect decent but not perfect recall.
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+    # every approx cosine must match the exact computation for that pair
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        k = (r["query_id"], r["neighbor_id"])
+        if k in exact_cos:
+            assert abs(exact_cos[k] - r["cosine"]) < 1e-12
