@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
@@ -33,14 +35,25 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
 
-    # Warm the JVM + parquet footer caches once so timings measure the
-    # queries, not first-touch classloading.
+    # Warm the JVM + parquet footer caches + Python UDF workers once so
+    # timings measure the queries, not first-touch classloading or
+    # worker-process spawn.
     load_table(spark, sf_dir, "events").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(1000).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        df = spec.fn(spark, sf_dir)
+        # time from plan construction: operators that stage intermediates
+        # (localCheckpoint) run real jobs before the final write, and
+        # those belong in the measurement
         t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -5,8 +5,9 @@ corpora:
 
 - **exact**: hash-groupBy on a content key; one shuffle on the 16-byte
   digest (never on the raw text), min-id winner, semi-join back.
-- **n-gram Jaccard**: blocked self-join — candidate pairs only within a
-  blocking key, never the quadratic cross product.
+- **n-gram Jaccard**: prefix-filtered all-pairs — lossless candidate
+  pruning via rarest-first token prefixes + length filter, never the
+  quadratic cross product and never unbounded blocks.
 - **MinHash+LSH**: shingle → k minhashes (one explode + k min-aggregates,
   all map-side combinable) → band → bucket equi-join. The classic
   near-dup pipeline (Broder '97; the MapReduce formulation is public
@@ -31,9 +32,14 @@ from .text import tokens_col
 
 def content_key(cols: tuple[str, ...] | list[str]) -> Column:
     """16-byte digest of the concatenated key columns (separator-framed so
-    ("ab","c") ≠ ("a","bc")). Shuffling the digest instead of document text
-    cuts exact-dedup shuffle volume by ~1000× on prose."""
-    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    ("ab","c") ≠ ("a","bc"); NULLs keep a sentinel so ("a",NULL,"b") ≠
+    ("a","b") and NULL ≠ ''). Shuffling the digest instead of document
+    text cuts exact-dedup shuffle volume by ~1000× on prose."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")) for c in cols]
+        )
+    )
 
 
 def dedup_exact(df: DataFrame, key_cols=("text",), id_col: str = "doc_id") -> DataFrame:
@@ -53,7 +59,7 @@ def dedup_exact(df: DataFrame, key_cols=("text",), id_col: str = "doc_id") -> Da
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (blocked pairwise)
+# n-gram Jaccard near-dup (prefix-filtered all-pairs)
 # ---------------------------------------------------------------------------
 
 def token_set_col(text_col: str = "text") -> Column:
@@ -62,36 +68,202 @@ def token_set_col(text_col: str = "text") -> Column:
 
 def jaccard_pairs(
     df: DataFrame,
-    block_cols: list[str],
+    group_cols: list[str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    strategy: str = "auto",
+    bitset_max_vocab: int = 4096,
+    salt_buckets: int = 32,
 ) -> DataFrame:
-    """Pairwise token-set Jaccard within blocking groups.
+    """All pairs with token-set Jaccard ≥ threshold — **exact** (the
+    result is precisely what a naive N² scan would emit; contrast
+    ``minhash_dedup_pairs`` for the probabilistic scale path).
 
-    Blocking bounds the join fan-out: pairs are generated per block key via
-    an equi-join (shuffle on the block key), so cost is Σ|block|², not N².
-    Block keys should cap group size at the data's skew profile (e.g.
-    lang × length-bucket); AQE's skew-join split handles stragglers.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Two physical strategies, chosen by vocabulary size when
+    ``strategy="auto"`` (one tiny distinct-count job — the set-similarity
+    analogue of AQE's stats probe):
+
+    - ``"prefix"`` (large vocab — real corpora): prefix filtering
+      (Chaudhuri et al. '06 SSJoin; Bayardo et al. '07 All-Pairs).
+      Tokens are ordered rarest-first; a pair with J ≥ t must share a
+      token within each side's first ``|A| - ⌈t·|A|⌉ + 1`` ordered
+      tokens, so candidates come from an equi-join on prefix tokens
+      (bounded by rare-token posting lists), a length filter
+      (J ≥ t ⟹ min ≥ t·max) prunes inside the join, and survivors are
+      verified exactly. Lossless, near-linear on zipfian vocabularies.
+    - ``"bitset"`` (vocab ≤ ``bitset_max_vocab``): token sets become
+      fixed-width bitmasks (``array<long>``); intersection/union are
+      ``bit_count`` over ANDed words — a few dozen ALU ops per pair in
+      whole-stage codegen, no array or string ops. Candidate pairs are
+      enumerated by a *salted* self-join (side A hashed to one of
+      ``salt_buckets``, side B replicated to all), so parallelism is
+      group_cols × salt_buckets instead of one task per group value.
+      Small vocabularies defeat prefix filtering (every posting list is
+      ~N long), and make the matching-pair count itself Θ(N²) — the
+      bitset path makes each unavoidable pair evaluation ~free.
+
+    The round-1 design joined within lossy ``(lang, n_chars DIV 64)``
+    blocks — unbounded Σ|block|² at corpus scale *and* silently dropped
+    cross-block pairs. ``group_cols`` (e.g. ``["lang"]``) adds hard
+    equality constraints. Output: (id_a, id_b, jaccard), id_a < id_b.
     """
-    sets = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], token_set_col(text_col).alias("_ts")
+    group_cols = list(group_cols or [])
+    from ..sources.tables import spread
+
+    # Stage the tokenized corpus once: spread to full parallelism (small
+    # inputs arrive as 1-2 file splits — regex tokenization is CPU-bound),
+    # then materialize so the vocab probe, signature build, and
+    # verification all read the staged rows instead of re-running the
+    # regex per consumer. At warehouse scale this is the usual "write the
+    # shingled corpus to a temp table" step.
+    sets = (
+        spread(df)
+        .select(
+            F.col(id_col), *[F.col(c) for c in group_cols], token_set_col(text_col).alias("_ts")
+        )
+        .localCheckpoint()
     )
-    a = sets.alias("a")
-    b = sets.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
+    toks = sets.select(F.col(id_col), F.explode("_ts").alias("_t"))
+    if strategy in ("auto", "bitset"):
+        # Vocabulary probe: by precondition the bitset path only applies
+        # to small vocabularies, so collecting it is a dimension-table
+        # pull (like collecting a broadcast side), bounded by the limit.
+        vocab = [
+            r["_t"]
+            for r in toks.select("_t").distinct().sort("_t").limit(bitset_max_vocab + 1).collect()
+        ]
+        if len(vocab) <= bitset_max_vocab:
+            return _jaccard_pairs_bitset(
+                sets, toks, vocab, group_cols, id_col, threshold, salt_buckets
+            )
+        if strategy == "bitset":
+            raise ValueError(
+                f"bitset strategy requires vocab <= {bitset_max_vocab}, got more"
+            )
+    return _jaccard_pairs_prefix(sets, toks, group_cols, id_col, threshold)
+
+
+def _jaccard_pairs_bitset(
+    sets: DataFrame,
+    toks: DataFrame,
+    vocab: list[str],
+    group_cols: list[str],
+    id_col: str,
+    threshold: float,
+    salt_buckets: int,
+) -> DataFrame:
+    n_words = (len(vocab) + 63) // 64
+    spark = sets.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(vocab)], "_t string, _tid int"
+    )
+    word_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("_tid") >= w * 64) & (F.col("_tid") < (w + 1) * 64),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_tid % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"_m{w}")
+        for w in range(n_words)
+    ]
+    # localCheckpoint materializes the tiny (id, size, mask, groups) rows
+    # once so the salted self-join below doesn't re-run tokenization for
+    # each side — the same role as building a join index.
+    masks = (
+        toks.join(F.broadcast(vocab_df), "_t")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_sz"), *word_aggs)
+        .join(sets.select(id_col, *group_cols), id_col)
+        .localCheckpoint()
+    )
+    a = masks.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+    b = masks.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    cond = (
+        (F.col("a._salt") == F.col("b._salt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a._sz") >= F.col("b._sz") * F.lit(threshold))
+        & (F.col("b._sz") >= F.col("a._sz") * F.lit(threshold))
+    )
+    for c in group_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a._ts"), F.col("b._ts")))
-    union = F.size(F.array_union(F.col("a._ts"), F.col("b._ts")))
+    # plain column expressions (not zip_with/aggregate lambdas, which are
+    # interpreted) so the per-pair popcount stays in whole-stage codegen
+    inter = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"a._m{w}").bitwiseAND(F.col(f"b._m{w}")))
+        inter = term if inter is None else inter + term
     return (
-        a.join(b, cond)
+        a.alias("a")
+        .join(b.alias("b"), cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
+            inter.alias("_i"),
+            (F.col("a._sz") + F.col("b._sz")).alias("_ab"),
         )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_i") / (F.col("_ab") - F.col("_i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def _jaccard_pairs_prefix(
+    sets: DataFrame,
+    toks: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first canonical ordering; carried as struct so one sort_array
+    # orders by (df, token)
+    ordered = (
+        toks.join(freq, "_t")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "_t"))).alias("_ord"))
+        .select(
+            F.col(id_col),
+            F.transform("_ord", lambda s: s["_t"]).alias("_ord_toks"),
+        )
+    )
+    prefix_len = (
+        F.size("_ord_toks") - F.ceil(F.size("_ord_toks") * F.lit(threshold)) + 1
+    ).cast("int")
+    prefixes = (
+        ordered.join(sets.select(id_col, *group_cols), id_col)
+        .select(
+            F.col(id_col),
+            *group_cols,
+            F.size("_ord_toks").alias("_sz"),
+            F.explode(F.slice("_ord_toks", F.lit(1), prefix_len)).alias("_t"),
+        )
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cond = (
+        (F.col("a._t") == F.col("b._t"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a._sz") >= F.col("b._sz") * F.lit(threshold))
+        & (F.col("b._sz") >= F.col("a._sz") * F.lit(threshold))
+    )
+    for c in group_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cands = (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa._ts"), F.col("sb._ts")))
+    union = F.size(F.array_union(F.col("sa._ts"), F.col("sb._ts")))
+    return (
+        cands.join(sets.select(F.col(id_col), "_ts").alias("sa"), cands.id_a == F.col(f"sa.{id_col}"))
+        .join(sets.select(F.col(id_col), "_ts").alias("sb"), cands.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
 
@@ -132,14 +304,42 @@ def minhash_signatures(
     plans partial mins before the shuffle on the id, so network volume is
     k longs per document regardless of document size.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_sh")
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
+    return _signatures_from_hashes(hashed, id_col, num_hashes)
+
+
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingle-hash) rows: one xxhash64 per distinct shingle.
+
+    All downstream MinHash work (signatures, verification) runs on these
+    8-byte hashes — shingle equality ⇔ hash equality up to a 2^-64
+    collision, which is far below any near-dup threshold's noise floor.
+    """
+    from ..sources.tables import spread
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_sh"))
+        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
     )
+
+
+def _signatures_from_hashes(
+    hashed: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    # one variable-length string hash per shingle (already done), then k
+    # cheap fixed-width rehashes of the long — k× cheaper than hashing
+    # the shingle string k times, same independence in practice
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -191,9 +391,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact shingle
     Jaccard verification of candidates only. Output: (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # the shingle regex runs exactly once: the staged (id, hash) rows
+    # feed both the signature aggregate and the verification arrays
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint()
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = df.select(F.col(id_col), shingles_col(text_col, shingle_n).alias("_sh"))
+    sh = hashed.groupBy(id_col).agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
     union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
     return (
@@ -218,7 +421,9 @@ def simhash_signatures(
     — constant 64 longs of state per document, no row blowup, fully
     map-side combinable.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
+    from ..sources.tables import spread
+
+    toks = spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
     toks = toks.withColumn("_h", F.xxhash64("_t"))
     bit_sums = [
         F.sum(
@@ -240,41 +445,101 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    num_bands: int = 4,
+    max_hamming: int = 12,
+    num_blocks: int = 8,
+    rotations: tuple[int, ...] = (0, 3, 6),
+    strategy: str = "auto",
+    pairwise_max_docs: int = 20000,
+    salt_buckets: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance — Manku-style block
+    permutations (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates for
+    Web Crawling": probe on wide keys assembled from permuted block
+    combinations, never on narrow bands).
 
-    Candidates come from equality on any of ``num_bands`` equal-width bands
-    of the 64-bit fingerprint (pigeonhole: a pair within Hamming ≤
-    num_bands-1 must agree on ≥1 band; beyond that, recall is
-    probabilistic). Narrower bands (more of them) raise recall *and* raise
-    candidate volume — at corpus scale pick num_bands ≈ max_hamming+1 and
-    let the exact ``bit_count`` filter clean up. Output: (id_a, id_b,
-    hamming).
+    For each cyclic bit-rotation in ``rotations``, the rotated 64-bit
+    fingerprint splits into ``num_blocks`` 8-bit blocks and each probe
+    key concatenates one *pair* of blocks — C(8,2) = 28 probes of 16 bits
+    per rotation. Pigeonhole (any single rotation): ≤ 6 differing bits
+    dirty ≤ 6 blocks, leaving two clean blocks whose pair key must agree
+    — Hamming ≤ num_blocks − 2 is caught deterministically;
+    7..max_hamming is caught when some rotation groups the differing
+    bits into ≤ 6 blocks (rotations shift block boundaries, giving
+    near-independent trials). The round-1 design used 8-bit band values
+    — only 256 buckets per band, so within-bucket self-joins went
+    quadratic at corpus scale; 16-bit keys give a 2^16 value space per
+    probe and bucket sizes ~N/65536. Output: (id_a, id_b, hamming).
+
+    Strategies: ``"probe"`` is the corpus-scale path above. On small
+    corpora (≤ ``pairwise_max_docs``) a loose Hamming threshold makes a
+    large fraction of pairs match, so every matching pair re-surfaces
+    from up to rotations·C(8,2) probe buckets and the dedup shuffle
+    dwarfs the real work; ``"pairwise"`` instead runs an exact salted
+    self-join over the compact (id, simhash) rows — the per-pair cost is
+    two ALU ops in codegen, there is no multiplicity, and recall is
+    exact (every pair with Hamming ≤ max_hamming, not just probed ones).
+    ``"auto"`` counts the corpus (one metadata-light job over 8-byte
+    rows) and picks.
     """
-    band_bits = 64 // num_bands
-    band_mask = (1 << band_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.expr(f"(simhash >> {band_bits * i}) & {band_mask}").alias("band_val"),
+    block_bits = 64 // num_blocks
+    mask = (1 << block_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    if strategy == "auto":
+        strategy = "pairwise" if sigs.count() <= pairwise_max_docs else "probe"
+    if strategy == "pairwise":
+        a = sigs.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+        b = sigs.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+        )
+        return (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a._salt") == F.col("b._salt"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                    <= F.lit(max_hamming)
+                ),
             )
-            for i in range(num_bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")).select(
-        id_col, "simhash", "band.band_idx", "band.band_val"
-    )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
+        )
+    probes = []
+    for r in rotations:
+        # cyclic left-rotation via two logical shifts (>>> is Spark's
+        # unsigned right shift)
+        rotated = f"(shiftleft(simhash, {r}) | shiftrightunsigned(simhash, {64 - r}))" if r else "simhash"
+        blocks = [f"((shiftrightunsigned({rotated}, {block_bits * i})) & {mask})" for i in range(num_blocks)]
+        for i in range(num_blocks):
+            for j in range(i + 1, num_blocks):
+                probes.append(
+                    F.struct(
+                        F.lit(len(probes)).alias("band_idx"),
+                        F.expr(f"{blocks[i]} * {mask + 1} + {blocks[j]}").alias("band_val"),
+                    )
+                )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*probes)).alias("band")
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    # Hamming check lives IN the join condition: probe-bucket collisions
+    # that aren't real near-dups die during the join instead of flowing
+    # into the dedup shuffle (candidate multiplicity across 84 probes
+    # makes post-join distinct the dominant cost otherwise).
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                <= F.lit(max_hamming)
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -283,4 +548,3 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= F.lit(max_hamming))

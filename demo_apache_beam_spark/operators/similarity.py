@@ -3,23 +3,40 @@
 Two tiers, per the standard ANN playbook:
 
 - **Brute-force cosine top-k** — the exact baseline: broadcast the query
-  set, one pass over the corpus, per-query top-k via window rank. Cost
-  O(N·Q·d) FLOPs but a *single scan, zero shuffles of the corpus* (the
-  only shuffle is the rank's partition-by-query over N·Q score rows —
-  keep Q modest or pre-aggregate with a partial top-k).
-- **LSH-bucketed cosine** — the scale path: random-hyperplane signatures
-  (Charikar SimHash for angles) bucket the corpus; each query probes its
-  own bucket (+ optional multi-probe flips) and scores only that bucket.
-  Signature build is one broadcast-join pass; search cost drops by ~2^bits.
+  set, one pass over the corpus, per-query top-k via *two-phase* rank
+  (per-partition local top-k, then a global rank over only k rows per
+  surviving partition). Cost O(N·Q·d) FLOPs with no single-partition
+  hotspot: the old one-window-per-query plan funneled all N·Q scored
+  rows into Q partitions; the two-phase plan's final window sees ≤ k·P
+  rows per query.
+- **Multi-table angular LSH** — the scale path: L independent
+  random-hyperplane signatures (Charikar '02 sign-random-projection; the
+  multi-table construction is the classic Indyk–Motwani/E2LSH recipe)
+  bucket the corpus L ways; a query probes its bucket in every table and
+  the union of bucket members is scored exactly. Per-neighbor recall is
+  1 - (1 - p^b)^L with p = 1 - θ/π, so recall is tuned by (b = planes
+  per table, L = tables) instead of a single monolithic signature —
+  which is what made the round-1 version collapse (10 planes = 1,024
+  buckets over a 500-vector corpus ⇒ singleton buckets, recall 0.025).
 
-Scoring is pure array expressions (``zip_with`` + ``aggregate``) over
-double-cast arrays — JVM-side, no Python. An IVF variant would swap the
-hyperplane bucketing for nearest-centroid assignment; the plan shape
-(bucket equi-join then exact re-rank) is identical.
+At 100 TB the corpus-side signature table (id, table, bucket) is written
+once, bucketed by (table, bucket); every query batch equi-joins against
+it shuffle-free on the corpus side, and only candidate ids — not
+vectors — flow through the join. Vectors are fetched for the candidate
+set alone, and scoring is pure array expressions (``zip_with`` +
+``aggregate``) over double-cast arrays — JVM-side, no Python.
+
+Reference parity note: the reference (Demo-Apache-Beam) has no
+similarity operators; this module is part of the training-data-pipeline
+extension surface (SURVEY.md §7 phase 5).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +61,32 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _topk_two_phase(
+    scored: DataFrame, k: int, query_id_col: str = "query_id"
+) -> DataFrame:
+    """Scale-safe per-query top-k over (query_id, neighbor_id, cosine).
+
+    Phase 1 ranks within (query, input-partition) groups — Q·P small
+    groups spread across the cluster — and keeps k rows per group.
+    Phase 2 ranks the ≤ k·P survivors per query. No partition ever holds
+    a query's full corpus scan, unlike a single
+    ``Window.partitionBy(query)`` which concentrates N rows per query
+    into one task. Ties break by neighbor id for full determinism, so
+    the result is bit-identical to the single-window plan.
+    """
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    w_local = Window.partitionBy(query_id_col, "_part").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_part", "_lr")
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,7 +95,8 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast-cross-join queries × corpus, rank.
+    """Exact cosine top-k: broadcast-cross-join queries × corpus, then
+    two-phase rank.
 
     Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
     ties broken by neighbor id for full determinism.
@@ -68,25 +112,21 @@ def brute_force_topk(
         "neighbor_id",
         cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_two_phase(scored, k, query_id_col)
 
 
 # ---------------------------------------------------------------------------
-# Random-hyperplane LSH
+# Multi-table random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
-def hyperplanes(dim: int, num_planes: int = 12, seed: int = 42):
-    """Deterministic pseudo-random unit-free hyperplanes (xorshift-style
-    LCG on (seed, plane, coord) — no RNG state, reproducible anywhere)."""
+def hyperplanes(dim: int, num_planes: int, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes (splitmix64-style scramble
+    of the (seed, plane, coord) triple — no RNG state, reproducible
+    anywhere)."""
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            # splitmix64-ish scramble of the (seed, p, d) triple
             x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
             x ^= x >> 30
             x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
@@ -97,7 +137,9 @@ def hyperplanes(dim: int, num_planes: int = 12, seed: int = 42):
 
 
 def signature_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit b of the signature = sign(plane_b · vec)."""
+    """Bit b of the signature = sign(plane_b · vec). Pure-SQL variant kept
+    for single-signature uses; the multi-table path batches all planes
+    through one numpy matmul instead (see ``_table_sigs``)."""
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         plane_arr = F.array(*[F.lit(v) for v in plane])
@@ -108,6 +150,51 @@ def signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def default_planes_per_table(corpus_size: int, target_bucket: int = 64) -> int:
+    """b ≈ log2(N / target_bucket): buckets sized so exact re-rank inside a
+    bucket stays cheap while collision probability p^b stays meaningful."""
+    return max(2, math.ceil(math.log2(max(2, corpus_size / target_bucket))))
+
+
+def _table_sigs(
+    df: DataFrame,
+    id_alias: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+) -> DataFrame:
+    """(id, _tbl, _sig) — one row per (row, hash table).
+
+    All L·b plane projections happen as ONE numpy matmul per Arrow batch
+    (vectorized Pandas UDF): per-plane ``zip_with``/``aggregate`` column
+    expressions are higher-order functions Spark interprets row-at-a-time
+    — at 80 planes × 64 dims that interpretation dominates the whole
+    query. Dense linear algebra is the textbook case for the Arrow path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    num_tables = len(tables)
+    planes_per_table = len(tables[0])
+    # (L·b) × dim projection matrix, row-major by (table, plane)
+    proj = np.asarray(
+        [plane for planes in tables for plane in planes], dtype=np.float64
+    )
+
+    @pandas_udf("array<long>")
+    def all_sigs(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)  # n × dim
+        bits = (x @ proj.T) >= 0.0  # n × (L·b)
+        sigs = np.zeros((x.shape[0], num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            for b in range(planes_per_table):
+                sigs[:, t] |= bits[:, t * planes_per_table + b].astype(np.int64) << b
+        return pd.Series(list(sigs))
+
+    return (
+        df.select(F.col(id_alias), all_sigs(F.col(vec_col)).alias("_sigs"))
+        .select(F.col(id_alias), F.posexplode("_sigs").alias("_tbl", "_sig"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -115,50 +202,75 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_planes: int = 12,
+    num_tables: int = 16,
+    planes_per_table: int | None = None,
     dim: int | None = None,
-    multiprobe_bits: int = 1,
+    corpus_size_hint: int | None = None,
+    multiprobe_bits: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: bucket equi-join on the hyperplane signature,
-    exact cosine re-rank inside the probed buckets.
+    """Approximate top-k via L independent hash tables.
 
-    ``multiprobe_bits`` ≥ 1 also probes buckets at Hamming distance 1
-    (flip each of the first ``multiprobe_bits`` bits) — the standard
-    recall knob without re-hashing. At 100 TB the corpus side is written
-    bucketed-by-signature once and every query stream joins against it
-    shuffle-free.
+    Per table: b-plane signature → bucket. Candidates = union over tables
+    of same-bucket (query, corpus) pairs; candidates are exact-scored and
+    two-phase-ranked. ``multiprobe_bits`` additionally probes buckets at
+    Hamming distance 1 in each table (flip each of the first m bits) for
+    extra recall without more tables.
+
+    ``planes_per_table`` defaults to log2(N/64) — pass it (and ``dim``)
+    explicitly in production; the fallbacks run one tiny count()/first()
+    job each. At 100 TB: persist the corpus (id, _tbl, _sig) table
+    bucketed by (_tbl, _sig) once; per query batch only the narrow
+    signature rows shuffle, then vectors are fetched for candidate ids
+    only.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = hyperplanes(dim, num_planes)
+    if planes_per_table is None:
+        n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
+        planes_per_table = default_planes_per_table(n)
+    tables = [
+        hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
+        for t in range(num_tables)
+    ]
 
-    c = corpus.select(
+    c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    ).withColumn("_sig", signature_col(F.col("_cv"), planes))
-
-    q = queries.select(
+    )
+    q_vec = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_sig0", signature_col(F.col("_qv"), planes))
-    probe_sigs = F.array(
-        F.col("_sig0"),
-        *[
-            F.col("_sig0").bitwiseXOR(F.lit(1 << b).cast("long"))
-            for b in range(max(0, multiprobe_bits))
-        ],
     )
-    q = q.withColumn("_sig", F.explode(F.array_distinct(probe_sigs)))
 
-    scored = c.join(F.broadcast(q), "_sig").filter(
-        F.col(query_id_col) != F.col("neighbor_id")
+    c_sigs = _table_sigs(c_vec, "neighbor_id", "_cv", tables)
+    q_sigs = _table_sigs(q_vec, query_id_col, "_qv", tables)
+    if multiprobe_bits > 0:
+        probe = F.explode(
+            F.array_distinct(
+                F.array(
+                    F.col("_sig"),
+                    *[
+                        F.col("_sig").bitwiseXOR(F.lit(1 << b).cast("long"))
+                        for b in range(min(multiprobe_bits, planes_per_table))
+                    ],
+                )
+            )
+        )
+        q_sigs = q_sigs.select(query_id_col, "_tbl", probe.alias("_sig"))
+
+    candidates = (
+        c_sigs.join(F.broadcast(q_sigs), ["_tbl", "_sig"])
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.select(
+    scored = (
+        candidates.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), query_id_col)
+        .select(
             query_id_col,
             "neighbor_id",
             cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
-        .dropDuplicates([query_id_col, "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
+    out = _topk_two_phase(scored, k, query_id_col)
+    return out.select(query_id_col, "neighbor_id", "cosine", "rank")

@@ -309,7 +309,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_token_count,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from .sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     out = with_fingerprint(with_language_id(with_quality(with_token_count(docs))))
     return out.select(
         "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
@@ -377,7 +379,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
     sets AS (
-      SELECT doc_id, lang, n_chars // 64 AS blk,
+      SELECT doc_id, lang,
              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
       FROM corpus
     ), pairs AS (
@@ -385,18 +387,21 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.ts, b.ts))
                / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
       FROM sets a JOIN sets b
-        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND len(a.ts) >= 0.5 * len(b.ts) AND len(b.ts) >= 0.5 * len(a.ts)
     )
     SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
     """,
-    doc="n-gram Jaccard near-dup: blocked self-join (lang × length bucket), "
-        "token-set intersection-over-union ≥ 0.5.",
+    doc="Token-set Jaccard near-dup via lossless prefix filtering "
+        "(All-Pairs/SSJoin): rarest-first prefixes generate candidates, "
+        "exact intersection-over-union ≥ 0.5 verifies. The oracle is the "
+        "naive pairwise definition — results must match exactly.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import jaccard_pairs
 
-    corpus = _neardup_corpus(spark, sf_dir).withColumn("blk", F.expr("n_chars DIV 64"))
-    return jaccard_pairs(corpus, ["lang", "blk"], threshold=0.5)
+    corpus = _neardup_corpus(spark, sf_dir)
+    return jaccard_pairs(corpus, ["lang"], threshold=0.5)
 
 
 @register(
@@ -414,14 +419,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     None,  # xxhash64 bit-votes aren't portable to DuckDB — rows-only
-    doc="SimHash near-dup: 64-bit sign-sum fingerprints, 8-bit band "
-        "candidates, Hamming ≤ 12 via bit_count(xor).",
+    doc="SimHash near-dup: 64-bit sign-sum fingerprints, Manku-style "
+        "two-block 16-bit probe keys (28 probes, Hamming ≤ 6 guaranteed), "
+        "Hamming ≤ 12 via bit_count(xor).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        _neardup_corpus(spark, sf_dir), max_hamming=12, num_bands=8
+        _neardup_corpus(spark, sf_dir), max_hamming=12
     ).select("id_a", "id_b", "hamming")
 
 
@@ -466,8 +472,8 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_knn_lsh",
     None,  # approximate by design — recall vs brute force asserted in tests
-    doc="LSH-bucketed cosine top-10: random-hyperplane signatures, bucket "
-        "equi-join + multiprobe, exact re-rank inside buckets.",
+    doc="Multi-table angular LSH cosine top-10: 16 independent hyperplane "
+        "hash tables, bucket equi-join candidates, exact re-rank.",
 )
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
@@ -476,7 +482,9 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries_df, k=10, num_planes=10, multiprobe_bits=4)
+    # dim is fixed by the embeddings table schema (TESTDATA.md); b adapts
+    # to corpus size via one cheap count().
+    out = lsh_topk(emb, queries_df, k=10, dim=64, num_tables=16)
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 

@@ -59,6 +59,23 @@ def _is_timestamp_col(table: str, col: str) -> bool:
     return col in _NANOS_TS_COLUMNS.get(table, set())
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to full cluster parallelism before CPU-heavy
+    per-row work (regex tokenization, hashing).
+
+    Small inputs arrive as 1-2 file splits (``maxPartitionBytes`` sizes
+    splits by bytes, not by compute), which strands a 32-core executor on
+    2 tasks. One round-robin shuffle of the raw rows buys full-width CPU
+    for everything downstream. No-op when the scan is already at least as
+    wide as the cluster — large inputs at the 100 TB design point never
+    repartition here.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in ALL_TABLES}
 

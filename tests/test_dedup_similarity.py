@@ -41,6 +41,41 @@ def test_simhash_finds_planted_near_dups(spark):
     assert recall >= 0.9, f"simhash recall {recall}"
 
 
+def test_simhash_probe_strategy_recall(spark):
+    """The corpus-scale probe path (Manku two-block 16-bit keys over 3
+    rotations) must keep ≥0.9 recall on the planted pairs — the registry
+    query auto-picks the exact pairwise path at this corpus size, so the
+    probe machinery is pinned here."""
+    from demo_apache_beam_spark.operators.dedup import simhash_near_pairs
+
+    out = simhash_near_pairs(
+        _neardup_corpus(spark, SF_SMALL), max_hamming=12, strategy="probe"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = _planted_pairs(spark)
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"probe-path recall {recall}"
+
+
+def test_simhash_pairwise_equals_probe_superset(spark):
+    """Pairwise is exact: it must find every pair the probe path finds,
+    at identical hamming values."""
+    from demo_apache_beam_spark.operators.dedup import simhash_near_pairs
+
+    corpus = _neardup_corpus(spark, SF_SMALL)
+    probe = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(corpus, max_hamming=12, strategy="probe").collect()
+    }
+    pairwise = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(corpus, max_hamming=12, strategy="pairwise").collect()
+    }
+    assert set(probe) <= set(pairwise)
+    for k, h in probe.items():
+        assert pairwise[k] == h
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from demo_apache_beam_spark.operators.dedup import simhash_signatures
 
