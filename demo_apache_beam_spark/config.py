@@ -37,6 +37,7 @@ class LeaderBoardOptions(HourlyTeamScoreOptions):
     allowed_lateness: int = 120  # minutes
     leader_board_table_name: str = "leaderboard"
     streaming: bool = field(default=True)  # LeaderBoard.java:139 forces on
+    checkpoint: str = ""  # engine-side: streaming checkpoint location
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -64,4 +65,36 @@ def parse_hourly_args(argv: list[str] | None = None) -> HourlyTeamScoreOptions:
         window_duration=ns.windowDuration,
         start_min=ns.startMin,
         stop_min=ns.stopMin,
+    )
+
+
+def parse_leaderboard_args(argv: list[str] | None = None) -> LeaderBoardOptions:
+    """LeaderBoard option surface (LeaderBoard.java:48-73 + README.md:16-19).
+
+    ``--input`` is the streaming source directory (the engine's stand-in
+    for the Pub/Sub ``--topic``; a topic name is still accepted and
+    recorded for parity). ``--output``/``--dataset`` name the warehouse
+    destination; tables are written as
+    ``<output>/<leaderBoardTableName>_team`` and ``_user``
+    (LeaderBoard.java:159,170).
+    """
+    p = argparse.ArgumentParser("leaderboard")
+    p.add_argument("--input", required=True, help="streaming source directory")
+    p.add_argument("--output", required=True, help="warehouse/table output root")
+    p.add_argument("--dataset", default="", help="dataset label (BigQuery parity)")
+    p.add_argument("--topic", default="", help="source topic label (Pub/Sub parity)")
+    p.add_argument("--teamWindowDuration", type=int, default=60)
+    p.add_argument("--allowedLateness", type=int, default=120)
+    p.add_argument("--leaderBoardTableName", default="leaderboard")
+    p.add_argument("--checkpoint", default="", help="checkpoint dir (default <output>/_checkpoints)")
+    ns = p.parse_args(argv)
+    return LeaderBoardOptions(
+        input=ns.input,
+        output=ns.output,
+        dataset=ns.dataset,
+        topic=ns.topic,
+        team_window_duration=ns.teamWindowDuration,
+        allowed_lateness=ns.allowedLateness,
+        leader_board_table_name=ns.leaderBoardTableName,
+        checkpoint=ns.checkpoint or f"{ns.output}/_checkpoints",
     )

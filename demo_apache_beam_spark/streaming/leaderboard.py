@@ -16,7 +16,8 @@ Beam semantics → Structured Streaming mapping (SURVEY.md §4.3):
   (LeaderBoard.java:211-220) → unwindowed ``groupBy(user)`` in update mode
   with ``trigger(processingTime=...)``.
 - Pane timing (EARLY/ON_TIME/LATE, LeaderBoard.java:101-104) — no Spark
-  built-in; annotated in the sink via the watermark listener
+  built-in; annotated in the sink from the query's synchronous
+  ``lastProgress`` watermark + a compact first-emission marker table
   (``streaming/timing.py``).
 
 State backend: at the 100 TB design point configure RocksDB
@@ -78,8 +79,17 @@ def calculate_user_scores(
     events: DataFrame, allowed_lateness_minutes: int = 120
 ) -> DataFrame:
     """A4 ``CalculateUserScores`` (LeaderBoard.java:202-221): global-window
-    running user totals. The watermark bounds how late a row may arrive;
-    with no window there is one state row per user (W3 GlobalWindows)."""
+    running user totals — one state row per user (W3 GlobalWindows).
+
+    Late-data note: because ``event_time`` is not part of the grouping
+    key, Spark applies **no** late-row dropping or state eviction here —
+    arbitrarily late rows still accumulate. That matches Beam's
+    GlobalWindows (a global window never closes; LeaderBoard.java:213
+    relies on the repeated trigger, not window expiry). The
+    ``allowed_lateness_minutes`` watermark is declared only so the
+    engine reports a watermark for this query's progress metrics; it
+    does not gate the aggregate.
+    """
     return (
         events.withWatermark("event_time", f"{int(allowed_lateness_minutes)} minutes")
         .groupBy("user")
@@ -97,6 +107,7 @@ def start_leaderboard(
     with_timing: bool = True,
     team_trigger: str | None = FIVE_MINUTES,
     user_trigger: str | None = TEN_MINUTES,
+    table_prefix: str = "leaderboard",
 ):
     """Run both LeaderBoard queries over one shared parsed stream
     (LeaderBoard.java:144-171: one source, two sinks). Returns the two
@@ -113,21 +124,28 @@ def start_leaderboard(
     team = calculate_team_scores(events, team_window_minutes, allowed_lateness_minutes)
     user = calculate_user_scores(events, allowed_lateness_minutes)
 
-    annotator = TimingAnnotator(f"{output_dir}/leaderboard_team") if with_timing else None
+    annotator = (
+        TimingAnnotator(
+            f"{output_dir}/{table_prefix}_team",
+            allowed_lateness_minutes=allowed_lateness_minutes,
+        )
+        if with_timing
+        else None
+    )
 
     def team_sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_df.withColumn("processing_time", F.current_timestamp())
         if annotator is not None:
             out = annotator.annotate(out)
-        out.write.mode("append").parquet(f"{output_dir}/leaderboard_team")
+        out.write.mode("append").parquet(f"{output_dir}/{table_prefix}_team")
+        if annotator is not None:
+            annotator.record(out, epoch_id)
 
     def user_sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.withColumn("processing_time", F.current_timestamp()).write.mode(
             "append"
-        ).parquet(f"{output_dir}/leaderboard_user")
+        ).parquet(f"{output_dir}/{table_prefix}_user")
 
-    # The listener must be attached before the first batch so EARLY panes in
-    # batch 2+ see a watermark.
     if annotator is not None:
         annotator.attach(spark, "leaderboard_team")
 
@@ -151,3 +169,31 @@ def start_leaderboard(
         user_writer = user_writer.trigger(processingTime=user_trigger)
     user_q = user_writer.start()
     return team_q, user_q
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI entry point (LeaderBoard.main, LeaderBoard.java:136-175):
+    ``python -m demo_apache_beam_spark.streaming.leaderboard --input <dir>
+    --output <dir>``. Runs both queries with the reference's trigger
+    cadences (5-min early firings, 10-min global-window firings) until
+    terminated (M2: ExampleUtils.waitToFinish, LeaderBoard.java:173-174).
+    """
+    from ..config import parse_leaderboard_args
+    from ..session import get_spark
+
+    opts = parse_leaderboard_args(argv)
+    spark = get_spark("leaderboard")
+    start_leaderboard(
+        spark,
+        input_dir=opts.input,
+        output_dir=opts.output,
+        checkpoint_dir=opts.checkpoint,
+        team_window_minutes=opts.team_window_duration,
+        allowed_lateness_minutes=opts.allowed_lateness,
+        table_prefix=opts.leader_board_table_name,
+    )
+    spark.streams.awaitAnyTermination()
+
+
+if __name__ == "__main__":
+    main()

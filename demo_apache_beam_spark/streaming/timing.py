@@ -12,107 +12,144 @@ metadata, but the same classification is derivable in the sink
 - any further emission for that (key, window) is **LATE** (a refinement
   triggered by late data inside the lateness horizon).
 
-The watermark comes from the streaming progress feed (a
-``StreamingQueryListener``); within a micro-batch it is the same value the
-engine used to gate state, so the classification matches Beam's up to
-Spark's batch-granular watermark advancement (documented delta, SURVEY.md
-§2.4 W4). "First emission" is tracked by reading the sink table itself —
-fully distributed, no driver-side key set: at scale the sink is a
-warehouse table and the marker read is one aggregate over it.
+Two design points, both scale-critical:
+
+- **Watermark is read synchronously** from the query's ``lastProgress``
+  inside ``foreachBatch``. The progress published at the end of batch
+  N-1 carries exactly the watermark the engine uses to gate batch N's
+  state, so the classification matches what the state store did — an
+  async listener (the round-1 design) could lag a batch and mislabel
+  ON_TIME panes as EARLY.
+- **First-emission markers live in their own compact table** (sibling
+  ``<sink>_markers`` path), not in the ever-growing data sink. Each
+  batch appends only the (key, window_end) pairs that just fired
+  ON_TIME — a pair is appended exactly once — and reads are pruned to
+  windows the watermark can still touch (``window_end ≥ watermark −
+  lateness``; older windows can never fire again, their markers are
+  dead). A periodic compaction rewrites the table down to the live set,
+  which is O(open windows), not O(sink history).
 """
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQueryListener
+from pyspark.sql import types as T
 
-
-class _WatermarkListener(StreamingQueryListener):
-    def __init__(self, query_name: str, holder: "TimingAnnotator") -> None:
-        self._query_name = query_name
-        self._holder = holder
-
-    def onQueryStarted(self, event) -> None:  # pragma: no cover - interface
-        pass
-
-    def onQueryProgress(self, event) -> None:
-        progress = event.progress
-        if progress.name != self._query_name:
-            return
-        wm = (progress.eventTime or {}).get("watermark")
-        if wm:
-            self._holder.set_watermark(wm)
-
-    def onQueryIdle(self, event) -> None:  # pragma: no cover - interface
-        pass
-
-    def onQueryTerminated(self, event) -> None:
-        # Self-detach so no progress callback races the py4j bridge after
-        # the consumer stops the query.
-        self._holder.detach_on_terminate()
+_MARKER_SCHEMA = T.StructType(
+    [
+        T.StructField("team", T.StringType()),
+        T.StructField("window_end", T.TimestampType()),
+    ]
+)
 
 
 class TimingAnnotator:
-    """Adds a ``timing`` column to windowed sink batches."""
+    """Adds a ``timing`` column to windowed sink batches.
 
-    def __init__(self, sink_path: str) -> None:
-        self._sink_path = sink_path
-        self._watermark: str | None = None
-        self._lock = threading.Lock()
-        self._listener: _WatermarkListener | None = None
+    Usage inside ``foreachBatch``::
+
+        out = annotator.annotate(batch_df)
+        out.write.mode("append").parquet(sink)
+        annotator.record(out, epoch_id)
+    """
+
+    def __init__(
+        self,
+        sink_path: str,
+        allowed_lateness_minutes: int = 120,
+        compact_every: int = 64,
+    ) -> None:
+        self._markers_path = f"{sink_path}_markers"
+        self._lateness_min = int(allowed_lateness_minutes)
+        self._compact_every = int(compact_every)
+        self._query_name: str | None = None
+        self._spark: SparkSession | None = None
 
     def attach(self, spark: SparkSession, query_name: str) -> None:
         self._spark = spark
-        self._listener = _WatermarkListener(query_name, self)
-        spark.streams.addListener(self._listener)
+        self._query_name = query_name
 
     def detach(self, spark: SparkSession | None = None) -> None:
-        spark = spark or getattr(self, "_spark", None)
-        if self._listener is not None and spark is not None:
-            spark.streams.removeListener(self._listener)
-            self._listener = None
+        self._query_name = None
 
-    def detach_on_terminate(self) -> None:
+    # -- watermark ---------------------------------------------------------
+
+    def _current_watermark(self, spark: SparkSession) -> str | None:
+        """The previous batch's published watermark — the exact value the
+        engine used to gate this batch's state updates."""
+        if self._query_name is None:
+            return None
+        for q in spark.streams.active:
+            if q.name == self._query_name:
+                progress = q.lastProgress
+                if progress:
+                    return (progress.get("eventTime") or {}).get("watermark")
+                return None
+        return None
+
+    # -- markers -----------------------------------------------------------
+
+    def _live_markers(self, spark: SparkSession, wm_col) -> DataFrame | None:
         try:
-            self.detach()
-        except Exception:  # bridge already closing — nothing left to leak
-            pass
-
-    def set_watermark(self, wm: str) -> None:
-        with self._lock:
-            self._watermark = wm
+            markers = spark.read.schema(_MARKER_SCHEMA).parquet(self._markers_path)
+        except Exception:  # first batch: marker table doesn't exist yet
+            return None
+        # windows past watermark + lateness are evicted from state and can
+        # never fire again — their markers are dead weight, prune on read
+        if wm_col is not None:
+            horizon = wm_col - F.expr(f"INTERVAL {self._lateness_min} MINUTES")
+            markers = markers.filter(F.col("window_end") >= horizon)
+        return markers.distinct().withColumn("_seen", F.lit(True))
 
     def annotate(self, batch_df: DataFrame) -> DataFrame:
-        with self._lock:
-            wm = self._watermark
-        wm_col = F.lit(wm).cast("timestamp") if wm else F.lit(None).cast("timestamp")
-        early = wm_col.isNull() | (wm_col < F.col("window_end"))
-
         spark = batch_df.sparkSession
-        try:
-            emitted = (
-                spark.read.parquet(self._sink_path)
-                .filter(F.col("timing").isin("ON_TIME", "LATE"))
-                .select("team", "window_end")
-                .distinct()
-                .withColumn("_seen", F.lit(True))
-            )
-        except Exception:  # first batch: sink table doesn't exist yet
-            emitted = None
+        wm = self._current_watermark(spark)
+        wm_col = F.lit(wm).cast("timestamp") if wm else None
+        early = (
+            F.lit(True) if wm_col is None else (wm_col < F.col("window_end"))
+        )
 
+        emitted = self._live_markers(spark, wm_col)
         if emitted is None:
             return batch_df.withColumn(
                 "timing", F.when(early, F.lit("EARLY")).otherwise(F.lit("ON_TIME"))
             )
-        joined = batch_df.join(
-            F.broadcast(emitted), ["team", "window_end"], "left"
-        )
+        joined = batch_df.join(F.broadcast(emitted), ["team", "window_end"], "left")
         return joined.withColumn(
             "timing",
             F.when(early, F.lit("EARLY"))
             .when(F.col("_seen").isNull(), F.lit("ON_TIME"))
             .otherwise(F.lit("LATE")),
         ).drop("_seen")
+
+    def record(self, annotated_df: DataFrame, epoch_id: int) -> None:
+        """Append this batch's first ON_TIME firings to the marker table.
+
+        Each (team, window_end) lands at most once across the stream's
+        lifetime (later firings classify LATE and are not re-recorded), so
+        the table grows by closed windows only; compaction keeps the file
+        set bounded by the live window count.
+        """
+        new_markers = (
+            annotated_df.filter(F.col("timing") == "ON_TIME")
+            .select("team", "window_end")
+            .distinct()
+        )
+        new_markers.write.mode("append").parquet(self._markers_path)
+        if self._compact_every and (epoch_id + 1) % self._compact_every == 0:
+            self._compact(annotated_df.sparkSession)
+
+    def _compact(self, spark: SparkSession) -> None:
+        """Rewrite the marker table down to its live set. The live set is
+        O(open windows) — bounded by lateness × key cardinality — so the
+        driver round-trip is a metadata-sized operation."""
+        wm = self._current_watermark(spark)
+        wm_col = F.lit(wm).cast("timestamp") if wm else None
+        live = self._live_markers(spark, wm_col)
+        if live is None:
+            return
+        rows = live.select("team", "window_end").collect()
+        spark.createDataFrame(rows, _MARKER_SCHEMA).write.mode("overwrite").parquet(
+            self._markers_path
+        )

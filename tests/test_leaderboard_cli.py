@@ -1,0 +1,126 @@
+"""LeaderBoard CLI surface (§2.8) + W7 repeated processing-time trigger.
+
+The reference's third entry point (LeaderBoard.java:136-175) must be
+runnable as a program: options parsed, both queries started, tables named
+``<output>/<leaderBoardTableName>_{team,user}``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from demo_apache_beam_spark.config import parse_leaderboard_args
+
+BASE_MS = 1700000000000
+
+
+def _line(user, team, score, ts_ms):
+    return f"{user},{team},{score},{ts_ms},ignored"
+
+
+def _write_lines(dirpath, name, lines):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_parse_leaderboard_args_defaults():
+    opts = parse_leaderboard_args(["--input", "/in", "--output", "/out"])
+    assert opts.input == "/in"
+    assert opts.output == "/out"
+    assert opts.team_window_duration == 60  # LeaderBoard.java:60-63
+    assert opts.allowed_lateness == 120  # LeaderBoard.java:65-68
+    assert opts.leader_board_table_name == "leaderboard"  # LeaderBoard.java:70-73
+    assert opts.streaming is True  # LeaderBoard.java:139
+    assert opts.checkpoint == "/out/_checkpoints"
+
+
+def test_parse_leaderboard_args_overrides():
+    opts = parse_leaderboard_args(
+        [
+            "--input", "/in", "--output", "/out",
+            "--teamWindowDuration", "30",
+            "--allowedLateness", "45",
+            "--leaderBoardTableName", "boards",
+            "--checkpoint", "/chk",
+        ]
+    )
+    assert opts.team_window_duration == 30
+    assert opts.allowed_lateness == 45
+    assert opts.leader_board_table_name == "boards"
+    assert opts.checkpoint == "/chk"
+
+
+def test_cli_options_drive_pipeline_and_table_names(spark, tmp_path):
+    """Options → start_leaderboard plumbing: the configured table-name
+    prefix decides the sink paths (LeaderBoard.java:159,170)."""
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_lines(in_dir, "a.txt", [_line("u1", "team_a", 5, BASE_MS)])
+    opts = parse_leaderboard_args(
+        ["--input", in_dir, "--output", out_dir, "--leaderBoardTableName", "boards"]
+    )
+    team_q, user_q = start_leaderboard(
+        spark,
+        input_dir=opts.input,
+        output_dir=opts.output,
+        checkpoint_dir=str(tmp_path / "chk"),
+        team_window_minutes=opts.team_window_duration,
+        allowed_lateness_minutes=opts.allowed_lateness,
+        table_prefix=opts.leader_board_table_name,
+        team_trigger=None,
+        user_trigger=None,
+    )
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+    team_q.stop(); user_q.stop()
+
+    team = spark.read.parquet(f"{out_dir}/boards_team")
+    user = spark.read.parquet(f"{out_dir}/boards_user")
+    assert team.count() >= 1
+    assert {("u1", 5)} == {(r["user"], r["total_score"]) for r in user.collect()}
+
+
+def test_w7_repeated_processing_time_trigger(spark, tmp_path):
+    """W7 (LeaderBoard.java:215-216): with a real processing-time trigger
+    the global-window query re-fires on its cadence and emits updated
+    accumulating totals across separately-arriving inputs."""
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_lines(in_dir, "a.txt", [_line("u1", "team_a", 5, BASE_MS)])
+    team_q, user_q = start_leaderboard(
+        spark,
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "chk"),
+        with_timing=False,
+        team_trigger="1 seconds",
+        user_trigger="1 seconds",
+    )
+
+    def wait_for(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if pred():
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.5)
+        return False
+
+    user_path = f"{out_dir}/leaderboard_user"
+    assert wait_for(lambda: spark.read.parquet(user_path).count() >= 1)
+    # second input arrives later; the repeated trigger must pick it up and
+    # re-emit the *accumulated* total (accumulatingFiredPanes, W6)
+    _write_lines(in_dir, "b.txt", [_line("u1", "team_a", 7, BASE_MS + 60_000)])
+    assert wait_for(
+        lambda: (12,)
+        in {
+            (r["total_score"],)
+            for r in spark.read.parquet(user_path).filter("user = 'u1'").collect()
+        }
+    )
+    team_q.stop(); user_q.stop()
