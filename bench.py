@@ -57,6 +57,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    streaming = _streaming_throughput(spark)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -66,9 +68,49 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
             }
         )
     )
+
+
+def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
+    """Feed generator events through the full two-query LeaderBoard
+    (timing annotation included) and report events/s. The reference's
+    designed load is 1,600-2,000 events/s (Injector.java:28-30) —
+    BASELINE.md's sanity floor is >=2,000 events/s sustained.
+    """
+    import shutil
+    import tempfile
+
+    from demo_apache_beam_spark.sources.injector import publish_to_dir
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    root = tempfile.mkdtemp(prefix="lb_bench_")
+    try:
+        in_dir = f"{root}/in"
+        publish_to_dir(in_dir, num_events, events_per_file=20_000, seed=42)
+        t0 = time.perf_counter()
+        team_q, user_q = start_leaderboard(
+            spark,
+            input_dir=in_dir,
+            output_dir=f"{root}/out",
+            checkpoint_dir=f"{root}/chk",
+            team_trigger=None,
+            user_trigger=None,
+        )
+        team_q.processAllAvailable()
+        user_q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        team_q.stop()
+        user_q.stop()
+        return {
+            "events": num_events,
+            "wall_sec": round(wall, 4),
+            "events_per_sec": round(num_events / wall, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
