@@ -50,13 +50,15 @@ def write_text(df: DataFrame, path: str, num_shards: int | None = None, mode: st
 
 def write_windowed_text(df: DataFrame, path: str, window_col: str = "window_start",
                         num_shards: int = 3, mode: str = "overwrite") -> None:
-    """K2: window-partitioned text output, ``num_shards`` files per window
-    (WriteToText.java:89-94). The window lands in the directory name;
-    hashing rows into ``num_shards`` buckets and repartitioning by
-    (window, bucket) yields exactly ``num_shards`` files per window with no
-    global single-partition bottleneck — scales to any number of windows."""
+    """K2: window-partitioned text output, up to ``num_shards`` files per
+    window (WriteToText.java:89-94; hash collisions can leave a bucket
+    empty, so "exactly N" is at-most-N). The window lands in the directory
+    name; ``pmod`` keeps buckets in [0, num_shards) even at
+    hash == Long.MIN_VALUE, where ``abs`` stays negative; repartitioning
+    by (window, bucket) shards each window with no global
+    single-partition bottleneck — scales to any number of windows."""
     other = [c for c in df.columns if c != window_col]
-    sharded = df.withColumn("_shard", F.abs(F.hash(*other)) % num_shards)
+    sharded = df.withColumn("_shard", F.pmod(F.hash(*other), F.lit(num_shards)))
     sharded = sharded.repartition(F.col(window_col), F.col("_shard"))
     pieces = [
         F.concat(F.lit(f"{c}: " if i == 0 else f", {c}: "), F.col(c).cast("string"))

@@ -1,0 +1,201 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` payloads
+with typed metadata (engine extension; no reference counterpart — the
+reference's only record type is the game event, SURVEY.md §1.2).
+
+Layout (schemas.MEDIA): ``(media_id, kind, payload binary, meta struct)``.
+At 100 TB the payload column dominates storage; every operator here is
+written so the payload bytes are read only where genuinely needed
+(column pruning keeps metadata-only queries off the blobs entirely —
+check ``ReadSchema`` in the plan), and payload-touching work happens in
+Arrow-batched ``mapInPandas`` with numpy, never per-row Python.
+
+Codec note: real image/audio decode (JPEG/PNG/WAV codecs) is STUBBED —
+the container ships no media libraries. ``decode_payload`` raises
+``NotImplementedError`` with the integration point documented;
+``byte_histogram_features`` and ``sample_frames`` are real, deterministic
+payload computations (byte histograms are codec-free features; frame
+sampling operates on fixed-size byte blocks standing in for decoded
+frames) so the Spark-side plumbing — schema, batching, UDF signature,
+partitioning — is fully exercised.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Fixture derivation: a deterministic MEDIA-shaped table from `documents`
+# ---------------------------------------------------------------------------
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a media table from the documents corpus: payload = the
+    document's utf-8 bytes (an opaque blob to every operator here), kind
+    and metadata deterministic functions of (doc_id, n_chars) so a SQL
+    oracle can reproduce the derivation exactly."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    is_image = F.col("kind") == "image"
+    is_audio_video = F.col("kind").isin("audio", "video")
+    return (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            kind.alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.col("n_chars"),
+        )
+        .select(
+            "media_id",
+            "kind",
+            "payload",
+            F.struct(
+                F.when(is_image, (64 + F.col("n_chars") % 576).cast("int")).alias("width"),
+                F.when(is_image, (64 + (F.col("n_chars") * 7) % 1024).cast("int")).alias("height"),
+                F.when(is_audio_video, (F.col("n_chars") * 40).cast("long")).alias("duration_ms"),
+                F.when(F.col("kind") == "image", F.lit("png"))
+                .when(F.col("kind") == "audio", F.lit("wav"))
+                .otherwise(F.lit("mp4"))
+                .alias("format"),
+            ).alias("meta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload-hash dedup (SQL-expressible — oracle-checked)
+# ---------------------------------------------------------------------------
+
+def with_payload_hash(media: DataFrame) -> DataFrame:
+    """16-byte content digest of the raw payload bytes. The projection
+    keeps only (hash, id) — blobs never enter the dedup shuffle."""
+    return media.withColumn("payload_md5", F.md5("payload"))
+
+
+def dedup_media_exact(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact duplicate collapse on payload bytes: min-id winner per
+    digest, same shuffle shape as document exact dedup (digest + id only
+    cross the wire)."""
+    return (
+        with_payload_hash(media)
+        .select("payload_md5", id_col)
+        .groupBy("payload_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata stats (SQL-expressible — oracle-checked; never reads payloads
+# except for byte size, which parquet answers from column statistics-free
+# scan of the binary column length)
+# ---------------------------------------------------------------------------
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind inventory: item count, payload byte totals, and the
+    kind-appropriate metadata aggregates."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.avg("meta.width").alias("avg_width"),
+        F.avg("meta.duration_ms").alias("avg_duration_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload feature extraction (mapInPandas — Arrow-batched numpy)
+# ---------------------------------------------------------------------------
+
+def decode_payload(kind: str, payload: bytes):
+    """Codec decode integration point — image/audio/video libraries are
+    not available in this environment. Wire PIL/libsndfile/pyav here;
+    every downstream operator consumes the decoded ndarray through the
+    same mapInPandas batch shape as ``byte_histogram_features``."""
+    raise NotImplementedError(
+        f"no media codec available for kind={kind!r}; "
+        "install a decoder and replace this stub"
+    )
+
+
+def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Codec-free feature extraction: normalized ``bins``-bucket histogram
+    over payload bytes, as one numpy pass per Arrow batch.
+
+    Output: (media_id, kind, n_bytes, features array<double>). The same
+    mapInPandas shape serves real decoders: batch in, vectorized numpy
+    work, narrow feature rows out — payload bytes never return to the
+    driver and never expand in the shuffle.
+    """
+    out_schema = (
+        "media_id long, kind string, n_bytes long, features array<double>"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            sizes = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                sizes.append(len(arr))
+                if len(arr):
+                    hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                    feats.append((hist / hist.sum()).astype(np.float64))
+                else:
+                    feats.append(np.zeros(bins, dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(sizes, index=pdf.index, dtype="int64"),
+                    "features": pd.Series(list(feats), index=pdf.index),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(compute, out_schema)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, stride: int = 4
+) -> DataFrame:
+    """Frame sampling for ``video`` payloads: treat the payload as a
+    sequence of ``frame_bytes``-sized blocks (the stand-in for decoded
+    frames — swap ``decode_payload`` in when a codec exists) and keep
+    every ``stride``-th block with its per-frame mean byte value.
+
+    Output: (media_id, frame_idx, frame_mean) — one row per sampled
+    frame, exploded executor-side so payloads never amplify through a
+    shuffle before reduction.
+    """
+    out_schema = "media_id long, frame_idx int, frame_mean double"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(arr) // frame_bytes
+                for f_idx in range(0, n_frames, stride):
+                    block = arr[f_idx * frame_bytes : (f_idx + 1) * frame_bytes]
+                    ids.append(media_id)
+                    idxs.append(f_idx)
+                    means.append(float(block.mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(compute, out_schema)
+    )

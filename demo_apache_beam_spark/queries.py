@@ -432,6 +432,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — multimodal (binary payload) columns.  The media table derives
+# deterministically from `documents` (payload = utf-8 bytes as an opaque
+# blob, kind/meta from doc_id & n_chars) so the DuckDB oracle reproduces it
+# exactly — see operators/media.py.
+# ---------------------------------------------------------------------------
+
+_MEDIA_SQL = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS payload_md5,
+         n_chars
+  FROM {src}
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str):
+    from .operators.media import media_from_documents
+
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_payload_dedup",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    m AS ({_MEDIA_SQL.format(src="corpus")})
+    SELECT min(media_id) AS media_id FROM m GROUP BY payload_md5
+    """,
+    doc="Exact multimodal dedup: 16-byte digest of the raw payload bytes, "
+        "min-id winner per digest — blobs never enter the shuffle.",
+)
+def media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import dedup_media_exact, media_from_documents
+
+    return dedup_media_exact(media_from_documents(_dup_corpus(spark, sf_dir)))
+
+
+@register(
+    "media_metadata_stats",
+    f"""
+    WITH m AS ({_MEDIA_SQL.format(src="documents")})
+    SELECT kind,
+           count(*) AS n_items,
+           cast(sum(n_bytes) AS BIGINT) AS total_bytes,
+           avg(n_bytes) AS avg_bytes,
+           avg(CASE WHEN kind = 'image' THEN 64 + n_chars % 576 END) AS avg_width,
+           avg(CASE WHEN kind IN ('audio','video') THEN n_chars * 40 END) AS avg_duration_ms
+    FROM m GROUP BY kind
+    """,
+    doc="Per-kind multimodal inventory: counts, payload byte totals, and "
+        "kind-appropriate metadata aggregates — a metadata-only scan "
+        "(blob column pruned except for its length).",
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import media_stats
+
+    return media_stats(_media(spark, sf_dir))
+
+
+@register(
+    "media_byte_histogram",
+    None,  # mapInPandas feature extraction — asserted in pytest
+    doc="Codec-free payload feature extraction: normalized 16-bin byte "
+        "histogram per item via Arrow-batched mapInPandas (the decode "
+        "integration point is stubbed — no media codecs in this env).",
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import byte_histogram_features
+
+    return byte_histogram_features(_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    None,  # mapInPandas frame sampling — asserted in pytest
+    doc="Video frame sampling over byte blocks (stride 4, 256-byte frames "
+        "standing in for decoded frames): one row per sampled frame, "
+        "exploded executor-side.",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import sample_frames
+
+    return sample_frames(_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,102 @@
+"""Multimodal operator tests: schema shape, payload-hash dedup, Arrow-batch
+feature extraction, frame sampling, and the stubbed codec boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL, assert_parity
+from demo_apache_beam_spark.operators.media import (
+    byte_histogram_features,
+    decode_payload,
+    dedup_media_exact,
+    media_from_documents,
+    sample_frames,
+)
+from demo_apache_beam_spark.sources.tables import load_table
+
+
+def _media(spark):
+    return media_from_documents(load_table(spark, SF_SMALL, "documents"))
+
+
+def test_media_schema_and_payload_bytes(spark):
+    m = _media(spark)
+    assert dict(m.dtypes)["payload"] == "binary"
+    assert dict(m.dtypes)["meta"].startswith("struct<width:int")
+    row = m.join(
+        load_table(spark, SF_SMALL, "documents"),
+        m.media_id == F.col("doc_id"),
+    ).select("payload", "text").first()
+    assert bytes(row["payload"]) == row["text"].encode("utf-8")
+
+
+def test_media_kind_metadata_consistency(spark):
+    m = _media(spark).select("media_id", "kind", "meta.*")
+    for r in m.collect():
+        if r["kind"] == "image":
+            assert r["width"] is not None and r["duration_ms"] is None
+            assert r["format"] == "png"
+        else:
+            assert r["width"] is None and r["duration_ms"] is not None
+            assert r["format"] in ("wav", "mp4")
+
+
+def test_media_dedup_collapses_identical_payloads(spark):
+    m = _media(spark)
+    dup = m.unionByName(m.withColumn("media_id", F.col("media_id") + 1_000_000))
+    kept = dedup_media_exact(dup)
+    # every payload existed twice; only the min id survives
+    assert kept.count() == m.count()
+    assert kept.filter(F.col("media_id") >= 1_000_000).count() == 0
+
+
+def test_media_oracle_parity(spark):
+    assert_parity(spark, "media_payload_dedup")
+    assert_parity(spark, "media_metadata_stats")
+
+
+def test_byte_histogram_matches_numpy_reference(spark):
+    feats = {
+        r["media_id"]: (r["n_bytes"], r["features"])
+        for r in byte_histogram_features(_media(spark)).collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_SMALL, "documents").limit(20).collect()}
+    assert feats
+    for doc_id, text in docs.items():
+        n_bytes, got = feats[doc_id]
+        arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        assert n_bytes == len(arr)
+        want = np.bincount(arr >> 4, minlength=16)[:16] / len(arr)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        assert abs(sum(got) - 1.0) < 1e-9
+
+
+def test_sample_frames_matches_reference(spark):
+    frames = sample_frames(_media(spark), frame_bytes=64, stride=2)
+    by_id: dict = {}
+    for r in frames.collect():
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_mean"]))
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") % 3 == 2)
+    checked = 0
+    for r in docs.limit(10).collect():
+        arr = np.frombuffer(r["text"].encode("utf-8"), dtype=np.uint8)
+        n_frames = len(arr) // 64
+        want = [
+            (i, float(arr[i * 64 : (i + 1) * 64].mean())) for i in range(0, n_frames, 2)
+        ]
+        got = sorted(by_id.get(r["doc_id"], []))
+        assert got == want
+        checked += 1
+    assert checked
+    # only video payloads produce frames
+    video_ids = {r["doc_id"] for r in docs.collect()}
+    assert set(by_id) <= video_ids
+
+
+def test_decode_payload_is_a_documented_stub():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload("image", b"\x89PNG")

@@ -1,0 +1,137 @@
+"""K1/K2/K5 sink golden tests + M1 ParseErrors counter (SURVEY.md §5.2
+item 4: golden files for the text-sink formatting with deterministic
+column order — the intentional fix of the reference's HashMap-ordered
+rows, WriteToText.java:62-67 / UserScore.java:126-127)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import types as T
+
+from demo_apache_beam_spark.functions.sinks import (
+    format_rows,
+    schema_from_spec,
+    write_text,
+    write_windowed_text,
+)
+from demo_apache_beam_spark.operators.parse import (
+    CORRUPT_LINES,
+    parse_game_events,
+    with_corrupt_lines,
+)
+
+
+def _totals_df(spark):
+    return spark.createDataFrame(
+        [("user0_AmberDingo", 18), ("user1_RubyKoala", 5)],
+        "user string, total_score long",
+    )
+
+
+def test_format_rows_golden(spark):
+    rows = {r["value"] for r in format_rows(_totals_df(spark)).collect()}
+    # exact reference row shape "k: v, k: v" (WriteToText.java:64-67) with
+    # deterministic declared column order
+    assert rows == {
+        "user: user0_AmberDingo, total_score: 18",
+        "user: user1_RubyKoala, total_score: 5",
+    }
+
+
+def test_format_rows_explicit_column_order(spark):
+    rows = {
+        r["value"]
+        for r in format_rows(_totals_df(spark), ["total_score", "user"]).collect()
+    }
+    assert rows == {
+        "total_score: 18, user: user0_AmberDingo",
+        "total_score: 5, user: user1_RubyKoala",
+    }
+
+
+def test_write_text_unwindowed(spark, tmp_path):
+    out = str(tmp_path / "out")
+    write_text(_totals_df(spark), out, num_shards=2)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == 2  # K1 shard count
+    lines = set()
+    for f in files:
+        lines |= set(open(f).read().splitlines())
+    assert lines == {
+        "user: user0_AmberDingo, total_score: 18",
+        "user: user1_RubyKoala, total_score: 5",
+    }
+
+
+def test_write_windowed_text_one_fileset_per_window(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "team_a", i) for i in range(20)
+        ] + [
+            ("2024-01-01 01:00:00", "team_b", i) for i in range(20)
+        ],
+        "window_start string, team string, total_score long",
+    )
+    out = str(tmp_path / "outw")
+    write_windowed_text(df, out, num_shards=3)
+    windows = sorted(d for d in os.listdir(out) if d.startswith("window_start="))
+    assert len(windows) == 2  # K2: one directory (file set) per window
+    for w in windows:
+        parts = glob.glob(f"{out}/{w}/part-*")
+        assert 1 <= len(parts) <= 3  # up to numShards files per window
+        rows = [ln for p in parts for ln in open(p).read().splitlines()]
+        assert len(rows) == 20
+        # window column lives in the directory name, not the row body
+        assert all(ln.startswith("team: ") for ln in rows)
+
+
+def test_schema_from_spec_k5():
+    schema = schema_from_spec(
+        {"user": "STRING", "total_score": "INTEGER", "ts": "timestamp", "raw": "binary"}
+    )
+    assert schema == T.StructType(
+        [
+            T.StructField("user", T.StringType(), True),
+            T.StructField("total_score", T.IntegerType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+        ]
+    )
+    with pytest.raises(KeyError):
+        schema_from_spec({"x": "geometry"})
+
+
+def test_parse_errors_observation_m1(spark):
+    """M1 (Metrics.counter("main","ParseErrors"), UserScore.java:71,84):
+    the observation must count exactly the dropped rows."""
+    good = [
+        ("user0_A,A,5,1700000000000,ignored",),
+        ("user1_B,B,7,1700000001000",),
+    ]
+    lines = with_corrupt_lines(spark.createDataFrame(good, "value string"))
+    obs = Observation("parse")
+    parsed = parse_game_events(lines, observation=obs)
+    n_ok = parsed.count()  # action → observation is populated
+    assert n_ok == len(good)
+    metrics = obs.get
+    assert metrics["parse_errors"] == len(CORRUPT_LINES)
+    assert metrics["lines_seen"] == len(good) + len(CORRUPT_LINES)
+
+
+def test_parse_errors_via_user_score_pipeline(spark):
+    """The pipeline surfaces the counter alongside results
+    (UserScore.run_on_lines returns the Observation)."""
+    from demo_apache_beam_spark.pipelines.user_score import run_on_lines
+
+    lines = with_corrupt_lines(
+        spark.createDataFrame(
+            [("u_A,A,5,1700000000000",), ("u_A,A,2,1700000060000",)], "value string"
+        )
+    )
+    totals, obs = run_on_lines(lines)
+    assert {(r["user"], r["total_score"]) for r in totals.collect()} == {("u_A", 7)}
+    assert obs.get["parse_errors"] == len(CORRUPT_LINES)
