@@ -274,3 +274,164 @@ def lsh_topk(
     )
     out = _topk_two_phase(scored, k, query_id_col)
     return out.select(query_id_col, "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs cosine (embedding near-dup)
+# ---------------------------------------------------------------------------
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 16,
+    margin: float = 1e-9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — **exact** (embedding-cosine
+    near-dup; the oracle is the naive pairwise definition).
+
+    Block-nested matmul: vectors hash into ``blocks`` buckets; each of
+    the B(B+1)/2 bucket combinations becomes one task whose candidate
+    generation is a single numpy ``X_a @ X_b.T`` over the two buckets —
+    the O(N²·d) inner loop runs at BLAS speed instead of per-pair
+    expression interpretation. Replication factor is B (each bucket
+    meets every other), the standard all-pairs trade: pick B ≈ cluster
+    width so each task's pair block fits in memory. Candidates pass at
+    ``threshold - margin`` and are then re-scored with the engine's
+    canonical left-fold ``cosine_col`` — bit-identical to the SQL
+    oracle's evaluation order, with ``margin`` (≫ any reordering error
+    at realistic dims) guaranteeing no boundary pair is lost.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, cosine ≥ threshold.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks))
+    )
+    packed = v.groupBy("_b").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("_v").alias("v"))).alias("items")
+    )
+    combos = (
+        packed.select(F.col("_b").alias("_ba"), F.col("items").alias("items_a"))
+        .join(
+            packed.select(F.col("_b").alias("_bb"), F.col("items").alias("items_b")),
+            F.col("_ba") <= F.col("_bb"),
+        )
+    )
+    cut = threshold - margin
+
+    def block_pairs(batches):
+        for pdf in batches:
+            ids_a, ids_b = [], []
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ia = np.fromiter((x["id"] for x in items_a), dtype=np.int64)
+                ib = np.fromiter((x["id"] for x in items_b), dtype=np.int64)
+                xa = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in items_a])
+                xb = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in items_b])
+                na = np.linalg.norm(xa, axis=1)
+                nb = np.linalg.norm(xb, axis=1)
+                c = (xa @ xb.T) / np.outer(na, nb)
+                hit_a, hit_b = np.nonzero(c >= cut)
+                pa, pb = ia[hit_a], ib[hit_b]
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                keep = lo < hi  # drops self-pairs; same-block dups deduped below
+                ids_a.append(lo[keep])
+                ids_b.append(hi[keep])
+            ids_a = np.concatenate(ids_a) if ids_a else np.empty(0, dtype=np.int64)
+            ids_b = np.concatenate(ids_b) if ids_b else np.empty(0, dtype=np.int64)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
+
+    cands = (
+        combos.mapInPandas(block_pairs, "id_a long, id_b long")
+        .distinct()  # same-block combos emit (a,b) and (b,a) hits once each
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate kNN
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF approximate top-k: spherical k-means partitions the corpus
+    into ``nlist`` cells; each query exact-scores only the ``nprobe``
+    cells nearest its own vector — the classic FAISS-style
+    coarse-quantizer layout.
+
+    Vectors are L2-normalized before clustering, so euclidean k-means
+    on the unit sphere orders cells by cosine. At 100 TB the cell
+    assignment is written once (partitioned by cell); a query batch
+    touches nprobe/nlist of the corpus, and the centroid table
+    (nlist × dim) is driver/broadcast-sized by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _unit(col: Column) -> Column:
+        return F.transform(col, lambda x: x / norm_col(col))
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q_vec = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    )
+
+    train = c_vec.select(
+        "neighbor_id", array_to_vector(_unit(F.col("_cv"))).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    assigned = model.transform(train).select(
+        "neighbor_id", F.col("prediction").alias("_cell")
+    )
+    centroids = np.vstack([c for c in model.clusterCenters()])  # nlist × dim
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q_probed = q_vec.select(
+        query_id_col, F.explode(probe_cells(F.col("_qv"))).alias("_cell")
+    )
+    candidates = (
+        assigned.join(F.broadcast(q_probed), "_cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    out = _topk_two_phase(scored, k, query_id_col)
+    return out.select(query_id_col, "neighbor_id", "cosine", "rank")

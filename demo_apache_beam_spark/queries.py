@@ -577,6 +577,47 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    """,
+    doc="Embedding-cosine near-dup (exact): block-nested numpy matmul "
+        "generates candidates at BLAS speed, canonical left-fold cosine "
+        "re-verifies for bit-parity with the naive pairwise oracle.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.3)
+
+
+@register(
+    "embedding_knn_ivf",
+    None,  # approximate by design — recall vs brute force asserted in tests
+    doc="IVF approximate top-10: spherical k-means coarse quantizer "
+        "(nlist=16), queries probe their 4 nearest cells, exact cosine "
+        "re-rank of cell members only.",
+)
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, k=10)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -88,6 +88,31 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_cosine_pairs_oracle_parity(spark):
+    """Exact embedding near-dup must match the naive pairwise oracle
+    bit-for-bit (block-matmul candidates + canonical re-verify)."""
+    from conftest import assert_parity
+
+    assert_parity(spark, "dedup_embedding_cosine")
+
+
+def test_ivf_knn_recall_vs_brute_force(spark):
+    exact = REGISTRY["embedding_knn"].fn(spark, SF_SMALL).collect()
+    approx = REGISTRY["embedding_knn_ivf"].fn(spark, SF_SMALL).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe/nlist = 4/16 scans ~25% of the corpus; near neighbors
+    # concentrate in the probed cells so recall is far above 25%
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # approximate results never invent pairs: cosines match exact values
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(exact_cos[key] - r["cosine"]) < 1e-12
+
+
 def test_lsh_knn_recall_vs_brute_force(spark):
     exact = REGISTRY["embedding_knn"].fn(spark, SF_SMALL).collect()
     approx = REGISTRY["embedding_knn_lsh"].fn(spark, SF_SMALL).collect()
