@@ -52,9 +52,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def _game_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table in game-event shape (user, team, score int, ts millis)."""
-    return _events(spark, sf_dir).select(
+def _game_events(
+    spark: SparkSession,
+    sf_dir: str,
+    start_ms: int | None = None,
+    stop_ms: int | None = None,
+) -> DataFrame:
+    """events table in game-event shape (user, team, score int, ts millis).
+
+    Optional strict-exclusive event-time bounds are applied on the RAW
+    nanos long before any conversion, as plain comparisons the parquet
+    reader evaluates (PushedFilters → row-group pruning); the semantics
+    are identical to ``filter_time_range`` on the derived ms column:
+    ms > S ⟺ ns ≥ (S+1)·10⁶ and ms < T ⟺ ns < T·10⁶ (floor division).
+    """
+    ev = load_table(spark, sf_dir, "events", keep_raw_nanos=True)
+    if start_ms is not None:
+        ev = ev.filter(F.col("ts__ns") > F.lit((start_ms + 1) * 1_000_000 - 1))
+    if stop_ms is not None:
+        ev = ev.filter(F.col("ts__ns") < F.lit(stop_ms * 1_000_000))
+    return ev.select(
         F.col("user_id").cast("string").alias("user"),
         F.col("event_type").alias("team"),
         F.floor("value").cast("int").alias("score"),
@@ -128,7 +145,10 @@ _STOP_MS = 1705708800000   # 2024-01-20 00:00:00 UTC
         "time-range bounds — the HourlyTeamScore pipeline.",
 )
 def hourly_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    game = _game_events(spark, sf_dir)
+    # bounds applied twice on purpose: once pushable on the raw scan
+    # column (row-group pruning), once as the reference's F1/F2 operator
+    # on the derived ms column (semantic surface; Catalyst dedups)
+    game = _game_events(spark, sf_dir, _START_MS, _STOP_MS)
     game = filter_time_range(game, "timestamp", _START_MS, _STOP_MS)
     game = with_event_time(game)
     out = windowed_sum_scores(game, "team", 60)
@@ -150,7 +170,9 @@ def hourly_team_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="F1/F2 strict-exclusive time bounds feeding the per-user sum.",
 )
 def time_filtered_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    game = _game_events(spark, sf_dir, _START_MS, _STOP_MS).withColumnRenamed(
+        "user", "user_key"
+    )
     game = filter_time_range(game, "timestamp", _START_MS, _STOP_MS)
     return sum_scores(game, "user_key")
 

@@ -23,7 +23,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, keep_raw_nanos: bool = False
+) -> DataFrame:
     """Scan one table. Schema comes from parquet footers (exact, no
     inference cost); declared schemas in ``schemas.py`` document the shape.
 
@@ -34,11 +36,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``DIV 1000`` — exactly DuckDB's truncating ns→µs conversion, so oracle
     comparisons stay bit-identical. Plain ``/ 1000`` would round through
     double and corrupt the microsecond for epoch-nanos magnitudes.
+
+    ``keep_raw_nanos`` additionally exposes each converted column's raw
+    long as ``<name>__ns``: predicates on the *converted* timestamp are
+    expressions the parquet reader can't evaluate (only ``IsNotNull``
+    pushes), while plain comparisons on the raw long push all the way
+    into the scan for row-group pruning — the difference between reading
+    a time slice and reading 100 TB. Unused, the column is pruned away.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and _is_timestamp_col(name, field.name):
+            if keep_raw_nanos:
+                df = df.withColumn(f"{field.name}__ns", F.col(field.name))
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000"))
             )
