@@ -39,9 +39,27 @@ def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") 
 
 
 def with_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
-    """Token counting: size of the tokenizer's output (BPE-ish splits can
-    swap in by changing TOKEN_RE — the plumbing is identical)."""
+    """Token counting: size of the tokenizer's output."""
     return df.withColumn(out_col, F.size(tokens_col(text_col)).cast("long"))
+
+
+#: BPE-style pre-tokenizer (GPT-2-shaped, engine-portable subset):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+#: Counts *subword-granularity* units — the usual proxy for "how many
+#: tokens will the tokenizer emit" without shipping a merges table.
+SUBTOKEN_RE = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def with_subtoken_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_subtokens"
+) -> DataFrame:
+    """BPE-ish token counting (pre-tokenizer regex over lowercased text).
+    A real BPE would refine each unit by its merges table; unit count is
+    the standard cheap upper-bound estimate for training-data budgeting."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"size(regexp_extract_all(lower({text_col}), \"{SUBTOKEN_RE}\", 0))").cast("long"),
+    )
 
 
 def _marker_count(text_col: str, words: tuple[str, ...]) -> Column:
@@ -96,6 +114,75 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
         .otherwise(F.lit("fr"))
     )
     return df.withColumn(out_col, pred)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    SIGMOD'03 / the MOSS algorithm): hash every k-character gram of the
+    normalized text, then keep the minimum hash of each ``window``-wide
+    sliding window (rightmost on ties). The distinct selected hashes are
+    the document's fingerprints — any sufficiently long shared substring
+    between two documents is guaranteed to surface as a shared
+    fingerprint, which is what plagiarism/near-dup overlap joins key on.
+
+    Runs as Arrow-batched numpy (one vectorized polynomial rolling hash +
+    a sliding-window argmin per doc) — per-gram work in SQL expressions
+    would be an interpreted higher-order function over every character.
+    Output: (id, fingerprint long) rows, exploded executor-side;
+    downstream overlap detection is a plain equi-join on fingerprint.
+    """
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, fingerprint long"
+    base = np.int64(1000003)
+    ws_re = _re.compile(r"[^a-z0-9]+")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # precompute base^(k-1) with int64 wraparound semantics
+        with np.errstate(over="ignore"):
+            top = np.int64(1)
+            for _ in range(k - 1):
+                top = np.int64(top * base)
+        for pdf in batches:
+            ids, prints = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = ws_re.sub(" ", (text or "").lower()).strip()
+                b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+                if len(b) < k:
+                    continue
+                with np.errstate(over="ignore"):
+                    # polynomial rolling hash of every k-gram, vectorized:
+                    # h[i] = sum b[i+j] * base^(k-1-j), int64 wraparound
+                    h = np.zeros(len(b) - k + 1, dtype=np.int64)
+                    for j in range(k):
+                        h = h * base + b[j : len(b) - k + 1 + j]
+                if len(h) >= window:
+                    win = np.lib.stride_tricks.sliding_window_view(h, window)
+                    # rightmost minimum per window (winnowing tie rule)
+                    rev_arg = window - 1 - np.argmin(win[:, ::-1], axis=1)
+                    sel = np.unique(win[np.arange(len(win)), rev_arg])
+                else:
+                    sel = np.asarray([h.min()], dtype=np.int64)
+                ids.extend([doc_id] * len(sel))
+                prints.extend(sel.tolist())
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "fingerprint": pd.Series(prints, dtype="int64")}
+            )
+
+    from ..sources.tables import spread
+
+    return spread(df).select(id_col, text_col).mapInPandas(compute, out_schema)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

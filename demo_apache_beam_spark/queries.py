@@ -289,6 +289,8 @@ _FR = "|".join(("le", "les", "des", "est", "une", "dans", "pour", "que"))
       SELECT doc_id,
              length(text) AS n_chars_c,
              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(lower(text),
+                 '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_subtokens,
              length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
              len(regexp_extract_all(lower(text), '\\b({_STOP_ALT})\\b')) AS n_stop,
              len(regexp_extract_all(lower(text), '\\b({_EN})\\b')) AS s_en,
@@ -300,14 +302,14 @@ _FR = "|".join(("le", "les", "des", "est", "une", "dans", "pour", "que"))
                                      '\\s+', ' ', 'g'))) AS fingerprint
       FROM documents
     ), r AS (
-      SELECT doc_id, n_tokens,
+      SELECT doc_id, n_tokens, n_subtokens,
              n_punct / greatest(n_chars_c, 1) AS punct_ratio,
              n_stop / greatest(n_tokens, 1) AS stopword_ratio,
              s_en, s_de, s_es, s_fr, has_cjk, fingerprint,
              greatest(s_en, s_de, s_es, s_fr) AS best
       FROM t
     )
-    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+    SELECT doc_id, n_tokens, n_subtokens, punct_ratio, stopword_ratio,
            least(n_tokens / 64.0, 1.0) * 0.5
              + least(stopword_ratio * 4.0, 1.0) * 0.3
              + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score,
@@ -320,25 +322,42 @@ _FR = "|".join(("le", "les", "des", "est", "une", "dans", "pour", "que"))
            fingerprint
     FROM r
     """,
-    doc="Text analysis: token count, punctuation/stopword ratios, quality "
-        "score, heuristic language ID, normalized-text fingerprint.",
+    doc="Text analysis: whitespace + BPE-ish token counts, punctuation/"
+        "stopword ratios, quality score, heuristic language ID, "
+        "normalized-text fingerprint.",
 )
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import (
         with_fingerprint,
         with_language_id,
         with_quality,
+        with_subtoken_count,
         with_token_count,
     )
 
     from .sources.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    out = with_fingerprint(with_language_id(with_quality(with_token_count(docs))))
+    out = with_fingerprint(
+        with_language_id(with_quality(with_subtoken_count(with_token_count(docs))))
+    )
     return out.select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "doc_id", "n_tokens", "n_subtokens", "punct_ratio", "stopword_ratio",
         "quality_score", "lang_pred", "fingerprint",
     )
+
+
+@register(
+    "text_winnowing",
+    None,  # mapInPandas rolling-hash selection — asserted in pytest
+    doc="Winnowing document fingerprints (MOSS rolling-hash): k-gram "
+        "polynomial hashes, rightmost-min per sliding window, distinct "
+        "selected hashes exploded to (doc_id, fingerprint) rows.",
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

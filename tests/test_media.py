@@ -100,3 +100,63 @@ def test_sample_frames_matches_reference(spark):
 def test_decode_payload_is_a_documented_stub():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_payload("image", b"\x89PNG")
+
+def test_winnowing_matches_python_reference(spark):
+    """Winnowing fingerprints must equal an independent pure-python
+    implementation (mod-2^64 polynomial hash, rightmost-min windows)."""
+    from demo_apache_beam_spark.operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    got: dict = {}
+    for r in winnowing_fingerprints(docs, k=8, window=16).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    import re
+
+    def reference(text, k=8, window=16):
+        norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        b = norm.encode("utf-8")
+        if len(b) < k:
+            return set()
+        hs = []
+        for i in range(len(b) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * 1000003 + b[i + j]) % (1 << 64)
+            hs.append(h - (1 << 64) if h >= (1 << 63) else h)  # to signed
+        if len(hs) < window:
+            return {min(hs)}
+        out = set()
+        for s in range(len(hs) - window + 1):
+            win = hs[s : s + window]
+            m = min(win)
+            # rightmost occurrence of the min
+            idx = max(i for i, v in enumerate(win) if v == m)
+            out.add(win[idx])
+        return out
+
+    checked = 0
+    for r in docs.limit(15).collect():
+        assert got.get(r["doc_id"], set()) == reference(r["text"]), r["doc_id"]
+        checked += 1
+    assert checked == 15
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: documents sharing a long substring share
+    at least one selected fingerprint."""
+    from demo_apache_beam_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "totally different opening " + shared + " other ending"),
+            (3, "no overlap here at all just unrelated words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict = {}
+    for r in winnowing_fingerprints(df, k=8, window=16).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared substring must produce shared fingerprints"
