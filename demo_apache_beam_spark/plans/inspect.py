@@ -30,4 +30,11 @@ def assert_pushed_down(df: DataFrame, fragment: str) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return explain_str(df, "simple").count("WholeStageCodegen")
+    """Number of whole-stage-codegen subtrees. Uses codegen explain mode:
+    under AQE the simple plan hides codegen markers until execution."""
+    header = explain_str(df, "codegen").splitlines()[0]
+    # "Found N WholeStageCodegen subtrees."
+    for tok in header.split():
+        if tok.isdigit():
+            return int(tok)
+    return 0

@@ -85,6 +85,46 @@ def test_corrupt_rate_and_parser_end_to_end(spark, tmp_path):
     assert parsed.count() == 5000 - len(corrupt)
 
 
+def test_generator_streaming_equals_batch(spark, tmp_path):
+    """Integration: generator events (robot hot keys, late rows, corrupt
+    lines) through the streaming LeaderBoard converge to the batch answer
+    — the skew the injector designs in is absorbed by partial
+    aggregation, and corrupt lines die in the parser on both paths."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.aggregate import sum_scores
+    from demo_apache_beam_spark.operators.parse import parse_game_events
+    from demo_apache_beam_spark.streaming.leaderboard import (
+        calculate_user_scores,
+        read_game_event_lines,
+    )
+
+    in_dir = str(tmp_path / "in")
+    publish_to_dir(in_dir, 8000, events_per_file=2000, seed=11, corrupt_rate=800)
+
+    events = read_game_event_lines(spark, in_dir)
+    user = calculate_user_scores(events)
+    state: dict = {}
+
+    def sink(batch_df, _epoch):
+        for row in batch_df.collect():
+            state[row["user"]] = row["total_score"]
+
+    q = (
+        user.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = parse_game_events(spark.read.text(in_dir))
+    expect = {r["user"]: r["total_score"] for r in sum_scores(batch, "user").collect()}
+    assert state == expect
+    assert any(u.startswith("Robot-") for u in state), "hot keys must be present"
+
+
 def test_publish_to_dir_file_sequence(tmp_path):
     d = str(tmp_path / "stream")
     written = publish_to_dir(d, 2500, events_per_file=1000, seed=9)

@@ -1,0 +1,59 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): pushdown, pruning, and
+codegen properties that scale work depends on — checked here so a plan
+regression fails CI instead of becoming a 100 TB incident."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+from demo_apache_beam_spark.plans import assert_pushed_down, explain_str
+from demo_apache_beam_spark.plans.inspect import codegen_stage_count
+from demo_apache_beam_spark.queries import REGISTRY
+
+
+def test_time_filter_pushes_to_scan(spark):
+    """The strict event-time bounds must reach the parquet reader as plain
+    long comparisons on the raw nanos column (row-group pruning)."""
+    df = REGISTRY["time_filtered_user_score"].fn(spark, SF_SMALL)
+    assert_pushed_down(df, "GreaterThan(ts,")
+    assert_pushed_down(df, "LessThan(ts,")
+
+
+def test_user_score_scan_is_column_pruned(spark):
+    """A 2-column aggregate must not read the other 4 event columns."""
+    plan = explain_str(REGISTRY["user_score"].fn(spark, SF_SMALL))
+    scan_schema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    assert "user_id" in scan_schema and "value" in scan_schema
+    for unused in ("props", "event_type", "event_id"):
+        assert unused not in scan_schema, f"{unused} should be pruned: {scan_schema}"
+
+
+def test_user_score_partial_aggregation(spark):
+    """The per-key sum must plan as partial+final HashAggregate around one
+    exchange — map-side combine is what makes the robot hot key (and any
+    skewed key) a non-issue for sums."""
+    plan = explain_str(REGISTRY["user_score"].fn(spark, SF_SMALL), "simple")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_reference_parity_queries_stay_in_codegen(spark):
+    """Reference-surface queries are pure column expressions — whole-stage
+    codegen must cover them (no interpreted Python/HOF hot path). AQE is
+    toggled off for the check: adaptive plans defer physical planning, so
+    codegen subtrees aren't visible until execution otherwise."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("user_score", "hourly_team_score", "parse_events"):
+            df = REGISTRY[name].fn(spark, SF_SMALL)
+            assert codegen_stage_count(df) >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_knn_broadcasts_query_side(spark):
+    """The query set is broadcast — the corpus never shuffles for scoring."""
+    plan = explain_str(REGISTRY["embedding_knn"].fn(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
