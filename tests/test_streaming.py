@@ -137,6 +137,35 @@ def test_late_data_beyond_horizon_dropped(spark, stream_dirs):
     assert sum(state.values()) == 5 + 7 + 3
 
 
+def test_checkpoint_restart_resumes_state(spark, stream_dirs):
+    """Stop the user-totals query mid-stream and restart it from the same
+    checkpoint: aggregation state must resume (not reset), and already-
+    processed files must not double-count — Structured Streaming's
+    exactly-once state contract that replaces Beam's runner snapshotting."""
+    in_dir, chk = stream_dirs
+    _write_lines(in_dir, "a.txt", [_line("u1", "t", 5, BASE_MS), _line("u2", "t", 3, BASE_MS)])
+
+    events = read_game_event_lines(spark, in_dir)
+    user = calculate_user_scores(events)
+    state: dict = {}
+    q = _drain_updates(spark, user, chk, state, ("user",))
+    q.processAllAvailable()
+    q.stop()
+    assert state == {("u1",): 5, ("u2",): 3}
+
+    # second incarnation: same checkpoint, new data + an already-seen file
+    _write_lines(in_dir, "b.txt", [_line("u1", "t", 7, BASE_MS + 60_000)])
+    events2 = read_game_event_lines(spark, in_dir)
+    user2 = calculate_user_scores(events2)
+    state2: dict = {}
+    q2 = _drain_updates(spark, user2, chk, state2, ("user",))
+    q2.processAllAvailable()
+    q2.stop()
+
+    # only u1 changed in the new batch; its total includes pre-restart state
+    assert state2 == {("u1",): 12}
+
+
 def test_start_leaderboard_end_to_end(spark, tmp_path):
     """Full two-sink LeaderBoard with pane-timing annotation (W8/K4)."""
     from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
