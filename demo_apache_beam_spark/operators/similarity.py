@@ -61,6 +61,14 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _scored_cosine(na: Column, nb: Column, a: Column, b: Column) -> Column:
+    """Cosine from precomputed norms: dot/(na·nb). Each row's norm folds
+    once instead of once per PAIR (N+Q folds, not N·Q) — bit-identical to
+    ``cosine_col`` since the stored sqrt values and the multiply are the
+    same doubles in the same order."""
+    return dot_col(a, b) / (na * nb)
+
+
 def _topk_two_phase(
     scored: DataFrame, k: int, query_id_col: str = "query_id"
 ) -> DataFrame:
@@ -103,14 +111,16 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm_col(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm_col(F.col("_cv")))
     scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id")).select(
         query_id_col,
         "neighbor_id",
-        cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        _scored_cosine(
+            F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")
+        ).alias("cosine"),
     )
     return _topk_two_phase(scored, k, query_id_col)
 
@@ -236,10 +246,10 @@ def lsh_topk(
 
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm_col(F.col("_cv")))
     q_vec = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm_col(F.col("_qv")))
 
     c_sigs = _table_sigs(c_vec, "neighbor_id", "_cv", tables)
     q_sigs = _table_sigs(q_vec, query_id_col, "_qv", tables)
@@ -269,7 +279,9 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            _scored_cosine(
+                F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")
+            ).alias("cosine"),
         )
     )
     out = _topk_two_phase(scored, k, query_id_col)
@@ -346,12 +358,17 @@ def cosine_pairs(
         combos.mapInPandas(block_pairs, "id_a long, id_b long")
         .distinct()  # same-block combos emit (a,b) and (b,a) hits once each
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    vn = v.withColumn("_n", norm_col(F.col("_v")))
+    va = vn.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = vn.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            _scored_cosine(F.col("_na"), F.col("_nb"), F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
 
@@ -391,10 +408,10 @@ def ivf_topk(
 
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
+    ).withColumn("_cn", norm_col(F.col("_cv")))
     q_vec = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
-    )
+    ).withColumn("_qn", norm_col(F.col("_qv")))
 
     train = c_vec.select(
         "neighbor_id", array_to_vector(_unit(F.col("_cv"))).alias("features")
@@ -430,7 +447,9 @@ def ivf_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_col(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            _scored_cosine(
+                F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")
+            ).alias("cosine"),
         )
     )
     out = _topk_two_phase(scored, k, query_id_col)
