@@ -34,9 +34,12 @@ def stable_sum(col: Column | str, alias: str | None = None) -> Column:
 
 
 def stable_avg(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent mean: exact decimal sum / count, divided once."""
+    """Order-independent mean: exact decimal sum cast to double, divided by
+    the count as one double division — the exact expression shape verified
+    bit-identical against DuckDB (decimal/int division scale rules differ
+    between engines; double division does not)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = (F.sum(c.cast(STABLE_DECIMAL)) / F.count(c)).cast("double")
+    out = F.sum(c.cast(STABLE_DECIMAL)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.aggregate import stable_sum, sum_scores, windowed_sum_scores
+from .operators.aggregate import stable_avg, stable_sum, sum_scores, windowed_sum_scores
 from .operators.filters import filter_time_range
 from .operators.parse import events_to_game_lines, parse_game_events, with_corrupt_lines
 from .operators.windows import with_event_time
@@ -470,6 +470,139 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         _neardup_corpus(spark, sf_dir), max_hamming=12
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Extensions — warehouse analytics over the TPC-H-ish tables: the join +
+# aggregate surface the reference lacks entirely (SURVEY.md §2.9), expressed
+# the way a 100 TB warehouse runs them — broadcast dimension joins, partial
+# aggregation, decimal-stable double sums, pushed-down scan filters, and
+# TakeOrdered (never a single-partition global sort) for top-k.
+# ---------------------------------------------------------------------------
+
+# 1998-09-03 00:00:00 UTC — classic Q1 cutoff inside the data's date range
+_Q1_CUTOFF_S = 904780800
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           cast(sum(cast(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           cast(sum(cast(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           cast(sum(cast(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < make_timestamp(CAST({_Q1_CUTOFF_S} AS BIGINT) * 1000000)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: scan-heavy multi-aggregate with "
+        "a pushed-down date filter; double sums via decimal accumulation "
+        "for engine-portable exactness.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_shipdate is a native parquet timestamp (unlike events.ts nanos), so
+    # the comparison constant-folds and pushes to the scan directly
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") < F.timestamp_seconds(F.lit(_Q1_CUTOFF_S)))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        stable_sum("l_quantity", "sum_qty"),
+        stable_sum("l_extendedprice", "sum_base_price"),
+        stable_sum(disc_price, "sum_disc_price"),
+        stable_sum(charge, "sum_charge"),
+        stable_avg("l_quantity", "avg_qty"),
+        stable_avg("l_extendedprice", "avg_price"),
+        stable_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped revenue rollup: fact-fact shuffle join on the "
+        "order key, explicit broadcasts for every dimension (customer, "
+        "nation, region) — zero fact-table shuffles beyond the one the "
+        "join requires.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "top_customers",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name,
+             cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+    )
+    SELECT c_custkey, c_name, revenue FROM rev
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    doc="Q10-shaped top customers by revenue: aggregate then TakeOrdered "
+        "(per-partition top-k merged on the driver — never a global sort "
+        "to one partition); deterministic tie-break on the key.",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
 
 # ---------------------------------------------------------------------------

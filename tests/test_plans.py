@@ -53,6 +53,25 @@ def test_reference_parity_queries_stay_in_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_revenue_rollup_broadcasts_dimensions(spark):
+    """Q5-shaped join: every dimension rides a broadcast; the only shuffle
+    join is fact-fact on the order key."""
+    plan = explain_str(REGISTRY["revenue_by_nation"].fn(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_top_customers_uses_take_ordered(spark):
+    """Global top-k must plan as TakeOrdered (per-partition heads merged),
+    never a single-partition global sort."""
+    plan = explain_str(REGISTRY["top_customers"].fn(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_filter_pushes_to_scan(spark):
+    plan = explain_str(REGISTRY["pricing_summary"].fn(spark, SF_SMALL))
+    assert "LessThan(l_shipdate" in plan
+
+
 def test_knn_broadcasts_query_side(spark):
     """The query set is broadcast — the corpus never shuffles for scoring."""
     plan = explain_str(REGISTRY["embedding_knn"].fn(spark, SF_SMALL))
