@@ -480,6 +480,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrdered (never a single-partition global sort) for top-k.
 # ---------------------------------------------------------------------------
 
+@register(
+    "events_props_stats",
+    """
+    SELECT event_type,
+           cast(sum(cast(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+           cast(max(cast(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON scalar extraction over the events props column: "
+        "get_json_object stays in codegen; aggregates per event type.",
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("int").alias("_k")
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("_k").cast("long").alias("k_sum"),
+        F.max("_k").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # 1998-09-03 00:00:00 UTC — classic Q1 cutoff inside the data's date range
 _Q1_CUTOFF_S = 904780800
 

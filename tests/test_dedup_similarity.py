@@ -88,6 +88,34 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_sql_signature_matches_numpy_signatures(spark):
+    """The pure-SQL hyperplane signature (signature_col) and the numpy
+    matmul path (_table_sigs) must bucket identically — they are the same
+    function at two execution tiers."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.similarity import (
+        _as_double,
+        _table_sigs,
+        hyperplanes,
+        signature_col,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    planes = hyperplanes(dim=64, num_planes=4, seed=123)
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+    sql_sigs = {
+        r["vec_id"]: r["sig"]
+        for r in v.select("vec_id", signature_col(F.col("_v"), planes).alias("sig")).collect()
+    }
+    np_sigs = {
+        r["vec_id"]: r["_sig"]
+        for r in _table_sigs(v, "vec_id", "_v", [planes]).collect()
+    }
+    assert sql_sigs == np_sigs
+
+
 def test_cosine_pairs_oracle_parity(spark):
     """Exact embedding near-dup must match the naive pairwise oracle
     bit-for-bit (block-matmul candidates + canonical re-verify)."""
