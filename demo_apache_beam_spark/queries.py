@@ -629,6 +629,69 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
 
+@register(
+    "promo_revenue_by_brand",
+    """
+    SELECT p_brand,
+           cast(sum(cast(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice*(1-l_discount) ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+           cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Q14-shaped promo revenue per brand: fact-dimension broadcast join "
+        "on the part key with conditional decimal-stable aggregation.",
+)
+def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            stable_sum(
+                F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)),
+                "promo_revenue",
+            ),
+            stable_sum(disc_price, "total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name,
+           cast(sum(cast(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+           count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Supplier account balances rolled up by nation — dimension-"
+        "dimension broadcast join completing coverage of every driver "
+        "table.",
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        sup.join(nation, sup.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            stable_sum("s_acctbal", "total_balance"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
