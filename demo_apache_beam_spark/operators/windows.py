@@ -24,3 +24,26 @@ def tumbling_window(minutes: int, time_col: str = "event_time") -> Column:
     """W2: fixed (tumbling) event-time window of ``minutes`` duration
     (HourlyTeamScore.java:90-91; LeaderBoard.java:190-191; default 60)."""
     return F.window(F.col(time_col), f"{int(minutes)} minutes")
+
+
+def sliding_window(
+    minutes: int, slide_minutes: int, time_col: str = "event_time"
+) -> Column:
+    """Sliding (hopping) event-time windows — an engine extension; the
+    reference uses none (SURVEY.md §2.4 'not present'), but Beam's
+    ``SlidingWindows`` maps 1:1 onto ``F.window`` with a slide. Each event
+    lands in ``minutes / slide_minutes`` overlapping buckets; the expansion
+    happens executor-side inside the aggregate, never as a materialized
+    row blowup before partial aggregation."""
+    return F.window(
+        F.col(time_col), f"{int(minutes)} minutes", f"{int(slide_minutes)} minutes"
+    )
+
+
+def session_window(gap_minutes: int, time_col: str = "event_time") -> Column:
+    """Session windows with a ``gap_minutes`` inactivity gap — an engine
+    extension (upstream Beam's GameStats uses ``Sessions``; the snapshot
+    doesn't, SURVEY.md §2.4). Spark merges per-key windows transitively in
+    the aggregation — state-store backed in streaming, sort-based in
+    batch; session end = last event + gap."""
+    return F.session_window(F.col(time_col), f"{int(gap_minutes)} minutes")

@@ -480,6 +480,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TakeOrdered (never a single-partition global sort) for top-k.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Extensions — windowing beyond the reference (sliding + session windows;
+# SURVEY.md §2.4 lists both as absent from the snapshot)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sliding_team_windows",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL}),
+    w AS (
+      SELECT team, score,
+             unnest([(ts_ms // 1800000) * 1800000,
+                     (ts_ms // 1800000) * 1800000 - 1800000]) AS window_start_ms
+      FROM game
+    )
+    SELECT team, window_start_ms,
+           cast(sum(score) AS BIGINT) AS total_score,
+           count(*) AS n_events
+    FROM w GROUP BY team, window_start_ms
+    """,
+    doc="Sliding 60-min windows hopping every 30 min: each event counts in "
+        "exactly two overlapping windows; the expansion happens inside the "
+        "aggregate, pruned to (team, window) partials before the shuffle.",
+)
+def sliding_team_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import sliding_window, with_event_time
+
+    game = with_event_time(_game_events(spark, sf_dir))
+    return (
+        game.groupBy(sliding_window(60, 30).alias("w"), "team")
+        .agg(
+            F.sum("score").cast("long").alias("total_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "team",
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "total_score",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "session_user_activity",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 30 * 60 * 1000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-min inactivity gap) per user: Spark's "
+        "session_window merges transitively in the aggregation; the oracle "
+        "is the classic gaps-and-islands formulation — boundary semantics "
+        "are half-open [start, last+gap), so a gap of exactly 30 min "
+        "starts a new session on both sides.",
+)
+def session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_window
+
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").alias("event_time"))
+    return (
+        ev.groupBy(session_window(30).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 @register(
     "events_props_stats",
     """
