@@ -568,6 +568,66 @@ def session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_per_team",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL})
+    SELECT team,
+           cast(count(DISTINCT user_key) AS BIGINT) AS n_users,
+           cast(count(*) AS BIGINT) AS n_events
+    FROM game GROUP BY team
+    """,
+    doc="Distinct aggregation: exact per-team user cardinality — plans as "
+        "the two-phase partial-distinct expand, not a naive global "
+        "distinct; count(*) rides the same aggregate.",
+)
+def distinct_users_per_team(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    return game.groupBy("team").agg(
+        F.countDistinct("user_key").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT coalesce(r_name, '<all>') AS region_name,
+           coalesce(n_name, '<all>') AS nation_name,
+           cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="Grouping sets: ROLLUP over (region, nation) customer balances — "
+        "one Expand-based aggregate producing leaf, subtotal, and grand-"
+        "total rows in a single pass (no per-level rescans). NULL subtotal "
+        "keys are coalesced to a sentinel for engine-portable comparison.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            stable_sum("c_acctbal", "total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "total_balance",
+            "n_customers",
+        )
+    )
+
+
+@register(
     "events_props_stats",
     """
     SELECT event_type,
