@@ -137,6 +137,66 @@ def test_late_data_beyond_horizon_dropped(spark, stream_dirs):
     assert sum(state.values()) == 5 + 7 + 3
 
 
+def test_session_window_streaming_equals_batch(spark, stream_dirs):
+    """Session windows run under watermarked streaming aggregation too:
+    sessions finalized by the watermark (append mode — Spark does not
+    support update mode for session aggregations) must equal the batch
+    sessionization of the same rows."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.windows import session_window
+
+    in_dir, chk = stream_dirs
+    lines = []
+    # u1: two bursts separated by > gap → 2 sessions; u2: one burst
+    for i in range(5):
+        lines.append(_line("u1", "t", 1, BASE_MS + i * 60_000))
+    for i in range(3):
+        lines.append(_line("u1", "t", 1, BASE_MS + 2 * 3600_000 + i * 60_000))
+    for i in range(4):
+        lines.append(_line("u2", "t", 1, BASE_MS + i * 120_000))
+    _write_lines(in_dir, "a.txt", lines)
+
+    events = read_game_event_lines(spark, in_dir)
+    sessions = (
+        events.withWatermark("event_time", "120 minutes")
+        .groupBy(session_window(30).alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user", F.unix_millis("w.start").alias("s"), F.unix_millis("w.end").alias("e"), "n_events")
+    )
+    state: dict = {}
+
+    def sink(batch_df, _epoch):
+        for row in batch_df.collect():
+            state[(row["user"], row["s"])] = (row["e"], row["n_events"])
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    assert state == {}, "no session can finalize before the watermark moves"
+    # a far-future event pushes the watermark past every earlier session
+    _write_lines(in_dir, "b.txt", [_line("u3", "t", 1, BASE_MS + 24 * 3600_000)])
+    q.processAllAvailable()
+    q.stop()
+
+    batch_lines = spark.createDataFrame([(s,) for s in lines], "value string")
+    batch = with_event_time(parse_game_events(batch_lines))
+    expect = {
+        (r["user"], r["s"]): (r["e"], r["n_events"])
+        for r in batch.groupBy(session_window(30).alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user", F.unix_millis("w.start").alias("s"), F.unix_millis("w.end").alias("e"), "n_events")
+        .collect()
+    }
+    # u3's own session is still open and therefore absent from append output
+    assert state == expect
+    assert len({k[1] for k in state if k[0] == "u1"}) == 2  # two u1 sessions
+
+
 def test_checkpoint_restart_resumes_state(spark, stream_dirs):
     """Stop the user-totals query mid-stream and restart it from the same
     checkpoint: aggregation state must resume (not reset), and already-
