@@ -568,6 +568,65 @@ def session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flawless_high_scorers",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL})
+    SELECT user_key FROM game WHERE score >= 19
+    EXCEPT
+    SELECT user_key FROM game WHERE score < 1
+    """,
+    doc="Set operation (EXCEPT): users with a 19+ score event who never "
+        "scored 0 — plans as a left-anti hash join on the distinct key "
+        "sets, no full-row materialization.",
+)
+def flawless_high_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    high = game.filter(F.col("score") >= 19).select("user_key")
+    low = game.filter(F.col("score") < 1).select("user_key")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep a
+    # user whose high-event multiplicity exceeds their low-event count
+    return high.subtract(low)
+
+
+@register(
+    "team_rank_per_window",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL}),
+    agg AS (
+      SELECT team,
+             (ts_ms // 3600000) * 3600000 AS window_start_ms,
+             cast(sum(score) AS BIGINT) AS total_score
+      FROM game GROUP BY team, window_start_ms
+    )
+    SELECT team, window_start_ms, total_score,
+           cast(dense_rank() OVER (PARTITION BY window_start_ms
+                                   ORDER BY total_score DESC, team ASC) AS BIGINT) AS rank
+    FROM agg
+    """,
+    doc="Analytic window function: dense_rank of teams within each hourly "
+        "window — partitioned by window so no single-task global sort; "
+        "deterministic tie-break on the team key.",
+)
+def team_rank_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    game = with_event_time(_game_events(spark, sf_dir))
+    agg = (
+        game.groupBy(F.window("event_time", "60 minutes").alias("w"), "team")
+        .agg(F.sum("score").cast("long").alias("total_score"))
+        .select(
+            "team",
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "total_score",
+        )
+    )
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.desc("total_score"), F.asc("team")
+    )
+    return agg.withColumn("rank", F.dense_rank().over(w).cast("long"))
+
+
+@register(
     "distinct_users_per_team",
     f"""
     WITH game AS ({_GAME_EVENTS_SQL})
