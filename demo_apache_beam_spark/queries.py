@@ -648,6 +648,21 @@ def distinct_users_per_team(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_user_cardinality",
+    None,  # HLL sketches differ per engine — error bound asserted in pytest
+    doc="Approximate distinct (HyperLogLog++): per-team user cardinality "
+        "at 2% target error — constant sketch memory per group vs the "
+        "exact expand, the only viable cardinality at 100 TB key scale.",
+)
+def approx_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    return game.groupBy("team").agg(
+        F.approx_count_distinct("user_key", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "revenue_rollup",
     """
     SELECT coalesce(r_name, '<all>') AS region_name,

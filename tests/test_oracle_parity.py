@@ -34,3 +34,21 @@ def test_registry_consistency():
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_approx_user_cardinality_error_bound(spark):
+    """HLL++ estimates must land within a loose multiple of the configured
+    2% relative error of the exact per-team cardinality."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    approx = {
+        r["team"]: r["approx_users"]
+        for r in REGISTRY["approx_user_cardinality"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["team"]: r["n_users"]
+        for r in REGISTRY["distinct_users_per_team"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for team, n in exact.items():
+        assert abs(approx[team] - n) <= max(2, 0.1 * n), (team, approx[team], n)
