@@ -137,6 +137,55 @@ def test_late_data_beyond_horizon_dropped(spark, stream_dirs):
     assert sum(state.values()) == 5 + 7 + 3
 
 
+def test_stateful_streak_operator(spark, stream_dirs):
+    """applyInPandasWithState: per-user streak state must persist across
+    micro-batches and match a pure-python reference over the full stream."""
+    from demo_apache_beam_spark.streaming.stateful import user_score_streaks
+
+    in_dir, chk = stream_dirs
+    # u1: scores 12,15,3,11,14,18 → longest streak 3 (last three)
+    batch1 = [
+        _line("u1", "t", 12, BASE_MS),
+        _line("u1", "t", 15, BASE_MS + 60_000),
+        _line("u1", "t", 3, BASE_MS + 120_000),
+        _line("u2", "t", 9, BASE_MS),
+    ]
+    batch2 = [
+        _line("u1", "t", 11, BASE_MS + 180_000),
+        _line("u1", "t", 14, BASE_MS + 240_000),
+        _line("u1", "t", 18, BASE_MS + 300_000),
+        _line("u2", "t", 10, BASE_MS + 60_000),
+    ]
+    _write_lines(in_dir, "a.txt", batch1)
+
+    events = read_game_event_lines(spark, in_dir)
+    streaks = user_score_streaks(events, threshold=10)
+    state: dict = {}
+
+    def sink(batch_df, _epoch):
+        for row in batch_df.collect():
+            state[row["user"]] = (
+                row["current_streak"], row["longest_streak"], row["n_events"]
+            )
+
+    q = (
+        streaks.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    assert state["u1"] == (0, 2, 3)  # 12,15 streak broken by 3
+    assert state["u2"] == (0, 0, 1)
+    _write_lines(in_dir, "b.txt", batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    # state carried across batches: the 11,14,18 run continues from zero
+    assert state["u1"] == (3, 3, 6)
+    assert state["u2"] == (1, 1, 2)
+
+
 def test_session_window_streaming_equals_batch(spark, stream_dirs):
     """Session windows run under watermarked streaming aggregation too:
     sessions finalized by the watermark (append mode — Spark does not
