@@ -145,7 +145,12 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 sizes.append(len(arr))
                 if len(arr):
-                    hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                    # floor(byte * bins / 256): exact equal-width bucketing for
+                    # ANY bins <= 256 (a shift would silently require a power
+                    # of two); for bins=16 this is byte >> 4.
+                    hist = np.bincount(
+                        (arr.astype(np.int64) * bins) >> 8, minlength=bins
+                    )[:bins]
                     feats.append((hist / hist.sum()).astype(np.float64))
                 else:
                     feats.append(np.zeros(bins, dtype=np.float64))
@@ -159,6 +164,22 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(compute, out_schema)
+
+
+def byte_histogram_long(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Exploded (long-format) byte histogram: one row per (item, bucket),
+    ``(media_id, kind, n_bytes, bin, value)`` — the canonicalizable /
+    SQL-comparable shape of ``byte_histogram_features`` (scalar columns
+    only; an ``array<double>`` result column can't be hashed by generic
+    result-comparison tooling). All ``bins`` buckets are emitted,
+    including zero-count ones, so every item contributes exactly ``bins``
+    rows and the per-item values sum to 1."""
+    return byte_histogram_features(media, bins=bins).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("bin", "value"),
+    )
 
 
 def sample_frames(

@@ -978,15 +978,37 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_byte_histogram",
-    None,  # mapInPandas feature extraction — asserted in pytest
+    f"""
+    WITH m AS ({_MEDIA_SQL.format(src="documents")}),
+    bytes AS (
+      SELECT media_id, text,
+             unnest(generate_series(1, CAST(n_bytes AS BIGINT))) AS i
+      FROM (SELECT m.*, text FROM m JOIN documents d ON d.doc_id = m.media_id)
+    ),
+    counts AS (
+      SELECT media_id,
+             (ord(substr(text, CAST(i AS INT), 1)) * 16) // 256 AS bin,
+             count(*) AS c
+      FROM bytes GROUP BY 1, 2
+    ),
+    b AS (SELECT unnest(generate_series(0, 15)) AS bin)
+    SELECT m.media_id, m.kind, m.n_bytes, CAST(b.bin AS INTEGER) AS bin,
+           CAST(coalesce(c.c, 0) AS DOUBLE) / m.n_bytes AS value
+    FROM m CROSS JOIN b
+    LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = b.bin
+    """,
     doc="Codec-free payload feature extraction: normalized 16-bin byte "
-        "histogram per item via Arrow-batched mapInPandas (the decode "
-        "integration point is stubbed — no media codecs in this env).",
+        "histogram per item via Arrow-batched mapInPandas, exploded to "
+        "(media_id, kind, n_bytes, bin, value) rows — scalar columns so "
+        "the result is canonicalizable/hashable; the byte-level DuckDB "
+        "oracle works because payloads are the documents' ASCII utf-8 "
+        "bytes (ord(char) == byte). The decode integration point is "
+        "stubbed — no media codecs in this env.",
 )
 def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.media import byte_histogram_features
+    from .operators.media import byte_histogram_long
 
-    return byte_histogram_features(_media(spark, sf_dir))
+    return byte_histogram_long(_media(spark, sf_dir))
 
 
 @register(

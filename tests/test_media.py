@@ -75,6 +75,34 @@ def test_byte_histogram_matches_numpy_reference(spark):
         assert abs(sum(got) - 1.0) < 1e-9
 
 
+def test_byte_histogram_long_parity_and_shape(spark):
+    """The exploded (media_id, kind, n_bytes, bin, value) registry shape
+    must hash-match the byte-level DuckDB oracle (scalar columns only —
+    the r2 driver canonicalizer crashed on array<double>)."""
+    assert_parity(spark, "media_byte_histogram")
+
+
+def test_byte_histogram_non_power_of_two_bins(spark):
+    """bins=10 must produce a true 10-bucket histogram (floor(byte*10/256)),
+    not an 8-bucket one zero-padded — the old shift-based bucketing was
+    only correct for powers of two."""
+    from demo_apache_beam_spark.operators.media import byte_histogram_features
+
+    rows = byte_histogram_features(_media(spark), bins=10).limit(20).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF_SMALL, "documents").collect()}
+    assert rows
+    for r in rows:
+        arr = np.frombuffer(docs[r["media_id"]].encode("utf-8"), dtype=np.uint8)
+        want = np.bincount(arr.astype(np.int64) * 10 // 256, minlength=10)[:10] / len(arr)
+        np.testing.assert_allclose(r["features"], want, atol=1e-12)
+        assert len(r["features"]) == 10
+        # ASCII text bytes live in 32..126 → buckets 1..4 — the tail
+        # buckets exist but a power-of-two-only shift would have folded
+        # everything into 8 buckets instead.
+        assert sum(r["features"][:5]) == pytest.approx(1.0)
+
+
 def test_sample_frames_matches_reference(spark):
     frames = sample_frames(_media(spark), frame_bytes=64, stride=2)
     by_id: dict = {}
