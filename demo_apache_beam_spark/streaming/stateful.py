@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -75,15 +76,28 @@ def user_score_streaks(
             current, longest, n_events = state.get
         else:
             current, longest, n_events = 0, 0, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time")
-            for score in pdf["score"]:
-                if score >= threshold:
-                    current += 1
-                    longest = max(longest, current)
-                else:
-                    current = 0
-                n_events += 1
+        # Materialize the WHOLE group before sorting: Arrow hands the group
+        # over as multiple chunks (spark.sql.execution.arrow.maxRecordsPerBatch
+        # rows each), and a per-chunk sort would interleave chunks in arrival
+        # order — wrong exactly for hot keys whose batch spans chunks.
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "event_time", kind="stable"
+            )
+            hit = (pdf["score"].to_numpy() >= threshold)
+            n_events += len(hit)
+            breaks = np.flatnonzero(~hit)
+            if len(breaks) == 0:
+                current += len(hit)
+                longest = max(longest, current)
+            else:
+                # run carried in from state + runs between misses + trailing run
+                longest = max(longest, current + int(breaks[0]))
+                if len(breaks) > 1:
+                    longest = max(longest, int(np.diff(breaks).max()) - 1)
+                current = int(len(hit) - breaks[-1] - 1)
+                longest = max(longest, current)
         state.update((current, longest, n_events))
         yield pd.DataFrame(
             {

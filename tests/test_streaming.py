@@ -186,6 +186,49 @@ def test_stateful_streak_operator(spark, stream_dirs):
     assert state["u2"] == (1, 1, 2)
 
 
+def test_stateful_streak_group_spanning_arrow_chunks(spark, stream_dirs):
+    """A hot key whose micro-batch exceeds one Arrow chunk must still be
+    processed in global event-time order: rows arrive reverse-ordered and
+    spark.sql.execution.arrow.maxRecordsPerBatch=2 forces the group to be
+    delivered as 3 chunks. A per-chunk sort (the old bug) would yield
+    longest=2; the true event-time order 11,3,12,13,14 gives longest=3."""
+    from demo_apache_beam_spark.streaming.stateful import user_score_streaks
+
+    in_dir, chk = stream_dirs
+    scores_by_time = [11, 3, 12, 13, 14]
+    lines = [
+        _line("u1", "t", s, BASE_MS + i * 60_000)
+        for i, s in enumerate(scores_by_time)
+    ]
+    _write_lines(in_dir, "a.txt", list(reversed(lines)))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        events = read_game_event_lines(spark, in_dir)
+        streaks = user_score_streaks(events, threshold=10)
+        state: dict = {}
+
+        def sink(batch_df, _epoch):
+            for row in batch_df.collect():
+                state[row["user"]] = (
+                    row["current_streak"], row["longest_streak"], row["n_events"]
+                )
+
+        q = (
+            streaks.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert state["u1"] == (3, 3, 5)
+
+
 def test_session_window_streaming_equals_batch(spark, stream_dirs):
     """Session windows run under watermarked streaming aggregation too:
     sessions finalized by the watermark (append mode — Spark does not
