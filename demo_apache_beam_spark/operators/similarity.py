@@ -377,6 +377,92 @@ def cosine_pairs(
 # IVF (inverted-file) approximate kNN
 # ---------------------------------------------------------------------------
 
+def _spherical_kmeans(
+    x: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
+) -> np.ndarray:
+    """Driver-side spherical k-means (kmeans++ seeding, Lloyd updates,
+    centroids renormalized to the unit sphere each step). ``x`` must be
+    unit rows; on the sphere argmax-dot assignment ≡ min-euclidean, so
+    every step is one BLAS matmul. Input is a BOUNDED training sample
+    (≤ a few thousand rows), never the corpus."""
+    n = x.shape[0]
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    centers = x[rng.randint(n)][None, :]
+    d = np.maximum(1.0 - x @ centers[0], 0.0)  # kmeans++ on cosine distance
+    for _ in range(1, k):
+        tot = d.sum()
+        i = rng.choice(n, p=d / tot) if tot > 0 else rng.randint(n)
+        centers = np.vstack([centers, x[i]])
+        d = np.minimum(d, np.maximum(1.0 - x @ x[i], 0.0))
+    for _ in range(max_iter):
+        a = (x @ centers.T).argmax(axis=1)
+        new = np.vstack(
+            [x[a == j].sum(axis=0) if (a == j).any() else centers[j] for j in range(k)]
+        )
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        new = new / norms
+        if np.allclose(new, centers, atol=1e-9):
+            return new
+        centers = new
+    return centers
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_target: int | None = None,
+    corpus_size_hint: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF index once: returns ``(assigned, centroids)`` where
+    ``assigned`` is the inverted file (neighbor_id, _cell) and
+    ``centroids`` is the nlist × dim coarse quantizer.
+
+    The quantizer fits on a BOUNDED sample — ``sample_target`` rows
+    (default 256·nlist, the standard IVF training heuristic) — collected
+    to the driver and clustered with dense numpy Lloyd steps. At 100 TB
+    you never run distributed ML training inside a query: the sample
+    collect is a few MB regardless of corpus size, and ``assigned`` is
+    written/persisted once (partitioned by ``_cell``) then reused by
+    every query batch. ``corpus_size_hint`` sizes the sampling fraction
+    without a count() job; omit it and build pays one count().
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    target = sample_target if sample_target is not None else 256 * nlist
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    n = corpus_size_hint if corpus_size_hint is not None else c_vec.count()
+    sampled = c_vec.select("_cv")
+    if n > target:
+        # oversample 2x so the post-sample limit() almost never truncates
+        # below target, then hard-bound the driver collect regardless.
+        sampled = sampled.sample(fraction=min(1.0, 2.0 * target / n), seed=seed)
+    rows = sampled.limit(target).collect()
+    x = np.asarray([r["_cv"] for r in rows], dtype=np.float64)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    xn[xn == 0.0] = 1.0
+    centroids = _spherical_kmeans(x / xn, nlist, seed=seed, max_iter=max_iter)
+
+    @pandas_udf("int")
+    def assign_cell(emb: pd.Series) -> pd.Series:
+        v = np.vstack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(((v / norms) @ centroids.T).argmax(axis=1).astype(np.int32))
+
+    assigned = c_vec.select(
+        "neighbor_id", assign_cell(F.col("_cv")).alias("_cell")
+    )
+    return assigned, centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -388,23 +474,31 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    index: tuple[DataFrame, np.ndarray] | None = None,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: spherical k-means partitions the corpus
-    into ``nlist`` cells; each query exact-scores only the ``nprobe``
-    cells nearest its own vector — the classic FAISS-style
-    coarse-quantizer layout.
+    """IVF approximate top-k: a sample-fit spherical-k-means coarse
+    quantizer partitions the corpus into ``nlist`` cells; each query
+    exact-scores only the ``nprobe`` cells nearest its own vector — the
+    classic FAISS-style inverted-file layout.
 
-    Vectors are L2-normalized before clustering, so euclidean k-means
-    on the unit sphere orders cells by cosine. At 100 TB the cell
-    assignment is written once (partitioned by cell); a query batch
-    touches nprobe/nlist of the corpus, and the centroid table
-    (nlist × dim) is driver/broadcast-sized by construction.
+    Pass ``index=ivf_build(...)`` to amortize the index across query
+    batches (the production shape); without it one index is built
+    inline from a bounded sample — still no distributed training job.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
-    def _unit(col: Column) -> Column:
-        return F.transform(col, lambda x: x / norm_col(col))
+    if index is None:
+        index = ivf_build(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            nlist=nlist,
+            seed=seed,
+            max_iter=max_iter,
+            corpus_size_hint=corpus_size_hint,
+        )
+    assigned, centroids = index
 
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
@@ -413,23 +507,13 @@ def ivf_topk(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm_col(F.col("_qv")))
 
-    train = c_vec.select(
-        "neighbor_id", array_to_vector(_unit(F.col("_cv"))).alias("features")
-    )
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
-    assigned = model.transform(train).select(
-        "neighbor_id", F.col("prediction").alias("_cell")
-    )
-    centroids = np.vstack([c for c in model.clusterCenters()])  # nlist × dim
-
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("array<int>")
     def probe_cells(emb: pd.Series) -> pd.Series:
         x = np.vstack(emb.to_numpy()).astype(np.float64)
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        dots = (x / norms) @ centroids.T
+        order = np.argsort(-dots, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
     q_probed = q_vec.select(
