@@ -299,24 +299,55 @@ def cosine_pairs(
     vec_col: str = "embedding",
     blocks: int = 16,
     margin: float = 1e-9,
+    max_block_rows: int = 4096,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — **exact** (embedding-cosine
     near-dup; the oracle is the naive pairwise definition).
 
-    Block-nested matmul: vectors hash into ``blocks`` buckets; each of
-    the B(B+1)/2 bucket combinations becomes one task whose candidate
+    Block-nested matmul: vectors hash into B buckets; each of the
+    B(B+1)/2 bucket combinations becomes one task whose candidate
     generation is a single numpy ``X_a @ X_b.T`` over the two buckets —
     the O(N²·d) inner loop runs at BLAS speed instead of per-pair
     expression interpretation. Replication factor is B (each bucket
-    meets every other), the standard all-pairs trade: pick B ≈ cluster
-    width so each task's pair block fits in memory. Candidates pass at
-    ``threshold - margin`` and are then re-scored with the engine's
-    canonical left-fold ``cosine_col`` — bit-identical to the SQL
-    oracle's evaluation order, with ``margin`` (≫ any reordering error
-    at realistic dims) guaranteeing no boundary pair is lost.
+    meets every other), the standard all-pairs trade.
+
+    **Block rows are size-capped**: each bucket is packed into ONE
+    ``collect_list`` row, so B is raised to ``ceil(N / max_block_rows)``
+    whenever the ``blocks`` argument would leave a bucket holding more
+    than ``max_block_rows`` vectors (~2 MB rows at 64-dim doubles by
+    default) — an unbounded bucket row would hit Spark's 2 GB row limit
+    and task memory long before the O(N²) math becomes the problem. N
+    comes from ``corpus_size_hint`` or one count() (negligible next to
+    the pairwise work this operator exists to do).
+
+    Candidates pass at ``threshold - margin`` and are then re-scored
+    with the engine's canonical left-fold ``cosine_col`` — bit-identical
+    to the SQL oracle's evaluation order, with ``margin`` (≫ any
+    reordering error at realistic dims) guaranteeing no boundary pair
+    is lost.
 
     Output: (id_a, id_b, cosine), id_a < id_b, cosine ≥ threshold.
+    ``id_col`` may be any integral or string type (the output schema
+    follows it); other types raise up front rather than failing with an
+    opaque executor-side conversion error.
     """
+    from pyspark.sql.types import IntegralType, StringType
+
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, IntegralType):
+        id_sql, np_dtype = "long", np.int64
+    elif isinstance(id_type, StringType):
+        id_sql, np_dtype = "string", object
+    else:
+        raise TypeError(
+            f"cosine_pairs: id column {id_col!r} has type {id_type.simpleString()}; "
+            "only integral or string ids are supported"
+        )
+
+    n = corpus_size_hint if corpus_size_hint is not None else df.count()
+    blocks = max(blocks, -(-n // max_block_rows))  # ceil; cap bucket rows
+
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")).withColumn(
         "_b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks))
     )
@@ -336,8 +367,8 @@ def cosine_pairs(
         for pdf in batches:
             ids_a, ids_b = [], []
             for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
-                ia = np.fromiter((x["id"] for x in items_a), dtype=np.int64)
-                ib = np.fromiter((x["id"] for x in items_b), dtype=np.int64)
+                ia = np.array([x["id"] for x in items_a], dtype=np_dtype)
+                ib = np.array([x["id"] for x in items_b], dtype=np_dtype)
                 xa = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in items_a])
                 xb = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in items_b])
                 na = np.linalg.norm(xa, axis=1)
@@ -350,12 +381,12 @@ def cosine_pairs(
                 keep = lo < hi  # drops self-pairs; same-block dups deduped below
                 ids_a.append(lo[keep])
                 ids_b.append(hi[keep])
-            ids_a = np.concatenate(ids_a) if ids_a else np.empty(0, dtype=np.int64)
-            ids_b = np.concatenate(ids_b) if ids_b else np.empty(0, dtype=np.int64)
+            ids_a = np.concatenate(ids_a) if ids_a else np.empty(0, dtype=np_dtype)
+            ids_b = np.concatenate(ids_b) if ids_b else np.empty(0, dtype=np_dtype)
             yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
 
     cands = (
-        combos.mapInPandas(block_pairs, "id_a long, id_b long")
+        combos.mapInPandas(block_pairs, f"id_a {id_sql}, id_b {id_sql}")
         .distinct()  # same-block combos emit (a,b) and (b,a) hits once each
     )
     vn = v.withColumn("_n", norm_col(F.col("_v")))

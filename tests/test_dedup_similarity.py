@@ -124,6 +124,60 @@ def test_cosine_pairs_oracle_parity(spark):
     assert_parity(spark, "dedup_embedding_cosine")
 
 
+def test_cosine_pairs_forced_multi_block_split(spark):
+    """A tiny max_block_rows forces the bucket cap to raise B well above
+    the requested blocks (500 vectors / 32 rows -> B=16 from blocks=2);
+    the split must not change the answer."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(
+            emb, threshold=0.3, blocks=2, max_block_rows=32
+        ).collect()
+    }
+    assert set(base) == set(split)
+    for k in base:
+        assert split[k] == pytest.approx(base[k], abs=0)
+
+
+def test_cosine_pairs_string_ids_and_type_validation(spark):
+    """String id columns are supported (output schema follows the input);
+    unsupported id types fail fast with a clear message instead of an
+    opaque executor-side numpy conversion error."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(100)
+    as_str = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    base = {
+        (f"doc-{r['id_a']}", f"doc-{r['id_b']}")
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+        if r["id_a"] < 100 and r["id_b"] < 100
+    }
+    got_rows = cosine_pairs(as_str, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    # pair ordering is lexicographic for strings, so compare unordered
+    assert {frozenset(p) for p in got} == {frozenset(p) for p in base}
+    for r in got_rows:
+        assert r["id_a"] < r["id_b"]
+
+    bad = emb.select(F.col("vec_id").cast("double").alias("vec_id"), "embedding")
+    with pytest.raises(TypeError, match="integral or string"):
+        cosine_pairs(bad, threshold=0.3)
+
+
 def test_ivf_knn_recall_vs_brute_force(spark):
     exact = REGISTRY["embedding_knn"].fn(spark, SF_SMALL).collect()
     approx = REGISTRY["embedding_knn_ivf"].fn(spark, SF_SMALL).collect()
