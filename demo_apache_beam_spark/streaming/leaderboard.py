@@ -135,11 +135,18 @@ def start_leaderboard(
 
     def team_sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = batch_df.withColumn("processing_time", F.current_timestamp())
-        if annotator is not None:
-            out = annotator.annotate(out)
-        out.write.mode("append").parquet(f"{output_dir}/{table_prefix}_team")
-        if annotator is not None:
+        if annotator is None:
+            out.write.mode("append").parquet(f"{output_dir}/{table_prefix}_team")
+            return
+        # persist so the annotated plan (markers broadcast join + the
+        # upstream state-store read) executes once, not once for the data
+        # write and again for the marker extraction
+        out = annotator.annotate(out).persist()
+        try:
+            out.write.mode("append").parquet(f"{output_dir}/{table_prefix}_team")
             annotator.record(out, epoch_id)
+        finally:
+            out.unpersist()
 
     def user_sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.withColumn("processing_time", F.current_timestamp()).write.mode(

@@ -116,6 +116,16 @@ class TimingAnnotator:
                 "timing", F.when(early, F.lit("EARLY")).otherwise(F.lit("ON_TIME"))
             )
         joined = batch_df.join(F.broadcast(emitted), ["team", "window_end"], "left")
+        if wm_col is None:
+            # query restart: lastProgress is gone but the marker table
+            # survives — a window whose ON_TIME marker exists has fired,
+            # so this emission is a LATE refinement, not EARLY
+            return joined.withColumn(
+                "timing",
+                F.when(F.col("_seen").isNull(), F.lit("EARLY")).otherwise(
+                    F.lit("LATE")
+                ),
+            ).drop("_seen")
         return joined.withColumn(
             "timing",
             F.when(early, F.lit("EARLY"))
