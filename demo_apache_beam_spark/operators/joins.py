@@ -51,24 +51,27 @@ def asof_join(
     carried = [f"{right_ts}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
 
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    # the right row travels as ONE nullable struct: last(ignorenulls) then
+    # skips only missing rows, never a matched row's genuinely-NULL field
+    # (per-column last would silently fall back to an older row's value)
+    r_struct = F.struct(
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[right_ts].dataType).alias(carried[0])],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(struct_type).alias("_r"),
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        F.col(right_ts).alias(carried[0]),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        r_struct.alias("_r"),
     )
 
     merged = l_tag.unionByName(r_tag)
@@ -77,15 +80,17 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # one window spec → one sort; every carried column reads the same
-    # physical "latest right row so far" within the frame
     filled = merged.select(
         *on,
         "_t",
         "_side",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return filled.filter(F.col("_side") == 1).select(
-        *on, F.col("_t").alias(left_ts), *left_payload, *carried
+        *on,
+        F.col("_t").alias(left_ts),
+        *left_payload,
+        F.col("_r._rts").alias(carried[0]),
+        *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )

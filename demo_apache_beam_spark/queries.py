@@ -926,6 +926,335 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — the join surface beyond inner/broadcast (SURVEY.md §2.9
+# close-out): outer, semi, anti, and temporal as-of joins, plus the
+# remaining grouping-set (CUBE) and set-operation (INTERSECT) one-liners.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_counts",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_custkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="Q13-shaped order-count distribution: LEFT OUTER fact join keeps "
+        "zero-order customers (count(o_custkey) counts non-NULL → 0), "
+        "then a second aggregate histograms the counts. Both sides are "
+        "fact-sized, so this is the one legitimately shuffling join in "
+        "the warehouse suite — partitioned on the customer key, with "
+        "AQE skew-split as the hot-key backstop.",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "customers_without_urgent_orders",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="Anti-join (NOT EXISTS): customers who never placed an URGENT "
+        "order, rolled up by market segment — plans as a left-anti hash "
+        "join; only the order keys of the filtered build side shuffle.",
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_sum("c_acctbal", "total_balance"),
+        )
+    )
+
+
+@register(
+    "priority_orders_with_returns",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="Q4-shaped semi-join (EXISTS): orders with at least one returned "
+        "lineitem, counted per priority — left-semi join dedups the "
+        "probe side inside the join (no distinct pre-pass), and only "
+        "(l_orderkey) survives column pruning on the build side.",
+)
+def priority_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "balance_cube",
+    """
+    SELECT coalesce(r_name, '<all>') AS region_name,
+           coalesce(c_mktsegment, '<all>') AS segment,
+           cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, c_mktsegment)
+    """,
+    doc="Grouping sets (CUBE): all four marginal combinations of (region, "
+        "market segment) in one Expand-based aggregate pass — the CUBE "
+        "sibling of revenue_rollup; partials combine map-side so the "
+        "expansion never hits the shuffle unaggregated.",
+)
+def balance_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.cube("r_name", "c_mktsegment")
+        .agg(
+            stable_sum("c_acctbal", "total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "total_balance",
+            "n_customers",
+        )
+    )
+
+
+# 2024-01-15 00:00:00 UTC — midpoint of the events table's January span
+_MID_MS = 1705276800000
+
+
+@register(
+    "cross_period_actives",
+    f"""
+    SELECT user_id FROM events WHERE epoch_ms(ts) < {_MID_MS}
+    INTERSECT
+    SELECT user_id FROM events WHERE epoch_ms(ts) >= {_MID_MS}
+    """,
+    doc="Set operation (INTERSECT): users active in both halves of the "
+        "month — the sibling of flawless_high_scorers' EXCEPT; plans as "
+        "a left-semi hash join over the two distinct key sets.",
+)
+def cross_period_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("_ms")
+    )
+    first_half = ev.filter(F.col("_ms") < _MID_MS).select("user_id")
+    second_half = ev.filter(F.col("_ms") >= _MID_MS).select("user_id")
+    return first_half.intersect(second_half)
+
+
+@register(
+    "purchase_view_asof",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="Temporal as-of join: each purchase matched to the same user's "
+        "latest preceding view (attribution lag). Sort-merge formulation "
+        "— one shuffle on user_id + in-partition sort, carried forward "
+        "with last(ignorenulls) — never the quadratic per-key range "
+        "join. Oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def purchase_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, on=["user_id"], suffix="_view")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("ts_view").alias("view_us"),
+        (F.unix_micros("ts") - F.unix_micros("ts_view")).alias("lag_us"),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             sum(cast(l_quantity AS DECIMAL(18,6))) AS qsum,
+             count(*) AS qcnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE cast(l_quantity AS DECIMAL(18,6)) * 5 * qcnt < qsum
+    """,
+    doc="Q17-shaped correlated aggregate: lineitems below 20% of their "
+        "part's average quantity. The correlated subquery is decorrelated "
+        "into a per-part aggregate re-joined on the part key, and the "
+        "avg comparison is algebraically rewritten (5·q·cnt < sum) over "
+        "exact decimal sums so the boundary is engine-portable — no "
+        "floating-point division in the predicate.",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qsum"),
+        F.count(F.lit(1)).alias("_qcnt"),
+    )
+    joined = li.join(per_part, "l_partkey")
+    small = joined.filter(
+        F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("_qcnt")
+        < F.col("_qsum")
+    )
+    return small.agg(
+        (stable_sum("l_extendedprice", "_s") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "doc_lang_kind_pivot",
+    """
+    SELECT lang,
+           count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS image,
+           count(CASE WHEN doc_id % 3 = 1 THEN 1 END) AS audio,
+           count(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS video
+    FROM documents GROUP BY lang
+    """,
+    doc="Pivot: documents per (language × media kind) as a wide table. "
+        "Pivot values are passed explicitly, so no distinct-values "
+        "pre-job runs and the plan is a single aggregate with "
+        "conditional counts (what the SQL oracle spells out).",
+)
+def doc_lang_kind_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+    )
+    out = (
+        docs.groupBy("lang")
+        .pivot("kind", ["image", "audio", "video"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "lang",
+        F.coalesce("image", F.lit(0)).alias("image"),
+        F.coalesce("audio", F.lit(0)).alias("audio"),
+        F.coalesce("video", F.lit(0)).alias("video"),
+    )
+
+
+@register(
+    "score_quantiles_per_team",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL})
+    SELECT team,
+           round(quantile_cont(score, 0.25), 6) AS p25,
+           round(quantile_cont(score, 0.50), 6) AS p50,
+           round(quantile_cont(score, 0.75), 6) AS p75,
+           count(*) AS n_events
+    FROM game GROUP BY team
+    """,
+    doc="Exact interpolated percentiles of score per team (continuous "
+        "quantile, both engines interpolate linearly on the sorted "
+        "values; rounded to 6 dp to absorb last-ulp float differences). "
+        "At 100 TB key scale the sketch sibling is approx_percentile — "
+        "same call shape, constant memory.",
+)
+def score_quantiles_per_team(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir)
+    return game.groupBy("team").agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("score", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("score", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "distinct_users_per_team_salted",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL})
+    SELECT team,
+           cast(count(DISTINCT user_key) AS BIGINT) AS n_users
+    FROM game GROUP BY team
+    """,
+    doc="Skew-resistant exact distinct: stage 1 counts distinct users "
+        "within (team, salt) where salt = hash(user) % 16 — users land "
+        "in exactly one salt bucket, so per-bucket distinct counts are "
+        "disjoint and stage 2 just sums them. A hot team's distinct "
+        "state is spread over 16 reducers instead of one; the oracle is "
+        "the plain COUNT(DISTINCT) it must equal.",
+)
+def distinct_users_per_team_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    salted = game.withColumn("_salt", F.pmod(F.xxhash64("user_key"), F.lit(16)))
+    partial = salted.groupBy("team", "_salt").agg(
+        F.countDistinct("user_key").alias("_n")
+    )
+    return partial.groupBy("team").agg(F.sum("_n").cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
 # blob, kind/meta from doc_id & n_chars) so the DuckDB oracle reproduces it

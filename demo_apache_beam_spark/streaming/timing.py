@@ -5,12 +5,33 @@ The reference records each firing's pane timing in its output rows
 metadata, but the same classification is derivable in the sink
 (SURVEY.md §4.3):
 
-- a row emitted while ``watermark < window_end`` is an **EARLY** (speculative)
-  firing;
+- a row emitted while ``beam_watermark < window_end`` is an **EARLY**
+  (speculative) firing;
 - the first emission at-or-after the watermark passed the window end is
   **ON_TIME**;
 - any further emission for that (key, window) is **LATE** (a refinement
   triggered by late data inside the lateness horizon).
+
+**The watermark that classifies panes is Beam's, not Spark's delayed
+one.** The leaderboard declares ``withWatermark(event_time, lateness)``,
+so Spark's internal watermark is ``max_event_time − lateness`` and state
+for a window is evicted once ``spark_wm ≥ window_end`` — which is
+*exactly* Beam's drop horizon ``beam_wm ≥ window_end + lateness`` under
+a perfect watermark (``beam_wm = max_event_time``). Classifying against
+``spark_wm`` directly would label every admitted row EARLY (a row can
+only be admitted while ``spark_wm < window_end``); the pane boundary
+Beam defines is ``beam_wm = spark_wm + lateness`` vs window end. This
+delay/lateness identification is what makes the whole Beam triggering
+model land on Spark update mode losslessly:
+
+====================  =========================================
+Beam                  Spark (update mode, delay = lateness)
+====================  =========================================
+EARLY pane            emission while ``spark_wm + lateness < end``
+ON_TIME pane          first emission with ``spark_wm + lateness ≥ end``
+LATE pane             later emissions, until state eviction
+drop after lateness   eviction at ``spark_wm ≥ end``
+====================  =========================================
 
 Two design points, both scale-critical:
 
@@ -19,15 +40,15 @@ Two design points, both scale-critical:
   N-1 carries exactly the watermark the engine uses to gate batch N's
   state, so the classification matches what the state store did — an
   async listener (the round-1 design) could lag a batch and mislabel
-  ON_TIME panes as EARLY.
+  panes.
 - **First-emission markers live in their own compact table** (sibling
   ``<sink>_markers`` path), not in the ever-growing data sink. Each
   batch appends only the (key, window_end) pairs that just fired
   ON_TIME — a pair is appended exactly once — and reads are pruned to
-  windows the watermark can still touch (``window_end ≥ watermark −
-  lateness``; older windows can never fire again, their markers are
-  dead). A periodic compaction rewrites the table down to the live set,
-  which is O(open windows), not O(sink history).
+  windows the engine can still emit (``window_end > spark_wm``; at
+  eviction the window can never fire again, its marker is dead). A
+  periodic compaction rewrites the table down to the live set, which is
+  O(open windows), not O(sink history).
 """
 
 from __future__ import annotations
@@ -77,7 +98,14 @@ class TimingAnnotator:
 
     def _current_watermark(self, spark: SparkSession) -> str | None:
         """The previous batch's published watermark — the exact value the
-        engine used to gate this batch's state updates."""
+        engine used to gate this batch's state updates.
+
+        The lookup runs against the session ``attach()`` captured, NOT the
+        micro-batch DataFrame's session: ``foreachBatch`` hands its batch a
+        cloned session whose StreamingQueryManager lists no active queries,
+        so resolving through it silently yields None (= everything EARLY).
+        """
+        spark = self._spark or spark
         if self._query_name is None:
             return None
         for q in spark.streams.active:
@@ -95,19 +123,25 @@ class TimingAnnotator:
             markers = spark.read.schema(_MARKER_SCHEMA).parquet(self._markers_path)
         except Exception:  # first batch: marker table doesn't exist yet
             return None
-        # windows past watermark + lateness are evicted from state and can
-        # never fire again — their markers are dead weight, prune on read
+        # a window is evicted from state once spark_wm ≥ window_end and can
+        # never fire again — its marker is dead weight, prune on read
         if wm_col is not None:
-            horizon = wm_col - F.expr(f"INTERVAL {self._lateness_min} MINUTES")
-            markers = markers.filter(F.col("window_end") >= horizon)
+            markers = markers.filter(F.col("window_end") > wm_col)
         return markers.distinct().withColumn("_seen", F.lit(True))
 
     def annotate(self, batch_df: DataFrame) -> DataFrame:
         spark = batch_df.sparkSession
         wm = self._current_watermark(spark)
         wm_col = F.lit(wm).cast("timestamp") if wm else None
+        # Beam's pane boundary: beam_wm (= spark_wm + lateness, see module
+        # docstring) vs window end
         early = (
-            F.lit(True) if wm_col is None else (wm_col < F.col("window_end"))
+            F.lit(True)
+            if wm_col is None
+            else (
+                wm_col + F.expr(f"INTERVAL {self._lateness_min} MINUTES")
+                < F.col("window_end")
+            )
         )
 
         emitted = self._live_markers(spark, wm_col)

@@ -352,3 +352,192 @@ def test_start_leaderboard_end_to_end(spark, tmp_path):
     # final accumulated user totals present in the append log
     users = {(r["user"], r["total_score"]) for r in user_out.collect()}
     assert ("u1", 16) in users, users
+
+
+def test_streaming_dedup_equals_batch(spark, stream_dirs):
+    """Identity dedup on the stream: replayed lines (same identity key,
+    re-delivered in a later file) are dropped; the stream's append output
+    equals batch dropDuplicates over the same rows."""
+    from demo_apache_beam_spark.streaming.dedup import dedup_event_stream
+
+    in_dir, chk = stream_dirs
+    keys = ["user", "team", "score", "event_time"]
+    base = [_line(f"u{i % 3}", "t", 5 + i, BASE_MS + i * 60_000) for i in range(6)]
+    # in-file duplicate + cross-batch replays
+    _write_lines(in_dir, "a.txt", base + [base[1]])
+    _write_lines(in_dir, "b.txt", [base[2], base[4], _line("u9", "t", 1, BASE_MS + 999_000)])
+
+    events = read_game_event_lines(spark, in_dir)
+    seen: list = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(
+            (r["user"], r["team"], r["score"], r["timestamp"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        dedup_event_stream(events, keys=keys)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    all_lines = base + [base[1], base[2], base[4], _line("u9", "t", 1, BASE_MS + 999_000)]
+    batch_lines = spark.createDataFrame([(s,) for s in all_lines], "value string")
+    batch = with_event_time(parse_game_events(batch_lines)).dropDuplicates(keys)
+    expect = {
+        (r["user"], r["team"], r["score"], r["timestamp"]) for r in batch.collect()
+    }
+    assert len(seen) == len(expect), (seen, expect)
+    assert set(seen) == expect
+
+
+def test_streaming_dedup_within_watermark_keeps_first_arrival(spark, stream_dirs):
+    """Content dedup (key omits event time): a retransmission with a fresh
+    timestamp arriving within the watermark delay is dropped, and the
+    surviving row carries the FIRST arrival's timestamp."""
+    from demo_apache_beam_spark.streaming.dedup import (
+        dedup_event_stream_within_watermark,
+    )
+
+    in_dir, chk = stream_dirs
+    _write_lines(in_dir, "a.txt", [
+        _line("u1", "t", 5, BASE_MS),
+        _line("u2", "t", 7, BASE_MS + 60_000),
+    ])
+
+    events = read_game_event_lines(spark, in_dir)
+    seen: list = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(
+            (r["user"], r["team"], r["score"], r["timestamp"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        dedup_event_stream_within_watermark(events, keys=["user", "team", "score"])
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # retransmissions 10 min later (inside the 120-min watermark delay)
+    _write_lines(in_dir, "b.txt", [
+        _line("u1", "t", 5, BASE_MS + 600_000),
+        _line("u3", "t", 9, BASE_MS + 600_000),
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(seen) == [
+        ("u1", "t", 5, BASE_MS),          # first arrival's timestamp survives
+        ("u2", "t", 7, BASE_MS + 60_000),
+        ("u3", "t", 9, BASE_MS + 600_000),
+    ]
+
+
+def test_timing_annotator_compaction(spark, tmp_path):
+    """compact_every=1: every record() rewrites the marker table down to the
+    watermark-live set — a window evicted beyond the lateness horizon loses
+    its marker, while timing labels stay correct across compactions."""
+    from demo_apache_beam_spark.streaming.leaderboard import calculate_team_scores
+    from demo_apache_beam_spark.streaming.timing import TimingAnnotator
+
+    in_dir = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    sink_path = str(tmp_path / "team")
+    lateness = 60
+    hour = 3600 * 1000
+    # W1 = [22:00, 23:00) around BASE_MS (22:13:20 UTC)
+    w1_end_ms = (BASE_MS // hour) * hour + hour
+
+    os.makedirs(in_dir, exist_ok=True)
+    annotator = TimingAnnotator(
+        sink_path, allowed_lateness_minutes=lateness, compact_every=1
+    )
+
+    def team_sink(batch_df, epoch_id):
+        out = annotator.annotate(batch_df).persist()
+        out.write.mode("append").parquet(sink_path)
+        annotator.record(out, epoch_id)
+        out.unpersist()
+
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(
+        events, team_window_minutes=60, allowed_lateness_minutes=lateness
+    )
+    annotator.attach(spark, "compact_test")
+    q = (
+        team.writeStream.outputMode("update")
+        .foreachBatch(team_sink)
+        .option("checkpointLocation", chk)
+        .queryName("compact_test")
+        .start()
+    )
+
+    def drain(name, lines):
+        _write_lines(in_dir, name, lines)
+        q.processAllAvailable()
+
+    # W1 EARLY (no watermark yet)
+    drain("b1.txt", [_line("u1", "team_a", 5, BASE_MS)])
+    # max event 23:10 → spark wm 22:10, beam wm 23:10 ≥ W1 end
+    drain("b2.txt", [_line("u2", "team_b", 1, w1_end_ms + 10 * 60_000)])
+    # late W1 refinements: admitted (spark wm 22:10 < 23:00), beam wm past
+    # the window end → first is ON_TIME, second LATE
+    drain("b3.txt", [_line("u3", "team_a", 2, BASE_MS + 7 * 60_000)])
+    drain("b4.txt", [_line("u4", "team_a", 3, BASE_MS + 17 * 60_000)])
+    markers = spark.read.parquet(f"{sink_path}_markers").collect()
+    assert {(r["team"], r["window_end"].timestamp() * 1000) for r in markers} == {
+        ("team_a", float(w1_end_ms))
+    }
+    # spark wm → 01:00 ≥ W1 end: state evicted; the marker dies at the next
+    # epoch's compaction (b5's own epoch still reads the pre-advance wm)
+    drain("b5.txt", [_line("u2", "team_b", 1, w1_end_ms + 3 * hour)])
+    drain("b6.txt", [_line("u2", "team_b", 1, w1_end_ms + 3 * hour + 60_000)])
+    q.stop()
+
+    live = spark.read.parquet(f"{sink_path}_markers").collect()
+    assert not any(
+        r["team"] == "team_a" and r["window_end"].timestamp() * 1000 == w1_end_ms
+        for r in live
+    ), f"dead marker survived compaction: {live}"
+
+    out = spark.read.parquet(sink_path)
+    w1 = [
+        r["timing"]
+        for r in out.collect()
+        if r["team"] == "team_a" and r["window_end"].timestamp() * 1000 == w1_end_ms
+    ]
+    assert sorted(w1) == ["EARLY", "LATE", "ON_TIME"], w1
+
+
+def test_timing_annotator_restart_recovery(spark, tmp_path):
+    """After a query restart lastProgress is gone (watermark None) but the
+    marker table survives: a window whose ON_TIME marker exists must label
+    LATE, not EARLY (the pane already fired)."""
+    from demo_apache_beam_spark.streaming.timing import TimingAnnotator
+
+    sink_path = str(tmp_path / "team")
+    seen_end = "2023-11-14 23:00:00"
+    spark.createDataFrame(
+        [("team_a", seen_end)], "team string, window_end string"
+    ).select(
+        "team", F.col("window_end").cast("timestamp").alias("window_end")
+    ).write.parquet(f"{sink_path}_markers")
+
+    annotator = TimingAnnotator(sink_path)  # never attached → watermark None
+    batch = spark.createDataFrame(
+        [("team_a", seen_end, 7), ("team_b", "2023-11-15 01:00:00", 3)],
+        "team string, window_end string, total_score int",
+    ).select(
+        "team", F.col("window_end").cast("timestamp").alias("window_end"), "total_score"
+    )
+    rows = {r["team"]: r["timing"] for r in annotator.annotate(batch).collect()}
+    assert rows == {"team_a": "LATE", "team_b": "EARLY"}
