@@ -1254,6 +1254,176 @@ def distinct_users_per_team_salted(spark: SparkSession, sf_dir: str) -> DataFram
     return partial.groupBy("team").agg(F.sum("_n").cast("long").alias("n_users"))
 
 
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < make_timestamp(CAST(898128000 AS BIGINT) * 1000000)
+      AND l_shipdate  > make_timestamp(CAST(898128000 AS BIGINT) * 1000000)
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: selective filters on all three "
+        "tables push to the scans, the customer side collapses to a "
+        "broadcast of matching keys, and the final top-10 is TakeOrdered "
+        "— per-partition heaps merged on the driver, no global sort. "
+        "Cutoff 1998-06-18 sits inside the synthetic date range.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.timestamp_seconds(F.lit(898128000))  # 1998-06-18 UTC
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+    return out.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+@register(
+    "user_running_scores",
+    f"""
+    WITH game AS (
+      SELECT event_id, cast(user_id AS VARCHAR) AS user_key,
+             cast(floor(value) AS INTEGER) AS score, epoch_ms(ts) AS ts_ms
+      FROM events
+    )
+    SELECT event_id, user_key, ts_ms,
+           cast(sum(score) OVER (PARTITION BY user_key
+                                 ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_total
+    FROM game
+    """,
+    doc="Window-frame aggregate: per-user cumulative score over event time "
+        "(ROWS UNBOUNDED PRECEDING running sum), tie-broken on event_id "
+        "for a total order. Partitioned by user — no global sort; at "
+        "100 TB the per-key ordering is the in-partition sort of the "
+        "one hash exchange.",
+)
+def user_running_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("user_key"),
+        F.floor("value").cast("int").alias("score"),
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_key")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_key",
+        "ts_ms",
+        F.sum("score").over(w).cast("long").alias("running_total"),
+    )
+
+
+@register(
+    "user_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_ms) AS n_gaps,
+           cast(min(gap_ms) AS BIGINT) AS min_gap_ms,
+           cast(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           cast(sum(gap_ms) AS BIGINT) AS total_gap_ms
+    FROM g GROUP BY user_id
+    """,
+    doc="lag() inter-event gaps per user: offset window function feeding "
+        "an aggregate — integer-exact sums so no float drift; one "
+        "exchange shared by the window and the groupBy (same key).",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", (F.unix_micros("ts") / 1000).cast("long").alias("_ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("_ms", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("_ms") - F.lag("_ms").over(w)).alias("gap_ms")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("total_gap_ms"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                  x -> x * x)))), 6) AS avg_norm,
+           round(max(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                  x -> x * x)))), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="Higher-order array functions entirely JVM-side: per-label L2-norm "
+        "statistics via transform + aggregate (no UDF, no explode — the "
+        "lambda runs inside codegen); rounded to 6 dp for engine-portable "
+        "float comparison.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sumsq)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
