@@ -77,6 +77,37 @@ def write_table(df: DataFrame, path_or_table: str, mode: str = "append") -> None
         df.write.mode(mode).saveAsTable(path_or_table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """K3 extension — bucketed parquet table for shuffle-free co-located
+    joins and aggregations (no reference analogue; SURVEY.md §4.4).
+
+    This is the 100 TB ingest contract: fact tables bucketed once on
+    their join key mean every later equi-join or groupBy on that key
+    reads pre-partitioned data — the scan's output partitioning already
+    satisfies the join's distribution requirement, so Catalyst drops the
+    Exchange on each bucketed side (verified by
+    ``test_bucketed_join_skips_shuffle``). ``sort_cols`` additionally
+    persists an in-bucket sort, letting sort-merge joins skip their Sort
+    too. Bucket counts must match across tables meant to be co-joined.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        int(num_buckets), *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def schema_from_spec(spec: dict[str, str]) -> T.StructType:
     """K5: synthesize a StructType from a {name: sql_type} dict — the
     engine's analogue of the reference's field-map → TableSchema

@@ -1424,6 +1424,43 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_quality_checks",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) - count(props) AS null_props,
+           count(CASE WHEN value < 0 THEN 1 END) AS negative_values,
+           count(CASE WHEN event_type NOT IN
+                 ('click','view','purchase','signup','error') THEN 1 END)
+             AS unknown_types,
+           count(*) - count(DISTINCT event_id) AS duplicate_ids,
+           count(CASE WHEN epoch_ms(ts) < 1704067200000
+                        OR epoch_ms(ts) >= 1706745600000 THEN 1 END)
+             AS out_of_range_ts
+    FROM events
+    """,
+    doc="Data-quality gate: rule-violation counts (nulls, negative "
+        "values, unknown enums, duplicate keys, out-of-range timestamps) "
+        "in ONE aggregate pass over the table — the M1 Observation "
+        "pattern generalized to ingest validation; every rule is a "
+        "conditional count sharing the same scan.",
+)
+def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ms = (F.unix_micros("ts") / 1000).cast("long")
+    known = ["click", "view", "purchase", "signup", "error"]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("props")).alias("null_props"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("negative_values"),
+        F.count(F.when(~F.col("event_type").isin(known), 1)).alias("unknown_types"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("duplicate_ids"),
+        F.count(
+            F.when((ms < 1704067200000) | (ms >= 1706745600000), 1)
+        ).alias("out_of_range_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque

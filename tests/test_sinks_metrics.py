@@ -135,3 +135,34 @@ def test_parse_errors_via_user_score_pipeline(spark):
     totals, obs = run_on_lines(lines)
     assert {(r["user"], r["total_score"]) for r in totals.collect()} == {("u_A", 7)}
     assert obs.get["parse_errors"] == len(CORRUPT_LINES)
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """write_bucketed: two tables bucketed on the join key with equal bucket
+    counts join with ZERO exchanges — the scan's bucket layout satisfies the
+    join's required distribution (the co-located-join ingest contract)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.functions.sinks import write_bucketed
+
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("b")
+    )
+    write_bucketed(left, "bk_left", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_left"))
+    write_bucketed(right, "bk_right", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "bk_right"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
