@@ -1,0 +1,109 @@
+"""Iterative graph operators — connected components over duplicate-pair
+edges.
+
+Dedup operators (``operators/dedup.py``) emit *pairs*; a pipeline needs
+*clusters* (pick one canonical document per group of mutual duplicates,
+drop the rest). Pairs → clusters is connected components: each document
+gets the minimum doc-id of its component as ``cluster_id``.
+
+Algorithm: min-label propagation with **pointer doubling**. Every
+iteration does
+
+1. neighbor step — ``l(v) ← min(l(v), min{l(u) : (u,v) ∈ E})`` over the
+   symmetrized edge list, and
+2. pointer-jumping step — ``l(v) ← l(l(v))`` (labels are always node
+   ids, so the label table can be self-joined as a parent table).
+
+The neighbor step alone needs O(diameter) rounds on a path graph; the
+doubling step shortcuts label chains so convergence is O(log n) rounds —
+this is what makes the loop viable on billion-edge dup graphs, where
+every round is a full shuffle. Each round is two equi-joins + one
+aggregate; the label table is ``localCheckpoint``ed per round to cut the
+exponentially-growing lineage, and the convergence check is a single
+count of changed labels (a scalar per round to the driver — the loop is
+driver-coordinated but never moves data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns ``(id, cluster_id)`` where ``cluster_id`` is the component's
+    minimum vertex id. ``vertices`` (one ``id`` column) optionally adds
+    isolated nodes, which come back as their own singleton cluster.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.filter(F.col("s") != F.col("d")).distinct().localCheckpoint()
+
+    labels = sym.select(F.col("s").alias("id")).distinct()
+    if vertices is not None:
+        labels = labels.unionByName(
+            vertices.select(F.col(vertices.columns[0]).alias("id"))
+        ).distinct()
+    labels = labels.withColumn("label", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iterations):
+        # 1. neighbor min: pull each neighbor's current label across edges
+        nbr = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        stepped = (
+            labels.join(nbr, labels.id == nbr.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_nmin", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # 2. pointer jumping: follow one's label to ITS label (labels are
+        # node ids, so the table self-joins as its own parent relation)
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        jumped = (
+            stepped.join(parent, stepped.label == F.col("_pid"), "left")
+            .select(
+                "id",
+                F.coalesce("_plabel", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    corpus_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment from dup-pair output: every document of
+    ``corpus_ids`` labeled with its component's min doc-id (itself if it
+    has no duplicates)."""
+    comp = connected_components(
+        pairs, vertices=corpus_ids.select(id_col), src="id_a", dst="id_b"
+    )
+    return comp.select(F.col("id").alias(id_col), "cluster_id")

@@ -458,6 +458,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_assignment",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+    FROM corpus
+    """,
+    doc="Pairs → clusters: connected components (min-label propagation "
+        "with pointer doubling, O(log n) rounds) over exact-duplicate "
+        "CHAIN edges — each digest group is linked consecutively, so the "
+        "cluster id must propagate transitively, which the closed-form "
+        "oracle (min over the digest group) verifies. This is the "
+        "canonical-document selection step of a dedup pipeline.",
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.graph import duplicate_clusters
+
+    corpus = _dup_corpus(spark, sf_dir)
+    digests = corpus.select("doc_id", F.md5(F.col("text")).alias("_d"))
+    w = Window.partitionBy("_d").orderBy("doc_id")
+    edges = digests.select(
+        F.lag("doc_id").over(w).alias("id_a"), F.col("doc_id").alias("id_b")
+    ).filter(F.col("id_a").isNotNull())
+    return duplicate_clusters(edges, corpus.select("doc_id"))
+
+
+@register(
     "dedup_minhash",
     None,  # hash-function internals aren't portable to DuckDB — rows-only
     doc="MinHash+LSH near-dup: 32 seeded-xxhash64 minima, 8 bands, bucket "

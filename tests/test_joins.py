@@ -79,3 +79,30 @@ def test_asof_join_plan_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # a single exchange feeds the window sort
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A 60-node path graph needs real transitive propagation (min-label
+    alone would take 60 rounds; pointer doubling must close it within the
+    operator's max_iterations), plus a second component and an isolate."""
+    from demo_apache_beam_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(60)]          # component min = 0
+    other = [(1000, 1001), (1001, 1002)]             # component min = 1000
+    edges = _df(spark, chain + other, "id_a long, id_b long")
+    verts = _df(spark, [(i,) for i in range(61)] + [(1000,), (1001,), (1002,), (5000,)],
+                "id long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges, vertices=verts).collect()}
+    assert all(got[i] == 0 for i in range(61))
+    assert got[1000] == got[1001] == got[1002] == 1000
+    assert got[5000] == 5000
+
+
+def test_connected_components_converges_fast(spark):
+    """Pointer doubling: a 40-node path converges well under 40 rounds."""
+    from demo_apache_beam_spark.operators.graph import connected_components
+
+    edges = _df(spark, [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    got = connected_components(edges, max_iterations=10).collect()
+    assert {r["cluster_id"] for r in got} == {0}
