@@ -1111,11 +1111,13 @@ _MID_MS = 1705276800000
         "a left-semi hash join over the two distinct key sets.",
 )
 def cross_period_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("_ms")
-    )
-    first_half = ev.filter(F.col("_ms") < _MID_MS).select("user_id")
-    second_half = ev.filter(F.col("_ms") >= _MID_MS).select("user_id")
+    # both halves filter on the RAW nanos long so the split reaches the
+    # parquet reader as a plain comparison (row-group pruning on each
+    # branch); ms < M ⟺ ns < M·10⁶ exactly under floor division
+    ev = load_table(spark, sf_dir, "events", keep_raw_nanos=True)
+    cut_ns = _MID_MS * 1_000_000
+    first_half = ev.filter(F.col("ts__ns") < cut_ns).select("user_id")
+    second_half = ev.filter(F.col("ts__ns") >= cut_ns).select("user_id")
     return first_half.intersect(second_half)
 
 

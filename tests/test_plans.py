@@ -76,3 +76,37 @@ def test_knn_broadcasts_query_side(spark):
     """The query set is broadcast — the corpus never shuffles for scoring."""
     plan = explain_str(REGISTRY["embedding_knn"].fn(spark, SF_SMALL))
     assert "BroadcastExchange" in plan
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """Q3 shape: all three selective filters reach their scans; the final
+    top-10 is TakeOrdered (per-partition heaps), never a global sort."""
+    df = REGISTRY["shipping_priority"].fn(spark, SF_SMALL)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_cross_period_split_pushes_to_scan(spark):
+    """INTERSECT halves: each branch's time split is a plain long
+    comparison on the raw nanos column at the parquet reader."""
+    plan = explain_str(REGISTRY["cross_period_actives"].fn(spark, SF_SMALL))
+    assert "LessThan(ts," in plan
+    assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_user_event_gaps_single_exchange(spark):
+    """lag window + groupBy share the user_id partitioning: exactly one
+    hash exchange in the whole plan."""
+    plan = explain_str(REGISTRY["user_event_gaps"].fn(spark, SF_SMALL), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_anti_join_shapes(spark):
+    """EXISTS/NOT EXISTS plan as left-semi / left-anti hash joins — the
+    probe side is never materialized or deduplicated separately."""
+    semi = explain_str(REGISTRY["priority_orders_with_returns"].fn(spark, SF_SMALL), "simple")
+    anti = explain_str(REGISTRY["customers_without_urgent_orders"].fn(spark, SF_SMALL), "simple")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
