@@ -77,6 +77,26 @@ def write_table(df: DataFrame, path_or_table: str, mode: str = "append") -> None
         df.write.mode(mode).saveAsTable(path_or_table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """K3 extension — directory-partitioned parquet dataset.
+
+    The partition columns become the directory layout; any later filter
+    on them is **partition pruning** (whole directories skipped before a
+    byte is read — `PartitionFilters` in the scan, verified by
+    ``test_partitioned_write_prunes``). At 100 TB this is the first-order
+    I/O lever: a date-partitioned event log turns a one-day query into a
+    1/365th scan. Keep partition cardinality bounded (date, region —
+    never user id): each partition is a directory and tiny partitions
+    create a small-files problem.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

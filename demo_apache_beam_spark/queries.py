@@ -1261,6 +1261,25 @@ def score_quantiles_per_team(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_score_quantiles",
+    None,  # sketch internals differ per engine — error bound in pytest
+    doc="KLL-style approximate percentiles (percentile_approx sketch) of "
+        "score per team — the constant-memory sibling of "
+        "score_quantiles_per_team for 100 TB key scale; accuracy bound "
+        "asserted against the exact interpolated quantiles in pytest.",
+)
+def approx_score_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir)
+    q = F.percentile_approx("score", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000)
+    return game.groupBy("team").agg(
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "distinct_users_per_team_salted",
     f"""
     WITH game AS ({_GAME_EVENTS_SQL})

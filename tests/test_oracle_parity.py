@@ -52,3 +52,23 @@ def test_approx_user_cardinality_error_bound(spark):
     assert set(approx) == set(exact)
     for team, n in exact.items():
         assert abs(approx[team] - n) <= max(2, 0.1 * n), (team, approx[team], n)
+
+
+def test_approx_score_quantiles_error_bound(spark):
+    """percentile_approx sketch estimates must track the exact interpolated
+    quantiles closely at accuracy=10000 (scores are small ints, so the
+    sketch should be near-exact up to interpolation differences)."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    approx = {
+        r["team"]: (r["p25"], r["p50"], r["p75"])
+        for r in REGISTRY["approx_score_quantiles"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["team"]: (r["p25"], r["p50"], r["p75"])
+        for r in REGISTRY["score_quantiles_per_team"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for team in exact:
+        for a, e in zip(approx[team], exact[team]):
+            assert abs(a - e) <= 1.0, (team, approx[team], exact[team])

