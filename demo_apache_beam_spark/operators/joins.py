@@ -22,6 +22,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join: spread each join key over ``num_salts`` reducers.
+
+    For when the small side can't broadcast and AQE's skew split doesn't
+    apply (streaming joins, aggregation-state joins, engines without
+    AQE). Left rows get a deterministic salt (hash of the whole row);
+    the right side is replicated ``num_salts``× so every (key, salt)
+    bucket can match. A key holding 20% of the left table then occupies
+    ``num_salts`` tasks instead of one straggler.
+
+    Cost model: right side inflates ``num_salts``× through the shuffle —
+    use when |right| ≪ |left| (the same regime where the skew actually
+    hurts). Semantics preserved for inner/left joins: every left row
+    carries exactly one salt, so multiplicities are unchanged.
+    """
+    on = list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(int(num_salts))
+    )
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(int(num_salts))])),
+    )
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -106,3 +106,27 @@ def test_connected_components_converges_fast(spark):
     edges = _df(spark, [(i, i + 1) for i in range(40)], "id_a long, id_b long")
     got = connected_components(edges, max_iterations=10).collect()
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics: skewed left (one key holds
+    half the rows) x small right — inner and left results equal the plain
+    join's."""
+    from demo_apache_beam_spark.operators.joins import salted_join
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    for how in ("inner", "left"):
+        plain = {(r["k"], r["payload"], r["dim"])
+                 for r in left.join(right, "k", how).collect()}
+        salted = {(r["k"], r["payload"], r["dim"])
+                  for r in salted_join(left, right, ["k"], num_salts=8, how=how).collect()}
+        assert salted == plain, how
+    # the join key actually includes the salt (skew is spread)
+    plan = salted_join(left, right, ["k"], num_salts=8)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan

@@ -571,3 +571,105 @@ def test_leaderboard_with_rocksdb_state_store(spark, stream_dirs):
         else:
             spark.conf.set(provider_key, old)
     assert state == {("u1",): 12, ("u2",): 3}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
+    """Stream-stream interval join (purchase ← view attribution within 30
+    min, same user): streamed matches must equal the batch interval join
+    of the same rows."""
+    from demo_apache_beam_spark.streaming.joins import interval_join_streams
+
+    in_dir, chk = stream_dirs
+    minute = 60_000
+    lines = [
+        _line("u1", "view", 0, BASE_MS),                    # matched by p@+10m
+        _line("u1", "purchase", 5, BASE_MS + 10 * minute),
+        _line("u1", "view", 0, BASE_MS + 11 * minute),      # matched by p@+15m
+        _line("u1", "purchase", 7, BASE_MS + 15 * minute),
+        _line("u2", "purchase", 9, BASE_MS + 20 * minute),  # no view: no match
+        _line("u3", "view", 0, BASE_MS),
+        _line("u3", "purchase", 4, BASE_MS + 50 * minute),  # view too old (>30m)
+    ]
+    _write_lines(in_dir, "a.txt", lines[:3])
+    _write_lines(in_dir, "b.txt", lines[3:])
+
+    events = read_game_event_lines(spark, in_dir)
+    views = events.filter(F.col("team") == "view")
+    purchases = events.filter(F.col("team") == "purchase")
+    joined = interval_join_streams(
+        purchases, views, on="user", max_lag_minutes=30,
+        left_prefix="p", right_prefix="v",
+    ).select("p_user", "p_timestamp", "v_timestamp", "p_score")
+
+    got: set = set()
+
+    def sink(batch_df, _epoch):
+        got.update(
+            (r["p_user"], r["p_timestamp"], r["v_timestamp"], r["p_score"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch equivalent over the same rows
+    batch_lines = spark.createDataFrame([(s,) for s in lines], "value string")
+    be = with_event_time(parse_game_events(batch_lines))
+    bv = be.filter(F.col("team") == "view").select(
+        F.col("user"), F.col("timestamp").alias("v_timestamp")
+    )
+    bp = be.filter(F.col("team") == "purchase").select(
+        F.col("user").alias("p_user"), F.col("timestamp").alias("p_timestamp"),
+        F.col("score").alias("p_score"),
+    )
+    expect = {
+        (r["p_user"], r["p_timestamp"], r["v_timestamp"], r["p_score"])
+        for r in bp.join(
+            bv,
+            (bp.p_user == bv.user)
+            & (bv.v_timestamp <= bp.p_timestamp)
+            & (bv.v_timestamp >= bp.p_timestamp - 30 * minute),
+        ).collect()
+    }
+    # u1 p@+10m ← v@0; u1 p@+15m ← both views; u2/u3 unmatched
+    assert len(expect) == 3
+    assert got == expect
+
+
+def test_stream_static_enrichment(spark, stream_dirs):
+    """Stream-static join: each micro-batch broadcasts the dimension and
+    enriches in flight."""
+    from demo_apache_beam_spark.streaming.joins import enrich_stream
+
+    in_dir, chk = stream_dirs
+    _write_lines(in_dir, "a.txt", [
+        _line("u1", "team_a", 5, BASE_MS),
+        _line("u2", "team_b", 3, BASE_MS),
+        _line("u3", "team_x", 1, BASE_MS),   # no dimension row
+    ])
+    dim = spark.createDataFrame(
+        [("team_a", "NA"), ("team_b", "EU")], "team string, region string"
+    )
+    events = read_game_event_lines(spark, in_dir)
+    enriched = enrich_stream(events, dim, on="team")
+    rows: dict = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            rows[r["user"]] = r["region"]
+
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert rows == {"u1": "NA", "u2": "EU", "u3": None}
