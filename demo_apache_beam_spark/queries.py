@@ -458,6 +458,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curated_corpus",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    ),
+    t AS (
+      SELECT c.doc_id,
+             length(c.text) AS n_chars_c,
+             len(regexp_extract_all(lower(c.text), '[a-z0-9]+')) AS n_tokens,
+             length(c.text) - length(regexp_replace(c.text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             len(regexp_extract_all(lower(c.text), '\\b({_STOP_ALT})\\b')) AS n_stop,
+             len(regexp_extract_all(lower(c.text), '\\b({_EN})\\b')) AS s_en,
+             len(regexp_extract_all(lower(c.text), '\\b({_DE})\\b')) AS s_de,
+             len(regexp_extract_all(lower(c.text), '\\b({_ES})\\b')) AS s_es,
+             len(regexp_extract_all(lower(c.text), '\\b({_FR})\\b')) AS s_fr,
+             regexp_matches(lower(c.text), '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+      FROM corpus c JOIN canon USING (doc_id)
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             n_punct / greatest(n_chars_c, 1) AS punct_ratio,
+             n_stop / greatest(n_tokens, 1) AS stopword_ratio,
+             s_en, s_de, s_es, s_fr, has_cjk,
+             greatest(s_en, s_de, s_es, s_fr) AS best
+      FROM t
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             least(n_tokens / 64.0, 1.0) * 0.5
+               + least(stopword_ratio * 4.0, 1.0) * 0.3
+               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score,
+             CASE WHEN has_cjk THEN 'zh'
+                  WHEN best = 0 THEN 'unknown'
+                  WHEN s_en = best THEN 'en'
+                  WHEN s_de = best THEN 'de'
+                  WHEN s_es = best THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM r
+    )
+    SELECT doc_id, n_tokens, quality_score, lang_pred
+    FROM scored
+    WHERE quality_score >= 0.5 AND lang_pred <> 'unknown'
+    """,
+    doc="End-to-end corpus curation — the composed training-data pipeline "
+        "in one plan: exact dedup picks the canonical copy (digests only "
+        "in the shuffle), then quality scoring + language ID (pure "
+        "codegen expressions) gate the surviving documents. One corpus "
+        "scan feeds dedup; the winners are re-scored without a second "
+        "pass over losers. The oracle replays the identical expression "
+        "trees, so the double-typed quality threshold compares exactly.",
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_exact
+    from .operators.text import with_language_id, with_quality, with_token_count
+
+    canonical = dedup_exact(_dup_corpus(spark, sf_dir))
+    scored = with_language_id(with_quality(with_token_count(canonical)))
+    return scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "unknown")
+    ).select("doc_id", "n_tokens", "quality_score", "lang_pred")
+
+
+@register(
     "dedup_cluster_assignment",
     f"""
     WITH corpus AS ({_DUP_CORPUS_SQL})
