@@ -458,6 +458,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS toks FROM documents
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, greatest(CAST(ceil(len(toks) / 32.0) AS BIGINT), 1) - 1))
+               AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx*32+1 : chunk_idx*32+32], ' ')
+             AS chunk_text,
+           CAST(least(32, len(toks) - chunk_idx*32) AS INT) AS n_chunk_tokens
+    FROM idx
+    """,
+    doc="Document chunking into 32-token training windows: tokens are "
+        "sliced executor-side with sequence/transform/slice and exploded "
+        "with position — a generated-table (posexplode) plan, zero "
+        "Python, output rows ≈ tokens/32. The chunker every "
+        "context-window-bounded training pipeline runs at ingest.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk = 32
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_toks")
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("_toks") / F.lit(float(chunk))).cast("long"), F.lit(1)
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(F.col("_toks"), i * chunk + 1, chunk),
+    )
+    exploded = docs.select("doc_id", F.posexplode(slices).alias("chunk_idx", "_c"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join("_c", " ").alias("chunk_text"),
+        F.size("_c").alias("n_chunk_tokens"),
+    )
+
+
+@register(
     "curated_corpus",
     f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
