@@ -108,9 +108,13 @@ def asof_join(
     )
 
     merged = l_tag.unionByName(r_tag)
+    # _r as the last sort key makes right-right ties at identical (key, ts)
+    # deterministic (max struct wins) — without it the carried row would be
+    # partition-order dependent; left rows (_side=1) never tie with right
+    # rows (_side=0), so the extra key only disambiguates the right side
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

@@ -130,3 +130,21 @@ def test_salted_join_equals_plain_join(spark):
     # the join key actually includes the salt (skew is spread)
     plan = salted_join(left, right, ["k"], num_salts=8)._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_asof_join_right_ties_are_deterministic(spark):
+    """Two right rows at the identical (key, ts): the carried row must be
+    the same on every execution (max struct order), not partition-luck."""
+    from demo_apache_beam_spark.operators.joins import asof_join
+
+    left = _df(spark, [(1, 100)], "k long, ts long")
+    right = _df(
+        spark,
+        [(1, 90, 1.0), (1, 90, 2.0)],
+        "k long, ts long, px double",
+    ).repartition(4)
+    results = set()
+    for _ in range(3):
+        [row] = asof_join(left, right, on=["k"]).collect()
+        results.add((row["ts_right"], row["px_right"]))
+    assert results == {(90, 2.0)}, results
