@@ -43,6 +43,15 @@ def salted_join(
     hurts). Semantics preserved for inner/left joins: every left row
     carries exactly one salt, so multiplicities are unchanged.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "leftsemi", "left_semi",
+               "leftanti", "left_anti", "semi", "anti"}
+    if how.lower() not in allowed:
+        # right/full joins would emit num_salts copies of every unmatched
+        # right row (it exists once per salt) — refuse instead of corrupting
+        raise ValueError(
+            f"salted_join supports inner/left-side joins, not {how!r}: the "
+            "replicated right side breaks right/full-outer semantics"
+        )
     on = list(on)
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(int(num_salts))
