@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent references — pandas.merge_asof for the as-of join, a pure
+union-find for connected components, a plain join for salted_join."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from demo_apache_beam_spark.operators.graph import connected_components
+
+    # independent reference: classic union-find
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = sorted({v for e in edges for v in e})
+    for a, b in edges:
+        union(a, b)
+    # canonical min-id per component
+    expect = {}
+    for v in nodes:
+        r = find(v)
+        expect[v] = min(u for u in nodes if find(u) == r)
+
+    if not nodes:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    # self-loop-only vertices are dropped by the operator (s != d filter);
+    # compare on the vertices it labels
+    assert all(got[v] == expect[v] for v in got), (got, expect)
+    real = {v for a, b in edges if a != b for v in (a, b)}
+    assert set(got) == real
+
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+@given(left_rows=_asof_rows, right_rows=_asof_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    from demo_apache_beam_spark.operators.joins import asof_join
+
+    # merge_asof requires unique right (key, ts) to be deterministic — the
+    # operator's tie rule (max struct) is tested separately; dedup here,
+    # keeping the max px per (k, ts) to mirror that rule anyway
+    lpd = pd.DataFrame(left_rows, columns=["k", "ts"]).drop_duplicates()
+    rpd = (
+        pd.DataFrame(
+            [(k, t, float(k * 100 + t)) for k, t in right_rows],
+            columns=["k", "ts", "px"],
+        )
+        .groupby(["k", "ts"], as_index=False)["px"]
+        .max()
+    )
+    expect_pd = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    expect = {
+        (r.k, r.ts): (None if pd.isna(r.px) else r.px)
+        for r in expect_pd.itertuples()
+    }
+
+    left = spark.createDataFrame(lpd, "k long, ts long")
+    right = spark.createDataFrame(rpd, "k long, ts long, px double")
+    got = {
+        (r["k"], r["ts"]): r["px_right"]
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert got == expect
