@@ -53,6 +53,8 @@ Two design points, both scale-critical:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -119,9 +121,13 @@ class TimingAnnotator:
     # -- markers -----------------------------------------------------------
 
     def _live_markers(self, spark: SparkSession, wm_col) -> DataFrame | None:
+        # cheap existence probe for local paths so the reader doesn't log a
+        # WARN + FileNotFoundException on every pre-marker batch
+        if "://" not in self._markers_path and not os.path.exists(self._markers_path):
+            return None
         try:
             markers = spark.read.schema(_MARKER_SCHEMA).parquet(self._markers_path)
-        except Exception:  # first batch: marker table doesn't exist yet
+        except Exception:  # remote path that doesn't exist yet
             return None
         # a window is evicted from state once spark_wm ≥ window_end and can
         # never fire again — its marker is dead weight, prune on read
