@@ -1582,6 +1582,115 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "brand_supplier_counts",
+    """
+    SELECT p_brand,
+           cast(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand
+    """,
+    doc="Q16-shaped supplier diversity: NOT IN subquery (null-aware anti "
+        "join against the negative-balance suppliers — broadcast, since "
+        "the exclusion set is dimension-sized) feeding a per-brand "
+        "distinct count over the surviving lineitems.",
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(part, kept.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "disjunctive_promo_revenue",
+    """
+    SELECT cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_matched
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type  = 'PROMO'   AND l_quantity >= 30)
+    """,
+    doc="Q19-shaped disjunctive predicate: an OR-of-ANDs across both join "
+        "sides. Catalyst factors the common single-side conjuncts out of "
+        "the disjunction so each scan still gets a pushable filter "
+        "(l_quantity range on lineitem), and the residual OR evaluates "
+        "post-join in codegen — the classic test that an optimizer "
+        "doesn't fall back to scan-everything on ORs.",
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    )
+    joined = li.join(part, li.l_partkey == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 30))
+    )
+    return joined.filter(cond).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+@register(
+    "user_score_quartiles",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL}),
+    totals AS (
+      SELECT user_key, cast(sum(score) AS BIGINT) AS total_score
+      FROM game GROUP BY user_key
+    )
+    SELECT user_key, total_score,
+           cast(ntile(4) OVER (ORDER BY total_score DESC, user_key ASC) AS INT)
+             AS quartile
+    FROM totals
+    """,
+    doc="ntile bucketing: users split into score quartiles with a total "
+        "order (score desc, key asc) so bucket boundaries are "
+        "deterministic. The single-partition window runs on the "
+        "aggregated (users-sized) rows, never the raw events — the only "
+        "safe place for a global window at 100 TB.",
+)
+def user_score_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    totals = sum_scores(game, "user_key")
+    w = Window.orderBy(F.desc("total_score"), F.asc("user_key"))
+    return totals.withColumn("quartile", F.ntile(4).over(w))
+
+
+@register(
     "events_quality_checks",
     """
     SELECT count(*) AS n_rows,
