@@ -191,3 +191,61 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert sorted(d for d in os.listdir(path) if d.startswith("day=")) == [
         "day=0", "day=1", "day=2", "day=3"
     ]
+
+
+def test_json_event_source_drops_corrupt(spark, tmp_path):
+    """JSON-lines source: valid rows parse with the explicit schema (no
+    inference pass), malformed lines and wrong-typed fields drop silently
+    — P1 semantics on a second wire format."""
+    import json as _json
+
+    from demo_apache_beam_spark.sources.formats import read_events_json
+
+    p = tmp_path / "events.jsonl"
+    rows = [
+        {"user": "u1", "team": "t1", "score": 5, "timestamp": 1700000000000},
+        {"user": "u2", "team": "t1", "score": 7, "timestamp": 1700000060000},
+    ]
+    lines = [_json.dumps(r) for r in rows]
+    lines.append("{not json at all")
+    lines.append(_json.dumps({"user": "u3", "team": "t1"}))  # missing fields
+    p.write_text("\n".join(lines) + "\n")
+
+    got = {
+        (r["user"], r["team"], r["score"], r["timestamp"])
+        for r in read_events_json(spark, str(p)).collect()
+    }
+    assert got == {
+        ("u1", "t1", 5, 1700000000000),
+        ("u2", "t1", 7, 1700000060000),
+    }
+
+
+def test_csv_event_source_matches_text_parser(spark, tmp_path):
+    """Native CSV reader must produce exactly what the text+parse path
+    produces on injector-format lines, including dropping corrupt rows."""
+    from demo_apache_beam_spark.operators.parse import parse_game_events
+    from demo_apache_beam_spark.sources.formats import read_events_csv
+
+    lines = [
+        "u1,t1,5,1700000000000,2023-11-14 22:13:20.000",
+        "u2,t2,7,1700000060000,2023-11-14 22:14:20.000",
+        "THIS LINE REPRESENTS CORRUPT DATA AND WILL CAUSE A PARSE ERROR",
+        "u3,t1,notanumber,1700000000000",
+    ]
+    p = tmp_path / "events.csv"
+    p.write_text("\n".join(lines) + "\n")
+
+    via_csv = {
+        tuple(r) for r in read_events_csv(spark, str(p))
+        .select("user", "team", "score", "timestamp").collect()
+    }
+    via_text = {
+        tuple(r) for r in parse_game_events(
+            spark.createDataFrame([(s,) for s in lines], "value string")
+        ).select("user", "team", "score", "timestamp").collect()
+    }
+    assert via_csv == via_text == {
+        ("u1", "t1", 5, 1700000000000),
+        ("u2", "t2", 7, 1700000060000),
+    }
