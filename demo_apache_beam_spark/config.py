@@ -38,6 +38,7 @@ class LeaderBoardOptions(HourlyTeamScoreOptions):
     leader_board_table_name: str = "leaderboard"
     streaming: bool = field(default=True)  # LeaderBoard.java:139 forces on
     checkpoint: str = ""  # engine-side: streaming checkpoint location
+    format: str = "text"  # wire format: text (injector CSV lines), json, csv
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -87,6 +88,8 @@ def parse_leaderboard_args(argv: list[str] | None = None) -> LeaderBoardOptions:
     p.add_argument("--allowedLateness", type=int, default=120)
     p.add_argument("--leaderBoardTableName", default="leaderboard")
     p.add_argument("--checkpoint", default="", help="checkpoint dir (default <output>/_checkpoints)")
+    p.add_argument("--format", default="text", choices=["text", "json", "csv"],
+                   help="input wire format (default: injector CSV text lines)")
     ns = p.parse_args(argv)
     return LeaderBoardOptions(
         input=ns.input,
@@ -97,4 +100,5 @@ def parse_leaderboard_args(argv: list[str] | None = None) -> LeaderBoardOptions:
         allowed_lateness=ns.allowedLateness,
         leader_board_table_name=ns.leaderBoardTableName,
         checkpoint=ns.checkpoint or f"{ns.output}/_checkpoints",
+        format=ns.format,
     )

@@ -39,12 +39,27 @@ FIVE_MINUTES = "5 minutes"  # early-firing cadence, LeaderBoard.java:45
 TEN_MINUTES = "10 minutes"  # late/global firing cadence, LeaderBoard.java:46
 
 
-def read_game_event_lines(spark: SparkSession, input_dir: str) -> DataFrame:
-    """S2 equivalent: unbounded read of injector-format CSV lines from a
-    file-source directory (tests / local runs; Kafka in production — same
-    downstream plan either way)."""
-    lines = spark.readStream.text(input_dir)
-    events = parse_game_events(lines)
+def read_game_event_lines(
+    spark: SparkSession, input_dir: str, format: str = "text"
+) -> DataFrame:
+    """S2 equivalent: unbounded read of game events from a file-source
+    directory (tests / local runs; Kafka in production — same downstream
+    plan either way). ``format``: ``text`` parses injector CSV lines
+    (reference wire format), ``json``/``csv`` use the schema'd native
+    readers (``sources/formats.py``) — all three produce the same
+    (user, team, score, timestamp, event_time) shape."""
+    if format == "text":
+        events = parse_game_events(spark.readStream.text(input_dir))
+    elif format == "json":
+        from ..sources.formats import read_events_json
+
+        events = read_events_json(spark, input_dir, streaming=True)
+    elif format == "csv":
+        from ..sources.formats import read_events_csv
+
+        events = read_events_csv(spark, input_dir, streaming=True)
+    else:
+        raise ValueError(f"unknown event format: {format!r}")
     return with_event_time(events)
 
 
@@ -108,6 +123,7 @@ def start_leaderboard(
     team_trigger: str | None = FIVE_MINUTES,
     user_trigger: str | None = TEN_MINUTES,
     table_prefix: str = "leaderboard",
+    format: str = "text",
 ):
     """Run both LeaderBoard queries over one shared parsed stream
     (LeaderBoard.java:144-171: one source, two sinks). Returns the two
@@ -119,7 +135,7 @@ def start_leaderboard(
     """
     from .timing import TimingAnnotator
 
-    events = read_game_event_lines(spark, input_dir)
+    events = read_game_event_lines(spark, input_dir, format=format)
 
     team = calculate_team_scores(events, team_window_minutes, allowed_lateness_minutes)
     user = calculate_user_scores(events, allowed_lateness_minutes)
@@ -198,6 +214,7 @@ def main(argv: list[str] | None = None) -> None:
         team_window_minutes=opts.team_window_duration,
         allowed_lateness_minutes=opts.allowed_lateness,
         table_prefix=opts.leader_board_table_name,
+        format=opts.format,
     )
     spark.streams.awaitAnyTermination()
 

@@ -124,3 +124,34 @@ def test_w7_repeated_processing_time_trigger(spark, tmp_path):
         }
     )
     team_q.stop(); user_q.stop()
+
+def test_leaderboard_json_format_end_to_end(spark, tmp_path):
+    """--format json: the leaderboard runs unchanged over JSON-lines input
+    and produces the same totals as the text wire format would."""
+    import json as _json
+    import os
+
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rows = [
+        {"user": "u1", "team": "t1", "score": 5, "timestamp": 1700000000000},
+        {"user": "u2", "team": "t1", "score": 7, "timestamp": 1700000060000},
+        {"user": "u1", "team": "t1", "score": 2, "timestamp": 1700000120000},
+    ]
+    with open(f"{in_dir}/a.jsonl", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    team_q, user_q = start_leaderboard(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "chk"),
+        team_trigger=None, user_trigger=None, format="json",
+    )
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+    team_q.stop(); user_q.stop()
+
+    users = {
+        (r["user"], r["total_score"])
+        for r in spark.read.parquet(str(tmp_path / "out" / "leaderboard_user")).collect()
+    }
+    assert ("u1", 7) in users and ("u2", 7) in users
