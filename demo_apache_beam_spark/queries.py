@@ -1690,6 +1690,45 @@ def user_score_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.withColumn("quartile", F.ntile(4).over(w))
 
 
+_Q21_SQL = """
+    SELECT n_name, cast(count(*) AS BIGINT) AS numwait
+    FROM {supplier} s, {lineitem} l1, {orders} o, {nation} n
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM {lineitem} l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND s.s_nationkey = n.n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "waiting_suppliers",
+    _Q21_SQL.format(supplier="supplier", lineitem="lineitem", orders="orders",
+                    nation="nation"),
+    doc="Q21-shaped sole-late-supplier count per nation, written through "
+        "the SQL API (spark.sql over temp views) with doubly-correlated "
+        "EXISTS / NOT EXISTS subqueries — Catalyst decorrelates both into "
+        "semi/anti joins on the order key (no per-row re-execution, no "
+        "cartesian); the identical ANSI text runs on the oracle. The "
+        "'late' predicate is shipdate > orderdate + 60 days (this schema "
+        "has no receipt/commit dates).",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q21_{t}")
+    return spark.sql(
+        _Q21_SQL.format(supplier="q21_supplier", lineitem="q21_lineitem",
+                        orders="q21_orders", nation="q21_nation")
+    )
+
+
 @register(
     "events_quality_checks",
     """
