@@ -1767,6 +1767,204 @@ def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Warehouse analytics — the remaining classic TPC-H query shapes (Q7, Q8,
+# Q9), adapted to the driver schema: the supplier side of every lineitem is
+# resolved through l_suppkey, nations/regions are the synthetic NATION_n /
+# five-region hierarchy, and all money sums go through decimal accumulation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, order_year,
+           cast(sum(cast(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             cast(year(o_orderdate) AS INTEGER) AS order_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, order_year
+    """,
+    doc="TPC-H Q7-shaped bilateral trade volume: revenue shipped between "
+        "two nations per order year. Both nation dimensions are filtered "
+        "to the two relevant nations BEFORE joining, so the broadcast "
+        "hash joins prune the fact table early; the only fact shuffle is "
+        "the lineitem-orders key join.",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    SELECT order_year,
+           cast(sum(cast(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END
+                         AS DECIMAL(18,6))) AS DOUBLE)
+           / cast(sum(cast(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT cast(year(o_orderdate) AS INTEGER) AS order_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_sales
+    GROUP BY order_year
+    """,
+    doc="TPC-H Q8-shaped market share: NATION_7's fraction of PROMO-part "
+        "revenue sold into ASIA customers, per order year. Numerator and "
+        "denominator are both exact decimal sums; the share is ONE double "
+        "division of two identical-on-both-engines doubles, so the "
+        "result is bit-stable without rounding. All dimensions broadcast.",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                stable_sum(
+                    F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / stable_sum(volume)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "product_profit",
+    """
+    SELECT n_name AS nation, cast(year(o_orderdate) AS INTEGER) AS order_year,
+           cast(sum(cast(l_extendedprice*(1-l_discount)
+                         - 0.6*p_retailprice*l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9-shaped product profit by supplier nation and year "
+        "(adapted: with no partsupp table, unit cost is modeled as 60% of "
+        "p_retailprice). The p_name LIKE filter lands on the broadcast "
+        "part build side; profit is decimal-accumulated per addend so "
+        "the float expression evaluates identically on both engines.",
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(stable_sum(profit, "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
 # blob, kind/meta from doc_id & n_chars) so the DuckDB oracle reproduces it
