@@ -1964,6 +1964,176 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cheapest_part_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eur AS (
+      SELECT partkey, suppkey, supplycost, s_name, s_acctbal, n_name
+      FROM ps
+      JOIN supplier ON suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT *, min(supplycost) OVER (PARTITION BY partkey) AS min_cost FROM eur
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, supplycost
+    FROM best JOIN part ON p_partkey = partkey
+    WHERE p_size = 25 AND supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+    doc="TPC-H Q2-shaped min-cost supplier: with no partsupp table, the "
+        "part-supplier relation (and its unit supply cost) is DERIVED "
+        "from lineitem as min(extendedprice/quantity) per (part, "
+        "supplier). The correlated 'cheapest in region' subquery becomes "
+        "a per-part window min — one extra narrow shuffle, no self-join. "
+        "min/division on doubles is deterministic, so no decimal "
+        "machinery is needed for parity. Spark pushes the p_size part "
+        "filter below the window (it drops whole partitions only).",
+)
+def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("supplycost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 25)
+        .select("p_partkey", "p_name")
+    )
+    eur = ps.join(supp, ps.l_suppkey == supp.s_suppkey).join(
+        part, ps.l_partkey == part.p_partkey
+    )
+    best = eur.withColumn(
+        "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        best.filter(F.col("supplycost") == F.col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "supplycost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "important_part_supply",
+    """
+    WITH nat AS (
+      SELECT l_partkey, l_extendedprice FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ), supplied AS (
+      SELECT l_partkey AS partkey, sum(cast(l_extendedprice AS DECIMAL(18,6))) AS sv_dec
+      FROM nat GROUP BY 1
+    )
+    SELECT partkey, cast(sv_dec AS DOUBLE) AS supply_value
+    FROM supplied
+    WHERE cast(sv_dec AS DOUBLE) >
+          (SELECT cast(sum(sv_dec) AS DOUBLE) * 0.001 FROM supplied)
+    """,
+    doc="TPC-H Q11-shaped important stock: parts whose supply value from "
+        "one nation's suppliers exceeds a fraction of that nation's total "
+        "— a global-scalar-subquery HAVING. The threshold is computed "
+        "from the SAME exact decimal partial sums as the per-part values "
+        "(decimal addition is associative), so re-aggregating the "
+        "aggregate is bit-safe; only the final compare is in doubles. "
+        "Spark shape: one fact aggregation + a broadcast one-row "
+        "cross join — no second scan of lineitem.",
+)
+def important_part_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    supplied = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(STABLE_DECIMAL)).alias("sv_dec"))
+    )
+    threshold = supplied.agg(
+        (F.sum("sv_dec").cast("double") * F.lit(0.001)).alias("__threshold")
+    )
+    return (
+        supplied.crossJoin(F.broadcast(threshold))
+        .filter(F.col("sv_dec").cast("double") > F.col("__threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("sv_dec").cast("double").alias("supply_value"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             cast(sum(cast(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= make_timestamp(CAST(820454400 AS BIGINT) * 1000000)
+        AND l_shipdate <  make_timestamp(CAST(828316800 AS BIGINT) * 1000000)
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15-shaped top supplier: revenue per supplier in 1996Q1, "
+        "keep the supplier(s) matching the maximum — the scalar-max "
+        "subquery over a derived view. Spark: the quarter filter pushes "
+        "to the scan, one aggregation, then a broadcast one-row max "
+        "joined back on revenue equality (exact: both sides are the "
+        "same decimal-accumulated doubles).",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = 820454400, 828316800  # [1996-01-01, 1996-04-01) UTC
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(lo)))
+        & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(hi)))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
