@@ -2134,6 +2134,125 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(cast(l_quantity AS DECIMAL(18,6))) AS qty_dec
+      FROM lineitem GROUP BY 1
+      HAVING sum(cast(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+           o_totalprice, cast(qty_dec AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="TPC-H Q18-shaped large-volume orders: orders whose total line "
+        "quantity exceeds 300, with their customer. The HAVING prunes "
+        "~99.7% of orders BEFORE the joins, so the orders join probes a "
+        "tiny build side; customer is a broadcast. Quantity sums are "
+        "decimal-exact; order dates cross to the oracle as epoch millis.",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(STABLE_DECIMAL)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # o_orderdate reads as TIMESTAMP_NTZ; session TZ is pinned UTC so
+            # the cast to instant is exact.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__us"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .withColumn("orderdate_ms", (F.col("__us") / 1000).cast("long"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "orderdate_ms",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    ), dormant AS (
+      SELECT cast(c_custkey % 10 AS VARCHAR) AS segment, c_acctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= make_timestamp(CAST(946684800 AS BIGINT) * 1000000)
+        )
+    )
+    SELECT segment, count(*) AS n_customers,
+           cast(sum(cast(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM dormant GROUP BY segment
+    """,
+    doc="TPC-H Q22-shaped sales opportunity: above-average-balance "
+        "customers with no order since 2000-01-01, counted per key "
+        "segment (custkey mod 10 stands in for Q22's phone prefix — the "
+        "schema has no phone column). Shape: global scalar-average "
+        "subquery (broadcast one-row cross join) + null-safe anti join "
+        "against the date-filtered orders, then a tiny aggregation. The "
+        "date filter pushes to the orders scan before the anti join.",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    cutoff = F.timestamp_seconds(F.lit(946684800))  # 2000-01-01 UTC
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(STABLE_DECIMAL)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__ab")
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= cutoff
+    ).select("o_custkey")
+    dormant = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        dormant.groupBy(
+            F.pmod(F.col("c_custkey"), F.lit(10)).cast("string").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(STABLE_DECIMAL))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
