@@ -1,0 +1,92 @@
+"""Sequential shard packing — assign ordered rows to contiguous shards by a
+cumulative weight budget (the standard "fill output shards to ~N tokens"
+step of a training-data writer).
+
+Semantics: rows are laid out in ``order_col`` order; a row whose exclusive
+prefix weight is ``p`` lands in shard ``floor(p / budget)``. This is the
+contiguous-fill formulation (a row straddling a boundary belongs to the
+shard its first unit falls in), identical to what a single sequential
+writer would produce — which is exactly what makes it oracle-checkable
+against a plain SQL window:
+
+    sum(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+
+**Scale design.** The naive formulation is that single global window — an
+``ORDER BY`` with no ``PARTITION BY``, i.e. every row through ONE reducer;
+dead at 100 TB. This operator computes the same prefix sum the distributed
+way (the classic two-pass scan):
+
+1. ``repartitionByRange(order_col)`` — range partition i holds keys below
+   partition i+1's (RangePartitioner assigns ascending ranges to ascending
+   partition ids, verified by the equivalence test);
+2. per-partition running sums — a window PARTITIONed BY the range bucket,
+   so all buckets run in parallel;
+3. per-partition totals (one row per partition) are collected to the
+   driver, prefix-summed there (bounded: O(num_partitions) rows — this is
+   the documented driver-side step), and broadcast back as a bucket →
+   offset map.
+
+The range shuffle is reused between the totals job and the final plan
+(same exchange lineage), so the data moves once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sequential_pack(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Add ``shard_col`` = floor(exclusive-prefix-sum(weight) / budget) with
+    rows ordered by ``order_col``.
+
+    ``order_col`` must be globally unique (it defines the layout order);
+    weights must be non-negative. Output keeps all input columns.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+
+    ranged = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
+        "__bucket", F.spark_partition_id()
+    )
+    in_bucket = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn(
+        "__local_prior",
+        F.coalesce(F.sum(weight_col).over(in_bucket), F.lit(0)).cast("long"),
+    )
+
+    # Pass 2: bucket totals → driver prefix-sum (O(buckets) rows) → map.
+    totals = (
+        ranged.groupBy("__bucket")
+        .agg(F.sum(weight_col).cast("long").alias("__total"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__bucket"]):
+        offsets[row["__bucket"]] = acc
+        acc += row["__total"]
+
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        prior: Column = F.col("__local_prior") + omap[F.col("__bucket")]
+    else:  # empty input
+        prior = F.col("__local_prior")
+
+    return (
+        local.withColumn(shard_col, F.floor(prior / F.lit(float(budget))))
+        .drop("__bucket", "__local_prior")
+    )

@@ -2254,6 +2254,111 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — training-data curation: deterministic sampling and shard
+# packing over `documents`.  All randomness is a portable multiplicative
+# hash on doc_id (plain BIGINT arithmetic, identical in Spark and DuckDB),
+# so every "sample" is reproducible and oracle-checkable — the property a
+# real corpus pipeline wants anyway (re-runs must pick the same rows).
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_stratified_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source, n_chars,
+             (doc_id * 2654435761) % 4294967296 AS r
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn <= 20
+    """,
+    doc="Stratified sampling: a fixed quota of documents per language, "
+        "chosen by ranking a deterministic multiplicative hash (Knuth's "
+        "2654435761 mod 2^32) — an unbiased, reproducible per-stratum "
+        "sample with no RNG state. Scale note: per-group row_number "
+        "sorts only within each language's hash partition; for a "
+        "pathologically hot stratum the quota can instead be taken as "
+        "hash < threshold with a sampled-quantile threshold (no sort).",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    hashed = docs.withColumn(
+        "__r", (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.asc("__r"), F.asc("doc_id"))
+    )
+    return (
+        hashed.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= 20)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "doc_mixture_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 1099087573) % 100 <
+          CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+                    WHEN 'fr' THEN 20 ELSE 10 END
+    """,
+    doc="Weighted mixture sampling: per-language keep-rates (en 60%, "
+        "de 30%, fr 20%, rest 10%) applied as a deterministic hash "
+        "threshold — the training-mixture reweighting step of a corpus "
+        "pipeline as a pure scan-side filter. No shuffle, no RNG: the "
+        "predicate pushes into the scan and the sample is identical on "
+        "every re-run and engine.",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 60)
+        .when(F.col("lang") == "de", 30)
+        .when(F.col("lang") == "fr", 20)
+        .otherwise(10)
+    )
+    keep = (F.col("doc_id") * F.lit(1099087573)) % F.lit(100) < rate
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "doc_shard_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           cast(floor(prior / 5000.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+    doc="Sequential shard packing: lay documents out in doc_id order and "
+        "cut a new output shard every 5000 chars of cumulative weight — "
+        "the 'fill shards to ~N tokens' step of a training-data writer. "
+        "The oracle is the single-reducer global window; the engine "
+        "computes the identical prefix sum distributed (range partition "
+        "→ parallel per-bucket windows → O(buckets) driver prefix-sum) — "
+        "see operators/packing.py.",
+)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import sequential_pack
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sequential_pack(docs, "doc_id", "n_chars", 5000, shard_col="shard_id")
+
+
+# ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
 # blob, kind/meta from doc_id & n_chars) so the DuckDB oracle reproduces it

@@ -1,0 +1,60 @@
+"""Sequential shard packing: the distributed two-pass prefix sum must equal
+the single-reducer global-window formulation exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from demo_apache_beam_spark.operators.packing import sequential_pack
+
+
+def _reference(df, order_col, weight_col, budget):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return df.withColumn("shard_id", F.floor(prior / F.lit(float(budget))))
+
+
+def test_pack_equals_global_window_on_documents(spark):
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    got = sequential_pack(docs, "doc_id", "n_chars", 5000, num_partitions=7)
+    want = _reference(docs, "doc_id", "n_chars", 5000)
+    g = {r["doc_id"]: r["shard_id"] for r in got.collect()}
+    w = {r["doc_id"]: r["shard_id"] for r in want.collect()}
+    assert g == w
+    # multiple shards actually produced, and every shard is non-empty
+    shards = sorted(set(g.values()))
+    assert len(shards) > 1
+    assert shards == list(range(len(shards)))
+
+
+def test_pack_budget_boundaries(spark):
+    rows = [(1, 5), (2, 5), (3, 5)]
+    df = spark.createDataFrame(rows, "k int, w int")
+    got = {
+        r["k"]: r["shard_id"]
+        for r in sequential_pack(df, "k", "w", 5, num_partitions=2).collect()
+    }
+    # exclusive prefix sums 0,5,10 -> shards 0,1,2 (exact multiples roll over)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_pack_row_larger_than_budget(spark):
+    rows = [(1, 12), (2, 1)]
+    df = spark.createDataFrame(rows, "k int, w int")
+    got = {
+        r["k"]: r["shard_id"]
+        for r in sequential_pack(df, "k", "w", 5, num_partitions=2).collect()
+    }
+    # row 1 starts shard 0 (straddles 0-2); row 2 starts at prior=12 -> shard 2
+    assert got == {1: 0, 2: 2}
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, w int")
+    with pytest.raises(ValueError):
+        sequential_pack(df, "k", "w", 0)
