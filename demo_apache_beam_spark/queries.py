@@ -2071,10 +2071,14 @@ def important_part_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
+    # Staged: both the threshold and the filter branch read this per-part
+    # aggregate; localCheckpoint materializes it once (O(|parts|) rows) so
+    # the lineitem fact is scanned exactly once (plan-tested).
     supplied = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(STABLE_DECIMAL)).alias("sv_dec"))
+        .localCheckpoint()
     )
     threshold = supplied.agg(
         (F.sum("sv_dec").cast("double") * F.lit(0.001)).alias("__threshold")

@@ -110,3 +110,57 @@ def test_semi_anti_join_shapes(spark):
     anti = explain_str(REGISTRY["customers_without_urgent_orders"].fn(spark, SF_SMALL), "simple")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_trade_volume_broadcasts_both_nation_sides(spark):
+    """Q7 shape: supplier-nation and customer-nation dimension sides both
+    ride broadcasts; the only shuffle join is lineitem-orders."""
+    plan = explain_str(REGISTRY["nation_trade_volume"].fn(spark, SF_SMALL), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_large_volume_orders_having_before_join(spark):
+    """Q18 shape: the quantity HAVING must aggregate lineitem BEFORE any
+    join with orders — the filter prunes ~99.7% of groups pre-join."""
+    plan = explain_str(REGISTRY["large_volume_orders"].fn(spark, SF_SMALL), "formatted")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_dormant_customers_anti_join_with_pushed_date(spark):
+    """Q22 shape: the dormancy test is a left-anti join whose orders side
+    scans only date-filtered rows (pushed to parquet)."""
+    df = REGISTRY["dormant_rich_customers"].fn(spark, SF_SMALL)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan
+    assert_pushed_down(df, "GreaterThanOrEqual(o_orderdate,")
+
+
+def test_important_part_supply_single_fact_scan(spark):
+    """Q11 shape: the global threshold is re-aggregated from the per-part
+    decimal partials — lineitem must be scanned exactly once."""
+    plan = explain_str(REGISTRY["important_part_supply"].fn(spark, SF_SMALL), "formatted")
+    assert plan.count("lineitem.parquet") <= 1, "threshold must not rescan the fact"
+
+
+def test_top_supplier_revenue_pushes_quarter_filter(spark):
+    """Q15 shape: the 1996Q1 window reaches the parquet scan."""
+    df = REGISTRY["top_supplier_revenue"].fn(spark, SF_SMALL)
+    assert_pushed_down(df, "GreaterThanOrEqual(l_shipdate,")
+    assert_pushed_down(df, "LessThan(l_shipdate,")
+
+
+def test_mixture_sample_filter_is_scan_side(spark):
+    """The mixture-sampling hash threshold is a pure scan-side predicate:
+    no exchange anywhere in the plan."""
+    plan = explain_str(REGISTRY["doc_mixture_sample"].fn(spark, SF_SMALL), "simple")
+    assert "Exchange" not in plan
+
+
+def test_shard_packing_windows_are_bucket_partitioned(spark):
+    """The packing prefix sum must never plan a global (unpartitioned)
+    window sort — the window runs per range bucket."""
+    plan = explain_str(REGISTRY["doc_shard_packing"].fn(spark, SF_SMALL), "formatted")
+    assert "__bucket" in plan, "window should be partitioned by the range bucket"
