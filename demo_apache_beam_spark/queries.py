@@ -2363,6 +2363,173 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — time-series utilities and sequence analytics over `events`.
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_hourly_gapfill",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value FROM events
+    ), agg AS (
+      SELECT user_id, h, count(*) AS n_events,
+             cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM ev GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1
+    ), hours AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    )
+    SELECT hours.user_id, cast(epoch(hours.h) AS BIGINT) AS hour_s,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(value_sum, 0.0) AS value_sum
+    FROM hours LEFT JOIN agg ON hours.user_id = agg.user_id AND hours.h = agg.h
+    """,
+    doc="Time-series gap fill: per-user hourly event counts/sums with "
+        "missing hours densified to zero rows between each user's first "
+        "and last active hour — sequence() + explode generates the dense "
+        "hour spine, then a left join picks up the sparse aggregates. "
+        "Both sides of the join are partitioned by user: one shuffle "
+        "each, no driver-side calendar. The spine generation is O(span) "
+        "per user and embarrassingly parallel.",
+)
+def user_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    agg = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(STABLE_DECIMAL)).cast("double").alias("value_sum"),
+    )
+    spans = ev.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return (
+        hours.join(agg, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("h")).alias("hour_s"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        )
+    )
+
+
+@register(
+    "purchase_conversion_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ), flagged AS (
+      SELECT user_id, event_type, ts_ms,
+             max(CASE WHEN event_type = 'view' THEN ts_ms END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_ms
+      FROM ev
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           cast(count(CASE WHEN prev_view_ms >= ts_ms - 3600000 THEN 1 END)
+                AS BIGINT) AS n_converted
+    FROM flagged
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    doc="Funnel conversion: purchases preceded by a view within one hour, "
+        "per user. The naive formulation is a per-user interval self-join "
+        "of events with events; this computes the same thing with ONE "
+        "pass — a conditional running max (last view time) over the "
+        "per-user event sequence, then a filtered count. One shuffle on "
+        "user_id, no join, linear in events. All time math in epoch "
+        "millis (exact on both engines).",
+)
+def purchase_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_ms"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "prev_view_ms",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_ms"))).over(w),
+    )
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(
+                F.when(
+                    F.col("prev_view_ms") >= F.col("ts_ms") - F.lit(3600000), 1
+                )
+            ).cast("long").alias("n_converted"),
+        )
+    )
+
+
+@register(
+    "embedding_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             cast(unnest(embedding) AS DOUBLE) AS x,
+             cast(unnest(range(1, len(embedding)+1)) AS INTEGER) AS dim
+      FROM embeddings
+    ), stats AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1
+    )
+    SELECT vec_id, dim,
+           cast(least(255, cast(floor((e.x - mn) / (mx - mn) * 256) AS BIGINT))
+                AS INTEGER) AS code
+    FROM e JOIN stats USING (dim)
+    """,
+    doc="Scalar int8 quantization of the embedding column: global per-"
+        "dimension min/max (pass 1 — a dim-sized aggregate, broadcast "
+        "back), then each float maps to floor((x-mn)/(mx-mn)*256) "
+        "clamped to 255 (pass 2, pure codegen arithmetic; floor not "
+        "round — IEEE-identical on both engines). Output is the exploded "
+        "(vec_id, dim, code) long form, the shape a columnar index "
+        "builder consumes. At 100 TB the stats pass is the only global "
+        "step and it reduces to 64 rows.",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    )
+    e = emb.select(
+        "vec_id",
+        # DuckDB WITH ORDINALITY is 1-based; match it here
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.least(
+        F.lit(255),
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+    ).cast("int")
+    return (
+        e.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", code.alias("code"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extensions — multimodal (binary payload) columns.  The media table derives
 # deterministically from `documents` (payload = utf-8 bytes as an opaque
 # blob, kind/meta from doc_id & n_chars) so the DuckDB oracle reproduces it
