@@ -2257,6 +2257,172 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "discounted_revenue_delta",
+    """
+    SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,6))
+                   * cast(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= make_timestamp(CAST(820454400 AS BIGINT) * 1000000)
+      AND l_shipdate <  make_timestamp(CAST(852076800 AS BIGINT) * 1000000)
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped what-if revenue: sum(extendedprice * discount) "
+        "over one ship-year for mid-range discounts on small quantities. "
+        "The whole query is scan + filter + one global aggregate — every "
+        "predicate pushes to the parquet scan (PushedFilters on shipdate/"
+        "discount/quantity), no shuffle except the final single-row "
+        "reduce, and the sum runs over exact decimal products so the "
+        "result is bit-portable. At 100 TB this is the pure scan-"
+        "bandwidth benchmark: min/max row-group pruning on shipdate "
+        "eliminates most of the table before any row is read.",
+)
+def discounted_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(820454400)))
+        & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(852076800)))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(STABLE_DECIMAL)
+            * F.col("l_discount").cast(STABLE_DECIMAL)
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "priority_by_line_status",
+    """
+    SELECT l_linestatus AS ship_class,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= make_timestamp(CAST(852076800 AS BIGINT) * 1000000)
+      AND l_shipdate <  make_timestamp(CAST(883612800 AS BIGINT) * 1000000)
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12-shaped priority audit: for each line status (standing "
+        "in for Q12's ship mode — the schema carries no shipmode column), "
+        "how many 1997-shipped lines belong to urgent/high-priority "
+        "orders vs everything else. Shape: a fact-to-fact equi-join "
+        "(orders x lineitem on orderkey) left to Catalyst's stats: at "
+        "test SF orders fits the broadcast threshold so it ships to "
+        "every lineitem partition join-side; at 100 TB both sides "
+        "exceed it and AQE picks sort-merge with both facts shuffled "
+        "on orderkey — co-bucketing both tables on orderkey at write "
+        "time is the documented shuffle-free scale path. The shipdate "
+        "filter prunes lineitem at the scan before any join.",
+)
+def priority_by_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(852076800)))
+            & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(883612800)))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "excess_supply_suppliers",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(cast(l_quantity AS DECIMAL(18,6))) AS availqty,
+             sum(CASE WHEN l_shipdate >=
+                        make_timestamp(CAST(946684800 AS BIGINT) * 1000000)
+                      THEN cast(l_quantity AS DECIMAL(18,6)) END) AS recent_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_name, cast(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT suppkey FROM supply
+        WHERE availqty > 2 * recent_qty
+          AND partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3', 'NATION_7')
+      )
+    """,
+    doc="TPC-H Q20-shaped excess-stock scan: suppliers in two nations "
+        "whose lifetime shipped quantity of any 'large*' part is more "
+        "than double what they shipped since 2000 — i.e. demand for "
+        "their stock has collapsed. Availqty derives from lineitem "
+        "(the schema has no partsupp) with the recent-window sum as a "
+        "conditional aggregate in the SAME pass, so the nested-IN chain "
+        "costs one fact scan + one (part,supp) shuffle; the part-name "
+        "filter is a broadcast semi-join before the aggregate's "
+        "predicate, and the surviving supplier keys broadcast-semi into "
+        "the tiny supplier dim. Exact decimal sums keep the 2x "
+        "threshold engine-portable.",
+)
+def excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    cutoff = F.timestamp_seconds(F.lit(946684800))  # 2000-01-01 UTC
+    large_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    supply = (
+        li.join(large_parts, li.l_partkey == large_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(STABLE_DECIMAL)).alias("availqty"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") >= cutoff,
+                    F.col("l_quantity").cast(STABLE_DECIMAL),
+                )
+            ).alias("recent_qty"),
+        )
+    )
+    eligible = supply.filter(
+        F.col("availqty") > 2 * F.col("recent_qty")
+    ).select(F.col("l_suppkey").alias("suppkey"))
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        nations, F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return supp.join(
+        F.broadcast(eligible), supp.s_suppkey == eligible.suppkey, "left_semi"
+    ).select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+
+
 # ---------------------------------------------------------------------------
 # Extensions — training-data curation: deterministic sampling and shard
 # packing over `documents`.  All randomness is a portable multiplicative

@@ -164,3 +164,37 @@ def test_shard_packing_windows_are_bucket_partitioned(spark):
     window sort — the window runs per range bucket."""
     plan = explain_str(REGISTRY["doc_shard_packing"].fn(spark, SF_SMALL), "formatted")
     assert "__bucket" in plan, "window should be partitioned by the range bucket"
+
+
+def test_discounted_revenue_all_predicates_push(spark):
+    """Q6 shape: every predicate (shipdate range, discount band, quantity
+    cap) must reach the parquet scan — the query is pure scan bandwidth."""
+    df = REGISTRY["discounted_revenue_delta"].fn(spark, SF_SMALL)
+    assert_pushed_down(df, "GreaterThanOrEqual(l_shipdate,")
+    assert_pushed_down(df, "LessThan(l_shipdate,")
+    assert_pushed_down(df, "GreaterThanOrEqual(l_discount,")
+    assert_pushed_down(df, "LessThan(l_quantity,")
+    scan_schema = next(
+        ln for ln in explain_str(df).splitlines() if "ReadSchema" in ln
+    )
+    for unused in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert unused not in scan_schema, f"{unused} should be pruned"
+
+
+def test_priority_line_status_prunes_before_join(spark):
+    """Q12 shape: the shipdate window must prune lineitem at the scan (not
+    post-join), and both scans read only the join key + grouping columns."""
+    df = REGISTRY["priority_by_line_status"].fn(spark, SF_SMALL)
+    assert_pushed_down(df, "GreaterThanOrEqual(l_shipdate,")
+    plan = explain_str(df)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert not any("l_quantity" in s or "o_totalprice" in s for s in schemas)
+
+
+def test_excess_supply_part_filter_precedes_aggregate(spark):
+    """Q20 shape: the part-name semi-join must prune lineitem BEFORE the
+    (part,supp) aggregate, and the fact is scanned exactly once (the
+    recent-window sum is a conditional aggregate, not a second scan)."""
+    plan = explain_str(REGISTRY["excess_supply_suppliers"].fn(spark, SF_SMALL), "formatted")
+    assert plan.count("lineitem.parquet") <= 1, "recent-qty must not rescan the fact"
+    assert "LeftSemi" in plan
