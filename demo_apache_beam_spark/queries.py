@@ -2528,6 +2528,175 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequential_pack(docs, "doc_id", "n_chars", 5000, shard_col="shard_id")
 
 
+@register(
+    "doc_repetition_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM t
+    ), uni AS (
+      SELECT doc_id, max(c) AS top_uni, count(*) AS n_distinct,
+             cast(sum(c) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      GROUP BY 1
+    ), bg AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), bi AS (
+      SELECT doc_id, max(c) AS top_bi, cast(sum(c) AS BIGINT) AS n_bi
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT uni.doc_id, n_tokens,
+           round(top_uni / cast(n_tokens AS DOUBLE), 6) AS top_unigram_frac,
+           round(n_distinct / cast(n_tokens AS DOUBLE), 6) AS distinct_frac,
+           round(coalesce(top_bi / cast(n_bi AS DOUBLE), 0.0), 6)
+             AS top_bigram_frac
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: fraction "
+        "of tokens taken by the most frequent unigram and bigram, plus "
+        "the distinct-token ratio — the standard filters for boilerplate "
+        "and degenerate repetition in a pretraining corpus. The Spark "
+        "side computes everything INSIDE the row with higher-order array "
+        "functions (transform/filter/array_distinct over the token "
+        "array): zero shuffles, zero joins — a pure scan-side map, so "
+        "100 TB costs exactly one pass. Per-row cost is O(distinct x "
+        "n_tokens), bounded by document length; the oracle spells the "
+        "same counts out relationally (explode + self-join on position).",
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    df = docs.withColumn(
+        "bigrams",
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    top_count = lambda arr: F.array_max(  # noqa: E731 — max over per-value counts
+        F.expr(
+            f"transform(array_distinct({arr}),"
+            f"          t -> size(filter({arr}, x -> x = t)))"
+        )
+    )
+    n_tokens = F.size("toks").cast("long")
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(top_count("toks") / n_tokens.cast("double"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.size(F.array_distinct("toks")) / n_tokens.cast("double"), 6
+        ).alias("distinct_frac"),
+        F.round(
+            F.coalesce(
+                top_count("bigrams") / F.size("bigrams").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "corpus_decontamination",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+      FROM t WHERE len(toks) >= 8
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[p:p+7], ' ') AS shingle
+      FROM pos
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE (doc_id * 2654435761) % 1000 < 50
+    ), train_sh AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+    )
+    SELECT doc_id, count(*) AS n_shared_shingles
+    FROM train_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="Train/eval decontamination: flag training documents that share "
+        "any 8-token shingle with the held-out eval split (a 5% "
+        "deterministic hash sample standing in for a benchmark set). "
+        "The industry-standard n-gram leak check before pretraining. "
+        "Shingles are built scan-side with sequence+slice (no explode "
+        "until the join), deduplicated per document, and the eval "
+        "shingle set — small by construction, it is a benchmark — "
+        "BROADCASTS into the corpus-sized train side: one wide scan, "
+        "one broadcast hash join, one count aggregate; the 100 TB cost "
+        "is the scan itself. Contaminated-doc output is ordered by "
+        "nothing (driver compare sorts); rows = docs with >= 1 leak.",
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_eval = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000) < 50
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = docs.filter(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    "          p -> concat_ws(' ', slice(toks, p, 8)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+    doc="Corpus vocabulary head: the 50 most frequent tokens with their "
+        "total occurrence and document-frequency counts — the first "
+        "diagnostic anyone runs on a new crawl (and the seed statistics "
+        "for a BPE trainer). orderBy+limit plans as TakeOrderedAndProject "
+        "— each partition keeps only its local top-50 and the driver "
+        "merges 50-row heaps, so the global sort never materializes even "
+        "with a billion-token vocabulary; ties break on the token string "
+        "for a deterministic cut. The distinct doc-count uses Spark's "
+        "two-phase distinct aggregate (partial on (token, doc_id)).",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Extensions — time-series utilities and sequence analytics over `events`.
 # ---------------------------------------------------------------------------

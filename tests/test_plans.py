@@ -198,3 +198,26 @@ def test_excess_supply_part_filter_precedes_aggregate(spark):
     plan = explain_str(REGISTRY["excess_supply_suppliers"].fn(spark, SF_SMALL), "formatted")
     assert plan.count("lineitem.parquet") <= 1, "recent-qty must not rescan the fact"
     assert "LeftSemi" in plan
+
+
+def test_repetition_quality_is_shuffle_free(spark):
+    """The per-doc repetition stats are higher-order array expressions —
+    the plan must contain no exchange and no join at all."""
+    plan = explain_str(REGISTRY["doc_repetition_quality"].fn(spark, SF_SMALL), "simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    """The eval shingle set is benchmark-sized: it must broadcast into the
+    corpus-sized train side, never shuffle the train shingles for a join."""
+    plan = explain_str(REGISTRY["corpus_decontamination"].fn(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_never_global_sorts(spark):
+    """Global top-50 must plan as TakeOrderedAndProject (per-partition
+    heaps merged on the driver), not a full Sort of the vocabulary."""
+    plan = explain_str(REGISTRY["corpus_vocab_topk"].fn(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
