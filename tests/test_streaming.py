@@ -673,3 +673,100 @@ def test_stream_static_enrichment(spark, stream_dirs):
     q.processAllAvailable()
     q.stop()
     assert rows == {"u1": "NA", "u2": "EU", "u3": None}
+
+
+def test_streaming_sessions_equal_batch(spark, stream_dirs):
+    """Streaming session windows (append mode): sessions closed by the
+    watermark must exactly equal the batch session_window aggregate over
+    the same rows — boundaries (last event + gap), merged multi-event
+    sessions, per-key isolation, and scores all agree."""
+    from demo_apache_beam_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    in_dir, chk = stream_dirs
+    gap_min, lateness_min = 30, 120
+    # u1: two events 10 min apart -> ONE merged session; a third 40 min
+    # later -> separate session. u2: single-event session.
+    closing = [
+        _line("u1", "t", 3, BASE_MS),
+        _line("u1", "t", 4, BASE_MS + 10 * 60_000),
+        _line("u1", "t", 5, BASE_MS + 50 * 60_000),
+        _line("u2", "t", 7, BASE_MS + 5 * 60_000),
+    ]
+    _write_lines(in_dir, "a.txt", closing)
+
+    events = read_game_event_lines(spark, in_dir)
+    seen: list = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(
+            (r["user"], r["session_start"], r["session_end"], r["total_score"], r["n_events"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        sessionize_stream(events, gap_min, lateness_min)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    assert seen == []  # nothing closes before the watermark moves
+    # sentinel far enough ahead to close every session above
+    # (watermark = max event time - lateness)
+    _write_lines(in_dir, "b.txt", [
+        _line("u9", "t", 1, BASE_MS + (50 + 30 + lateness_min + 60) * 60_000),
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    batch_lines = spark.createDataFrame([(s,) for s in closing], "value string")
+    batch = sessionize_batch(
+        with_event_time(parse_game_events(batch_lines)), gap_min
+    )
+    expect = {
+        (r["user"], r["session_start"], r["session_end"], r["total_score"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert len(expect) == 3  # merged u1 session + separate u1 + u2
+    assert set(seen) == expect
+    assert len(seen) == len(expect)
+
+
+def test_streaming_session_merges_across_batches(spark, stream_dirs):
+    """An event arriving in a LATER micro-batch inside the gap must extend
+    the open session (state-store merge), not open a second one."""
+    from demo_apache_beam_spark.streaming.sessions import sessionize_stream
+
+    in_dir, chk = stream_dirs
+    _write_lines(in_dir, "a.txt", [_line("u1", "t", 3, BASE_MS)])
+
+    events = read_game_event_lines(spark, in_dir)
+    seen: list = []
+
+    def sink(batch_df, _epoch):
+        seen.extend(
+            (r["user"], r["total_score"], r["n_events"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        sessionize_stream(events, 30, 120)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # 20 min after the first event: inside the 30-min gap -> same session
+    _write_lines(in_dir, "b.txt", [_line("u1", "t", 4, BASE_MS + 20 * 60_000)])
+    q.processAllAvailable()
+    # close it
+    _write_lines(in_dir, "c.txt", [_line("u9", "t", 1, BASE_MS + 400 * 60_000)])
+    q.processAllAvailable()
+    q.stop()
+
+    assert seen == [("u1", 7, 2)], seen
