@@ -1,0 +1,66 @@
+"""Multi-dimensional data layout — Z-order (Morton) clustering for scan
+pruning.
+
+An engine extension with no reference counterpart (the reference writes
+whatever order the runner produces): at 100 TB the dominant query cost is
+the scan, and the dominant scan saving is file/row-group skipping on
+min-max statistics. A table sorted on one column skips perfectly on that
+column and not at all on any other; interleaving the bits of several
+(rank-scaled) columns into one Morton key and range-partitioning on it
+gives every participating column locality, so min-max pruning works for
+predicates on ANY of them. This is the same layout Delta/Iceberg expose as
+``OPTIMIZE ZORDER BY`` — here it is plain DataFrame ops: two aggregate
+passes (global min/max per column, a handful of rows broadcast back) and a
+codegen-only bit-interleave expression, then ``repartitionByRange`` on the
+key. No UDF, no driver loop; the range partitioner's sample pass is the
+only extra job.
+
+``zorder_value`` is deliberately integer-exact (scale = multiply + integer
+DIV) so the key is reproducible across engines — the registry query
+``events_zorder_index`` hash-checks it against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scaled_rank(col: str, mn: str, mx: str, bits: int) -> Column:
+    """Map an integer column with known [``mn``, ``mx``] bound columns onto
+    [0, 2**bits) by integer arithmetic only:
+    ((x - mn) * 2**bits) DIV (mx - mn + 1).
+    Exact and engine-portable (no float rounding anywhere). Arguments are
+    column NAMES (the bounds typically arrive via a broadcast one-row
+    stats join)."""
+    return F.expr(
+        f"CAST((({col} - {mn}) * {1 << bits}) DIV ({mx} - {mn} + 1) AS LONG)"
+    )
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each (already scaled) column
+    into a single Morton key: bit b of column i lands at position
+    b * len(cols) + i. Pure shift/mask/or — whole-stage codegen."""
+    n = len(cols)
+    z: Column | None = None
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            piece = F.shiftleft(
+                F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)),
+                b * n + i,
+            )
+            z = piece if z is None else z.bitwiseOR(piece)
+    assert z is not None
+    return z.cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    zcol: str = "zval",
+    num_files: int = 32,
+) -> DataFrame:
+    """Cluster ``df`` for writing: contiguous Morton-key ranges per output
+    file (range partition + in-file sort), so each file's min-max covers a
+    small rectangle of the key space in EVERY interleaved dimension."""
+    return df.repartitionByRange(num_files, F.col(zcol)).sortWithinPartitions(zcol)

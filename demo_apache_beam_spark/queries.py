@@ -1551,6 +1551,108 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_user_event",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             cast(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts_ms, event_id, event_type, value FROM r WHERE rn = 1
+    """,
+    doc="CDC/upsert log compaction: collapse each user's event history to "
+        "the most recent row (latest timestamp, event_id as the "
+        "deterministic tie-break) — the standard 'current state from a "
+        "change log' materialization. Implemented as max(struct(ts, id, "
+        "payload)) per key, NOT a row_number window: the lexicographic "
+        "struct max is a plain aggregate, so it partial-aggregates map-"
+        "side (each task keeps one struct per key) and never sorts the "
+        "log — at 100 TB that is one shuffle of pre-reduced single rows "
+        "per key vs a full per-key sort. The oracle spells out the "
+        "equivalent window formulation.",
+)
+def latest_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts_ms", "event_id", "event_type", "value")).alias("_s")
+    )
+    return latest.select(
+        "user_id", "_s.ts_ms", "_s.event_id", "_s.event_type", "_s.value"
+    )
+
+
+# Morton interleave spelled out for the DuckDB oracle: bit b of the scaled
+# user rank lands at position 2b, of the scaled time rank at 2b+1.
+_Z_INTERLEAVE_SQL = " | ".join(
+    part
+    for b in range(8)
+    for part in (
+        f"(((ua >> {b}) & 1) << {2 * b})",
+        f"(((tb >> {b}) & 1) << {2 * b + 1})",
+    )
+)
+
+
+@register(
+    "events_zorder_index",
+    f"""
+    WITH stats AS (
+      SELECT min(user_id) AS umin, max(user_id) AS umax,
+             min(cast(epoch_ms(ts) AS BIGINT)) AS tmin,
+             max(cast(epoch_ms(ts) AS BIGINT)) AS tmax
+      FROM events
+    ), scaled AS (
+      SELECT event_id,
+             ((user_id - umin) * 256) // (umax - umin + 1) AS ua,
+             ((cast(epoch_ms(ts) AS BIGINT) - tmin) * 256) // (tmax - tmin + 1)
+               AS tb
+      FROM events, stats
+    )
+    SELECT event_id, cast({_Z_INTERLEAVE_SQL} AS BIGINT) AS zval
+    FROM scaled
+    """,
+    doc="Z-order (Morton) clustering key over (user_id, event time): the "
+        "data-layout primitive behind multi-column scan pruning — range-"
+        "partitioning files on this key gives min-max skipping on BOTH "
+        "columns at once (operators/layout.py; the layout property itself "
+        "is asserted in tests/test_layout.py). Two passes: a global min/"
+        "max aggregate (one broadcast row) and a pure shift/mask/or "
+        "codegen expression — integer-exact scaling (multiply + DIV), so "
+        "the key is bit-identical across engines, which is what the "
+        "oracle checks.",
+)
+def events_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import scaled_rank, zorder_value
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("ts_ms").alias("tmin"),
+        F.max("ts_ms").alias("tmax"),
+    )
+    j = ev.crossJoin(F.broadcast(stats))
+    z = zorder_value(
+        [
+            scaled_rank("user_id", "umin", "umax", 8),
+            scaled_rank("ts_ms", "tmin", "tmax", 8),
+        ],
+        bits=8,
+    )
+    return j.select("event_id", z.alias("zval"))
+
+
+@register(
     "embedding_norm_stats",
     """
     SELECT label,

@@ -1,0 +1,63 @@
+"""Z-order layout (operators/layout.py): the clustering property that makes
+multi-column min-max skipping work — each output file's span in EVERY
+interleaved dimension is a fraction of the global span, unlike a
+single-column sort which only localizes its own column."""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from demo_apache_beam_spark.operators.layout import zorder_layout
+from demo_apache_beam_spark.queries import REGISTRY
+from demo_apache_beam_spark.sources.tables import load_table
+
+N_FILES = 8
+
+
+def _per_file_span_ratio(path: str, col: str) -> float:
+    """mean(per-file max-min) / global(max-min) over the parquet files."""
+    con = duckdb.connect()
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1, files
+    spans = []
+    lo, hi = None, None
+    for f in files:
+        mn, mx = con.execute(f"SELECT min({col}), max({col}) FROM '{f}'").fetchone()
+        spans.append(mx - mn)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    con.close()
+    return (sum(spans) / len(spans)) / (hi - lo)
+
+
+def _events_with_z(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ts_ms")
+    )
+    z = REGISTRY["events_zorder_index"].fn(spark, SF_SMALL)
+    return ev.join(z, "event_id")
+
+
+def test_zorder_localizes_both_dimensions(spark, tmp_path):
+    """Range-partitioning on the Morton key must shrink the per-file span
+    of BOTH interleaved columns well below the global span."""
+    out = str(tmp_path / "z")
+    zorder_layout(_events_with_z(spark), "zval", N_FILES).write.parquet(out)
+    assert _per_file_span_ratio(out, "user_id") < 0.75
+    assert _per_file_span_ratio(out, "ts_ms") < 0.75
+
+
+def test_single_column_sort_does_not(spark, tmp_path):
+    """Baseline: the same data range-partitioned on time alone leaves the
+    user_id span at ~full width per file — the gap Z-order closes."""
+    out = str(tmp_path / "t")
+    df = _events_with_z(spark)
+    df.repartitionByRange(N_FILES, F.col("ts_ms")).sortWithinPartitions(
+        "ts_ms"
+    ).write.parquet(out)
+    assert _per_file_span_ratio(out, "ts_ms") < 0.5  # its own column: tight
+    assert _per_file_span_ratio(out, "user_id") > 0.9  # everyone else: no help
