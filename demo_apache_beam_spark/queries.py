@@ -1230,6 +1230,103 @@ def cross_period_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_grouping_sets",
+    """
+    SELECT coalesce(o_orderpriority, '<all>') AS priority,
+           coalesce(o_orderstatus, '<all>') AS status,
+           cast(grouping(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of balance_cube's CUBE "
+        "and revenue_rollup's ROLLUP): three disjoint aggregation "
+        "granularities — per priority, per status, and grand total — in "
+        "ONE pass with grouping_id() disambiguating the coalesced NULL "
+        "keys. Spark plans this as a single Expand + hash aggregate "
+        "(rows replicated once per set map-side, then partial-agg), so "
+        "the fact scans once no matter how many sets are requested.",
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import STABLE_DECIMAL
+
+    orders = load_table(spark, sf_dir, "orders")
+    grouped = (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(STABLE_DECIMAL))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return grouped.select(
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+        "gid",
+        "n_orders",
+        "total_price",
+    )
+
+
+@register(
+    "user_rolling_hour_value",
+    """
+    SELECT event_id, user_id,
+           cast(sum(cast(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_hour_value,
+           cast(count(*)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_hour_events
+    FROM events
+    """,
+    doc="Event-time RANGE window frame: per user, the sum/count of "
+        "activity in the trailing hour of EVENT time (not row count) at "
+        "every event — rangeBetween on epoch millis, so rows tie-sharing "
+        "a timestamp share one frame (which is why no row tie-break is "
+        "needed for determinism). One shuffle on user_id + an in-"
+        "partition sort; frame evaluation is the sliding two-pointer "
+        "inside the window operator, O(n) per partition not O(n^2). "
+        "Decimal-exact sums keep the frame boundaries engine-portable.",
+)
+def user_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.aggregate import STABLE_DECIMAL
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.unix_micros("ts") / 1000).cast("long").alias("_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_ms")
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(STABLE_DECIMAL))
+        .over(w)
+        .cast("double")
+        .alias("rolling_hour_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_hour_events"),
+    )
+
+
+@register(
     "purchase_view_asof",
     """
     WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
