@@ -1439,6 +1439,37 @@ def doc_lang_kind_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lang_kind_unpivot",
+    """
+    WITH wide AS (
+      SELECT lang,
+             count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS image,
+             count(CASE WHEN doc_id % 3 = 1 THEN 1 END) AS audio,
+             count(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS video
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, kind, cast(n_docs AS BIGINT) AS n_docs
+    FROM wide
+    UNPIVOT (n_docs FOR kind IN (image, audio, video))
+    """,
+    doc="UNPIVOT / melt — the inverse of doc_lang_kind_pivot: the wide "
+        "(lang x kind) count table back to long (lang, kind, n_docs) "
+        "rows. Spark's unpivot is a zero-shuffle Expand node (each input "
+        "row replicated once per value column map-side), so melting a "
+        "100 TB wide table costs exactly the scan; pairs with the pivot "
+        "query to round-trip the reshaping surface.",
+)
+def doc_lang_kind_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = REGISTRY["doc_lang_kind_pivot"].fn(spark, sf_dir)
+    return wide.unpivot(
+        ids=["lang"],
+        values=["image", "audio", "video"],
+        variableColumnName="kind",
+        valueColumnName="n_docs",
+    )
+
+
+@register(
     "score_quantiles_per_team",
     f"""
     WITH game AS ({_GAME_EVENTS_SQL})

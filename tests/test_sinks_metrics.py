@@ -249,3 +249,83 @@ def test_csv_event_source_matches_text_parser(spark, tmp_path):
         ("u1", "t1", 5, 1700000000000),
         ("u2", "t2", 7, 1700000060000),
     }
+
+
+def test_idempotent_windowed_sink_replay_is_noop(spark, tmp_path):
+    """Exactly-once via dynamic partition overwrite: re-writing the same
+    batch (foreachBatch epoch replay after a crash) must not duplicate
+    rows, and an overlapping later batch must upsert its windows while
+    leaving untouched windows intact."""
+    from demo_apache_beam_spark.streaming.idempotent import (
+        write_windowed_idempotent,
+    )
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("w1", "team_a", 10), ("w1", "team_b", 5), ("w2", "team_a", 7)],
+        "window_start string, team string, total_score long",
+    )
+    write_windowed_idempotent(b1, path)
+    write_windowed_idempotent(b1, path)  # epoch replay
+    got = {(r["window_start"], r["team"], r["total_score"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {("w1", "team_a", 10), ("w1", "team_b", 5), ("w2", "team_a", 7)}
+
+    # later batch: w2 accumulates more score, w3 appears; w1 untouched
+    b2 = spark.createDataFrame(
+        [("w2", "team_a", 9), ("w3", "team_c", 1)],
+        "window_start string, team string, total_score long",
+    )
+    write_windowed_idempotent(b2, path)
+    got = {(r["window_start"], r["team"], r["total_score"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("w1", "team_a", 10), ("w1", "team_b", 5),
+        ("w2", "team_a", 9), ("w3", "team_c", 1),
+    }
+
+
+def test_idempotent_sink_under_streaming_replay(spark, tmp_path):
+    """End-to-end: the LeaderBoard team stream writing through the
+    idempotent sink produces the same table whether each epoch runs once
+    or the sink is invoked twice per epoch (simulated redelivery)."""
+    import os
+
+    from demo_apache_beam_spark.streaming.idempotent import (
+        write_windowed_idempotent,
+    )
+    from demo_apache_beam_spark.streaming.leaderboard import (
+        calculate_team_scores,
+        read_game_event_lines,
+    )
+
+    in_dir = str(tmp_path / "in"); os.makedirs(in_dir)
+    base_ms = 1700000000000
+    with open(os.path.join(in_dir, "a.txt"), "w") as f:
+        f.write("\n".join(
+            f"u{i},team_a,{i},{base_ms + i * 60_000},x" for i in range(5)
+        ) + "\n")
+
+    events = read_game_event_lines(spark, in_dir)
+    out = str(tmp_path / "table")
+
+    def sink(batch_df, _epoch):
+        shaped = batch_df.selectExpr(
+            "cast(window_start AS STRING) AS window_start",
+            "team", "total_score",
+        )
+        write_windowed_idempotent(shaped, out)
+        write_windowed_idempotent(shaped, out)  # redelivery of the epoch
+
+    q = (
+        calculate_team_scores(events, team_window_minutes=60)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable(); q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # one window, one team — no duplicates
+    assert rows[0]["total_score"] == sum(range(5))
