@@ -64,3 +64,50 @@ def zorder_layout(
     file (range partition + in-file sort), so each file's min-max covers a
     small rectangle of the key space in EVERY interleaved dimension."""
     return df.repartitionByRange(num_files, F.col(zcol)).sortWithinPartitions(zcol)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically swap it
+    into place. Returns the new file count.
+
+    The operational tool every streaming/append table needs: micro-batch
+    and per-window appends leave thousands of KB-sized files, and at
+    100 TB the scan's task-scheduling and footer-reading overhead comes to
+    dominate actual IO (the classic small-files problem). Sizing reads
+    the REAL byte total from the filesystem (no row-count heuristics);
+    with ``sort_col`` the rewrite range-partitions + sorts so compaction
+    simultaneously restores clustering (pair with ``zorder_value`` to
+    re-establish multi-column skipping). The swap is
+    write-aside → delete → rename: crash-safe in the sense that the
+    original survives any failure before the delete, and the aside copy
+    survives one after it."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(src)
+        if f.getPath().getName().startswith("part-")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    out = (
+        df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.repartition(n)
+    )
+    aside = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    out.write.mode("overwrite").parquet(aside.toString())
+    fs.delete(src, True)
+    fs.rename(aside, src)
+    return n

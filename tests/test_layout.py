@@ -61,3 +61,28 @@ def test_single_column_sort_does_not(spark, tmp_path):
     ).write.parquet(out)
     assert _per_file_span_ratio(out, "ts_ms") < 0.5  # its own column: tight
     assert _per_file_span_ratio(out, "user_id") > 0.9  # everyone else: no help
+
+
+def test_compact_files_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    """50 tiny appended files compact to the byte-budgeted count with
+    identical content; with sort_col the rewrite also restores range
+    clustering (per-file spans shrink)."""
+    from demo_apache_beam_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "t")
+    # simulate 50 micro-batch appends
+    for i in range(50):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "id % 97 AS k"
+        ).coalesce(1).write.mode("append").parquet(path)
+    before = set(glob.glob(f"{path}/part-*.parquet"))
+    assert len(before) == 50
+    expect = {(r["id"], r["k"]) for r in spark.read.parquet(path).collect()}
+
+    n = compact_files(spark, path, target_file_bytes=1 << 20, sort_col="id")
+    after = glob.glob(f"{path}/part-*.parquet")
+    assert len(after) == n < 10
+    got = {(r["id"], r["k"]) for r in spark.read.parquet(path).collect()}
+    assert got == expect
+    if len(after) > 1:
+        assert _per_file_span_ratio(path, "id") < 0.5  # clustering restored
