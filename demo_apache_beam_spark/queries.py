@@ -1679,6 +1679,39 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_statistics",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(corr(value, cast(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
+           round(covar_samp(value, cast(hour(ts) AS DOUBLE)), 6)
+             AS covar_value_hour
+    FROM events GROUP BY event_type
+    """,
+    doc="Statistical aggregate family per event type: sample stddev, and "
+        "Pearson correlation / sample covariance between event value and "
+        "hour-of-day. Both engines use streaming co-moment (Welford-"
+        "style) accumulators, so the estimates are translation-stable "
+        "and partial-aggregable — one shuffle of constant-size moment "
+        "states per group, the same cost as a sum at 100 TB; 6 dp "
+        "rounding absorbs combine-order float noise.",
+)
+def event_value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.hour("ts").cast("double").alias("_h")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.corr("value", "_h"), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", "_h"), 6).alias("covar_value_hour"),
+    )
+
+
+@register(
     "latest_user_event",
     """
     WITH r AS (

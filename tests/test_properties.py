@@ -105,3 +105,23 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         for r in asof_join(left, right, on=["k"]).collect()
     }
     assert got == expect
+
+
+def test_zorder_interleave_is_bijective(spark):
+    """Morton interleave must be a bijection on 8-bit rank pairs — any
+    collision would merge distinct (user, time) cells and silently weaken
+    file skipping. Decode-by-deinterleave must recover both ranks."""
+    from demo_apache_beam_spark.operators.layout import zorder_value
+
+    from pyspark.sql import functions as F
+
+    pairs = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("long").alias("b")
+    )
+    z = pairs.select("a", "b", zorder_value([F.col("a"), F.col("b")], 8).alias("z"))
+    assert z.select("z").distinct().count() == 256 * 256  # injective
+    # deinterleave: even bits -> a, odd bits -> b
+    dec_a = sum((F.shiftright("z", 2 * i).bitwiseAND(F.lit(1)) * (1 << i)) for i in range(8))
+    dec_b = sum((F.shiftright("z", 2 * i + 1).bitwiseAND(F.lit(1)) * (1 << i)) for i in range(8))
+    bad = z.filter((dec_a != F.col("a")) | (dec_b != F.col("b"))).count()
+    assert bad == 0
