@@ -1679,6 +1679,47 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    """
+    WITH e AS (
+      SELECT label,
+             cast(unnest(embedding) AS DOUBLE) AS x,
+             cast(unnest(range(1, len(embedding) + 1)) AS INTEGER) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(x), 6) AS centroid,
+           count(*) AS n_vectors
+    FROM e GROUP BY label, dim
+    """,
+    doc="Per-label centroid vectors in exploded (label, dim, value) form — "
+        "the vector-aggregate primitive under k-means/IVF training, class "
+        "prototypes, and embedding-drift monitoring. posexplode + one "
+        "(label, dim) hash aggregate: partial aggregation reduces each "
+        "map task to labels x dims rows regardless of corpus size, so "
+        "the shuffle is centroid-sized at 100 TB (the same shape "
+        "operators/similarity.py's IVF trainer persists). Rounded to 6 "
+        "dp — avg over doubles is combine-order sensitive at the last "
+        "ulp.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim0", "xf")
+    )
+    return (
+        e.select(
+            "label",
+            (F.col("dim0") + 1).cast("int").alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@register(
     "event_value_statistics",
     """
     SELECT event_type,
