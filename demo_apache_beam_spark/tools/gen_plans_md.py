@@ -1,0 +1,73 @@
+"""Regenerate PLANS.md — formatted physical plans for the headline queries:
+
+    python -m demo_apache_beam_spark.tools.gen_plans_md [out_path]
+
+The point is auditability of the scale claims: every docstring in
+queries.py asserts plan properties (pushdown, broadcast choice, exchange
+count, codegen); this artifact pins what Catalyst actually produces at the
+test SF so a reviewer can check the claim against the plan without running
+anything. Plan-shape regressions are separately gated by
+tests/test_plans.py — this file is the human-readable companion.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+# one representative per plan family — scan/agg, fact-fact join, dim
+# broadcasts, window, set-op, HOF map, shingle join, topk, ANN, layout
+HEADLINE = [
+    "user_score",
+    "pricing_summary",
+    "priority_by_line_status",
+    "revenue_by_nation",
+    "top_customers",
+    "team_rank_per_window",
+    "doc_repetition_quality",
+    "corpus_decontamination",
+    "corpus_vocab_topk",
+    "dedup_exact",
+    "embedding_knn",
+    "events_zorder_index",
+]
+
+_SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
+
+
+def _clean(plan: str) -> str:
+    # strip expression ids + absolute paths so regenerating is diff-stable
+    return _SCRUB.sub("", plan)
+
+
+def generate(out_path: str = "PLANS.md", sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from ..queries import REGISTRY
+    from ..session import get_spark
+
+    spark = get_spark("gen-plans", cpus="8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # show final physical plan
+    lines = [
+        "# Physical plans — headline queries",
+        "",
+        "Auto-generated (`python -m demo_apache_beam_spark.tools.gen_plans_md`) "
+        f"at {sf_dir}, AQE off for a fully resolved static plan; expression IDs "
+        "and paths scrubbed. Scale-critical properties (pushdown, broadcast "
+        "choice, exchange counts, codegen spans) are enforced by "
+        "`tests/test_plans.py`; this file is the readable audit trail for "
+        "the claims made in each query's docstring (QUERIES.md).",
+    ]
+    for name in HEADLINE:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines += ["", f"## {name}", "", "```", _clean(plan).rstrip(), "```"]
+    spark.stop()
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {len(HEADLINE)} plans")
+
+
+if __name__ == "__main__":
+    generate(*sys.argv[1:])

@@ -72,3 +72,28 @@ def test_approx_score_quantiles_error_bound(spark):
     for team in exact:
         for a, e in zip(approx[team], exact[team]):
             assert abs(a - e) <= 1.0, (team, approx[team], exact[team])
+
+
+def test_sql_api_free_form_query(spark):
+    """api.sql: a reference user's ad-hoc SQL runs against the registered
+    warehouse views with the engine's session conventions (UTC, nanos-safe
+    event timestamps) — cross-checked against DuckDB on the same SQL."""
+    from conftest import canonical, duck_with_views
+
+    from demo_apache_beam_spark.api import sql
+
+    q = """
+      SELECT c.c_mktsegment AS segment, count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice > 1000
+      GROUP BY c.c_mktsegment
+    """
+    got = canonical(sql(spark, SF_SMALL, q).toPandas())
+    con = duck_with_views(SF_SMALL)
+    try:
+        want = canonical(con.execute(q).fetchdf())
+    finally:
+        con.close()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
