@@ -3382,6 +3382,262 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — corpus curation round 2: boilerplate, redaction, SCD2
+# history, random-projection embedding compression.
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_boilerplate_ngrams",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+      FROM t WHERE len(toks) >= 5
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[p:p+4], ' ') AS shingle
+      FROM pos
+    ), df AS (
+      SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+    ), common AS (
+      SELECT shingle FROM df WHERE df >= 3
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+    ), boiler AS (
+      SELECT s.doc_id, count(*) AS n_boilerplate
+      FROM sh s JOIN common USING (shingle) GROUP BY 1
+    )
+    SELECT p.doc_id, n_shingles,
+           coalesce(n_boilerplate, 0) AS n_boilerplate,
+           round(coalesce(n_boilerplate, 0) / cast(n_shingles AS DOUBLE), 6)
+             AS boilerplate_frac
+    FROM per_doc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+    """,
+    doc="Corpus-frequency boilerplate detection (CCNet/RefinedWeb style): "
+        "a 5-token shingle appearing in >= min_df distinct documents is "
+        "boilerplate; each document reports what fraction of its distinct "
+        "shingles are boilerplate. Two aggregates and one join, all "
+        "scale-shaped: the document-frequency groupBy ships one row per "
+        "distinct (doc, shingle) with map-side partials; the common set "
+        "is tiny BY CONSTRUCTION (high-df survivors only) so the join "
+        "back is a broadcast; the per-doc ratio is a second partial "
+        "aggregate on doc_id. At 100 TB the only corpus-sized shuffle is "
+        "the df count — the irreducible cost of a corpus statistic.",
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = docs.filter(F.size("toks") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4),"
+                    "          p -> concat_ws(' ', slice(toks, p, 5)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler = (
+        sh.join(F.broadcast(common), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return per_doc.join(boiler, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+        F.round(
+            F.coalesce("n_boilerplate", F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("boilerplate_frac"),
+    )
+
+
+# blocklist + PII regexes shared by the Spark query and the DuckDB oracle —
+# RE2-safe (no lookaround/backrefs) so both engines agree exactly.
+_REDACT_TERMS = r"\b(spark|join|hash|scan)\b"
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "doc_blocklist_redaction",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{_REDACT_EMAIL}', '[EMAIL]', 'g'),
+               '{_REDACT_TERMS}', '[TERM]', 'g') AS redacted,
+             len(regexp_extract_all(text, '{_REDACT_TERMS}', 0)) AS n_term_hits,
+             len(regexp_extract_all(text, '{_REDACT_EMAIL}', 0)) AS n_email_hits
+      FROM documents
+    )
+    SELECT doc_id, n_term_hits, n_email_hits,
+           length(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM r
+    """,
+    doc="PII / blocklist redaction pass: scrub email-shaped spans and a "
+        "broadcast-small blocklist of sensitive terms from every document, "
+        "reporting hit counts and an md5 of the redacted text (proving the "
+        "replacement output matches byte-for-byte, not just the counts). "
+        "Pure regexp_replace/regexp_extract_all codegen — zero shuffles, "
+        "zero Python, one scan; at 100 TB this is the cheapest possible "
+        "shape (the scan itself) and pipelines with any downstream "
+        "operator. Patterns are RE2-safe so the oracle runs them "
+        "unchanged. The synthetic corpus contains no emails (count "
+        "pinned 0 by the oracle) and real blocklist hits.",
+)
+def doc_blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_REDACT_EMAIL), F.lit("[EMAIL]")),
+        F.lit(_REDACT_TERMS),
+        F.lit("[TERM]"),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_TERMS), F.lit(0))).alias(
+            "n_term_hits"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_REDACT_EMAIL), F.lit(0))).alias(
+            "n_email_hits"
+        ),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "user_team_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ms(ts) AS ms,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, event_type, ms,
+             CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+               AS chg
+      FROM o
+    ), isl AS (
+      SELECT user_id, event_type, ms,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    )
+    SELECT user_id, cast(island AS BIGINT) AS version, event_type AS team,
+           cast(min(ms) AS BIGINT) AS valid_from_ms,
+           cast(max(ms) AS BIGINT) AS valid_to_ms,
+           count(*) AS n_events
+    FROM isl GROUP BY user_id, island, event_type
+    """,
+    doc="SCD type-2 attribute history from an event log: collapse each "
+        "user's event stream into validity intervals of their current "
+        "team (gaps-and-islands — lag() change flags, running-sum island "
+        "ids, min/max interval bounds). The temporal-table primitive "
+        "under dimension versioning and point-in-time joins. One "
+        "exchange on user_id serves both window functions AND the final "
+        "groupBy (same key, Catalyst reuses the partitioning); interval "
+        "bounds cross the oracle boundary as epoch millis. Determinism "
+        "under same-timestamp ties comes from the event_id tiebreaker.",
+)
+def user_team_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    isl = ev.select(
+        "user_id",
+        "event_type",
+        "ms",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "island"
+        ),
+    )
+    return isl.groupBy("user_id", "island", "event_type").agg(
+        F.min("ms").alias("valid_from_ms"),
+        F.max("ms").alias("valid_to_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("island").cast("long").alias("version"),
+        F.col("event_type").alias("team"),
+        "valid_from_ms",
+        "valid_to_ms",
+        "n_events",
+    )
+
+
+@register(
+    "embedding_random_projection",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             cast(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(0, len(embedding))) AS i
+      FROM embeddings
+    ), pr AS (
+      SELECT vec_id, j,
+             round(sum(v * (CASE WHEN (i * 2654435761 + j * 40503) % 1000
+                                      < 500
+                                 THEN 1 ELSE -1 END)), 6) AS component
+      FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS j) dims
+      GROUP BY vec_id, j
+    )
+    SELECT vec_id, cast(j AS INTEGER) AS out_dim, component FROM pr
+    """,
+    doc="Johnson-Lindenstrauss random projection: compress each embedding "
+        "to 16 dimensions with a deterministic Rademacher (+/-1) matrix "
+        "derived arithmetically from (i, j) — no stored matrix, both "
+        "engines regenerate it from the same integer mix. The Spark side "
+        "computes all 16 components INSIDE the row with nested "
+        "higher-order functions (transform over aggregate over zip_with): "
+        "zero shuffles, zero Python, one scan — the shape you want for "
+        "compressing 100 TB of embeddings before ANN indexing. Output in "
+        "exploded (vec_id, out_dim, component) form (array columns don't "
+        "canonicalize); the oracle spells the same matmul relationally.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = F.expr(
+        "transform(sequence(0, 15), j -> round(aggregate("
+        "  zip_with(embedding, sequence(0, size(embedding) - 1),"
+        "           (v, i) -> cast(v AS double) *"
+        "             (CASE WHEN pmod(i * 2654435761 + j * 40503, 1000) < 500"
+        "                   THEN 1.0D ELSE -1.0D END)),"
+        "  0.0D, (acc, x) -> acc + x), 6))"
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(proj).alias("out_dim0", "component"))
+        .select(
+            "vec_id",
+            F.col("out_dim0").cast("int").alias("out_dim"),
+            "component",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
