@@ -3637,6 +3637,162 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_time_weighted_value",
+    """
+    WITH o AS (
+      SELECT user_id, value, epoch_ms(ts) AS ms,
+             lead(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+      FROM events
+    ), seg AS (
+      SELECT user_id, value, next_ms - ms AS dt_ms
+      FROM o WHERE next_ms IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           cast(sum(dt_ms) AS BIGINT) AS observed_ms,
+           round(sum(value * dt_ms) / nullif(sum(dt_ms), 0), 6)
+             AS time_weighted_value
+    FROM seg GROUP BY user_id
+    """,
+    doc="Time-weighted average (TimescaleDB `time_weight`-style): each "
+        "event's value is held until the user's next event, so the "
+        "average weights by holding duration, not by sample count — the "
+        "correct aggregate for irregularly-sampled gauges. lead() builds "
+        "the segment durations; users with a single event drop out "
+        "(no observed span). One exchange on user_id serves the window "
+        "and the groupBy; 6 dp rounding absorbs float combine order.",
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (F.lead("ms").over(w) - F.col("ms")).alias("dt_ms"),
+    ).filter(F.col("dt_ms").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt_ms").alias("observed_ms"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_ms"))
+            / F.nullif(F.sum("dt_ms"), F.lit(0)),
+            6,
+        ).alias("time_weighted_value"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    """
+    SELECT event_type,
+           cast(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n_events,
+           round(min(value), 6) AS bucket_min,
+           round(max(value), 6) AS bucket_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width value histogram per event type (width_bucket "
+        "primitive, spelled as floor arithmetic so both engines agree on "
+        "edge handling exactly). Distribution profiling is the first "
+        "data-quality pass over any new telemetry feed. One hash "
+        "aggregate with map-side partials — the shuffle carries only "
+        "(type x bucket) rows regardless of input size, so 100 TB costs "
+        "one scan; bucket bounds reported from actual data, not bin "
+        "edges, so empty buckets are naturally absent.",
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("long").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("bucket_min"),
+        F.round(F.max("value"), 6).alias("bucket_max"),
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders), count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer), count(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier), count(*)
+    FROM supplier s WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE s.s_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation), count(*)
+    FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE n.n_regionkey = r.r_regionkey)
+    """,
+    doc="Referential-integrity audit across the warehouse star schema: "
+        "orphan counts for every foreign key, via left-anti joins. The "
+        "standard pre-load contract check in any pipeline. Dimension-"
+        "side anti joins broadcast (nation/region/customer are the small "
+        "sides); the lineitem->orders check is the only fact-fact "
+        "shuffle and it ships join keys alone — column pruning cuts the "
+        "scan to one BIGINT per row. A healthy warehouse returns all "
+        "zeros; the row counts prove the checks actually scanned.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(rel, child, ckey, parent, pkey, bcast):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey))
+        if bcast:
+            p = F.broadcast(p)
+        orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    load_table(spark, sf_dir, child)
+                    .agg(F.count(F.lit(1)).alias("n_rows"))
+                )
+            )
+            .select(
+                F.lit(rel).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+
+    checks = [
+        check("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+        check("orders->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+        check("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+        check("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+        check("nation->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
