@@ -3793,6 +3793,396 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "m4_downsample",
+    """
+    WITH r AS (
+      SELECT user_id, value, event_id,
+             epoch_ms(ts) // 1000 // 21600 * 21600 AS bucket_s,
+             row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 1000 // 21600 * 21600
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, epoch_ms(ts) // 1000 // 21600 * 21600
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket_s, count(*) AS n_events,
+           round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS v_last
+    FROM r GROUP BY 1, 2
+    """,
+    doc="M4 downsampling (Jugel et al., VLDB'14): per series (user) and "
+        "6-hour pixel bucket, keep min/max/first/last — the four points "
+        "that make a line chart of the bucket pixel-exact, the standard "
+        "time-series visualization reduction. first/last are min/max of "
+        "(ts, event_id, value) structs — plain aggregates that partial-"
+        "reduce map-side (one struct per open bucket per task), so the "
+        "series is never sorted; the oracle spells the equivalent "
+        "row_number formulation. At 100 TB this is one shuffle of 4 "
+        "reduced values per (series x bucket), independent of raw rate.",
+)
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        F.unix_micros("ts").alias("_us"),
+    )
+    bucket = (F.col("_us") / 1_000_000).cast("long")
+    ev = ev.withColumn("bucket_s", (bucket / 21600).cast("long") * 21600)
+    agg = ev.groupBy("user_id", "bucket_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.min(F.struct("_us", "event_id", "value")).alias("_first"),
+        F.max(F.struct("_us", "event_id", "value")).alias("_last"),
+    )
+    return agg.select(
+        "user_id",
+        "bucket_s",
+        "n_events",
+        "v_min",
+        "v_max",
+        F.round(F.col("_first.value"), 6).alias("v_first"),
+        F.round(F.col("_last.value"), 6).alias("v_last"),
+    )
+
+
+@register(
+    "counter_rate",
+    """
+    WITH d AS (
+      SELECT user_id, value,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta,
+             epoch_ms(ts) // 1000 AS s
+      FROM events
+    ), inc AS (
+      SELECT user_id, s,
+             CASE WHEN delta IS NULL THEN 0.0
+                  WHEN delta < 0 THEN value ELSE delta END AS increase,
+             CASE WHEN delta < 0 THEN 1 END AS reset
+      FROM d
+    )
+    SELECT user_id, count(*) AS n_samples, count(reset) AS n_resets,
+           cast(sum(cast(increase AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_increase,
+           max(s) - min(s) AS span_s,
+           round(cast(sum(cast(increase AS DECIMAL(18,6))) AS DOUBLE)
+                 / nullif(max(s) - min(s), 0), 6) AS rate_per_s
+    FROM inc GROUP BY user_id
+    """,
+    doc="Monotonic-counter aggregation (TimescaleDB `counter_agg` "
+        "semantics): per-sample deltas via lag(); a negative delta means "
+        "the counter reset, so that sample contributes its raw value "
+        "(post-reset accumulation) instead — total_increase is the true "
+        "amount counted across resets, rate_per_s divides by the "
+        "observed span. The lag window and the groupBy share one "
+        "exchange on user_id; decimal accumulation keeps the double sum "
+        "bit-identical across partitionings.",
+)
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        F.unix_micros("ts").alias("_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.col("_us") / 1_000_000).cast("long").alias("s"),
+    )
+    inc = d.select(
+        "user_id",
+        "s",
+        F.when(F.col("delta").isNull(), F.lit(0.0))
+        .when(F.col("delta") < 0, F.col("value"))
+        .otherwise(F.col("delta"))
+        .alias("increase"),
+        F.when(F.col("delta") < 0, F.lit(1)).alias("reset"),
+    )
+    total = stable_sum(F.col("increase"))
+    return inc.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.count("reset").alias("n_resets"),
+        total.alias("total_increase"),
+        (F.max("s") - F.min("s")).alias("span_s"),
+        F.round(
+            total / F.nullif(F.max("s") - F.min("s"), F.lit(0)), 6
+        ).alias("rate_per_s"),
+    )
+
+
+@register(
+    "event_cooccurrence",
+    """
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND a.user_id <> b.user_id
+     AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 1000
+    GROUP BY 1, 2
+    """,
+    doc="Bucketed range self-join: pairs of events from different users "
+        "within 1 s of each other, counted per type pair — the temporal "
+        "co-occurrence primitive behind coordination/fraud detection. A "
+        "naive time-inequality join is O(N^2); instead each left event "
+        "replicates to its second bucket and the two neighbors, the join "
+        "is a plain equi-join on bucket (shuffle-partitionable, AQE-"
+        "splittable), and the exact |dt| <= 1 s predicate prunes inside "
+        "the join. Cost scales with events-per-second density squared "
+        "per bucket, not corpus size squared; the oracle runs DuckDB's "
+        "native inequality join over the same pairs.",
+)
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / 1000).cast("long").alias("ms"),
+    )
+    bucket = (F.col("ms") / 1000).cast("long")
+    left = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ms").alias("ms_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_bk"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ms").alias("ms_b"),
+        bucket.alias("_bk"),
+    )
+    pairs = left.join(right, "_bk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("user_a") != F.col("user_b"))
+        & (F.abs(F.col("ms_a") - F.col("ms_b")) <= 1000)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(cast(n.n_docs AS DOUBLE) / df.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(cast(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.token) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, rn AS rank, token, round(score, 6) AS tfidf
+    FROM scored WHERE rn <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document by "
+        "tf * ln(N/df) — the classic relevance weighting every retrieval "
+        "/ topic-labeling pipeline starts from. Term frequencies and "
+        "document frequencies are two partial-aggregating groupBys; the "
+        "df side re-joins on token (shuffle equi-join — the vocabulary "
+        "is unbounded at crawl scale, so no broadcast assumption); the "
+        "corpus size N rides in as a broadcast 1-row cross join, and "
+        "the per-doc top-3 is a window over the doc partition with the "
+        "token string as deterministic tie-break. Both engines compute "
+        "the identical double expression, so ordering and 6 dp rounding "
+        "agree exactly.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", F.round("score", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "inverted_index",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tok
+    )
+    SELECT token, count(*) AS doc_freq,
+           array_to_string(list(doc_id ORDER BY doc_id)
+                           FILTER (WHERE rn <= 10), ',') AS postings_head
+    FROM ranked GROUP BY token
+    """,
+    doc="Inverted-index construction: token -> document frequency plus "
+        "the head of the posting list (first 10 doc ids) — the core "
+        "build step of any search index, and the lookup table behind "
+        "corpus decontamination at scale. The posting head is capped "
+        "BEFORE collection: a row_number window over the token "
+        "partition marks the first 10 docs, and collect_list gathers "
+        "only those (collect_list skips the nulls the CASE leaves), so "
+        "a stopword appearing in a billion documents still collects "
+        "exactly 10 ids — never an unbounded per-key array. The window "
+        "and the groupBy share the token exchange.",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = tok.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= 10, F.col("doc_id"))
+                )
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+    ), t AS (SELECT sum(n_events) AS total, count(*) AS n_keys FROM c
+    ), r AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT r.rank, r.user_id, r.n_events,
+           round(r.n_events / cast(t.total AS DOUBLE), 6) AS share,
+           round(sum(r.n_events) OVER (ORDER BY r.rank)
+                 / cast(t.total AS DOUBLE), 6) AS cum_share,
+           round(r.n_events * t.n_keys / cast(t.total AS DOUBLE), 6)
+             AS skew_ratio
+    FROM r CROSS JOIN t WHERE r.rank <= 20
+    """,
+    doc="Partition-skew diagnostic: the 20 hottest keys with their share "
+        "of total rows, cumulative share, and skew ratio (observed / "
+        "uniform expectation) — the profile that tells you whether a "
+        "join or groupBy on this key needs salting before you burn a "
+        "cluster-day discovering it. The per-key counts partial-"
+        "aggregate; the top-20 cut is TakeOrderedAndProject (per-"
+        "partition 20-row heaps, no global sort), and only those 20 "
+        "rows reach the single-partition ranking window; totals ride "
+        "in as a broadcast 1-row cross join.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = c.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = c.orderBy(F.desc("n_events"), F.asc("user_id")).limit(20)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(t)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        "rank",
+        "user_id",
+        "n_events",
+        F.round(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("n_events").over(cum) / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+        F.round(
+            F.col("n_events") * F.col("n_keys") / F.col("total").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(regr_slope(value, (epoch_ms(ts) / 1000.0 - 1704067200)
+                                   / 86400.0), 6) AS slope_per_day,
+           round(regr_r2(value, (epoch_ms(ts) / 1000.0 - 1704067200)
+                                / 86400.0), 6) AS r2
+    FROM events GROUP BY user_id HAVING count(*) >= 2
+    """,
+    doc="Per-key linear trend: OLS slope and R^2 of value against time "
+        "(days since the 2024-01-01 epoch of the dataset) for every "
+        "user — drift detection as a grouped statistical aggregate, not "
+        "a per-group model fit. regr_slope/regr_r2 are single-pass "
+        "partial-aggregating moments (sums of x, y, xy, x^2) so the "
+        "whole fit is one shuffle of five doubles per key; re-centering "
+        "time near zero removes the e+9-scale cancellation that would "
+        "otherwise eat the 6 dp agreement between engines.",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        ((F.unix_micros("ts") / 1_000_000.0 - 1704067200) / 86400.0).alias(
+            "_x"
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("value", "_x"), 6).alias("slope_per_day"),
+            F.round(F.regr_r2("value", "_x"), 6).alias("r2"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
