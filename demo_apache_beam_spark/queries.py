@@ -4183,6 +4183,201 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edit_distance_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS lev
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    doc="String-similarity join (edit distance <= 1) via deletion "
+        "neighborhoods (FastSS): each name expands to itself plus its "
+        "|s| single-character deletions; two strings within one edit "
+        "MUST share a neighborhood member, so candidates come from a "
+        "plain equi-join on the variant key instead of the O(N^2) "
+        "all-pairs scan the oracle runs. A shared variant only bounds "
+        "the distance by 2, so an exact levenshtein() check filters "
+        "candidates — computed on the handful of survivors, never the "
+        "cross product. Entity-resolution / typo-clustering primitive; "
+        "at 100 TB the variant join shuffles ~|s| short keys per string "
+        "and AQE splits any hot variant.",
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    variants = part.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "concat(array(p_name), "
+                    "transform(sequence(1, length(p_name)), "
+                    "i -> concat(substring(p_name, 1, i - 1), "
+                    "substring(p_name, i + 1, length(p_name)))))"
+                )
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "variant",
+    )
+    b = variants.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "variant",
+    )
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        F.levenshtein("name_a", "name_b").alias("lev"),
+    ).filter(F.col("lev") <= 1)
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH u AS (
+      SELECT user_id, epoch_ms(ts) // 1000 // 604800 AS wk FROM events
+    ), c AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM u
+    )
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-active week, counted "
+        "in each subsequent week they return — the standard product-"
+        "analytics retention triangle. The cohort week is a min() over "
+        "the user partition (no ordering, so a whole-partition "
+        "aggregate), NOT a self-join against a first-activity table — "
+        "one exchange on user_id serves both the cohort assignment and "
+        "the distinct-user count's partial aggregation. Epoch-week "
+        "arithmetic is integer floor division on both engines.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    u = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_micros("ts") / 1_000_000).cast("long") / 604800)
+        .cast("long")
+        .alias("wk"),
+    )
+    w = Window.partitionBy("user_id")
+    c = u.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        c.groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "revenue_mom_change",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT cast(epoch(mo) AS BIGINT) AS month_s, n_orders,
+           round(revenue, 2) AS revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY mo), 2) AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY mo))
+                 / nullif(lag(revenue) OVER (ORDER BY mo), 0) * 100, 6)
+             AS pct_change
+    FROM m
+    """,
+    doc="Period-over-period reporting: monthly revenue with absolute and "
+        "percent month-over-month change via lag() — the first chart on "
+        "any revenue dashboard. The heavy work is the partial-"
+        "aggregating monthly rollup (decimal-stable sums); the lag "
+        "window runs over one row per month, a driver-scale relation "
+        "whose single-partition sort is bounded by the calendar, not "
+        "the data. First month's deltas are NULL by definition.",
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(
+            stable_sum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("mo")
+    lagged = F.lag("revenue").over(w)
+    return m.select(
+        (F.unix_micros("mo") / 1_000_000).cast("long").alias("month_s"),
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") - lagged, 2).alias("delta"),
+        F.round(
+            (F.col("revenue") - lagged) / F.nullif(lagged, F.lit(0)) * 100, 6
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "knn_graph",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src_id, dst_id, cosine,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rank
+      FROM scored
+    )
+    SELECT src_id, rank, dst_id, cosine FROM ranked WHERE rank <= 5
+    """,
+    doc="Exact cosine kNN graph (k=5 neighbors for every vector) — the "
+        "input structure for graph-based near-dup clustering, label "
+        "propagation, and hub detection. An exact kNN graph is "
+        "inherently all-pairs, so this is the bounded-corpus baseline: "
+        "one corpus scan against a broadcast of the vectors, JVM-codegen "
+        "cosine, and the two-phase top-k (per-partition heads, then "
+        "per-source rank) instead of a global sort. The scale path for "
+        "unbounded corpora is the LSH/IVF variants (`embedding_knn_lsh`, "
+        "`embedding_knn_ivf`) whose candidates feed the same re-rank. "
+        "Bit-identical to DuckDB's list_cosine_similarity.",
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb,
+        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=5,
+    )
+    return out.select(
+        F.col("query_id").alias("src_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("dst_id"),
+        "cosine",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

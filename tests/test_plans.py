@@ -221,3 +221,62 @@ def test_vocab_topk_never_global_sorts(spark):
     heaps merged on the driver), not a full Sort of the vocabulary."""
     plan = explain_str(REGISTRY["corpus_vocab_topk"].fn(spark, SF_SMALL), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark):
+    """When neither join side broadcasts, Spark's runtime row-level filter
+    must inject a bloom_filter_agg built from the selective (filtered
+    orders) side and probe it with might_contain on the lineitem side —
+    the 100 TB substitute for a broadcast semi-join: only rows whose key
+    might match ever enter the shuffle."""
+    from demo_apache_beam_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF_SMALL, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = explain_str(j, "simple")
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_key_skew_profile_takes_ordered_top20(spark):
+    """The hot-key cut must be TakeOrderedAndProject so only 20 rows ever
+    reach the single-partition ranking window."""
+    plan = explain_str(REGISTRY["key_skew_profile"].fn(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_shares_token_exchange(spark):
+    """The posting-head window and the doc_freq aggregate both key on
+    token: the plan must contain exactly two exchanges (the (doc,token)
+    distinct and the token repartition) — the groupBy must reuse the
+    window's clustering, not add a third shuffle."""
+    plan = explain_str(REGISTRY["inverted_index"].fn(spark, SF_SMALL), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_edit_distance_pairs_joins_on_variant_not_cross(spark):
+    """The deletion-neighborhood join must be an equi-join on the variant
+    key — never a nested-loop/cartesian over the name pairs."""
+    plan = explain_str(REGISTRY["edit_distance_pairs"].fn(spark, SF_SMALL), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
