@@ -4378,6 +4378,235 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n AS n_transitions,
+           round(n / cast(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p_transition
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: lag() pairs each event with its predecessor, the "
+        "pair counts aggregate, and each row is normalized into a "
+        "transition probability by a window sum over the source state. "
+        "Sequence mining's first artifact (and the sanity check for any "
+        "behavioral simulator). The per-user ordering window shuffles "
+        "on user_id; the (prev, next) matrix is event-type-squared "
+        "sized — driver-scale — so the normalizing window is cheap "
+        "regardless of input volume.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    s = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+           count(l_orderkey) AS n_filled,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           cast(min(l_orderkey) AS VARCHAR) AS min_value,
+           cast(max(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(l_quantity),
+           count(DISTINCT l_quantity),
+           cast(min(l_quantity) AS VARCHAR), cast(max(l_quantity) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           cast(min(l_returnflag) AS VARCHAR),
+           cast(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*), count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           cast(min(l_linestatus) AS VARCHAR),
+           cast(max(l_linestatus) AS VARCHAR)
+    FROM lineitem
+    """,
+    doc="Data profiling: per-column row/fill/distinct counts and min/max "
+        "(stringified for a uniform schema) over four lineitem columns — "
+        "the table summary every ingestion contract check starts from. "
+        "Spark computes ALL columns' stats in ONE aggregate (the multi-"
+        "distinct Expand strategy: one scan, rows replicated per "
+        "distinct group map-side) and unpivots the single result row "
+        "with stack(); the oracle spells the four-scan UNION ALL "
+        "equivalent. One pass at 100 TB vs one pass per column "
+        "profiled.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__filled"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__filled, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_filled, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_filled", "n_distinct", "min_value", "max_value"
+    )
+
+
+@register(
+    "value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             cast(sum(cast(value AS DECIMAL(18,6))
+                      * cast(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1
+    ), ms AS (
+      SELECT event_type, s1 / n AS mu,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.mu) / m.sd, 6) AS z
+    FROM events e JOIN ms m USING (event_type)
+    WHERE abs(e.value - m.mu) > 2.5 * m.sd
+    """,
+    doc="Statistical outlier detection: events more than 2.5 sample "
+        "standard deviations from their type's mean, with z-scores — "
+        "the anomaly gate in a metrics pipeline. Group moments come "
+        "from decimal-exact sums (s1, s2), so mu/sd — and therefore "
+        "the boundary predicate itself — are bit-identical across "
+        "engines and partitionings (IEEE ops on identical inputs); a "
+        "float-accumulated stddev would make borderline rows flip "
+        "between runs. The per-type stats table is tiny and broadcasts "
+        "back onto the event scan.",
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    ms = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    joined = ev.join(F.broadcast(ms), "event_type")
+    return joined.filter(
+        F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sd")
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+
+
+@register(
+    "knn_triangles",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    scored AS (
+      SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+             list_cosine_similarity(x.ve, y.ve) AS cosine
+      FROM v x JOIN v y ON x.vec_id <> y.vec_id
+    ), ranked AS (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rank
+      FROM scored
+    ), und AS (
+      SELECT DISTINCT least(src_id, dst_id) AS a,
+                      greatest(src_id, dst_id) AS b
+      FROM ranked WHERE rank <= 5
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pv AS (
+      SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT v AS vec_id, count(*) AS n_triangles FROM pv GROUP BY v
+    """,
+    doc="Per-vertex triangle counting over the kNN-graph's undirected "
+        "edges — the local clustering signal used to find tight "
+        "duplicate communities vs hub artifacts in similarity graphs. "
+        "Edges are canonicalized (a < b) so every triangle (x<y<z) is "
+        "materialized exactly once by the wedge join (e1: x-y, e2: y-z) "
+        "plus the closure probe (e3: x-z); vertices then get credit via "
+        "an explode, not three separate joins. Both wedge and closure "
+        "are equi-joins that shuffle on vertex keys — the standard "
+        "distributed formulation; ordering edges low-to-high bounds "
+        "wedge fan-out by the max canonical out-degree.",
+)
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = knn_graph(spark, sf_dir)
+    und = g.select(
+        F.least("src_id", "dst_id").alias("a"),
+        F.greatest("src_id", "dst_id").alias("b"),
+    ).distinct()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pv = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("vec_id")
+    )
+    return pv.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
