@@ -107,3 +107,73 @@ def duplicate_clusters(
         pairs, vertices=corpus_ids.select(id_col), src="id_a", dst="id_b"
     )
     return comp.select(F.col("id").alias(id_col), "cluster_id")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """PageRank over the directed graph given by ``edges``.
+
+    Returns ``(id, pagerank)`` with ranks summing to ~1. Classic power
+    iteration as repeated DataFrame joins — the canonical iterative
+    algorithm on Spark:
+
+    - out-degrees are computed ONCE and stay joined to the rank table, so
+      each round is one equi-join (ranks x edges, shuffled on the source
+      key) + one partial-aggregating groupBy on the destination key;
+    - dangling-node mass (vertices with no out-edges) is collected as a
+      scalar per round and redistributed uniformly — one driver double,
+      not a data move;
+    - the rank table is ``localCheckpoint``ed each round: without it the
+      lineage doubles per iteration and stage-retry cost explodes —
+      the same discipline as ``connected_components`` above.
+
+    Rank sums accumulate in float; results are deterministic up to
+    combine order (~1e-15 per round), which is why the registry exposes
+    this rows-only with an independent numpy reference test instead of a
+    SQL oracle.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint()
+    verts = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ranks carry outdeg along so the per-round join is edges x ranks only
+    ranks = verts.join(outdeg, verts.id == outdeg.s, "left").select(
+        "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        F.lit(1.0 / n).alias("rank"),
+    ).localCheckpoint()
+
+    for _ in range(iterations):
+        dangling = (
+            ranks.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(ranks, e.s == ranks.id)
+            .select("d", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            ranks.join(contribs, ranks.id == contribs.d, "left")
+            .select(
+                "id",
+                "outdeg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("rank").alias("pagerank"))

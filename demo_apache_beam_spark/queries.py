@@ -4607,6 +4607,28 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+@register(
+    "knn_pagerank",
+    None,  # iterative float accumulation — rows-only; numpy reference test
+    doc="PageRank over the kNN similarity graph (damping 0.85, 10 power "
+        "iterations): hub vectors — documents similar to many others — "
+        "surface with high rank, the signal for template/boilerplate "
+        "clusters in an embedding corpus. Each round is one shuffle "
+        "join (ranks x edges on the source key) plus a partial-"
+        "aggregating inflow groupBy; dangling mass moves as one driver "
+        "scalar; localCheckpoint per round caps lineage. Verified "
+        "against an independent numpy power iteration in pytest.",
+)
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    pr = pagerank(g, damping=0.85, iterations=10)
+    return pr.select(
+        F.col("id").alias("vec_id"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -148,3 +148,51 @@ def test_asof_join_right_ties_are_deterministic(spark):
         [row] = asof_join(left, right, on=["k"]).collect()
         results.add((row["ts_right"], row["px_right"]))
     assert results == {(90, 2.0)}, results
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """DataFrame power iteration must match an independent dense numpy
+    implementation (same damping, iterations, dangling redistribution)."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (3) and a 2-cycle hub
+    edge_list = [(0, 1), (1, 0), (0, 2), (2, 1), (4, 0), (4, 3), (2, 3)]
+    edges = spark.createDataFrame(edge_list, "src_id long, dst_id long")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(edges, damping=0.85, iterations=20).collect()
+    }
+
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in edge_list:
+        A[s, d] = 1.0
+    outdeg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        dangling = r[outdeg == 0].sum()
+        inflow = np.zeros(n)
+        for s in range(n):
+            if outdeg[s]:
+                inflow += A[s] * (r[s] / outdeg[s])
+        r = (1 - 0.85) / n + 0.85 * dangling / n + 0.85 * inflow
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """On a star graph every leaf points at the center: the center must
+    hold the max rank and all leaves tie."""
+    from demo_apache_beam_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 8)], "src_id long, dst_id long"
+    )
+    rows = pagerank(edges, iterations=5).collect()
+    ranks = {r["id"]: r["pagerank"] for r in rows}
+    assert max(ranks, key=ranks.get) == 99
+    leaf_ranks = {round(v, 12) for k, v in ranks.items() if k != 99}
+    assert len(leaf_ranks) == 1
