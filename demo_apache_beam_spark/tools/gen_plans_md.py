@@ -30,6 +30,10 @@ HEADLINE = [
     "dedup_exact",
     "embedding_knn",
     "events_zorder_index",
+    "inverted_index",
+    "edit_distance_pairs",
+    "key_skew_profile",
+    "m4_downsample",
 ]
 
 _SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
