@@ -72,17 +72,17 @@ def _game_events(
 ) -> DataFrame:
     """events table in game-event shape (user, team, score int, ts millis).
 
-    Optional strict-exclusive event-time bounds are applied on the RAW
-    nanos long before any conversion, as plain comparisons the parquet
-    reader evaluates (PushedFilters → row-group pruning); the semantics
-    are identical to ``filter_time_range`` on the derived ms column:
-    ms > S ⟺ ns ≥ (S+1)·10⁶ and ms < T ⟺ ns < T·10⁶ (floor division).
+    Optional strict-exclusive event-time bounds are applied as plain
+    timestamp-literal comparisons on the scan column — the parquet reader
+    evaluates those (PushedFilters → row-group pruning); the semantics are
+    identical to ``filter_time_range`` on the derived ms column:
+    ms > S ⟺ µs ≥ (S+1)·10³ and ms < T ⟺ µs < T·10³ (floor division).
     """
-    ev = load_table(spark, sf_dir, "events", keep_raw_nanos=True)
+    ev = load_table(spark, sf_dir, "events")
     if start_ms is not None:
-        ev = ev.filter(F.col("ts__ns") > F.lit((start_ms + 1) * 1_000_000 - 1))
+        ev = ev.filter(F.col("ts") >= F.timestamp_micros(F.lit((start_ms + 1) * 1000)))
     if stop_ms is not None:
-        ev = ev.filter(F.col("ts__ns") < F.lit(stop_ms * 1_000_000))
+        ev = ev.filter(F.col("ts") < F.timestamp_micros(F.lit(stop_ms * 1000)))
     return ev.select(
         F.col("user_id").cast("string").alias("user"),
         F.col("event_type").alias("team"),
@@ -1219,13 +1219,13 @@ _MID_MS = 1705276800000
         "a left-semi hash join over the two distinct key sets.",
 )
 def cross_period_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # both halves filter on the RAW nanos long so the split reaches the
-    # parquet reader as a plain comparison (row-group pruning on each
-    # branch); ms < M ⟺ ns < M·10⁶ exactly under floor division
-    ev = load_table(spark, sf_dir, "events", keep_raw_nanos=True)
-    cut_ns = _MID_MS * 1_000_000
-    first_half = ev.filter(F.col("ts__ns") < cut_ns).select("user_id")
-    second_half = ev.filter(F.col("ts__ns") >= cut_ns).select("user_id")
+    # both halves filter on the scan column with a timestamp literal so the
+    # split reaches the parquet reader as a plain comparison (row-group
+    # pruning on each branch); ms < M ⟺ µs < M·10³ exactly under floor division
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.timestamp_micros(F.lit(_MID_MS * 1000))
+    first_half = ev.filter(F.col("ts") < cut).select("user_id")
+    second_half = ev.filter(F.col("ts") >= cut).select("user_id")
     return first_half.intersect(second_half)
 
 

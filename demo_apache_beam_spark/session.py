@@ -21,6 +21,9 @@ ENGINE_SQL_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # testdata timestamps are TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # read them as plain instants (raw micros), not TIMESTAMP_NTZ
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet scans: vectorized reader + pushdown are on by default; keep
     # files splittable at ~128MB so a 100 TB table yields ~800k tasks, not 8.

@@ -23,36 +23,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(
-    spark: SparkSession, sf_dir: str, name: str, keep_raw_nanos: bool = False
-) -> DataFrame:
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Schema comes from parquet footers (exact, no
     inference cost); declared schemas in ``schemas.py`` document the shape.
 
-    Parquet TIMESTAMP(NANOS) columns (the driver writes ``events.ts`` /
-    ``orders.o_orderdate`` / ``lineitem.l_shipdate`` via pandas, nanosecond
-    unit) are illegal for Spark's reader; we read them as long nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
-    ``DIV 1000`` — exactly DuckDB's truncating ns→µs conversion, so oracle
-    comparisons stay bit-identical. Plain ``/ 1000`` would round through
-    double and corrupt the microsecond for epoch-nanos magnitudes.
+    Timestamp physical encodings have varied across testdata generations,
+    so both are normalized to plain ``TimestampType`` whose stored micros
+    equal the file's values — exactly DuckDB's reading of the same file
+    under a UTC session, so oracle comparisons stay bit-identical:
 
-    ``keep_raw_nanos`` additionally exposes each converted column's raw
-    long as ``<name>__ns``: predicates on the *converted* timestamp are
-    expressions the parquet reader can't evaluate (only ``IsNotNull``
-    pushes), while plain comparisons on the raw long push all the way
-    into the scan for row-group pruning — the difference between reading
-    a time slice and reading 100 TB. Unused, the column is pruned away.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      ``TIMESTAMP_NTZ`` by default, which ``unix_micros`` / windowing
+      reject; disabling ``inferTimestampNTZ`` reads the raw micros as a
+      plain instant, no value conversion. Predicates against timestamp
+      literals still push to the parquet reader for row-group pruning.
+    - TIMESTAMP(NANOS): illegal for Spark's reader; read as long nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and converted with
+      integer ``DIV 1000`` — DuckDB's truncating ns→µs conversion. Plain
+      ``/ 1000`` would round through double and corrupt the microsecond.
+
+    The session timezone is pinned UTC here (not only in ``session.py``)
+    because driver-owned sessions call straight into query functions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and _is_timestamp_col(name, field.name):
-            if keep_raw_nanos:
-                df = df.withColumn(f"{field.name}__ns", F.col(field.name))
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Defensive: if NTZ inference was somehow re-enabled, reinterpret
+            # under the UTC session (identity on the stored micros).
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

@@ -12,9 +12,9 @@ from demo_apache_beam_spark.queries import REGISTRY
 
 def test_time_filter_pushes_to_scan(spark):
     """The strict event-time bounds must reach the parquet reader as plain
-    long comparisons on the raw nanos column (row-group pruning)."""
+    timestamp comparisons on the scan column (row-group pruning)."""
     df = REGISTRY["time_filtered_user_score"].fn(spark, SF_SMALL)
-    assert_pushed_down(df, "GreaterThan(ts,")
+    assert_pushed_down(df, "GreaterThanOrEqual(ts,")
     assert_pushed_down(df, "LessThan(ts,")
 
 
@@ -89,8 +89,8 @@ def test_shipping_priority_pushdown_and_topk(spark):
 
 
 def test_cross_period_split_pushes_to_scan(spark):
-    """INTERSECT halves: each branch's time split is a plain long
-    comparison on the raw nanos column at the parquet reader."""
+    """INTERSECT halves: each branch's time split is a plain timestamp
+    comparison on the scan column at the parquet reader."""
     plan = explain_str(REGISTRY["cross_period_actives"].fn(spark, SF_SMALL))
     assert "LessThan(ts," in plan
     assert "GreaterThanOrEqual(ts," in plan
