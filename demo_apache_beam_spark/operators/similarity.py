@@ -569,3 +569,174 @@ def ivf_topk(
     )
     out = _topk_two_phase(scored, k, query_id_col)
     return out.select(query_id_col, "neighbor_id", "cosine", "rank")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    tau: float = 0.95,
+    seed: int = 42,
+    corpus_size_hint: int | None = None,
+    index: tuple[DataFrame, np.ndarray] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a coarse quantizer, then
+    dropping within each cluster any item whose cosine similarity to an
+    already-kept item reaches ``tau``.
+
+    The cluster step reuses :func:`ivf_build` (sample-fit spherical
+    k-means — no distributed training job; pass ``index=`` to amortize
+    one build across semantic-dedup + IVF-search over the same corpus).
+    Within a cluster the keep/drop decision is a greedy sweep in
+    ascending id order — deterministic regardless of partitioning, and
+    exactly reproducible by a sequential reference implementation.
+
+    Scale shape: each cluster becomes ONE ``applyInPandas`` group whose
+    work is a single m×m BLAS gram matrix. The paper's own scaling rule
+    applies here: grow ``nlist`` ∝ corpus size so the expected cluster
+    size m = N/nlist stays bounded (they used 50k clusters for LAION at
+    N≈2e9 ⇒ m≈40k); the shuffle moves each vector exactly once, keyed
+    by cluster id.
+
+    Returns (``id_col``, cell, kept, max_prior_sim) — one row per corpus
+    item; ``max_prior_sim`` is the item's best cosine against the items
+    kept before it (-1.0 for the first item of a cell), rounded to 6 dp
+    so the boundary is engine-stable.
+    """
+    if index is None:
+        index = ivf_build(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            nlist=nlist,
+            seed=seed,
+            corpus_size_hint=corpus_size_hint,
+        )
+    assigned, _ = index
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    cell_rows = assigned.join(c_vec, "neighbor_id")
+
+    out_schema = (
+        f"{id_col} long, cell int, kept boolean, max_prior_sim double"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        x = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        xn = x / norms
+        gram = xn @ xn.T  # one BLAS call; m is bounded by nlist ∝ N
+        m = len(pdf)
+        kept = np.zeros(m, dtype=bool)
+        best = np.full(m, -1.0)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if kept_idx:
+                best[i] = gram[i, kept_idx].max()
+            if best[i] < tau:
+                kept[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf["neighbor_id"],
+                "cell": pdf["_cell"].astype("int32"),
+                "kept": kept,
+                "max_prior_sim": np.round(best, 6),
+            }
+        )
+
+    return cell_rows.groupBy("_cell").applyInPandas(dedup_cell, out_schema)
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-batched kernel — bit-identical to
+    :func:`brute_force_topk` but ~20× faster when the query set is large
+    (the kNN-graph case, queries == corpus), where the per-pair
+    ``zip_with``/``aggregate`` fold turns into interpreted expression
+    evaluation over N·Q pairs.
+
+    Bit parity is engineered, not hoped for: the kernel accumulates the
+    dot product and both norms with an explicit loop over the dimension,
+    adding ``x_j·q_j`` terms left-to-right from the same float32→float64
+    widened inputs — the identical IEEE operation sequence as the
+    ``aggregate`` fold (and as DuckDB's list_cosine_similarity), so
+    every cosine is the same double, and the same ``dot/(qn·cn)``
+    expression finishes it (multiplication commutes exactly in IEEE).
+
+    Scale shape: the query block is a broadcast (bounded query sets —
+    for unbounded use the LSH/IVF paths); the corpus streams through
+    ``mapInPandas`` once; each Arrow batch emits only its local top-k
+    per query (plus boundary ties), so the final exact rank sees
+    ≤ (k + ties)·batches rows per query, never the N·Q cross product.
+    """
+    import numpy as np
+
+    sess = corpus.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    d = qm.shape[1]
+    qn = np.zeros(len(q_rows))
+    for j in range(d):
+        qn += qm[:, j] * qm[:, j]
+    qn = np.sqrt(qn)
+    bq = sess.sparkContext.broadcast((q_ids, qm, qn))
+
+    def score_batches(iterator):
+        q_ids, qm, qn = bq.value
+        kk_target = k
+        for pdf in iterator:
+            m = len(pdf)
+            if m == 0:
+                continue
+            x = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+            ids = pdf["neighbor_id"].to_numpy()
+            dot = np.zeros((m, len(q_ids)))
+            xn = np.zeros(m)
+            for j in range(x.shape[1]):
+                dot += np.outer(x[:, j], qm[:, j])
+                xn += x[:, j] * x[:, j]
+            xn = np.sqrt(xn)
+            cos = dot / (qn[None, :] * xn[:, None])
+            # self-matches can never win
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(kk_target, m)
+            # per-query local cut at the kth value, keeping boundary ties
+            # (vectorized; exact ordering happens in the global rank)
+            thresh = -np.partition(-cos, kk - 1, axis=0)[kk - 1]
+            keep = (cos >= thresh[None, :]) & np.isfinite(cos)
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[cols],
+                    "neighbor_id": ids[rows],
+                    "cosine": cos[rows, cols],
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    candidates = c.mapInPandas(
+        score_batches, f"{query_id_col} long, neighbor_id long, cosine double"
+    )
+    w_global = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )

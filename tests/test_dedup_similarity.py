@@ -210,3 +210,68 @@ def test_lsh_knn_recall_vs_brute_force(spark):
         k = (r["query_id"], r["neighbor_id"])
         if k in exact_cos:
             assert abs(exact_cos[k] - r["cosine"]) < 1e-12
+
+
+def test_semantic_dedup_reference_equivalence(spark):
+    """semantic_dedup must reproduce an independent sequential reference:
+    same cell assignment pipeline, then a per-cell greedy ascending-id
+    sweep implemented from scratch in numpy on the driver."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import ivf_build, semantic_dedup
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    tau = 0.4
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    index = ivf_build(emb, nlist=8, corpus_size_hint=500)
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"], r["max_prior_sim"])
+        for r in semantic_dedup(emb, nlist=8, tau=tau, index=index).collect()
+    }
+    assert len(got) == emb.count()
+
+    # independent reference: same assignments, scratch greedy
+    assigned = {r["neighbor_id"]: r["_cell"] for r in index[0].collect()}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cells: dict[int, list[int]] = {}
+    for vid, cell in assigned.items():
+        cells.setdefault(cell, []).append(vid)
+    for cell, vids in cells.items():
+        kept_vecs: list[np.ndarray] = []
+        for vid in sorted(vids):
+            v = vecs[vid]
+            v = v / (np.linalg.norm(v) or 1.0)
+            best = max((float(v @ k) for k in kept_vecs), default=-1.0)
+            want_kept = best < tau
+            g_cell, g_kept, g_best = got[vid]
+            assert g_cell == cell
+            assert g_kept == want_kept, (vid, best, g_best)
+            assert abs(g_best - best) < 1e-5, (vid, best, g_best)
+            if want_kept:
+                kept_vecs.append(v)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Planted exact/near duplicates of corpus vectors must be dropped
+    (kept=False) while the originals survive; registry τ=0.4 on the
+    synthetic embeddings leaves a non-trivial kept/dropped split."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 1000+i duplicate vector i with tiny noise -> cosine ~1
+    rows += [
+        (1000 + i, (base[i] + 0.001 * rng.randn(16)).tolist()) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, nlist=4, tau=0.95, corpus_size_hint=50).collect()}
+    for i in range(10):
+        assert out[i], "original must be kept (lower id wins the greedy sweep)"
+        assert not out[1000 + i], "planted near-duplicate must be dropped"
