@@ -770,3 +770,58 @@ def test_streaming_session_merges_across_batches(spark, stream_dirs):
     q.stop()
 
     assert seen == [("u1", 7, 2)], seen
+
+
+def test_transform_with_state_running_totals(spark, stream_dirs):
+    """transformWithStateInPandas (the modern stateful API): named
+    ValueState must persist across micro-batches and the final state must
+    equal the batch groupBy sum — same contract as the legacy
+    applyInPandasWithState streak operator."""
+    from demo_apache_beam_spark.streaming.modern_state import (
+        HAS_TRANSFORM_WITH_STATE,
+        ROCKSDB_PROVIDER,
+        user_running_totals_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithState not available in this runtime")
+
+    in_dir, chk = stream_dirs
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    try:
+        _write_lines(in_dir, "a.txt", [
+            _line("u1", "t", 5, BASE_MS),
+            _line("u1", "t", 2, BASE_MS + 1000),
+            _line("u2", "t", 9, BASE_MS),
+        ])
+        events = read_game_event_lines(spark, in_dir)
+        totals = user_running_totals_tws(events)
+        state: dict = {}
+
+        def sink(batch_df, _epoch):
+            for row in batch_df.collect():
+                state[row["user"]] = (row["total_score"], row["n_events"])
+
+        q = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        q.processAllAvailable()
+        assert state == {"u1": (7, 2), "u2": (9, 1)}
+        # second micro-batch: state carries, new key appears
+        _write_lines(in_dir, "b.txt", [
+            _line("u1", "t", 4, BASE_MS + 2000),
+            _line("u3", "t", 1, BASE_MS + 2000),
+        ])
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    assert state == {"u1": (11, 3), "u2": (9, 1), "u3": (1, 1)}
