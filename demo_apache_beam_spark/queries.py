@@ -4778,13 +4778,16 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
     ), cnt AS (
-      SELECT token, count(*) AS c FROM tok GROUP BY token
-    ), tot AS (SELECT count(*) AS t FROM tok)
-    SELECT doc_id, count(*) AS n_tokens,
-           round(cast(sum(cast(ln(cast(c AS DOUBLE) / t) AS DECIMAL(18,6)))
-                        AS DOUBLE) / count(*), 6) AS avg_logprob
-    FROM tok JOIN cnt USING (token) CROSS JOIN tot
+      SELECT token, cast(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token
+    ), tot AS (SELECT cast(sum(tf) AS BIGINT) AS t FROM tf)
+    SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_tokens,
+           round(cast(sum(tf * cast(ln(cast(c AS DOUBLE) / t)
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                   / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN cnt USING (token) CROSS JOIN tot
     GROUP BY doc_id
     """,
     doc="Unigram language-model scoring (the CCNet/KenLM-perplexity shape "
@@ -4792,27 +4795,33 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partial-aggregating groupBy producing the token→count model; "
         "score pass = join tokens to the model and average ln p(w) per "
         "doc. Low (very negative) scores flag rare-token outlier docs — "
-        "the standard perplexity-filter signal. The model join shuffles "
-        "on token (vocabulary is unbounded at crawl scale — no "
-        "broadcast assumption; AQE will broadcast when it measures "
-        "small), the corpus total rides a 1-row broadcast cross join, "
-        "and per-token ln values go through exact decimal summation so "
-        "the doc average is combine-order independent.",
+        "the standard perplexity-filter signal. Token occurrences "
+        "collapse to per-doc term frequencies BEFORE the model join "
+        "(map-side combine shrinks the shuffle by the within-doc "
+        "duplication factor — the same thing a count-based LM trainer "
+        "does), then the join shuffles on token (vocabulary is "
+        "unbounded at crawl scale — no broadcast assumption; AQE will "
+        "broadcast when it measures small), the corpus total rides a "
+        "1-row broadcast cross join, and tf-weighted ln values go "
+        "through exact int×decimal summation so the doc average is "
+        "combine-order independent.",
 )
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("t"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").alias("t"))
     lp = F.log(F.col("c").cast("double") / F.col("t"))
     return (
-        tok.join(cnt, "token")
+        tf.join(cnt, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             F.round(
-                F.sum(lp.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                F.sum(F.col("tf") * lp.cast("decimal(18,6)")).cast("double")
+                / F.sum("tf"),
                 6,
             ).alias("avg_logprob"),
         )
