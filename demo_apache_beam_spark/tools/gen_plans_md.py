@@ -34,6 +34,9 @@ HEADLINE = [
     "edit_distance_pairs",
     "key_skew_profile",
     "m4_downsample",
+    "user_snapshot_diff",
+    "doc_quality_gate",
+    "doc_unigram_logprob",
 ]
 
 _SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
