@@ -661,6 +661,7 @@ def brute_force_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    score_budget: int = 32_000_000,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-batched kernel — bit-identical to
     :func:`brute_force_topk` but ~20× faster when the query set is large
@@ -698,34 +699,39 @@ def brute_force_topk_blocked(
     def score_batches(iterator):
         q_ids, qm, qn = bq.value
         kk_target = k
-        for pdf in iterator:
-            m = len(pdf)
-            if m == 0:
-                continue
-            x = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
-            ids = pdf["neighbor_id"].to_numpy()
-            dot = np.zeros((m, len(q_ids)))
-            xn = np.zeros(m)
-            for j in range(x.shape[1]):
-                dot += np.outer(x[:, j], qm[:, j])
-                xn += x[:, j] * x[:, j]
-            xn = np.sqrt(xn)
-            cos = dot / (qn[None, :] * xn[:, None])
-            # self-matches can never win
-            cos[ids[:, None] == q_ids[None, :]] = -np.inf
-            kk = min(kk_target, m)
-            # per-query local cut at the kth value, keeping boundary ties
-            # (vectorized; exact ordering happens in the global rank)
-            thresh = -np.partition(-cos, kk - 1, axis=0)[kk - 1]
-            keep = (cos >= thresh[None, :]) & np.isfinite(cos)
-            rows, cols = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    query_id_col: q_ids[cols],
-                    "neighbor_id": ids[rows],
-                    "cosine": cos[rows, cols],
-                }
-            )
+        # cap the score-matrix footprint: rows-per-chunk × Q ≤ score_budget
+        # doubles (256 MB default) regardless of Arrow batch or query-set size
+        chunk_rows = max(1, score_budget // max(1, len(q_ids)))
+        for whole in iterator:
+            for start in range(0, len(whole), chunk_rows):
+                pdf = whole.iloc[start : start + chunk_rows]
+                m = len(pdf)
+                if m == 0:
+                    continue
+                x = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+                ids = pdf["neighbor_id"].to_numpy()
+                dot = np.zeros((m, len(q_ids)))
+                xn = np.zeros(m)
+                for j in range(x.shape[1]):
+                    dot += np.outer(x[:, j], qm[:, j])
+                    xn += x[:, j] * x[:, j]
+                xn = np.sqrt(xn)
+                cos = dot / (qn[None, :] * xn[:, None])
+                # self-matches can never win
+                cos[ids[:, None] == q_ids[None, :]] = -np.inf
+                kk = min(kk_target, m)
+                # per-query local cut at the kth value, keeping boundary ties
+                # (vectorized; exact ordering happens in the global rank)
+                thresh = -np.partition(-cos, kk - 1, axis=0)[kk - 1]
+                keep = (cos >= thresh[None, :]) & np.isfinite(cos)
+                rows, cols = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        query_id_col: q_ids[cols],
+                        "neighbor_id": ids[rows],
+                        "cosine": cos[rows, cols],
+                    }
+                )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")

@@ -275,3 +275,33 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     for i in range(10):
         assert out[i], "original must be kept (lower id wins the greedy sweep)"
         assert not out[1000 + i], "planted near-duplicate must be dropped"
+
+
+def test_blocked_topk_matches_hof_fold_and_chunks(spark):
+    """brute_force_topk_blocked must return the identical (query, neighbor,
+    cosine, rank) set as the zip_with/aggregate fold — including with a
+    tiny score_budget that forces many sub-chunks per Arrow batch."""
+    from demo_apache_beam_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blocked,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    for budget in (32_000_000, 5_000):  # one chunk vs ~100-row chunks
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in brute_force_topk_blocked(
+                emb, q, k=3, score_budget=budget
+            ).collect()
+        }
+        assert got.keys() == want.keys()
+        for key, (nid, cos) in want.items():
+            gnid, gcos = got[key]
+            assert gnid == nid, (budget, key)
+            assert gcos == cos, (budget, key)  # bit-identical, not approx
