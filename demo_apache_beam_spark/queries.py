@@ -4900,6 +4900,72 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "team_user_rosters",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL})
+    SELECT team,
+           count(DISTINCT user_key) AS n_users,
+           string_agg(DISTINCT user_key, ',' ORDER BY user_key) AS roster
+    FROM game GROUP BY team
+    """,
+    doc="Ordered string aggregation (LISTAGG family): the distinct per-team "
+        "user roster as one deterministic comma-joined string. Spark "
+        "collects the distinct set and sorts INSIDE the aggregate "
+        "(sort_array ∘ collect_set), so no output order depends on "
+        "partitioning — the only way array/list aggregation is usable "
+        "in a distributed engine; the string form also keeps the result "
+        "canonicalizable (no array columns across the compare boundary). "
+        "Group sizes are user-cardinality bounded, not event bounded: "
+        "collect_set's partial state dedups map-side.",
+)
+def team_user_rosters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    return game.groupBy("team").agg(
+        F.countDistinct("user_key").alias("n_users"),
+        F.array_join(F.sort_array(F.collect_set("user_key")), ",").alias("roster"),
+    )
+
+
+@register(
+    "user_percentile_standing",
+    f"""
+    WITH game AS ({_GAME_EVENTS_SQL}),
+    totals AS (
+      SELECT team, user_key, cast(sum(score) AS BIGINT) AS total_score
+      FROM game GROUP BY team, user_key
+    )
+    SELECT team, user_key, total_score,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist
+    FROM totals
+    WINDOW w AS (PARTITION BY team ORDER BY total_score, user_key)
+    """,
+    doc="Relative-standing window functions (percent_rank + cume_dist) "
+        "over per-team score totals — the leaderboard-percentile view. "
+        "Both are rational functions of integer rank and partition size "
+        "((r-1)/(n-1), r/n) so the doubles are engine-exact; the window "
+        "partitions by team over pre-aggregated user rows (user-"
+        "cardinality sized, shuffled once on team). The total_score, "
+        "user_key ordering makes ranks deterministic under ties.",
+)
+def user_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    game = _game_events(spark, sf_dir).withColumnRenamed("user", "user_key")
+    totals = game.groupBy("team", "user_key").agg(
+        F.sum("score").cast("long").alias("total_score")
+    )
+    w = Window.partitionBy("team").orderBy("total_score", "user_key")
+    return totals.select(
+        "team",
+        "user_key",
+        "total_score",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
