@@ -127,7 +127,10 @@ def pagerank(
       key) + one partial-aggregating groupBy on the destination key;
     - dangling-node mass (vertices with no out-edges) is collected as a
       scalar per round and redistributed uniformly — one driver double,
-      not a data move;
+      not a data move. Whether dangling vertices exist at all is decided
+      ONCE before the loop (out-degrees never change), so graphs with
+      none — every k-out-regular kNN graph — skip the per-round
+      collect job entirely;
     - the rank table is ``localCheckpoint``ed each round: without it the
       lineage doubles per iteration and stage-retry cost explodes —
       the same discipline as ``connected_components`` above.
@@ -153,11 +156,12 @@ def pagerank(
         F.lit(1.0 / n).alias("rank"),
     ).localCheckpoint()
 
+    has_dangling = ranks.filter(F.col("outdeg") == 0).limit(1).count() > 0
     for _ in range(iterations):
         dangling = (
             ranks.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contribs = (
             e.join(ranks, e.s == ranks.id)
             .select("d", (F.col("rank") / F.col("outdeg")).alias("c"))
