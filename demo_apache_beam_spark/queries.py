@@ -4913,6 +4913,102 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curated_corpus_model",
+    """
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), tok AS (
+      SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS token
+      FROM documents d JOIN canon USING (doc_id)
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), cnt AS (
+      SELECT token, cast(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token
+    ), tot AS (SELECT cast(sum(tf) AS BIGINT) AS t FROM tf),
+    lm AS (
+      SELECT doc_id,
+             cast(sum(tf * cast(ln(cast(c AS DOUBLE) / t)
+                                AS DECIMAL(18,6))) AS DOUBLE)
+               / sum(tf) AS avg_logprob
+      FROM tf JOIN cnt USING (token) CROSS JOIN tot GROUP BY doc_id
+    ), gate AS (
+      SELECT d.doc_id, d.lang,
+             6.0 * (cast(len(list_filter(string_split(d.text, ' '),
+                                         t -> t = 'a' OR t = 'the'))
+                         AS DOUBLE)
+                    / len(string_split(d.text, ' ')))
+               + 0.5 * ((cast(length(d.text) AS DOUBLE)
+                          - (len(string_split(d.text, ' ')) - 1))
+                        / len(string_split(d.text, ' ')))
+               + 0.01 * len(string_split(d.text, ' ')) - 3.2 AS quality
+      FROM documents d JOIN canon USING (doc_id)
+    )
+    SELECT g.doc_id, g.lang,
+           round(g.quality, 6) AS quality_score,
+           round(l.avg_logprob, 6) AS avg_logprob
+    FROM gate g JOIN lm l USING (doc_id)
+    WHERE g.quality > 0.0 AND l.avg_logprob > -7.1
+    """,
+    doc="Model-based curation capstone — the round-4 signals composed "
+        "into one plan, the shape of a production pretraining filter "
+        "chain (CCNet/Gopher): exact dedup keeps the canonical copy "
+        "(md5 digests only in that shuffle), survivors are scored by "
+        "the linear quality classifier (shuffle-free codegen) AND the "
+        "corpus unigram LM (tf-collapsed model join), and the corpus "
+        "keeps docs passing both gates. Catalyst shares the canon "
+        "subplan across both consumers; every constant matches "
+        "doc_quality_gate / doc_unigram_logprob so the stage results "
+        "are reusable staged tables in a real pipeline.",
+)
+def curated_corpus_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = docs.join(canon.select("doc_id"), "doc_id")
+
+    tok = kept.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    lp = F.log(F.col("c").cast("double") / F.col("t"))
+    lm = (
+        tf.join(cnt, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * lp.cast("decimal(18,6)")).cast("double")
+                / F.sum("tf")
+            ).alias("avg_logprob")
+        )
+    )
+
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: (t == F.lit("a")) | (t == F.lit("the")))
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    quality = (
+        F.lit(6.0) * (n_stop / n_tokens)
+        + F.lit(0.5) * ((n_chars - (n_tokens - F.lit(1))) / n_tokens)
+        + F.lit(0.01) * n_tokens
+        - F.lit(3.2)
+    )
+    gate = kept.select("doc_id", "lang", quality.alias("quality"))
+
+    return (
+        gate.join(lm, "doc_id")
+        .filter((F.col("quality") > 0.0) & (F.col("avg_logprob") > -7.1))
+        .select(
+            "doc_id",
+            "lang",
+            F.round("quality", 6).alias("quality_score"),
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
     "team_user_rosters",
     f"""
     WITH game AS ({_GAME_EVENTS_SQL})
