@@ -16,18 +16,24 @@ against a plain SQL window:
 dead at 100 TB. This operator computes the same prefix sum the distributed
 way (the classic two-pass scan):
 
-1. ``repartitionByRange(order_col)`` — range partition i holds keys below
-   partition i+1's (RangePartitioner assigns ascending ranges to ascending
-   partition ids, verified by the equivalence test);
-2. per-partition running sums — a window PARTITIONed BY the range bucket,
-   so all buckets run in parallel;
-3. per-partition totals (one row per partition) are collected to the
-   driver, prefix-summed there (bounded: O(num_partitions) rows — this is
-   the documented driver-side step), and broadcast back as a bucket →
+1. range boundaries for ``order_col`` come from ONE driver-side
+   ``approxQuantile`` pass and become literal constants — every
+   downstream job derives the bucket of a row from the same expression.
+   (The first implementation used ``repartitionByRange`` +
+   ``spark_partition_id``; RangePartitioner re-SAMPLES its boundaries on
+   every execution, so the totals job and the window job could disagree
+   about bucket membership — shard ids drifted off-by-one at bucket
+   edges at sf0.1. Deterministic literal boundaries make the two passes
+   consistent by construction.);
+2. per-bucket running sums — a window PARTITIONed BY the bucket, so all
+   buckets run in parallel;
+3. per-bucket totals (one row per bucket) are collected to the driver,
+   prefix-summed there (bounded: O(num_partitions) rows — this is the
+   documented driver-side step), and broadcast back as a bucket →
    offset map.
 
-The range shuffle is reused between the totals job and the final plan
-(same exchange lineage), so the data moves once.
+Quantile boundaries keep buckets balanced under any key distribution;
+boundary precision only affects balance, never correctness.
 """
 
 from __future__ import annotations
@@ -55,9 +61,18 @@ def sequential_pack(
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
 
-    ranged = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
-        "__bucket", F.spark_partition_id()
-    )
+    # Deterministic range bucketing: boundaries are computed once and
+    # frozen as literals, so the window pass and the totals pass agree on
+    # every row's bucket across recomputations (repartitionByRange would
+    # re-sample per execution — see module docstring).
+    probs = [i / nparts for i in range(1, nparts)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(order_col) >= b))
+    else:
+        bucket = F.lit(0)
+    ranged = df.withColumn("__bucket", bucket)
     in_bucket = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
