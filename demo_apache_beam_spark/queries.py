@@ -4747,7 +4747,8 @@ def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.01 * n_tokens - 3.2 AS score
       FROM f
     )
-    SELECT doc_id, lang, n_tokens, round(score, 6) AS quality_score,
+    SELECT doc_id, lang, n_tokens,
+           round(score, 6) + 0.0 AS quality_score,
            score > 0.0 AS passed
     FROM z
     """,
@@ -4776,11 +4777,13 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.01) * n_tokens
         - F.lit(3.2)
     )
+    # `+ 0.0` collapses IEEE negative zero (round(-1e-9, 6) reprs as -0.0
+    # in some engines, 0.0 in others — same number, different hash)
     return docs.select(
         "doc_id",
         "lang",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) + F.lit(0.0)).alias("quality_score"),
         (score > F.lit(0.0)).alias("passed"),
     )
 
