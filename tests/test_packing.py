@@ -58,3 +58,35 @@ def test_pack_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 1)], "k int, w int")
     with pytest.raises(ValueError):
         sequential_pack(df, "k", "w", 0)
+
+
+def test_pack_property_random_weights_and_partition_counts(spark):
+    """Distributed prefix-sum shard assignment must equal the sequential
+    reference for arbitrary weights, budgets, and bucket counts — the
+    regression surface of the range-boundary drift bug (two passes
+    disagreeing on bucket membership)."""
+    import random
+
+    from demo_apache_beam_spark.operators.packing import sequential_pack
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.choice([7, 200, 1003])
+        budget = rng.choice([1, 17, 5000])
+        nparts = rng.choice([1, 3, 8, 64])
+        ids = rng.sample(range(10 * n), n)  # sparse, unordered ids
+        weights = [rng.randint(0, 50) for _ in ids]
+        df = spark.createDataFrame(
+            list(zip(ids, weights)), "k long, w long"
+        ).repartition(5)  # arrival layout unrelated to key order
+        got = {
+            r["k"]: r["shard_id"]
+            for r in sequential_pack(
+                df, "k", "w", budget, num_partitions=nparts
+            ).collect()
+        }
+        acc = 0
+        for k, w in sorted(zip(ids, weights)):
+            assert got[k] == acc // budget, (trial, n, budget, nparts, k)
+            acc += w
+        assert len(got) == n
