@@ -4916,6 +4916,35 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_sketch_rollup",
+    None,  # sketch binaries are engine-specific; error-bound pytest instead
+    doc="Mergeable-sketch rollup (Apache DataSketches HLL, Spark-native "
+        "hll_sketch_agg/hll_union_agg): per-(team, day) user sketches "
+        "built in one pass, then UNIONED — not recomputed — into "
+        "per-team monthly distinct estimates. This is the incremental "
+        "warehouse pattern at 100 TB: daily sketch partials are written "
+        "once (bytes, mergeable, commutative), and any rollup window is "
+        "a cheap union over them, never a rescan of raw events; "
+        "approx_user_cardinality is the single-shot sibling. Estimates "
+        "are checked against exact distinct counts in pytest "
+        "(error-bound), since sketch binaries and estimate rounding are "
+        "engine-specific.",
+)
+def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )
+
+
+@register(
     "curated_corpus_model",
     """
     WITH canon AS (

@@ -97,3 +97,21 @@ def test_sql_api_free_form_query(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_sketch_rollup_error_bound(spark):
+    """Daily HLL sketches unioned per team must estimate the exact
+    distinct user count within HLL error (loose multiple)."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["user_sketch_rollup"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r["team"]: r["n_users"]
+        for r in REGISTRY["distinct_users_per_team"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for team, n in exact.items():
+        assert abs(approx[team] - n) <= max(2, 0.1 * n), (team, approx[team], n)
