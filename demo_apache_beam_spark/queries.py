@@ -4916,6 +4916,60 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars, ln(u) / n_chars AS k FROM h
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars, k,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, round(k, 6) AS es_key,
+           rn AS sample_rank
+    FROM ranked WHERE rn <= 15
+    """,
+    doc="Weighted sampling without replacement (Efraimidis–Spirakis "
+        "A-Res): per-language top-15 by the exponential-rank key "
+        "u^(1/w) — computed as the order-equivalent ln(u)/w — with "
+        "w = n_chars, so longer documents are proportionally more "
+        "likely; the quality-weighted mixture-sampling step of corpus "
+        "assembly. The uniform u derives from the same multiplicative "
+        "hash as doc_stratified_sample (no RNG state: reproducible, "
+        "partition-independent, re-runnable). One hash-partitioned "
+        "window per stratum; hot strata take the two-phase top-k "
+        "instead of a full stratum sort.",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(1)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("k", 6).alias("es_key"),
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+    )
+
+
+@register(
     "user_sketch_rollup",
     None,  # sketch binaries are engine-specific; error-bound pytest instead
     doc="Mergeable-sketch rollup (Apache DataSketches HLL, Spark-native "
