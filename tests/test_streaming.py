@@ -825,3 +825,40 @@ def test_transform_with_state_running_totals(spark, stream_dirs):
         else:
             spark.conf.set(provider_key, old)
     assert state == {"u1": (11, 3), "u2": (9, 1), "u3": (1, 1)}
+
+
+def test_windowed_topk_view_matches_batch(spark, stream_dirs):
+    """The live top-k view must converge to the batch per-window top-k
+    after each drain, including a rank change caused by late-but-within-
+    watermark data in a second micro-batch."""
+    from demo_apache_beam_spark.streaming.leaderboard import (
+        calculate_team_scores,
+        read_game_event_lines,
+    )
+    from demo_apache_beam_spark.streaming.topk import start_windowed_topk
+
+    in_dir, chk = stream_dirs
+    batch1 = [
+        _line("u1", "alpha", 10, BASE_MS),
+        _line("u2", "beta", 8, BASE_MS + 60_000),
+        _line("u3", "gamma", 6, BASE_MS + 120_000),
+        _line("u4", "delta", 1, BASE_MS + 120_000),
+    ]
+    # same hour window: beta overtakes alpha; delta overtakes gamma
+    batch2 = [
+        _line("u2", "beta", 5, BASE_MS + 180_000),
+        _line("u4", "delta", 9, BASE_MS + 60_000),
+    ]
+    _write_lines(in_dir, "a.txt", batch1)
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(events)
+    q, view = start_windowed_topk(team, chk, k=2)
+    try:
+        q.processAllAvailable()
+        (w1,) = view.topk().keys()
+        assert view.topk()[w1] == [("alpha", 10), ("beta", 8)]
+        _write_lines(in_dir, "b.txt", batch2)
+        q.processAllAvailable()
+        assert view.topk()[w1] == [("beta", 13), ("alpha", 10)]
+    finally:
+        q.stop()
