@@ -4916,6 +4916,67 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), bg AS (
+      SELECT a.doc_id, a.token AS w1, b.token AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, cast(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    )
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+           round(cast(sum(cast(ln(cast(n2 AS DOUBLE) / n1) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_bigram_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    doc="Bigram-LM scoring — the unigram gate's sequence-aware sibling "
+        "(one step closer to the KenLM perplexity filters of CCNet): "
+        "p(w2|w1) = count(w1,w2)/count(w1,·) from the corpus itself, a "
+        "doc scored by its mean ln p over adjacent pairs. Spark builds "
+        "bigrams with lead() over the (doc, position) window — ONE "
+        "shuffle on doc_id, where the oracle's positional self-join "
+        "would shuffle the token table twice; the model joins shuffle "
+        "on bigram/unigram keys (unbounded vocab, no broadcast "
+        "assumption) and the doc average goes through exact decimal "
+        "summation. Positions come from posexplode — no RNG, no ids.",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("token").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("token").alias("w1"), "w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    lp = F.log(F.col("n2").cast("double") / F.col("n1"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(lp.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+@register(
     "doc_weighted_sample",
     """
     WITH h AS (
