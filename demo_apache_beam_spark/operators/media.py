@@ -220,3 +220,75 @@ def sample_frames(
         .select("media_id", "payload")
         .mapInPandas(compute, out_schema)
     )
+
+def resize_images(
+    media: DataFrame, target_h: int = 8, target_w: int = 8
+) -> DataFrame:
+    """Image resize (area-average pooling) for ``image`` payloads over the
+    same mapInPandas batch shape every real decoder would feed.
+
+    Decode is the documented stub (no codec libraries in this
+    environment — see :func:`decode_payload`): the payload bytes are
+    reinterpreted as a deterministic grayscale raster with width =
+    ``meta.width`` and height = floor(n_bytes / width) (images whose fake
+    raster has no complete row are dropped, mirroring a decoder
+    rejecting a truncated file). The resize itself is REAL: each target
+    cell is the mean of its source-pixel block under index mapping
+    ``src_row → floor(row · target_h / H)`` — classic area-average
+    (INTER_AREA) pooling, computed with vectorized bincount sums per
+    image, never a Python per-pixel loop.
+
+    Output: one row per (media_id, py, px) target cell with the pooled
+    value — narrow scalar rows out of the executor (canonicalizable, no
+    array columns), payload bytes never re-enter a shuffle.
+    """
+    out_schema = (
+        "media_id long, src_h int, src_w int, py int, px int, value double"
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, pys, pxs, vals = [], [], [], [], [], []
+            for media_id, payload, width in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                w = int(width)
+                h = len(arr) // w
+                if h < 1:
+                    continue  # truncated "file": no complete raster row
+                img = arr[: h * w].reshape(h, w).astype(np.float64)
+                row_bin = (np.arange(h) * target_h) // h
+                col_bin = (np.arange(w) * target_w) // w
+                cell = row_bin[:, None] * target_w + col_bin[None, :]
+                sums = np.bincount(
+                    cell.ravel(), weights=img.ravel(),
+                    minlength=target_h * target_w,
+                )
+                counts = np.bincount(
+                    cell.ravel(), minlength=target_h * target_w
+                )
+                pooled = sums / counts
+                for idx in range(target_h * target_w):
+                    ids.append(media_id)
+                    hs.append(h)
+                    ws.append(w)
+                    pys.append(idx // target_w)
+                    pxs.append(idx % target_w)
+                    vals.append(pooled[idx])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "src_h": pd.Series(hs, dtype="int32"),
+                    "src_w": pd.Series(ws, dtype="int32"),
+                    "py": pd.Series(pys, dtype="int32"),
+                    "px": pd.Series(pxs, dtype="int32"),
+                    "value": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", F.col("meta.width").alias("width"))
+        .mapInPandas(compute, out_schema)
+    )

@@ -3279,6 +3279,24 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir))
 
 
+@register(
+    "media_image_resize",
+    None,  # mapInPandas area-average pooling — numpy-reference pytest
+    doc="Image resize to 8×8 via area-average (INTER_AREA) pooling over "
+        "mapInPandas: the decode is the documented stub (payload bytes "
+        "reinterpreted as a meta.width grayscale raster — no codecs in "
+        "this env), the pooling itself is real vectorized numpy with "
+        "floor-index block mapping, and the output is narrow scalar "
+        "(media_id, src dims, cell, value) rows — the exact batch shape "
+        "a PIL/turbojpeg decode would feed, verified against an "
+        "independent per-pixel reference in pytest.",
+)
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import resize_images
+
+    return resize_images(_media(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------

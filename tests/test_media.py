@@ -188,3 +188,60 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     for r in winnowing_fingerprints(df, k=8, window=16).collect():
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[1] & fps[2], "shared substring must produce shared fingerprints"
+
+
+def test_resize_images_matches_per_pixel_reference(spark):
+    """Area-average pooling must equal an independent per-pixel loop:
+    every target cell is the plain mean of its floor-mapped source
+    block, for non-divisible source dims included."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import resize_images
+
+    th = tw = 8
+    rng = np.random.RandomState(3)
+    rows = []
+    rasters = {}
+    for media_id, (h, w) in enumerate([(10, 13), (64, 64), (9, 8)]):
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        rasters[media_id] = img
+        rows.append((media_id, "image", bytes(img.ravel().tobytes()), (w,)))
+    df = spark.createDataFrame(
+        [(m, k, p, {"width": w[0]}) for m, k, p, w in rows],
+        "media_id long, kind string, payload binary, meta map<string,int>",
+    ).selectExpr(
+        "media_id", "kind", "payload",
+        "named_struct('width', meta['width']) AS meta",
+    )
+    got = {
+        (r["media_id"], r["py"], r["px"]): (r["src_h"], r["src_w"], r["value"])
+        for r in resize_images(df, target_h=th, target_w=tw).collect()
+    }
+    for media_id, img in rasters.items():
+        h, w = img.shape
+        for py in range(th):
+            for px in range(tw):
+                block = [
+                    float(img[r, c])
+                    for r in range(h)
+                    if (r * th) // h == py
+                    for c in range(w)
+                    if (c * tw) // w == px
+                ]
+                want = sum(block) / len(block)
+                sh, sw, val = got[(media_id, py, px)]
+                assert (sh, sw) == (h, w)
+                assert abs(val - want) < 1e-9, (media_id, py, px, val, want)
+    assert len(got) == 3 * th * tw
+
+
+def test_resize_images_drops_truncated_rasters(spark):
+    from demo_apache_beam_spark.operators.media import resize_images
+
+    df = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "audio", b"xxxxxxxxxx")],
+        "media_id long, kind string, payload binary",
+    ).selectExpr("media_id", "kind", "payload",
+                 "named_struct('width', 64) AS meta")
+    # payload shorter than one raster row -> dropped; non-image -> filtered
+    assert resize_images(df).count() == 0
