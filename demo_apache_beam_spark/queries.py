@@ -3294,7 +3294,13 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import resize_images
 
-    return resize_images(_media(spark, sf_dir))
+    # the synthetic meta.width (64-640) exceeds most payloads; a real
+    # decoder gets dims from the codec, so give the fake decode a raster
+    # width the payload actually fills (>=8 rows for every document)
+    m = _media(spark, sf_dir).withColumn(
+        "meta", F.struct(F.lit(16).cast("int").alias("width"))
+    )
+    return resize_images(m)
 
 
 # ---------------------------------------------------------------------------
