@@ -280,3 +280,42 @@ def test_edit_distance_pairs_joins_on_variant_not_cross(spark):
     plan = explain_str(REGISTRY["edit_distance_pairs"].fn(spark, SF_SMALL), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The documented hot-key answer at 100 TB (VERDICT/README: 'AQE skew
+    join handles it') must actually fire: a 5x-over-median hot partition
+    in a sort-merge join gets split at runtime — SortMergeJoin(skew=true)
+    with a 'coalesced and skewed' AQE shuffle read on the fact side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        fact = spark.range(600_000).select(
+            F.when(F.col("id") < 500_000, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 600_000  # execute; AQE finalizes the plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "coalesced and skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
