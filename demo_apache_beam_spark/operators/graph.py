@@ -181,3 +181,56 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection over the undirected graph given by ``edges``; the coarser,
+    density-driven sibling of :func:`connected_components` (which only
+    finds reachability): on a kNN similarity graph, communities are the
+    template/near-dup clusters worth inspecting together.
+
+    Every vertex starts with its own id as label; each round it adopts
+    the most frequent label among its neighbors (ties → smallest label,
+    making the fixed round count fully deterministic — the classic
+    async/random variant is not reproducible, so distributed engines
+    including GraphFrames use exactly this synchronous determinization).
+
+    Each round is one shuffle join (labels × symmetrized edges) + two
+    partial aggregates: count per (vertex, label), then per-vertex
+    argmax as one ``max(struct(count, -label))`` — no window sort. The
+    label table is ``localCheckpoint``ed per round (same lineage
+    discipline as pagerank); rounds are O(E) shuffles, the standard
+    distributed LPA cost.
+
+    Returns (id, label) — vertices sharing a label form a community.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        neigh = und.join(labels, und.a == labels.id).select(
+            F.col("b").alias("v"), "label"
+        )
+        counts = neigh.groupBy("v", "label").agg(F.count(F.lit(1)).alias("n"))
+        best = counts.groupBy("v").agg(
+            F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("m")
+        )
+        labels = best.select(
+            F.col("v").alias("id"), (-F.col("m.neg")).alias("label")
+        ).localCheckpoint()
+    return labels

@@ -4940,6 +4940,26 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_communities",
+    None,  # iterative mode-of-neighbors — rows-only; numpy reference test
+    doc="Community detection over the kNN similarity graph via "
+        "synchronous label propagation (5 rounds, smallest-label "
+        "tie-break — the deterministic variant GraphFrames ships): "
+        "denser near-dup template clusters than plain reachability "
+        "gives. Each round is one labels×edges shuffle join plus two "
+        "partial aggregates with an argmax-as-struct-max (no window "
+        "sort); lineage cut per round by localCheckpoint. Completes "
+        "the graph family: components (reachability), pagerank "
+        "(centrality), triangles (local density), LPA (community).",
+)
+def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    return label_propagation(g, iterations=5)
+
+
+@register(
     "doc_bigram_logprob",
     """
     WITH tok AS (

@@ -196,3 +196,40 @@ def test_pagerank_hub_ranks_highest(spark):
     assert max(ranks, key=ranks.get) == 99
     leaf_ranks = {round(v, 12) for k, v in ranks.items() if k != 99}
     assert len(leaf_ranks) == 1
+
+
+def test_label_propagation_matches_sequential_reference(spark):
+    """Synchronous LPA with smallest-label tie-break must reproduce an
+    independent per-round reference on a two-community graph."""
+    from demo_apache_beam_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA should settle each triangle
+    # on its minimum id, with the bridge unable to flip either side
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    iterations = 4
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+
+    # independent synchronous reference
+    und: dict[int, list[int]] = {}
+    for a, b in edges:
+        und.setdefault(a, []).append(b)
+        und.setdefault(b, []).append(a)
+    labels = {v: v for v in und}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in und.items():
+            counts: dict[int, int] = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    assert got == labels
+    # and the communities are the two triangles
+    assert len({got[v] for v in (1, 2, 3)}) == 1
+    assert len({got[v] for v in (10, 11, 12)}) == 1
+    assert got[1] != got[10]
