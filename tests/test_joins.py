@@ -233,3 +233,30 @@ def test_label_propagation_matches_sequential_reference(spark):
     assert len({got[v] for v in (1, 2, 3)}) == 1
     assert len({got[v] for v in (10, 11, 12)}) == 1
     assert got[1] != got[10]
+
+
+def test_user_value_ewma_matches_pandas(spark):
+    """The distributed per-user EWMA must equal pandas ewm(adjust=False)
+    over event-time-ordered values, computed independently here."""
+    from conftest import SF_SMALL
+
+    import pandas as pd
+
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_last"])
+        for r in REGISTRY["user_value_ewma"].fn(spark, SF_SMALL).collect()
+    }
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+        .toPandas()
+    )
+    for uid, grp in ev.groupby("user_id"):
+        ordered = grp.sort_values(["us", "event_id"], kind="stable")["value"]
+        want = round(float(ordered.ewm(alpha=0.3, adjust=False).mean().iloc[-1]), 6)
+        n, last = got[int(uid)]
+        assert n == len(ordered)
+        assert last == want, (uid, last, want)
