@@ -862,3 +862,42 @@ def test_windowed_topk_view_matches_batch(spark, stream_dirs):
         assert view.topk()[w1] == [("beta", 13), ("alpha", 10)]
     finally:
         q.stop()
+
+
+def test_stream_health_reports_watermark_and_state(spark, stream_dirs):
+    """stream_health must surface batch counts, the advancing event-time
+    watermark, and nonzero windowed-aggregation state after a drain."""
+    from demo_apache_beam_spark.streaming.leaderboard import (
+        calculate_team_scores,
+        read_game_event_lines,
+    )
+    from demo_apache_beam_spark.streaming.metrics import stream_health
+
+    in_dir, chk = stream_dirs
+    _write_lines(in_dir, "a.txt", [
+        _line("u1", "alpha", 5, BASE_MS),
+        _line("u2", "beta", 7, BASE_MS + 3_600_000),
+    ])
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(events)
+    q = (
+        team.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty drain so the watermark from batch 1 is committed
+        q.processAllAvailable()
+        h = stream_health(q)
+        assert h is not None
+        assert h.state_rows >= 2  # two live (window, team) aggregates
+        assert h.state_bytes > 0
+        assert h.watermark_ms is not None
+        # watermark = max event time - 120 min lateness
+        assert h.watermark_ms == BASE_MS + 3_600_000 - 120 * 60_000
+        assert h.watermark_lag_ms(BASE_MS + 7_200_000) == 120 * 60_000 + 3_600_000
+        assert h.batch_id is not None
+    finally:
+        q.stop()
