@@ -654,46 +654,20 @@ def semantic_dedup(
     return cell_rows.groupBy("_cell").applyInPandas(dedup_cell, out_schema)
 
 
-def brute_force_topk_blocked(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    score_budget: int = 32_000_000,
+def _blocked_candidates(
+    c: DataFrame,
+    q_ids: "np.ndarray",
+    qm: "np.ndarray",
+    qn: "np.ndarray",
+    k: int,
+    score_budget: int,
+    query_id_col: str,
 ) -> DataFrame:
-    """Exact cosine top-k, Arrow-batched kernel — bit-identical to
-    :func:`brute_force_topk` but ~20× faster when the query set is large
-    (the kNN-graph case, queries == corpus), where the per-pair
-    ``zip_with``/``aggregate`` fold turns into interpreted expression
-    evaluation over N·Q pairs.
-
-    Bit parity is engineered, not hoped for: the kernel accumulates the
-    dot product and both norms with an explicit loop over the dimension,
-    adding ``x_j·q_j`` terms left-to-right from the same float32→float64
-    widened inputs — the identical IEEE operation sequence as the
-    ``aggregate`` fold (and as DuckDB's list_cosine_similarity), so
-    every cosine is the same double, and the same ``dot/(qn·cn)``
-    expression finishes it (multiplication commutes exactly in IEEE).
-
-    Scale shape: the query block is a broadcast (bounded query sets —
-    for unbounded use the LSH/IVF paths); the corpus streams through
-    ``mapInPandas`` once; each Arrow batch emits only its local top-k
-    per query (plus boundary ties), so the final exact rank sees
-    ≤ (k + ties)·batches rows per query, never the N·Q cross product.
-    """
-    import numpy as np
-
-    sess = corpus.sparkSession
-    q_rows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
-    d = qm.shape[1]
-    qn = np.zeros(len(q_rows))
-    for j in range(d):
-        qn += qm[:, j] * qm[:, j]
-    qn = np.sqrt(qn)
+    """One query block's candidate stream: broadcast the block, scan the
+    corpus once through the Arrow kernel, emit per-batch local top-k rows.
+    Factored out so each block binds its OWN broadcast (no closure-capture
+    of a loop variable)."""
+    sess = c.sparkSession
     bq = sess.sparkContext.broadcast((q_ids, qm, qn))
 
     def score_batches(iterator):
@@ -716,6 +690,17 @@ def brute_force_topk_blocked(
                     dot += np.outer(x[:, j], qm[:, j])
                     xn += x[:, j] * x[:, j]
                 xn = np.sqrt(xn)
+                if np.any(xn == 0.0):
+                    # The fold path fails loudly here too (ANSI
+                    # DIVIDE_BY_ZERO); a silent isfinite() filter would
+                    # make the two implementations disagree on degenerate
+                    # inputs (ADVICE r4). Zero-norm vectors are outside
+                    # the cosine contract — reject them identically.
+                    bad = ids[xn == 0.0][:5].tolist()
+                    raise ValueError(
+                        "zero-norm embedding(s) in corpus (cosine is "
+                        f"undefined); offending ids include {bad}"
+                    )
                 cos = dot / (qn[None, :] * xn[:, None])
                 # self-matches can never win
                 cos[ids[:, None] == q_ids[None, :]] = -np.inf
@@ -733,12 +718,101 @@ def brute_force_topk_blocked(
                     }
                 )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
-    )
     candidates = c.mapInPandas(
         score_batches, f"{query_id_col} long, neighbor_id long, cosine double"
     )
+    return candidates, bq
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_budget: int = 32_000_000,
+    query_block_rows: int = 65_536,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-batched kernel — bit-identical to
+    :func:`brute_force_topk` but ~20× faster when the query set is large
+    (the kNN-graph case, queries == corpus), where the per-pair
+    ``zip_with``/``aggregate`` fold turns into interpreted expression
+    evaluation over N·Q pairs.
+
+    Bit parity is engineered, not hoped for: the kernel accumulates the
+    dot product and both norms with an explicit loop over the dimension,
+    adding ``x_j·q_j`` terms left-to-right from the same float32→float64
+    widened inputs — the identical IEEE operation sequence as the
+    ``aggregate`` fold (and as DuckDB's list_cosine_similarity), so
+    every cosine is the same double, and the same ``dot/(qn·cn)``
+    expression finishes it (multiplication commutes exactly in IEEE).
+    Zero-norm vectors are outside the contract in BOTH paths: the fold
+    raises ANSI DIVIDE_BY_ZERO and this kernel raises ``ValueError``
+    naming the offending ids — loud, consistent rejection instead of a
+    silent filter that would let the implementations diverge.
+
+    Scale shape: the query side is consumed in bounded blocks of
+    ``query_block_rows`` via ``toLocalIterator`` — driver memory holds
+    ONE block (not the whole query set) at a time, and each executor
+    broadcast is ≤ block_rows·d doubles. Per block the corpus streams
+    through ``mapInPandas`` once and each Arrow batch emits only its
+    local top-k per query (plus boundary ties), so the final exact rank
+    sees ≤ (k + ties)·batches rows per query, never the N·Q cross
+    product. Multi-block runs eagerly materialize each block's (small)
+    candidate set with ``localCheckpoint`` and then destroy that block's
+    broadcast, so total broadcast footprint stays O(block), not O(Q) —
+    this is what makes queries == corpus (the kNN-graph case) viable at
+    scale: O(N/B) corpus scans, never O(N·d) driver or executor memory.
+    Total scored work is O(N·Q·d) regardless of blocking — inherent to
+    exact kNN; the LSH/IVF paths are the sub-quadratic alternatives.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    sess = corpus.sparkSession
+
+    def block_arrays(rows):
+        ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+        d = mat.shape[1]
+        nrm = np.zeros(len(rows))
+        for j in range(d):
+            nrm += mat[:, j] * mat[:, j]
+        if np.any(nrm == 0.0):
+            bad = ids[nrm == 0.0][:5].tolist()
+            raise ValueError(
+                "zero-norm embedding(s) in query set (cosine is "
+                f"undefined); offending ids include {bad}"
+            )
+        return ids, mat, np.sqrt(nrm)
+
+    # Stream query rows to the driver one partition at a time; never more
+    # than one block resident.
+    blocks: list[DataFrame] = []
+    buf: list = []
+    first_block: tuple | None = None
+    it = queries.select(query_id_col, vec_col).toLocalIterator()
+    for row in it:
+        buf.append(row)
+        if len(buf) >= query_block_rows:
+            blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
+            buf = []
+    if buf and not blocks:
+        # Single-block fast path: lazy, no checkpoint — identical plan to
+        # the pre-chunking implementation for bounded query sets.
+        cand, _ = _blocked_candidates(c, *block_arrays(buf), k, score_budget, query_id_col)
+        blocks.append(cand)
+    elif buf:
+        blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
+
+    if not blocks:
+        schema = f"{query_id_col} long, neighbor_id long, cosine double, rank int"
+        return sess.createDataFrame([], schema)
+
+    candidates = blocks[0]
+    for b in blocks[1:]:
+        candidates = candidates.unionByName(b)
     w_global = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -746,3 +820,16 @@ def brute_force_topk_blocked(
         candidates.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
     )
+
+
+def _materialize_block(c, arrays, k, score_budget, query_id_col):
+    """Run one block's corpus scan NOW (eager localCheckpoint of the
+    ≤(k+ties)·batches·block_rows candidate rows), then free the block's
+    broadcast so concurrent executor memory stays O(one block)."""
+    cand, bq = _blocked_candidates(c, *arrays, k, score_budget, query_id_col)
+    out = cand.localCheckpoint(eager=True)
+    try:
+        bq.destroy()
+    except Exception:
+        pass
+    return out

@@ -4399,15 +4399,20 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact cosine kNN graph (k=5 neighbors for every vector) — the "
         "input structure for graph-based near-dup clustering, label "
         "propagation, and hub detection. An exact kNN graph is "
-        "inherently all-pairs, so this is the bounded-corpus baseline: "
-        "one corpus scan against a broadcast of the vectors, an Arrow-"
-        "batched numpy kernel that reproduces the sequential fold's IEEE "
-        "op order exactly, and per-batch local top-k so only ~k·batches "
-        "rows per source reach the final rank — never the N² cross "
-        "product. The scale path for "
-        "unbounded corpora is the LSH/IVF variants (`embedding_knn_lsh`, "
-        "`embedding_knn_ivf`) whose candidates feed the same re-rank. "
-        "Bit-identical to DuckDB's list_cosine_similarity.",
+        "inherently all-pairs (O(N²·d) scored work), but memory is NOT: "
+        "the query side streams to the driver in bounded blocks "
+        "(toLocalIterator, ≤64k vectors resident), each block is "
+        "broadcast, scored against one corpus scan by an Arrow-batched "
+        "numpy kernel that reproduces the sequential fold's IEEE op "
+        "order exactly, eagerly materialized (localCheckpoint of the "
+        "~k·batches candidate rows) and its broadcast freed — so driver "
+        "and executor memory stay O(block), never O(N·d), at any corpus "
+        "size. Per-batch local top-k means only ~k·batches rows per "
+        "source reach the final rank — never the N² cross product. The "
+        "sub-quadratic scale path is the LSH/IVF variants "
+        "(`embedding_knn_lsh`, `embedding_knn_ivf`) whose candidates "
+        "feed the same re-rank. Bit-identical to DuckDB's "
+        "list_cosine_similarity.",
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk_blocked

@@ -305,3 +305,61 @@ def test_blocked_topk_matches_hof_fold_and_chunks(spark):
             gnid, gcos = got[key]
             assert gnid == nid, (budget, key)
             assert gcos == cos, (budget, key)  # bit-identical, not approx
+
+
+def test_blocked_topk_query_chunking_is_bit_identical(spark):
+    """Forcing the query side through >=3 bounded blocks (the 100-TB
+    queries==corpus shape: collect+broadcast one block at a time, eager
+    per-block materialization, broadcast freed between blocks) must be
+    bit-identical to the single-block pass."""
+    from demo_apache_beam_spark.operators.similarity import (
+        brute_force_topk_blocked,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")  # 500 vectors
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    single = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk_blocked(emb, q, k=3).collect()
+    }
+    assert len({qid for qid, _ in single}) == 500
+    chunked = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in brute_force_topk_blocked(
+            emb, q, k=3, query_block_rows=150  # 500 rows -> 4 blocks
+        ).collect()
+    }
+    assert chunked == single  # exact doubles, not approx
+
+
+def test_blocked_topk_rejects_zero_norm_like_fold(spark):
+    """Zero-norm vectors are outside the cosine contract. The fold path
+    fails loudly (ANSI DIVIDE_BY_ZERO); the blocked kernel must ALSO fail
+    loudly — a silent isfinite() filter would let the two implementations
+    disagree on degenerate inputs (ADVICE r4)."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blocked,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero-norm
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    good_q = q.filter(F.col("query_id") != 0)
+
+    with pytest.raises(Exception):  # ANSI DIVIDE_BY_ZERO from the fold
+        brute_force_topk(df, q, k=2).collect()
+    # blocked kernel: zero-norm in the QUERY set raises on the driver
+    with pytest.raises(ValueError, match="zero-norm"):
+        brute_force_topk_blocked(df, q, k=2).collect()
+    # zero-norm in the CORPUS raises in the executor kernel
+    with pytest.raises(Exception, match="zero-norm"):
+        brute_force_topk_blocked(df, good_q, k=2).collect()
