@@ -4950,34 +4950,26 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-user exponentially-weighted moving average of event values "
         "(α=0.3, adjust=False recursion s_t = α·x_t + (1-α)·s_{t-1}) — "
         "the smoothing primitive behind anomaly baselines and trend "
-        "dashboards. The recursion is inherently sequential per key, so "
-        "it runs as ONE applyInPandas group per user over event-time-"
-        "ordered rows — vectorized pandas ewm inside, state never "
-        "crosses keys, and the shuffle moves each row once keyed by "
-        "user (same layout as every per-user aggregate). Emits the "
-        "final smoothed value per user plus the raw count; verified "
-        "against pandas ewm directly in pytest.",
+        "dashboards. The recursion looks sequential per key but each "
+        "element is an affine map s↦(1-α)s+αx, and affine maps compose "
+        "associatively — so this runs as a SEGMENTED SCAN: rows range-"
+        "partitioned by (user, time), one streaming mapInPandas pass "
+        "emitting per-(partition, user) composed-map summaries, then an "
+        "O(segments) combine per user. No task ever holds a hot user's "
+        "full history (the injector's robot keys are exactly that "
+        "skew), unlike the naive one-group-per-key applyInPandas. "
+        "Verified against pandas ewm directly in pytest, including a "
+        "one-key-owns-half-the-rows skew fixture forced across "
+        "multiple segments.",
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from .operators.ewma import ewma_last_per_key
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("_us"), "event_id", "value"
     )
-
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_us", "event_id"], kind="stable")
-        s = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma_last": [round(float(s.iloc[-1]), 6)],
-            }
-        )
-
-    return ev.groupBy("user_id").applyInPandas(
-        smooth, "user_id long, n_events long, ewma_last double"
+    return ewma_last_per_key(
+        ev, "user_id", ["_us", "event_id"], "value", alpha=0.3
     )
 
 

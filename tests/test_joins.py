@@ -260,3 +260,57 @@ def test_user_value_ewma_matches_pandas(spark):
         n, last = got[int(uid)]
         assert n == len(ordered)
         assert last == want, (uid, last, want)
+
+
+def test_ewma_segmented_scan_splits_hot_key(spark):
+    """One robot key holding >50% of all rows must be processed as
+    MULTIPLE segments (no single task owns its history), and the combined
+    result must still match the sequential pandas recursion."""
+    import numpy as np
+    import pandas as pd
+
+    from demo_apache_beam_spark.operators.ewma import ewma_last_per_key
+
+    rng = np.random.RandomState(7)
+    hot = [(1, t, t, float(v)) for t, v in enumerate(rng.rand(6000))]
+    cold = [
+        (2 + (i % 50), 10_000 + i, 10_000 + i, float(v))
+        for i, v in enumerate(rng.rand(4000))
+    ]
+    df = spark.createDataFrame(
+        hot + cold, "user_id long, us long, event_id long, value double"
+    )
+
+    # force a small range-partition count so the hot key MUST span >=2
+    # partitions, and check the segment table really has >=2 rows for it
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_last"])
+        for r in ewma_last_per_key(
+            df, "user_id", ["us", "event_id"], "value", num_partitions=8
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(hot + cold, columns=["user_id", "us", "event_id", "value"])
+    for uid, grp in pdf.groupby("user_id"):
+        ordered = grp.sort_values(["us", "event_id"], kind="stable")["value"]
+        want = round(
+            float(ordered.ewm(alpha=0.3, adjust=False).mean().iloc[-1]), 6
+        )
+        n, last = got[int(uid)]
+        assert n == len(ordered)
+        assert last == want, (uid, last, want)
+
+    # white-box: the hot key's history really was split across partitions
+    ordered = df.repartitionByRange(
+        8, df["user_id"], df["us"], df["event_id"]
+    ).sortWithinPartitions("user_id", "us", "event_id")
+    from pyspark.sql import functions as F
+
+    parts = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .filter(F.col("user_id") == 1)
+        .select("_pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 2, "hot key fits one partition — fixture too small"
