@@ -19,8 +19,9 @@ from __future__ import annotations
 import heapq
 from threading import Lock
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 
 class WindowedTopKView:
@@ -76,3 +77,122 @@ def start_windowed_topk(
         .start()
     )
     return query, view
+
+
+class TableTopKStore:
+    """Parquet-table-backed upsert store for (window, team) totals — the
+    K4 table sink made real, so the CQRS read side's state lives in the
+    warehouse, not in driver memory.
+
+    Upsert = per-micro-batch merge + dynamic partition overwrite: the
+    store is partitioned by ``window_start``; a batch touches only the
+    partitions whose windows appear in it (update-mode emits changed
+    keys only). Unchanged teams inside a touched window are preserved by
+    anti-joining the existing partition rows against the batch before
+    the overwrite. The merged slice is ``localCheckpoint``-materialized
+    first so the overwrite never races its own input scan.
+
+    Scale shape: executors do all row work; the driver handles only the
+    O(windows-per-batch) partition list. Store size is one row per live
+    (window, team) — watermark-bounded — and the rank-on-read runs as a
+    window function over that dashboard-sized table, never the event
+    stream. Readers see parquet snapshots; on a real deployment the
+    same contract maps onto any upsert/MERGE table format.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, k: int = 3):
+        self.spark = spark
+        self.path = path
+        self.k = int(k)
+
+    def _existing(self):
+        try:
+            df = self.spark.read.parquet(self.path)
+        except AnalysisException:
+            return None  # first batch: store not created yet
+        # partition-column type inference may surface window_start as a
+        # timestamp; normalize to the store's string contract
+        return df.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "team",
+            F.col("total_score").cast("long").alias("total_score"),
+        )
+
+    def upsert_batch(self, batch_df: DataFrame) -> None:
+        changed = batch_df.select(
+            F.col("window_start").cast("string").alias("window_start"),
+            "team",
+            F.col("total_score").cast("long").alias("total_score"),
+        )
+        windows = [
+            r[0] for r in changed.select("window_start").distinct().collect()
+        ]
+        if not windows:
+            return
+        existing = self._existing()
+        if existing is not None:
+            keep = existing.filter(
+                F.col("window_start").isin(windows)
+            ).join(
+                changed.select("window_start", "team"),
+                ["window_start", "team"],
+                "left_anti",
+            )
+            merged = keep.unionByName(changed)
+        else:
+            merged = changed
+        # cut lineage off the store files before overwriting them
+        out = merged.localCheckpoint(eager=True)
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(self.path)
+        )
+
+    def totals_df(self) -> DataFrame | None:
+        return self._existing()
+
+    def topk_df(self) -> DataFrame | None:
+        """Rank-on-read: (window_start, team, total_score, rank ≤ k)."""
+        df = self._existing()
+        if df is None:
+            return None
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("total_score"), F.asc("team")
+        )
+        return df.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= self.k
+        )
+
+    def topk(self) -> dict[str, list[tuple[str, int]]]:
+        """Same read contract as :class:`WindowedTopKView` for drop-in use."""
+        ranked = self.topk_df()
+        if ranked is None:
+            return {}
+        out: dict[str, list[tuple[str, int]]] = {}
+        for r in ranked.orderBy("window_start", "rank").collect():
+            out.setdefault(str(r["window_start"]), []).append(
+                (r["team"], r["total_score"])
+            )
+        return out
+
+
+def start_windowed_topk_table(
+    team_scores: DataFrame,
+    checkpoint_dir: str,
+    store_path: str,
+    k: int = 3,
+) -> tuple[StreamingQuery, TableTopKStore]:
+    """Table-backed variant of :func:`start_windowed_topk`: the upsert
+    store is a window-partitioned parquet table (K4 sink), top-k is a
+    rank-on-read query. Returns (query, store)."""
+    store = TableTopKStore(team_scores.sparkSession, store_path, k)
+    query = (
+        team_scores.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _epoch: store.upsert_batch(df))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    return query, store

@@ -864,6 +864,58 @@ def test_windowed_topk_view_matches_batch(spark, stream_dirs):
         q.stop()
 
 
+def test_windowed_topk_table_store_matches_batch(spark, stream_dirs, tmp_path):
+    """The parquet-table-backed top-k store (K4 sink + rank-on-read) must
+    converge to the same answers as the in-memory view: initial ranking,
+    then a rank flip from a second micro-batch, with unchanged teams in a
+    touched window preserved across the dynamic partition overwrite."""
+    from demo_apache_beam_spark.streaming.leaderboard import (
+        calculate_team_scores,
+        read_game_event_lines,
+    )
+    from demo_apache_beam_spark.streaming.topk import start_windowed_topk_table
+
+    in_dir, chk = stream_dirs
+    store_path = str(tmp_path / "topk_store")
+    batch1 = [
+        _line("u1", "alpha", 10, BASE_MS),
+        _line("u2", "beta", 8, BASE_MS + 60_000),
+        _line("u3", "gamma", 6, BASE_MS + 120_000),
+        _line("u4", "delta", 1, BASE_MS + 120_000),
+    ]
+    # same hour window: beta overtakes alpha; delta overtakes gamma.
+    # alpha and gamma do NOT appear in batch2 — they must survive the
+    # partition overwrite via the anti-join merge.
+    batch2 = [
+        _line("u2", "beta", 5, BASE_MS + 180_000),
+        _line("u4", "delta", 9, BASE_MS + 60_000),
+    ]
+    _write_lines(in_dir, "a.txt", batch1)
+    events = read_game_event_lines(spark, in_dir)
+    team = calculate_team_scores(events)
+    q, store = start_windowed_topk_table(team, chk, store_path, k=2)
+    try:
+        q.processAllAvailable()
+        (w1,) = store.topk().keys()
+        assert store.topk()[w1] == [("alpha", 10), ("beta", 8)]
+        _write_lines(in_dir, "b.txt", batch2)
+        q.processAllAvailable()
+        assert store.topk()[w1] == [("beta", 13), ("alpha", 10)]
+        # full store state: every team's latest total survived the merge
+        totals = {
+            (r["window_start"], r["team"]): r["total_score"]
+            for r in store.totals_df().collect()
+        }
+        assert totals == {
+            (w1, "alpha"): 10,
+            (w1, "beta"): 13,
+            (w1, "gamma"): 6,
+            (w1, "delta"): 10,
+        }
+    finally:
+        q.stop()
+
+
 def test_stream_health_reports_watermark_and_state(spark, stream_dirs):
     """stream_health must surface batch counts, the advancing event-time
     watermark, and nonzero windowed-aggregation state after a drain."""
