@@ -319,3 +319,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_boilerplate_common_set_is_not_hint_broadcast(spark):
+    """The high-df shingle set is data-dependent (boilerplate IS what's
+    frequent on a web corpus), so the static plan must not force a
+    broadcast of that aggregate — AQE may upgrade at runtime from real
+    size stats, but a hint would bet executor memory on an unbounded
+    set. The analyzed plan must carry no broadcast hint, and the join
+    keyed on shingle must come from shuffle exchanges."""
+    df = REGISTRY["doc_boilerplate_ngrams"].fn(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed.lower(), analyzed[:2000]
