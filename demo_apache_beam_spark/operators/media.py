@@ -113,15 +113,59 @@ def media_stats(media: DataFrame) -> DataFrame:
 # Payload feature extraction (mapInPandas — Arrow-batched numpy)
 # ---------------------------------------------------------------------------
 
-def decode_payload(kind: str, payload: bytes):
+def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
     """Codec decode integration point — image/audio/video libraries are
     not available in this environment. Wire PIL/libsndfile/pyav here;
     every downstream operator consumes the decoded ndarray through the
-    same mapInPandas batch shape as ``byte_histogram_features``."""
+    same mapInPandas batch shape as ``byte_histogram_features``.
+
+    Decoder contract (what :func:`resize_images` / :func:`sample_frames`
+    accept via their ``decoder=`` parameter): a callable
+    ``(kind, payload_bytes, meta_dict) -> np.ndarray | None`` run inside
+    the Arrow batch loop on executors — images decode to a 2-D float
+    raster (H×W), videos to a (n_frames, ...) array; return ``None`` to
+    reject a truncated/undecodable file (the row is dropped, counted by
+    nothing — mirror of a decoder error path). Any cloudpickle-
+    serializable callable works (locals included); a decoder living in a
+    separate module must be importable on executors.
+    """
     raise NotImplementedError(
         f"no media codec available for kind={kind!r}; "
         "install a decoder and replace this stub"
     )
+
+
+def raw_grayscale_decoder(kind: str, payload: bytes, meta: dict):
+    """Default stand-in 'decoder': reinterpret payload bytes as a
+    deterministic grayscale raster, width = ``meta['width']``, height =
+    floor(n_bytes/width). Not a real codec — it exists so the decoder
+    SEAM (signature, rejection path, batch shape) is exercised by the
+    default pipeline and a real decoder is a drop-in replacement."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    w = int(meta["width"])
+    h = len(arr) // w
+    if h < 1:
+        return None  # truncated "file": no complete raster row
+    return arr[: h * w].reshape(h, w).astype(np.float64)
+
+
+def raw_block_frame_decoder(frame_bytes: int):
+    """Default stand-in video 'decoder' factory: payload split into
+    ``frame_bytes``-sized blocks, one row per complete block — the
+    (n_frames, frame_bytes) analogue of decoded frames."""
+
+    def decode(kind: str, payload: bytes, meta: dict):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n_frames = len(arr) // frame_bytes
+        if n_frames < 1:
+            return None
+        return (
+            arr[: n_frames * frame_bytes]
+            .reshape(n_frames, frame_bytes)
+            .astype(np.float64)
+        )
+
+    return decode
 
 
 def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
@@ -183,30 +227,34 @@ def byte_histogram_long(media: DataFrame, bins: int = 16) -> DataFrame:
 
 
 def sample_frames(
-    media: DataFrame, frame_bytes: int = 256, stride: int = 4
+    media: DataFrame, frame_bytes: int = 256, stride: int = 4, decoder=None
 ) -> DataFrame:
-    """Frame sampling for ``video`` payloads: treat the payload as a
-    sequence of ``frame_bytes``-sized blocks (the stand-in for decoded
-    frames — swap ``decode_payload`` in when a codec exists) and keep
-    every ``stride``-th block with its per-frame mean byte value.
+    """Frame sampling for ``video`` payloads: decode to a (n_frames, ...)
+    array, keep every ``stride``-th frame with its per-frame mean value.
+
+    ``decoder`` is the pluggable codec seam (see :func:`decode_payload`
+    for the contract); the default is :func:`raw_block_frame_decoder` —
+    fixed-size byte blocks standing in for decoded frames, so the
+    plumbing is identical when a real pyav/ffmpeg decoder drops in.
 
     Output: (media_id, frame_idx, frame_mean) — one row per sampled
     frame, exploded executor-side so payloads never amplify through a
     shuffle before reduction.
     """
     out_schema = "media_id long, frame_idx int, frame_mean double"
+    decode = decoder or raw_block_frame_decoder(frame_bytes)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, means = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                n_frames = len(arr) // frame_bytes
-                for f_idx in range(0, n_frames, stride):
-                    block = arr[f_idx * frame_bytes : (f_idx + 1) * frame_bytes]
+                frames = decode("video", payload, {})
+                if frames is None:
+                    continue  # decoder rejected the file
+                for f_idx in range(0, frames.shape[0], stride):
                     ids.append(media_id)
                     idxs.append(f_idx)
-                    means.append(float(block.mean()))
+                    means.append(float(frames[f_idx].mean()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -222,21 +270,27 @@ def sample_frames(
     )
 
 def resize_images(
-    media: DataFrame, target_h: int = 8, target_w: int = 8
+    media: DataFrame, target_h: int = 8, target_w: int = 8, decoder=None
 ) -> DataFrame:
     """Image resize (area-average pooling) for ``image`` payloads over the
     same mapInPandas batch shape every real decoder would feed.
 
-    Decode is the documented stub (no codec libraries in this
-    environment — see :func:`decode_payload`): the payload bytes are
-    reinterpreted as a deterministic grayscale raster with width =
-    ``meta.width`` and height = floor(n_bytes / width) (images whose fake
-    raster has no complete row are dropped, mirroring a decoder
-    rejecting a truncated file). The resize itself is REAL: each target
-    cell is the mean of its source-pixel block under index mapping
+    ``decoder`` is the pluggable codec seam — a picklable
+    ``(kind, payload, meta) -> 2-D ndarray | None`` callable (see
+    :func:`decode_payload`); the default is
+    :func:`raw_grayscale_decoder`, which reinterprets payload bytes as a
+    deterministic raster with width = ``meta.width`` (no codec libraries
+    in this environment). The resize itself is REAL: each target cell is
+    the mean of its source-pixel block under index mapping
     ``src_row → floor(row · target_h / H)`` — classic area-average
     (INTER_AREA) pooling, computed with vectorized bincount sums per
     image, never a Python per-pixel loop.
+
+    Images the decoder rejects (``None``) are dropped, as are rasters
+    SMALLER than the target in either axis — upscaling would leave
+    empty target bins (0/0 = NaN cells); a real pipeline routes those to
+    an upsampling interpolator instead, which is out of scope for an
+    area-average reducer.
 
     Output: one row per (media_id, py, px) target cell with the pooled
     value — narrow scalar rows out of the executor (canonicalizable, no
@@ -245,6 +299,7 @@ def resize_images(
     out_schema = (
         "media_id long, src_h int, src_w int, py int, px int, value double"
     )
+    decode = decoder or raw_grayscale_decoder
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,12 +307,12 @@ def resize_images(
             for media_id, payload, width in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"]
             ):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                w = int(width)
-                h = len(arr) // w
-                if h < 1:
-                    continue  # truncated "file": no complete raster row
-                img = arr[: h * w].reshape(h, w).astype(np.float64)
+                img = decode("image", payload, {"width": width})
+                if img is None:
+                    continue  # decoder rejected the file
+                h, w = img.shape
+                if h < target_h or w < target_w:
+                    continue  # smaller than target: would leave empty bins
                 row_bin = (np.arange(h) * target_h) // h
                 col_bin = (np.arange(w) * target_w) // w
                 cell = row_bin[:, None] * target_w + col_bin[None, :]

@@ -245,3 +245,101 @@ def test_resize_images_drops_truncated_rasters(spark):
                  "named_struct('width', 64) AS meta")
     # payload shorter than one raster row -> dropped; non-image -> filtered
     assert resize_images(df).count() == 0
+
+
+def test_resize_images_drops_rasters_smaller_than_target(spark):
+    """A decodable raster SMALLER than the target grid (e.g. 4x80 against
+    an 8x8 target) must be dropped, not emit NaN cells from empty bins
+    (ADVICE r4)."""
+    import math
+
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import resize_images
+
+    small = np.arange(4 * 80, dtype=np.uint8).tobytes()   # h=4 < target_h
+    narrow = np.arange(100 * 6, dtype=np.uint8).tobytes()  # w=6 < target_w
+    ok = np.arange(16 * 16, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", small, 80), (2, "image", narrow, 6), (3, "image", ok, 16)],
+        "media_id long, kind string, payload binary, w int",
+    ).selectExpr("media_id", "kind", "payload", "named_struct('width', w) AS meta")
+    rows = resize_images(df, target_h=8, target_w=8).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert len(rows) == 64
+    assert not any(math.isnan(r["value"]) for r in rows)
+
+
+def test_resize_through_injected_toy_codec(spark):
+    """End-to-end decode->resize through the decoder seam: a toy
+    header-parsing codec (ignores meta.width entirely) feeds the same
+    pooling kernel; output must match a numpy reference computed from
+    the DECODED rasters, and undecodable files must be dropped. The
+    codec is a local function — cloudpickle ships it by value, the same
+    way a user-supplied decoder travels to executors."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import resize_images
+
+    def codec(kind, payload, meta):
+        # toy codec: 2-byte header (h, w), then h*w raw grayscale bytes
+        if len(payload) < 2:
+            return None
+        h, w = payload[0], payload[1]
+        body = np.frombuffer(payload, dtype=np.uint8, offset=2)
+        if len(body) < h * w or h < 1 or w < 1:
+            return None
+        return body[: h * w].reshape(h, w).astype(np.float64)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(12, 10), dtype=np.uint8)
+    good = bytes([12, 10]) + img.tobytes()
+    short = bytes([200, 200]) + b"tiny"
+    df = spark.createDataFrame(
+        [(1, "image", good), (2, "image", short)],
+        "media_id long, kind string, payload binary",
+    ).selectExpr("media_id", "kind", "payload",
+                 "named_struct('width', 9999) AS meta")  # meta width is a decoy
+    rows_all = resize_images(df, target_h=4, target_w=4, decoder=codec).collect()
+    assert {r["media_id"] for r in rows_all} == {1}  # short file rejected
+    got = {(r["py"], r["px"]): r["value"] for r in rows_all}
+    assert len(got) == 16
+    for py in range(4):
+        for px in range(4):
+            block = [
+                float(img[r, c])
+                for r in range(12) if (r * 4) // 12 == py
+                for c in range(10) if (c * 4) // 10 == px
+            ]
+            assert abs(got[(py, px)] - sum(block) / len(block)) < 1e-9
+
+
+def test_sample_frames_through_injected_toy_codec(spark):
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import sample_frames
+
+    def codec(kind, payload, meta):
+        # toy video codec: 1-byte frame count n, then n 16-byte frames
+        if len(payload) < 1:
+            return None
+        n = payload[0]
+        body = np.frombuffer(payload, dtype=np.uint8, offset=1)
+        if n < 1 or len(body) < n * 16:
+            return None
+        return body[: n * 16].reshape(n, 16).astype(np.float64)
+
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, size=(7, 16), dtype=np.uint8)
+    payload = bytes([7]) + frames.tobytes()
+    df = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", b"")],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        r["frame_idx"]: r["frame_mean"]
+        for r in sample_frames(df, stride=3, decoder=codec).collect()
+    }
+    assert set(got) == {0, 3, 6}
+    for i in (0, 3, 6):
+        assert abs(got[i] - float(frames[i].astype(np.float64).mean())) < 1e-12
