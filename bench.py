@@ -161,11 +161,17 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
             except Exception:
                 pass
         best = min(wall, wall2)
+        mean = (wall + wall2) / 2
+        # headline metric is the MEAN of the passes — a min would read as
+        # sustained throughput in downstream artifacts when it's actually
+        # best-case; the best-pass figure stays available, labeled as such
         return {
             "events": num_events,
-            "wall_sec": round(best, 4),
+            "wall_sec": round(mean, 4),
+            "wall_sec_best": round(best, 4),
             "wall_sec_samples": [round(wall, 4), round(wall2, 4)],
-            "events_per_sec": round(num_events / best, 1),
+            "events_per_sec": round(num_events / mean, 1),
+            "events_per_sec_best": round(num_events / best, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -40,6 +40,38 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def _range_bounds(df: DataFrame, order_col: str, nparts: int) -> list:
+    """Deterministic frozen bucket boundaries for any orderable type.
+
+    Numeric columns use one ``approxQuantile`` pass. Other orderable
+    types (string, timestamp, date — ``approxQuantile`` rejects them)
+    fall back to a bounded deterministic sample (seeded, ≤~100k rows)
+    sorted on the driver and cut at even quantiles. Boundary precision
+    only affects bucket BALANCE, never correctness — both passes derive
+    every row's bucket from the same frozen literals either way.
+    """
+    probs = [i / nparts for i in range(1, nparts)]
+    if not probs:
+        return []
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        return sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+    n = df.count()
+    if n == 0:
+        return []
+    frac = min(1.0, 100_000 / n)
+    sample = sorted(
+        r[0]
+        for r in df.select(order_col).dropna().sample(frac, seed=42).collect()
+    )
+    if not sample:
+        return []
+    return sorted(
+        {sample[min(len(sample) - 1, (len(sample) * i) // nparts)]
+         for i in range(1, nparts)}
+    )
 
 
 def sequential_pack(
@@ -53,20 +85,31 @@ def sequential_pack(
     """Add ``shard_col`` = floor(exclusive-prefix-sum(weight) / budget) with
     rows ordered by ``order_col``.
 
-    ``order_col`` must be globally unique (it defines the layout order);
-    weights must be non-negative. Output keeps all input columns.
+    ``order_col`` must be globally unique and non-null (it defines the
+    layout order) — any orderable type works (numeric via
+    ``approxQuantile`` boundaries, string/timestamp/date via a seeded
+    sample sort); weights must be non-negative. Output keeps all input
+    columns. The input is persisted (MEMORY_AND_DISK) across this
+    operator's boundary/totals/window passes and released to Spark's
+    reference-tracking cleaner with the returned plan.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
 
+    # one storage pass serves the boundary job, the totals job, and the
+    # final window job (previously each re-ran the full upstream plan)
+    try:
+        df = df.persist()
+    except Exception:
+        pass  # already persisted at a different level — reuse as-is
+
     # Deterministic range bucketing: boundaries are computed once and
     # frozen as literals, so the window pass and the totals pass agree on
     # every row's bucket across recomputations (repartitionByRange would
     # re-sample per execution — see module docstring).
-    probs = [i / nparts for i in range(1, nparts)]
-    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    bounds = _range_bounds(df, order_col, nparts)
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         bucket = F.size(F.filter(barr, lambda b: F.col(order_col) >= b))

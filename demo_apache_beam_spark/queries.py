@@ -4559,6 +4559,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         d = (
             li.select(F.col(c).alias("_v"))
+            # count(DISTINCT c) excludes NULLs; a bare groupBy would count
+            # the NULL group as a distinct value and silently diverge from
+            # the oracle on any nullable column
+            .filter(F.col("_v").isNotNull())
             .groupBy("_v")
             .agg(F.lit(1))
             .agg(F.count(F.lit(1)).alias("n_distinct"))

@@ -314,3 +314,32 @@ def test_ewma_segmented_scan_splits_hot_key(spark):
         .count()
     )
     assert parts >= 2, "hot key fits one partition — fixture too small"
+
+
+def test_table_profile_n_distinct_excludes_nulls(spark, tmp_path):
+    """count(DISTINCT c) excludes NULLs; the profile's groupBy-based
+    distinct leg must agree on a nullable column (ADVICE r4 — the real
+    lineitem columns happen to be non-null, hiding the divergence)."""
+    import duckdb
+
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 2.0, "A", "F"), (2, None, "A", None), (3, 2.0, None, "O"),
+         (4, 5.0, None, None), (5, None, "R", "F")],
+        "l_orderkey long, l_quantity double, l_returnflag string, "
+        "l_linestatus string",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+
+    got = {
+        r["column_name"]: (r["n_filled"], r["n_distinct"])
+        for r in REGISTRY["table_profile"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"):
+        n_filled, n_distinct = con.execute(
+            f"SELECT count({c}), count(DISTINCT {c}) "
+            f"FROM '{sf}/lineitem.parquet/*.parquet'"
+        ).fetchone()
+        assert got[c] == (n_filled, n_distinct), (c, got[c])

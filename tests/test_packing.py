@@ -90,3 +90,35 @@ def test_pack_property_random_weights_and_partition_counts(spark):
             assert got[k] == acc // budget, (trial, n, budget, nparts, k)
             acc += w
         assert len(got) == n
+
+
+def test_pack_string_order_col(spark):
+    """Non-numeric order columns (approxQuantile can't handle them) must
+    pack via the sampled-sort boundary fallback, matching the sequential
+    reference exactly."""
+    rows = [(f"doc-{i:05d}", (i * 37) % 11 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    got = {
+        r["k"]: r["shard_id"]
+        for r in sequential_pack(df, "k", "w", 50, num_partitions=5).collect()
+    }
+    acc = 0
+    for k, w in sorted(rows):
+        assert got[k] == acc // 50, (k, got[k], acc)
+        acc += w
+
+
+def test_pack_timestamp_order_col(spark):
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [(base + dt.timedelta(seconds=i), i % 7 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "t timestamp, w long")
+    got = {
+        r["t"]: r["shard_id"]
+        for r in sequential_pack(df, "t", "w", 40, num_partitions=4).collect()
+    }
+    acc = 0
+    for t, w in sorted(rows):
+        assert got[t] == acc // 40, (t, got[t], acc)
+        acc += w
