@@ -114,44 +114,20 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
     from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
 
     root = tempfile.mkdtemp(prefix="lb_bench_")
-    try:
-        in_dir = f"{root}/in"
-        publish_to_dir(in_dir, num_events, events_per_file=20_000, seed=42)
+
+    def drain(tag: str, in_dir: str) -> float:
         t0 = time.perf_counter()
         team_q, user_q = start_leaderboard(
             spark,
             input_dir=in_dir,
-            output_dir=f"{root}/out",
-            checkpoint_dir=f"{root}/chk",
+            output_dir=f"{root}/out_{tag}",
+            checkpoint_dir=f"{root}/chk_{tag}",
             team_trigger=None,
             user_trigger=None,
         )
         team_q.processAllAvailable()
         user_q.processAllAvailable()
         wall = time.perf_counter() - t0
-        # drain a SECOND pass over the same events through fresh checkpoints:
-        # single-sample throughput swings 2-4x with ambient load (GC, the
-        # batch bench's lingering executors), and the sanity-floor question
-        # is "can it sustain the rate", so report the better sustained pass
-        # (both raw samples included for transparency)
-        for q in (team_q, user_q):
-            try:
-                q.stop()
-                q.awaitTermination(30)
-            except Exception:
-                pass
-        t1 = time.perf_counter()
-        team_q, user_q = start_leaderboard(
-            spark,
-            input_dir=in_dir,
-            output_dir=f"{root}/out2",
-            checkpoint_dir=f"{root}/chk2",
-            team_trigger=None,
-            user_trigger=None,
-        )
-        team_q.processAllAvailable()
-        user_q.processAllAvailable()
-        wall2 = time.perf_counter() - t1
         # stop-and-await BEFORE the session is reused / temp dirs vanish:
         # a still-draining micro-batch racing teardown spams the log tail
         for q in (team_q, user_q):
@@ -160,11 +136,27 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
                 q.awaitTermination(30)
             except Exception:
                 pass
+        return wall
+
+    try:
+        in_dir = f"{root}/in"
+        publish_to_dir(in_dir, num_events, events_per_file=20_000, seed=42)
+        # unmeasured warm-up drain over a small prefix: first-stream-start
+        # costs (state-store provider init, streaming codegen, sink
+        # classloading) are one-time, not part of the sustained rate the
+        # metric claims
+        warm_dir = f"{root}/warm"
+        publish_to_dir(warm_dir, 10_000, events_per_file=10_000, seed=7)
+        drain("warm", warm_dir)
+        # two measured passes through fresh checkpoints: single-sample
+        # throughput swings 2-4x with ambient load (GC, the batch bench's
+        # lingering executors); headline is the MEAN of the passes — a min
+        # would read as sustained throughput in downstream artifacts when
+        # it's actually best-case (both raw samples kept, best labeled)
+        wall = drain("a", in_dir)
+        wall2 = drain("b", in_dir)
         best = min(wall, wall2)
         mean = (wall + wall2) / 2
-        # headline metric is the MEAN of the passes — a min would read as
-        # sustained throughput in downstream artifacts when it's actually
-        # best-case; the best-pass figure stays available, labeled as such
         return {
             "events": num_events,
             "wall_sec": round(mean, 4),

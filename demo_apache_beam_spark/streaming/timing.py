@@ -44,11 +44,16 @@ Two design points, both scale-critical:
 - **First-emission markers live in their own compact table** (sibling
   ``<sink>_markers`` path), not in the ever-growing data sink. Each
   batch appends only the (key, window_end) pairs that just fired
-  ON_TIME — a pair is appended exactly once — and reads are pruned to
-  windows the engine can still emit (``window_end > spark_wm``; at
-  eviction the window can never fire again, its marker is dead). A
-  periodic compaction rewrites the table down to the live set, which is
-  O(open windows), not O(sink history).
+  ON_TIME — a pair is appended exactly once. The HOT path never reads
+  that table: a driver-side set mirrors it (hydrated once, on the first
+  batch after start/restart) and feeds the classification join as a
+  local relation, so per batch the stream pays one tiny local-relation
+  broadcast instead of a parquet scan, and batches with no new ON_TIME
+  firings skip the marker write entirely. The mirror is bounded by the
+  LIVE marker set — O(open windows) = lateness × key cardinality, the
+  same bound the compactor enforces on the table (dead markers,
+  ``window_end ≤ spark_wm``, are pruned at compaction; they can never
+  classify a row since evicted windows never fire again).
 """
 
 from __future__ import annotations
@@ -88,6 +93,10 @@ class TimingAnnotator:
         self._compact_every = int(compact_every)
         self._query_name: str | None = None
         self._spark: SparkSession | None = None
+        # driver-side mirror of the marker table: (team, window_end) pairs.
+        # None = not yet hydrated (first batch after start/restart reads
+        # the durable table once); afterwards the hot path is memory-only.
+        self._marker_cache: set[tuple[str, object]] | None = None
 
     def attach(self, spark: SparkSession, query_name: str) -> None:
         self._spark = spark
@@ -120,20 +129,38 @@ class TimingAnnotator:
 
     # -- markers -----------------------------------------------------------
 
-    def _live_markers(self, spark: SparkSession, wm_col) -> DataFrame | None:
+    def _hydrate_cache(self, spark: SparkSession) -> set:
+        """Load the marker mirror from the durable table — runs ONCE per
+        annotator lifetime (start or restart); every later batch is
+        memory-only."""
+        if self._marker_cache is not None:
+            return self._marker_cache
         # cheap existence probe for local paths so the reader doesn't log a
         # WARN + FileNotFoundException on every pre-marker batch
         if "://" not in self._markers_path and not os.path.exists(self._markers_path):
-            return None
+            self._marker_cache = set()
+            return self._marker_cache
         try:
-            markers = spark.read.schema(_MARKER_SCHEMA).parquet(self._markers_path)
+            rows = (
+                spark.read.schema(_MARKER_SCHEMA)
+                .parquet(self._markers_path)
+                .distinct()
+                .collect()
+            )
+            self._marker_cache = {(r["team"], r["window_end"]) for r in rows}
         except Exception:  # remote path that doesn't exist yet
+            self._marker_cache = set()
+        return self._marker_cache
+
+    def _seen_markers(self, spark: SparkSession) -> DataFrame | None:
+        """The fired-window set as a local relation for the broadcast
+        join — O(open windows) rows from driver memory, no file scan."""
+        cache = self._hydrate_cache(spark)
+        if not cache:
             return None
-        # a window is evicted from state once spark_wm ≥ window_end and can
-        # never fire again — its marker is dead weight, prune on read
-        if wm_col is not None:
-            markers = markers.filter(F.col("window_end") > wm_col)
-        return markers.distinct().withColumn("_seen", F.lit(True))
+        return spark.createDataFrame(
+            sorted(cache), _MARKER_SCHEMA
+        ).withColumn("_seen", F.lit(True))
 
     def annotate(self, batch_df: DataFrame) -> DataFrame:
         spark = batch_df.sparkSession
@@ -150,7 +177,7 @@ class TimingAnnotator:
             )
         )
 
-        emitted = self._live_markers(spark, wm_col)
+        emitted = self._seen_markers(spark)
         if emitted is None:
             return batch_df.withColumn(
                 "timing", F.when(early, F.lit("EARLY")).otherwise(F.lit("ON_TIME"))
@@ -174,32 +201,55 @@ class TimingAnnotator:
         ).drop("_seen")
 
     def record(self, annotated_df: DataFrame, epoch_id: int) -> None:
-        """Append this batch's first ON_TIME firings to the marker table.
+        """Record this batch's first ON_TIME firings: update the driver
+        mirror and append to the durable marker table.
 
         Each (team, window_end) lands at most once across the stream's
         lifetime (later firings classify LATE and are not re-recorded), so
-        the table grows by closed windows only; compaction keeps the file
-        set bounded by the live window count.
+        the table grows by closed windows only; batches with no new
+        ON_TIME firings — the overwhelming majority in steady state —
+        write NOTHING (the pre-cache design paid an empty parquet append
+        per batch). Compaction keeps the file set bounded by the live
+        window count.
         """
-        new_markers = (
+        spark = annotated_df.sparkSession
+        new_rows = (
             annotated_df.filter(F.col("timing") == "ON_TIME")
             .select("team", "window_end")
             .distinct()
+            .collect()
         )
-        new_markers.write.mode("append").parquet(self._markers_path)
+        if new_rows:
+            cache = self._hydrate_cache(spark)
+            cache.update((r["team"], r["window_end"]) for r in new_rows)
+            spark.createDataFrame(new_rows, _MARKER_SCHEMA).write.mode(
+                "append"
+            ).parquet(self._markers_path)
         if self._compact_every and (epoch_id + 1) % self._compact_every == 0:
-            self._compact(annotated_df.sparkSession)
+            self._compact(spark)
 
     def _compact(self, spark: SparkSession) -> None:
-        """Rewrite the marker table down to its live set. The live set is
-        O(open windows) — bounded by lateness × key cardinality — so the
-        driver round-trip is a metadata-sized operation."""
+        """Rewrite the marker table (and the driver mirror) down to the
+        live set — markers for evicted windows (window_end ≤ spark_wm)
+        can never classify a row again. The live set is O(open windows) —
+        bounded by lateness × key cardinality — so the driver round-trip
+        is a metadata-sized operation."""
+        import datetime as _dt
+
         wm = self._current_watermark(spark)
-        wm_col = F.lit(wm).cast("timestamp") if wm else None
-        live = self._live_markers(spark, wm_col)
-        if live is None:
+        cache = self._hydrate_cache(spark)
+        if not cache:
             return
-        rows = live.select("team", "window_end").collect()
-        spark.createDataFrame(rows, _MARKER_SCHEMA).write.mode("overwrite").parquet(
-            self._markers_path
-        )
+        if wm:
+            wm_ts = _dt.datetime.fromisoformat(wm.replace("Z", "+00:00"))
+            wm_naive = wm_ts.replace(tzinfo=None)
+            cache = {
+                (team, we)
+                for team, we in cache
+                if (we if we.tzinfo is None else we.replace(tzinfo=None))
+                > wm_naive
+            }
+            self._marker_cache = cache
+        spark.createDataFrame(
+            sorted(cache), _MARKER_SCHEMA
+        ).write.mode("overwrite").parquet(self._markers_path)
