@@ -4987,9 +4987,54 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle_sql(rounds: int = 5) -> str:
+    """DuckDB oracle for synchronous LPA over the kNN graph: the kNN
+    edge CTE is knn_graph's own (hash-green) oracle, and each round is
+    literally the operator's algebra in SQL — neighbor-label counts then
+    a per-vertex argmax whose ORDER BY n DESC, label ASC reproduces the
+    Spark side's max(struct(n, -label)) smallest-label tie-break. Fixed
+    round count makes the whole thing one non-recursive CTE chain."""
+    sql = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), rk AS (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rank
+      FROM scored
+    ), g AS (
+      SELECT src_id, dst_id FROM rk WHERE rank <= 5
+    ), und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src_id AS a, dst_id AS b FROM g
+        UNION ALL
+        SELECT dst_id AS a, src_id AS b FROM g
+      )
+    ), l0 AS (
+      SELECT DISTINCT a AS id, a AS label FROM und
+    )"""
+    for i in range(1, rounds + 1):
+        sql += f""", c{i} AS (
+      SELECT e.b AS vtx, l.label, count(*) AS n
+      FROM und e JOIN l{i - 1} l ON e.a = l.id GROUP BY 1, 2
+    ), l{i} AS (
+      SELECT vtx AS id, label FROM (
+        SELECT vtx, label,
+               row_number() OVER (PARTITION BY vtx
+                                  ORDER BY n DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+    return sql + f"\n    SELECT id, label FROM l{rounds}"
+
+
 @register(
     "knn_communities",
-    None,  # iterative mode-of-neighbors — rows-only; numpy reference test
+    _lpa_oracle_sql(5),
     doc="Community detection over the kNN similarity graph via "
         "synchronous label propagation (5 rounds, smallest-label "
         "tie-break — the deterministic variant GraphFrames ships): "
@@ -4998,7 +5043,9 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partial aggregates with an argmax-as-struct-max (no window "
         "sort); lineage cut per round by localCheckpoint. Completes "
         "the graph family: components (reachability), pagerank "
-        "(centrality), triangles (local density), LPA (community).",
+        "(centrality), triangles (local density), LPA (community). "
+        "Oracle-checked: the fixed round count unrolls to a DuckDB CTE "
+        "chain over knn_graph's own hash-green edge oracle.",
 )
 def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
