@@ -833,3 +833,219 @@ def _materialize_block(c, arrays, k, score_budget, query_id_col):
     except Exception:
         pass
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-bounded ANN codes
+# ---------------------------------------------------------------------------
+
+def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, max_iter: int = 15):
+    """Plain L2 Lloyd k-means with deterministic seeded init — runs per PQ
+    subspace on the driver-side training sample (bounded rows × dsub
+    dims, so the dense distance matrix stays a few MB)."""
+    rng = np.random.RandomState(seed)
+    centers = x[rng.permutation(len(x))[:k]].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = np.vstack(
+            [x[a == j].mean(axis=0) if (a == j).any() else centers[j] for j in range(k)]
+        )
+        if np.allclose(new, centers, atol=1e-9):
+            return new
+        centers = new
+    return centers
+
+
+def pq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_target: int | None = None,
+    corpus_size_hint: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Product-quantize the corpus: returns ``(codes, codebooks)`` where
+    ``codes`` is (neighbor_id, _codes array<int>) — one ``m``-byte-ish
+    code word per vector — and ``codebooks`` is the (m, ksub, d/m)
+    per-subspace quantizer (Jégou et al. 2011).
+
+    Why this exists at 100 TB: float32 embeddings at 1e11 × 64 dims are
+    ~25 TB of vector payload; PQ codes at m=8, ksub=16 are 8 small ints
+    per vector (~32× smaller even unpacked), so the SCAN side of ANN fits
+    in a fraction of the IO and memory budget, at the price of
+    approximate scores. Training follows the same discipline as
+    ``ivf_build``: a BOUNDED sample (default 256·ksub rows) collected to
+    the driver, per-subspace Lloyd k-means in dense numpy — never a
+    distributed ML job inside a query; encoding is one Arrow-batched
+    pass over the corpus. Vectors are L2-normalized before splitting so
+    the asymmetric scores approximate COSINE (dot of unit vectors).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    target = sample_target if sample_target is not None else 256 * ksub
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    n = corpus_size_hint if corpus_size_hint is not None else c_vec.count()
+    sampled = c_vec.select("_cv")
+    if n > target:
+        sampled = sampled.sample(fraction=min(1.0, 2.0 * target / n), seed=seed)
+    rows = sampled.limit(target).collect()
+    x = np.asarray([r["_cv"] for r in rows], dtype=np.float64)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    xn[xn == 0.0] = 1.0
+    x = x / xn
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.stack(
+        [
+            _lloyd_kmeans(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        v = np.vstack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        v = v / norms
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for j in range(m):
+            sub = v[:, j * dsub : (j + 1) * dsub]
+            # argmin ||s - c||^2 = argmax (s.c - ||c||^2/2): one matmul
+            cb = codebooks[j]
+            scores = sub @ cb.T - 0.5 * (cb * cb).sum(axis=1)[None, :]
+            codes[:, j] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    codes_df = c_vec.select("neighbor_id", encode(F.col("_cv")).alias("_codes"))
+    return codes_df, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    rerank_factor: int = 8,
+    index: tuple[DataFrame, np.ndarray] | None = None,
+    corpus_size_hint: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact refinement (the FAISS
+    ``IndexRefineFlat`` shape): each query precomputes an (m × ksub)
+    lookup table of subspace dot products against the codebooks; a
+    corpus vector's approximate cosine is the sum of m table entries
+    selected by its code — no float vector is touched during the scan.
+    The PQ scan keeps a ``k·rerank_factor`` shortlist per query; only
+    that shortlist joins back to the real vectors for an exact cosine
+    re-rank, so returned cosines are EXACT and quantization error only
+    costs recall when a true neighbor falls outside the shortlist.
+
+    Approximate by design: recall vs the exact scan is asserted in
+    tests, the same contract as the LSH/IVF paths. Queries are a
+    bounded set (broadcast LUTs); the corpus-sized scan streams over
+    the CODES table — the point is that codes are ~32× smaller than
+    the vectors they index, so at 100 TB the ANN scan reads a few TB
+    of codes and the refinement reads shortlist·d floats, not the
+    corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank) — same shape as
+    ``brute_force_topk``.
+    """
+    if index is None:
+        index = pq_build(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=m,
+            ksub=ksub,
+            seed=seed,
+            corpus_size_hint=corpus_size_hint,
+        )
+    codes_df, codebooks = index
+    mm, _ksub, dsub = codebooks.shape
+    shortlist_k = k * max(1, rerank_factor)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qu = qm / qn
+    # (Q, m, ksub) lookup tables: q_sub . codebook entries
+    lut = np.einsum("qmd,mkd->qmk", qu.reshape(len(qu), mm, dsub), codebooks)
+    sess = corpus.sparkSession
+    blut = sess.sparkContext.broadcast((q_ids, lut))
+
+    def score_codes(iterator):
+        q_ids, lut = blut.value
+        for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.vstack(pdf["_codes"].to_numpy())  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            scores = np.zeros((n, len(q_ids)))
+            for j in range(codes.shape[1]):
+                scores += lut[:, j, codes[:, j]].T
+            scores[ids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(shortlist_k, n)
+            thresh = -np.partition(-scores, kk - 1, axis=0)[kk - 1]
+            keep = (scores >= thresh[None, :]) & np.isfinite(scores)
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    query_id_col: q_ids[cols],
+                    "neighbor_id": ids[rows],
+                    "approx_cosine": scores[rows, cols],
+                }
+            )
+
+    candidates = codes_df.mapInPandas(
+        score_codes, f"{query_id_col} long, neighbor_id long, approx_cosine double"
+    )
+    w_pq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        candidates.withColumn("_pqr", F.row_number().over(w_pq))
+        .filter(F.col("_pqr") <= shortlist_k)
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # exact refinement on the shortlist only — same canonical fold as
+    # brute_force_topk, so returned cosines are bit-identical to exact
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", norm_col(F.col("_cv")))
+    q_vec = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm_col(F.col("_qv")))
+    scored = (
+        shortlist.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            _scored_cosine(
+                F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")
+            ).alias("cosine"),
+        )
+    )
+    w_global = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w_global)).filter(
+        F.col("rank") <= k
+    )

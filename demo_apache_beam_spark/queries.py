@@ -3365,6 +3365,38 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_pq",
+    None,  # approximate by design — recall vs brute force asserted in tests
+    doc="Product-quantization approximate top-10 (Jégou et al. 2011, "
+        "asymmetric distance): vectors collapse to m=8 subspace codes "
+        "(ksub=16 centroids each, trained on a bounded driver sample), "
+        "each query precomputes an m×ksub dot-product lookup table, and "
+        "the scan sums 8 table entries per corpus item — no float "
+        "vector is touched during the scan; a k·8 shortlist then joins "
+        "back to the real vectors for exact-cosine refinement (FAISS "
+        "refine shape), so emitted cosines are exact. The memory-"
+        "bounded scale path: codes are ~32× smaller than embeddings, "
+        "so the 100 TB ANN scan reads a few TB of codes and refinement "
+        "touches only shortlist·d floats.",
+)
+def embedding_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(
+        emb, queries_df, k=10, m=8, ksub=16,
+        corpus_size_hint=_embeddings_rows(sf_dir),
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH v AS (

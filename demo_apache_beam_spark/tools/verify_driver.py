@@ -3,12 +3,15 @@ PLAIN SparkSession (no engine conf — exactly how the driver calls us) and
 compare oracle-backed ones against DuckDB on the same parquet.
 
 Usage: python -m demo_apache_beam_spark.tools.verify_driver [name ...]
-Env:   SPARK_GRAFT_VERIFY_SF (default /root/testdata/sf0.01)
+Env:   SPARK_GRAFT_VERIFY_SF   (default /root/testdata/sf0.01)
+       SPARK_GRAFT_VERIFY_JSON (optional: also write a machine-readable
+                                per-query result map to this path)
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 
@@ -50,21 +53,25 @@ def main() -> int:
 
     names = sys.argv[1:] or list(reg.REGISTRY)
     fails: list[str] = []
+    results: dict[str, dict] = {}
     for name in names:
         spec = reg.REGISTRY[name]
         try:
             sdf = spec.fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001 - report and continue
             fails.append(name)
+            results[name] = {"status": "spark_err", "err": str(e)[:200]}
             print(f"{name}: SPARK ERR {str(e)[:200]}")
             continue
         if spec.oracle is None:
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"{name}: rows-only {len(sdf)}")
             continue
         try:
             odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             fails.append(name)
+            results[name] = {"status": "oracle_err", "err": str(e)[:200]}
             print(f"{name}: ORACLE ERR {str(e)[:200]}")
             continue
         ok = (
@@ -74,8 +81,19 @@ def main() -> int:
         )
         if not ok:
             fails.append(name)
+        results[name] = {
+            "status": "ok" if ok else "mismatch",
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+        }
         print(f"{name}: {'OK' if ok else f'MISMATCH rows={len(sdf)}/{len(odf)}'}")
     print("FAILS:", fails)
+    out_path = os.environ.get("SPARK_GRAFT_VERIFY_JSON")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf, "fails": fails, "queries": results}, fh, indent=1
+            )
     return 1 if fails else 0
 
 

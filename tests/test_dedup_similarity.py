@@ -363,3 +363,51 @@ def test_blocked_topk_rejects_zero_norm_like_fold(spark):
     # zero-norm in the CORPUS raises in the executor kernel
     with pytest.raises(Exception, match="zero-norm"):
         brute_force_topk_blocked(df, good_q, k=2).collect()
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ asymmetric-distance top-k must recover most of the exact
+    top-10 (quantization is lossy by design; the contract is recall,
+    same as LSH/IVF). Also pins determinism: two runs, identical codes
+    and ranking."""
+    from demo_apache_beam_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in brute_force_topk(emb, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def run():
+        got = {}
+        for r in pq_topk(emb, q, k=10, m=8, ksub=16).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return got
+
+    got = run()
+    hits = sum(len(got[qid] & exact[qid]) for qid in exact)
+    total = sum(len(exact[qid]) for qid in exact)
+    recall = hits / total
+    assert recall >= 0.5, f"recall@10 {recall:.3f} below floor"
+    assert run() == got  # deterministic: seeded sample, seeded k-means
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Codes are m small ints in [0, ksub); encoding is deterministic."""
+    from demo_apache_beam_spark.operators.similarity import pq_build
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    codes_df, codebooks = pq_build(emb, m=8, ksub=16, corpus_size_hint=500)
+    assert codebooks.shape == (8, 16, 8)  # 64-dim / m=8
+    rows = codes_df.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert len(r["_codes"]) == 8
+        assert all(0 <= c < 16 for c in r["_codes"])
