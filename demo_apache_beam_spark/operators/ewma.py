@@ -26,10 +26,13 @@ instead:
    order.  Partition order IS event order because the range partitioner
    sorts by the same composite key.
 
-Within-chunk values are computed by pandas ``ewm`` itself (bitwise the
-reference recursion); only the O(P) cross-chunk combines re-associate
-float ops, so results agree with the sequential reference to ~1 ulp per
-boundary — far inside the 6-dp rounding every consumer applies.
+Within-chunk maps are evaluated in closed form — one vectorized
+``Σ α·(1-α)^(m-1-i)·x_i`` per run via numpy ``reduceat`` over the whole
+Arrow batch, no per-run pandas calls (those dominated wall time at ~1 ms
+of fixed ``ewm`` overhead × one call per key).  The forward weighted sum
+re-associates the Horner-order recursion's float ops, as do the O(P)
+cross-chunk combines; both agree with the sequential reference to a few
+ulp — far inside the 6-dp rounding every consumer applies.
 
 B_first is the chunk's map evaluated under the FIRST-ELEMENT rule
 (s_1 = x_1) — only the key's globally-first segment uses it; later
@@ -73,42 +76,39 @@ def ewma_last_per_key(
         # key, pid, n, A, B, B_first  (5 scalars — O(1) memory)
         cur = None
 
-        def run_maps(vals: pd.Series):
-            """Compose a run of consecutive values into affine-map form.
-
-            b: map evaluated from state 0 — pandas ewm over the run with
-            a 0 prepended reproduces the recursion bit-for-bit.
-            b_first: evaluated under the first-element rule (plain ewm).
-            a_run: (1-α)^m; underflow to 0.0 for huge runs is exact
-            enough (the old state's weight is genuinely ~0 there).
-            """
-            m = len(vals)
-            a_run = a**m
-            b = float(
-                pd.concat([pd.Series([0.0]), vals], ignore_index=True)
-                .ewm(alpha=alpha, adjust=False)
-                .mean()
-                .iloc[-1]
-            )
-            b_first = float(
-                vals.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
-            )
-            return m, a_run, b, b_first
-
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
             keys = pdf[key_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype=np.float64)
             # consecutive runs of equal key within the (sorted) batch
             change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(keys)]))
+            m = ends - starts  # run lengths
+            # Closed-form affine map per run, fully vectorized over the
+            # batch (no per-run pandas calls — those dominate wall time):
+            #   from state 0:  b  = Σ_i α·a^{m-1-i}·x_i   (i 0-based)
+            #   first-element: b' = a^{m-1}·x_0 + Σ_{i≥1} α·a^{m-1-i}·x_i
+            #   a_run = a^m; a^huge underflows to exact-enough 0.0 (the
+            #   old state's weight genuinely IS ~0 there).
+            pos = np.arange(len(keys)) - np.repeat(starts, m)
+            expo = (np.repeat(m, m) - 1 - pos).astype(np.float64)
+            w = alpha * np.power(a, expo)
+            b_arr = np.add.reduceat(w * x, starts)
+            wf = w.copy()
+            wf[starts] = np.power(a, (m - 1).astype(np.float64))
+            bf_arr = np.add.reduceat(wf * x, starts)
+            a_arr = np.power(a, m.astype(np.float64))
             out_rows = []
-            for s, e in zip(starts, ends):
+            for j, s in enumerate(starts):
                 k = keys[s]
-                m, a_run, b, b_first = run_maps(
-                    pdf[value_col].iloc[s:e].reset_index(drop=True)
+                mj, a_run, b, b_first = (
+                    int(m[j]),
+                    float(a_arr[j]),
+                    float(b_arr[j]),
+                    float(bf_arr[j]),
                 )
                 if cur is not None and cur[0] == k:
                     # continue the open key: compose generic map into both
@@ -116,7 +116,7 @@ def ewma_last_per_key(
                     cur = (
                         k,
                         pid,
-                        n0 + m,
+                        n0 + mj,
                         A0 * a_run,
                         B0 * a_run + b,
                         Bf0 * a_run + b,
@@ -124,7 +124,7 @@ def ewma_last_per_key(
                 else:
                     if cur is not None:
                         out_rows.append(cur)
-                    cur = (k, pid, m, a_run, b, b_first)
+                    cur = (k, pid, mj, a_run, b, b_first)
             if out_rows:
                 yield pd.DataFrame(
                     out_rows,
@@ -138,19 +138,24 @@ def ewma_last_per_key(
     seg_schema = "_key long, _pid int, _n long, _A double, _B double, _Bf double"
     seg_df = tagged.mapInPandas(segments, seg_schema)
 
-    out_schema = f"{key_col} long, n_events long, ewma_last double"
-
-    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pid", kind="stable").reset_index(drop=True)
-        s = pdf["_Bf"].iloc[0]  # first segment: first-element rule
-        for i in range(1, len(pdf)):
-            s = pdf["_B"].iloc[i] + pdf["_A"].iloc[i] * s
-        return pd.DataFrame(
-            {
-                key_col: [int(pdf["_key"].iloc[0])],
-                "n_events": [int(pdf["_n"].sum())],
-                "ewma_last": [round(float(s), round_dp)],
-            }
-        )
-
-    return seg_df.groupBy("_key").applyInPandas(combine, out_schema)
+    # Cross-segment combine stays entirely JVM-side: each key has ≤ P
+    # segments (one per range partition it touches), so collect_list is
+    # bounded by the partition count, array_sort orders them by _pid
+    # (struct sort is lexicographic, _pid is the leading field and unique
+    # per key), and a higher-order aggregate folds the affine maps in
+    # partition order — no second Python stage, whole-stage codegen does
+    # the fold.
+    segs = F.array_sort(F.collect_list(F.struct("_pid", "_A", "_B", "_Bf")))
+    agg = seg_df.groupBy("_key").agg(
+        F.sum("_n").alias("n_events"), segs.alias("_segs")
+    )
+    folded = F.aggregate(
+        F.expr("slice(_segs, 2, size(_segs) - 1)"),
+        F.col("_segs")[0]["_Bf"],  # first segment: first-element rule
+        lambda acc, seg: seg["_B"] + seg["_A"] * acc,
+    )
+    return agg.select(
+        F.col("_key").alias(key_col),
+        "n_events",
+        F.round(folded, round_dp).alias("ewma_last"),
+    )
