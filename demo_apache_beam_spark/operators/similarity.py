@@ -771,6 +771,14 @@ def brute_force_topk_blocked(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
     sess = corpus.sparkSession
+    # The kernel's parallelism is the corpus partition count. A small
+    # corpus arrives as one parquet split → one single-threaded numpy
+    # task; widen it to the cluster's parallelism. A corpus already wider
+    # than the cluster keeps its layout (no shuffle at scale, where the
+    # scan is many splits anyway).
+    par = sess.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
 
     def block_arrays(rows):
         ids = np.asarray([r[0] for r in rows], dtype=np.int64)
@@ -787,24 +795,35 @@ def brute_force_topk_blocked(
             )
         return ids, mat, np.sqrt(nrm)
 
-    # Stream query rows to the driver one partition at a time; never more
-    # than one block resident.
+    # Probe with limit(block+1).collect(): ONE parallel job, driver holds
+    # at most block+1 rows. If everything fits a single block we skip the
+    # toLocalIterator path entirely — that iterator runs partitions as
+    # sequential jobs and costs more than the whole scan for small query
+    # sets. Only genuinely multi-block inputs pay the streaming protocol.
     blocks: list[DataFrame] = []
-    buf: list = []
-    first_block: tuple | None = None
-    it = queries.select(query_id_col, vec_col).toLocalIterator()
-    for row in it:
-        buf.append(row)
-        if len(buf) >= query_block_rows:
-            blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
-            buf = []
-    if buf and not blocks:
+    probe = (
+        queries.select(query_id_col, vec_col)
+        .limit(query_block_rows + 1)
+        .collect()
+    )
+    if 0 < len(probe) <= query_block_rows:
         # Single-block fast path: lazy, no checkpoint — identical plan to
         # the pre-chunking implementation for bounded query sets.
-        cand, _ = _blocked_candidates(c, *block_arrays(buf), k, score_budget, query_id_col)
+        cand, _ = _blocked_candidates(c, *block_arrays(probe), k, score_budget, query_id_col)
         blocks.append(cand)
-    elif buf:
-        blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
+    elif len(probe) > query_block_rows:
+        # Stream query rows to the driver one partition at a time; never
+        # more than one block resident.
+        del probe
+        buf: list = []
+        it = queries.select(query_id_col, vec_col).toLocalIterator()
+        for row in it:
+            buf.append(row)
+            if len(buf) >= query_block_rows:
+                blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
+                buf = []
+        if buf:
+            blocks.append(_materialize_block(c, block_arrays(buf), k, score_budget, query_id_col))
 
     if not blocks:
         schema = f"{query_id_col} long, neighbor_id long, cosine double, rank int"
