@@ -234,3 +234,55 @@ def label_propagation(
             F.col("v").alias("id"), (-F.col("m.neg")).alias("label")
         ).localCheckpoint()
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src_id",
+    dst: str = "dst_id",
+) -> DataFrame:
+    """Multi-source BFS hop distance, bounded to ``rounds`` hops.
+
+    ``seeds`` is a one-column table of start vertices; returns
+    ``(id, dist)`` for every vertex reachable within ``rounds`` hops of
+    ANY seed (seeds themselves at dist 0) over the UNDIRECTED graph of
+    ``edges``. The per-round relaxation is the min-plus step
+
+        dist_r(v) = min(dist_{r-1}(v), 1 + min{dist_{r-1}(u) : u~v})
+
+    — one equi-join (frontier × edges) + one min-aggregate per round,
+    with the distance table ``localCheckpoint``ed per round (the same
+    lineage discipline as the other iterative operators). A fixed round
+    count makes the result purely integer and deterministic, which is
+    what lets the registry back it with an unrolled SQL oracle. Rounds
+    are O(E) shuffles; for unbounded reachability use
+    :func:`connected_components` (pointer doubling) instead — BFS is the
+    right tool when the HOP COUNT is the answer (expansion profiling,
+    contamination blast-radius, seed-set coverage).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = und.join(dist, und.a == dist.id).select(
+            F.col("b").alias("id"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

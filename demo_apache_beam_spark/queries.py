@@ -5393,6 +5393,342 @@ def user_percentile_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval — BM25, hybrid RRF, Bloom-pruned decontamination, BFS reach
+# ---------------------------------------------------------------------------
+
+# Literal benchmark queries over the synthetic corpus vocabulary: one
+# rare discriminator ('dup'), the rest high-frequency terms — the mix a
+# real relevance check exercises.
+_BM25_QUERY_TERMS = [
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "dup"), (2, "scan"),
+    (3, "window"), (3, "group"), (3, "sort"),
+]
+
+
+@register(
+    "doc_bm25_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'), (1, 'merge'),
+             (2, 'dup'), (2, 'scan'),
+             (3, 'window'), (3, 'group'), (3, 'sort')
+    ), scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl))
+               AS w
+      FROM tf JOIN q ON tf.token = q.term
+      JOIN df ON tf.token = df.token
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), per_doc AS (
+      SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+      FROM scored GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM per_doc
+    )
+    SELECT cast(query_id AS BIGINT) AS query_id, rn AS rank, doc_id, bm25
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Okapi BM25 search (Lucene idf variant, k1=1.2, b=0.75): top-10 "
+        "documents for each of three literal multi-term queries — the "
+        "lexical-retrieval primitive behind benchmark-leak hunting and "
+        "corpus exploration. The corpus side is ONE tokenize scan "
+        "feeding tf/dl/df partial aggregates; the query-term table is "
+        "literal and tiny so it broadcast-joins into the posting list, "
+        "and corpus stats (N, avgdl) ride in as a broadcast 1-row cross "
+        "join — at 100 TB the cost is the scan, exactly like TF-IDF. "
+        "Ranking is over the 6-dp-ROUNDED score with doc-id tie-break, "
+        "so last-ulp ln() differences between engines cannot flip an "
+        "order; constants are spelled as the same literal expressions "
+        "((1.2 + 1.0), (1.0 - 0.75)) in both so every double matches.",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERY_TERMS, "query_id long, term string")
+    return bm25_rank(docs, q, k1=1.2, b=0.75, topk=10)
+
+
+@register(
+    "doc_hybrid_rrf",
+    """
+    WITH dtok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1
+    ), q AS (
+      SELECT doc_id AS query_id, token FROM dtok WHERE doc_id IN (0, 1, 2)
+    ), inter AS (
+      SELECT q.query_id, d.doc_id, count(*) AS n_common
+      FROM dtok d JOIN q ON d.token = q.token AND d.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT i.query_id, i.doc_id,
+             cast(i.n_common AS DOUBLE) / (sq.sz + sd.sz - i.n_common)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sq ON sq.doc_id = i.query_id
+      JOIN sizes sd ON sd.doc_id = i.doc_id
+    ), leg_a AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY jaccard DESC, doc_id) AS rn
+        FROM jac
+      ) WHERE rn <= 20
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), qv AS (
+      SELECT vec_id AS query_id, ve FROM v WHERE vec_id IN (0, 1, 2)
+    ), cos AS (
+      SELECT qv.query_id, v.vec_id AS doc_id,
+             list_cosine_similarity(qv.ve, v.ve) AS cosine
+      FROM qv JOIN v ON v.vec_id <> qv.query_id
+    ), leg_b AS (
+      SELECT query_id, doc_id, rn AS rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS rn
+        FROM cos
+      ) WHERE rn <= 20
+    ), u AS (
+      SELECT * FROM leg_a UNION ALL SELECT * FROM leg_b
+    ), fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS rrf
+      FROM u GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    )
+    SELECT query_id, rn AS rank, doc_id, rrf FROM ranked WHERE rn <= 10
+    """,
+    doc="Hybrid 'more-like-this' retrieval with Reciprocal Rank Fusion "
+        "(Cormack et al. 2009): for three query documents, fuse a "
+        "LEXICAL leg (distinct-token Jaccard top-20, exact rational "
+        "scores) with an EMBEDDING leg (exact cosine top-20 through the "
+        "bit-parity blocked kernel) via rrf = Σ 1/(60+rank), take the "
+        "fused top-10. This is the candidate-generation shape of every "
+        "hybrid search / RAG curation stack. Both legs produce integer "
+        "ranks deterministically (Jaccard is a ratio of integers, "
+        "cosine is engine-exact), and the fused sum of two doubles is "
+        "commutative — so the whole pipeline is hash-exact against the "
+        "SQL oracle. Scale: leg A joins the (3-doc) query token set "
+        "broadcast against one corpus token scan; leg B is one blocked "
+        "kernel pass with a 3-row query block; the fuse is a union of "
+        "two ≤20-row-per-query lists.",
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import rrf_fuse
+    from .operators.similarity import brute_force_topk_blocked
+
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sizes = dtok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qtok = dtok.filter(F.col("doc_id").isin([0, 1, 2])).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    inter = (
+        dtok.join(F.broadcast(qtok), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qsz = sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("q_sz"))
+    jac = (
+        inter.join(F.broadcast(qsz), "query_id")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("q_sz") + F.col("sz") - F.col("n_common")),
+        )
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    leg_a = (
+        jac.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    leg_b = brute_force_topk_blocked(
+        emb,
+        emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    return rrf_fuse([leg_a, leg_b], k0=60, topk=10)
+
+
+@register(
+    "decontaminated_corpus_bloom",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+      FROM t WHERE len(toks) >= 8
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[p:p+7], ' ') AS shingle
+      FROM pos
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE (doc_id * 2654435761) % 1000 < 50
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+        AND shingle IN (SELECT shingle FROM eval_sh)
+    )
+    SELECT doc_id FROM documents
+    WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="Decontamination with a broadcast BLOOM pre-filter: the clean "
+        "training split — every non-eval document sharing NO 8-token "
+        "shingle with the eval split. Same contract as "
+        "corpus_decontamination's exact-set broadcast, but built for "
+        "the regime where the benchmark shingle set does NOT fit as "
+        "broadcast strings (hundreds of millions of shingles): the eval "
+        "side aggregates into a 2^20-BIT Bloom bitset distributedly "
+        "(per-partition bitsets OR-ed on the driver — O(partitions·m/8) "
+        "driver traffic, never the strings), the bitset broadcasts at "
+        "m/8 bytes, a vectorized Arrow probe prunes the corpus-sized "
+        "train side (no false negatives by construction — build and "
+        "probe share the identical Kirsch–Mitzenmacher position math), "
+        "and the exact join runs only over the tiny survivor set, "
+        "removing false positives. Composed result is bit-identical to "
+        "the plain anti-join — which is exactly what the oracle checks.",
+)
+def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bloom import bloom_build, bloom_prefilter
+
+    is_eval = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000) < 50
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = docs.filter(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 7),"
+                    "          p -> concat_ws(' ', slice(toks, p, 8)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train_sh = sh.filter(~is_eval)
+
+    bits = bloom_build(eval_sh, "shingle")
+    candidates = bloom_prefilter(train_sh, bits, "shingle")
+    contaminated = (
+        candidates.join(eval_sh, "shingle").select("doc_id").distinct()
+    )
+    train_docs = (
+        load_table(spark, sf_dir, "documents").filter(~is_eval).select("doc_id")
+    )
+    return train_docs.join(contaminated, "doc_id", "left_anti")
+
+
+def _bfs_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled multi-source BFS over knn_graph's hash-green edge CTE:
+    each round is the operator's min-plus relaxation verbatim — frontier
+    joined across the symmetrized edges, then a min over (previous
+    distance ∪ neighbor distance + 1). Distances are integers, so parity
+    is exact."""
+    sql = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), rk AS (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rank
+      FROM scored
+    ), g AS (
+      SELECT src_id, dst_id FROM rk WHERE rank <= 5
+    ), und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src_id AS a, dst_id AS b FROM g
+        UNION ALL
+        SELECT dst_id AS a, src_id AS b FROM g
+      ) WHERE a <> b
+    ), d0 AS (
+      SELECT vec_id AS id, cast(0 AS BIGINT) AS dist
+      FROM embeddings WHERE vec_id % 97 = 0
+    )"""
+    for i in range(1, rounds + 1):
+        sql += f""", d{i} AS (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.b AS id, d.dist + 1 AS dist
+        FROM und e JOIN d{i - 1} d ON e.a = d.id
+      ) GROUP BY id
+    )"""
+    return sql + f"\n    SELECT id AS vec_id, dist FROM d{rounds}"
+
+
+@register(
+    "knn_seed_distance",
+    _bfs_oracle_sql(4),
+    doc="Multi-source BFS over the kNN similarity graph: hop distance "
+        "from a deterministic seed set (vec_id % 97 = 0) for every "
+        "vector reachable within 4 hops — the blast-radius / coverage "
+        "query (how much of the corpus sits within k similarity hops of "
+        "a flagged set). Each round is ONE frontier×edges equi-join "
+        "plus a min-aggregate (min-plus relaxation), distance table "
+        "localCheckpointed per round like every iterative operator "
+        "here; the fixed round count bounds work AND unrolls to a "
+        "non-recursive SQL oracle with purely integer output — exact "
+        "parity. Completes the graph family with reachability-depth "
+        "alongside components/pagerank/triangles/LPA.",
+)
+def knn_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_distances
+
+    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id")
+    )
+    out = bfs_distances(g, seeds, rounds=4)
+    return out.select(F.col("id").alias("vec_id"), "dist")
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

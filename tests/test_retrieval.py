@@ -1,0 +1,210 @@
+"""Retrieval operators: BM25, RRF fusion, Bloom pre-filter, BFS reach.
+
+Each operator is checked against an INDEPENDENT reference computed here
+(plain Python/numpy), not against its own algebra — the same discipline
+as the graph and similarity suites. The registry-level DuckDB parity for
+the four queries lives in test_oracle_parity.py's sweep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+TOY_DOCS = [
+    (0, "hash join hash join merge"),
+    (1, "scan filter scan scan scan"),
+    (2, "hash merge sort sort"),
+    (3, "join join join join join join"),
+    (4, "dup dup scan"),
+]
+
+
+def _bm25_reference(docs, queries, k1=1.2, b=0.75):
+    """Plain-Python Lucene-variant BM25 — independent of the operator."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * len(t) / avgdl)
+                )
+            if s != 0.0:
+                scores[d] = round(s, 6)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    from demo_apache_beam_spark.operators.retrieval import bm25_rank
+
+    docs = spark.createDataFrame(TOY_DOCS, "doc_id long, text string")
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "dup"), (2, "scan")],
+        "query_id long, term string",
+    )
+    got = bm25_rank(docs, qterms, topk=10).collect()
+    want = _bm25_reference(
+        TOY_DOCS, {1: ["hash", "join"], 2: ["dup", "scan"]}
+    )
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["bm25"]) for r in rows] == want[qid]
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from demo_apache_beam_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    leg_b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf"])
+        for r in rrf_fuse([leg_a, leg_b], k0=60, topk=10).collect()
+    }
+    # doc 11 appears in both legs: 1/62 + 1/61
+    want = {
+        11: round(1 / 62 + 1 / 61, 6),
+        10: round(1 / 61, 6),
+        13: round(1 / 62, 6),
+        12: round(1 / 63, 6),
+    }
+    assert {d: s for d, (_, s) in got.items()} == want
+    order = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert [d for d, _ in order] == [11, 10, 13, 12]
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true member survives the pre-filter (structural property),
+    non-members are mostly pruned, and the composed prefilter+exact-join
+    equals the plain join."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    members = spark.range(0, 500).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    # probe side: the 500 members plus 5000 strangers
+    probe = spark.range(0, 5500).select(
+        F.when(F.col("id") < 500, F.concat(F.lit("key_"), F.col("id")))
+        .otherwise(F.concat(F.lit("other_"), F.col("id")))
+        .alias("k")
+    )
+    bits = bloom_build(members, "k", m_bits=1 << 16, num_hashes=5)
+    survivors = bloom_prefilter(probe, bits, "k", m_bits=1 << 16, num_hashes=5)
+    n_surv = survivors.count()
+    exact = survivors.join(members, "k").count()
+    assert exact == 500  # no false negatives
+    # fpr at 500 keys * 5 hashes in 65536 bits is well under 1% — allow 5%
+    assert n_surv <= 500 + 0.05 * 5000
+    # composed result == plain semi-join
+    plain = probe.join(members, "k").count()
+    assert exact == plain
+
+
+def test_bloom_decontamination_equals_plain_antijoin(spark):
+    """The registry query's Bloom path must be bit-identical to the
+    plain broadcast anti-join on real data."""
+    from conftest import SF_SMALL
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    got = sorted(
+        r["doc_id"]
+        for r in REGISTRY["decontaminated_corpus_bloom"].fn(spark, SF_SMALL).collect()
+    )
+
+    is_eval = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000) < 50
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sh = docs.filter(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                "          p -> concat_ws(' ', slice(toks, p, 8)))"
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval).join(eval_sh, "shingle").select("doc_id").distinct()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .filter(~is_eval)
+        .select("doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BFS distances
+# ---------------------------------------------------------------------------
+
+def test_bfs_distances_on_path_graph(spark):
+    """Path 0-1-2-...-9 with seed {0}: dist(v) = v, capped at rounds."""
+    from demo_apache_beam_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src_id long, dst_id long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"] for r in bfs_distances(edges, seeds, rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # nodes beyond 4 hops absent
+
+
+def test_bfs_distances_multi_seed_min(spark):
+    """Two seeds on a path: every vertex takes the NEARER seed."""
+    from demo_apache_beam_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src_id long, dst_id long"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "id long")
+    got = {
+        r["id"]: r["dist"] for r in bfs_distances(edges, seeds, rounds=4).collect()
+    }
+    want = {v: min(v, 9 - v) for v in range(10)}
+    assert got == want
