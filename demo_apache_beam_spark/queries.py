@@ -5728,6 +5728,174 @@ def knn_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("vec_id"), "dist")
 
 
+@register(
+    "concurrent_sessions",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ), sess AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS st,
+             epoch_us(max(ts)) + 30 * 60 * 1000000 AS en,
+             count(*) AS n
+      FROM s GROUP BY user_id, sid
+    ), c AS (
+      SELECT a.user_id, a.st, count(*) AS n_concurrent
+      FROM sess a JOIN sess b
+        ON a.user_id <> b.user_id AND a.st < b.en AND b.st < a.en
+      GROUP BY 1, 2
+    )
+    SELECT sess.user_id, sess.st AS session_start_us, sess.n AS n_events,
+           coalesce(c.n_concurrent, 0) AS n_concurrent
+    FROM sess LEFT JOIN c ON sess.user_id = c.user_id AND sess.st = c.st
+    """,
+    doc="Interval-overlap self-join: for every user session (30-min gap "
+        "windows), how many OTHER users' sessions overlap it in time — "
+        "the concurrency / co-presence query (abuse rings, load "
+        "attribution, co-activity features). A naive overlap join is a "
+        "cross product with a θ-condition — unexecutable at scale — so "
+        "the Spark side uses the standard BUCKETED range join: each "
+        "session explodes into the 1-hour time buckets it covers "
+        "(bounded by session length / bucket), pairs equi-join on the "
+        "bucket key (a real shuffle key, so Catalyst plans a hash join, "
+        "not BroadcastNestedLoop), the exact overlap predicate filters "
+        "within buckets, and each pair is counted ONCE by keeping only "
+        "the first shared bucket (bucket == max(start buckets) — the "
+        "classic dedup trick that avoids a distinct). The oracle is the "
+        "naive θ-join, bearable at test scale — results are integer-"
+        "exact either way.",
+)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import session_window
+
+    bucket_us = 3_600_000_000  # 1 hour
+    ev = _events(spark, sf_dir).select("user_id", F.col("ts").alias("event_time"))
+    sess = (
+        ev.groupBy(session_window(30).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("st"),
+            F.unix_micros("w.end").alias("en"),
+            "n_events",
+        )
+    ).localCheckpoint()
+    spans = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"st div {bucket_us}"), F.expr(f"(en - 1) div {bucket_us}")
+            )
+        ),
+    )
+    x, y = spans.alias("x"), spans.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.user_id") != F.col("y.user_id"))
+        & (F.col("x.st") < F.col("y.en"))
+        & (F.col("y.st") < F.col("x.en"))
+        & (
+            F.col("x.bucket")
+            == F.greatest(
+                F.expr(f"x.st div {bucket_us}"), F.expr(f"y.st div {bucket_us}")
+            )
+        ),
+    )
+    cnt = pairs.groupBy(F.col("x.user_id").alias("user_id"), F.col("x.st").alias("st")).agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        sess.join(cnt, ["user_id", "st"], "left")
+        .select(
+            "user_id",
+            F.col("st").alias("session_start_us"),
+            "n_events",
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+@register(
+    "doc_pmi_collocations",
+    """
+    WITH bg AS (
+      SELECT t[p] AS w1, t[p + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS t FROM documents),
+           LATERAL unnest(range(1, len(t))) AS r(p)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+    ), cl AS (
+      SELECT w1, cast(sum(n2) AS BIGINT) AS nl FROM c2 GROUP BY 1
+    ), cr AS (
+      SELECT w2, cast(sum(n2) AS BIGINT) AS nr FROM c2 GROUP BY 1
+    ), tot AS (
+      SELECT cast(sum(n2) AS BIGINT) AS n FROM c2
+    )
+    SELECT w1, w2, n2,
+           round(ln((cast(n2 AS DOUBLE) * tot.n)
+                    / (cast(cl.nl AS DOUBLE) * cr.nr)), 6) AS pmi
+    FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+    WHERE n2 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+    doc="Pointwise-mutual-information collocation mining: the 30 "
+        "strongest bigram associations (pmi = ln(p(xy)/(p(x·)p(·y))), "
+        "min support 5) — the classic phrase/term-merge statistic "
+        "behind tokenizer-merge candidates and collocation dictionaries. "
+        "Bigrams are built SCAN-SIDE from the token array (array slice "
+        "transform — no per-doc window shuffle), one groupBy makes the "
+        "bigram counts, and the marginals are two partial aggregates "
+        "OVER THE COUNT TABLE (vocabulary-sized, not corpus-sized); the "
+        "grand total rides in as a broadcast 1-row cross join. The "
+        "global top-30 plans as TakeOrderedAndProject on the 6-dp-"
+        "rounded score with (w1, w2) tie-break, so engine-identical "
+        "ordering. All inputs to ln() are exact integer ratios.",
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                "          i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    cl = c2.groupBy("w1").agg(F.sum("n2").alias("nl"))
+    cr = c2.groupBy("w2").agg(F.sum("n2").alias("nr"))
+    tot = c2.agg(F.sum("n2").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("n2").cast("double") * F.col("n"))
+            / (F.col("nl").cast("double") * F.col("nr"))
+        ),
+        6,
+    )
+    return (
+        c2.filter(F.col("n2") >= 5)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -331,3 +331,20 @@ def test_boilerplate_common_set_is_not_hint_broadcast(spark):
     df = REGISTRY["doc_boilerplate_ngrams"].fn(spark, SF_SMALL)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "hint" not in analyzed.lower(), analyzed[:2000]
+
+
+def test_concurrent_sessions_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed interval self-join must plan as an equi-join on the
+    bucket key — never a BroadcastNestedLoopJoin/cartesian over the raw
+    θ-condition, which would be the quadratic scan that kills the query
+    at scale."""
+    plan = explain_str(REGISTRY["concurrent_sessions"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_top30_plans_take_ordered(spark):
+    """The global top-30 must plan as TakeOrderedAndProject (per-partition
+    heaps), not a full sort of the bigram-count table."""
+    plan = explain_str(REGISTRY["doc_pmi_collocations"].fn(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
