@@ -548,3 +548,87 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (paragraph) dedup — CCNet-style
+# ---------------------------------------------------------------------------
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    max_df: int = 1,
+) -> DataFrame:
+    """Corpus-wide segment-level deduplication (CCNet, Wenzek et al.
+    2020, arXiv:1911.00359 §3.1 "deduplicating paragraphs across the
+    whole corpus"): split every document into fixed ``chunk``-token
+    segments, count in how many *distinct* documents each segment's
+    content occurs, and drop every occurrence of a segment seen in more
+    than ``max_df`` documents — boilerplate removal where headers,
+    footers, and mirrored paragraphs vanish from *all* their carriers.
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_kept, text_dedup)`` where ``text_dedup``
+    re-joins the surviving segments in original order ('' when every
+    segment was shared — the fate of an exact-duplicate document).
+
+    Plan shape (3 shuffles, all on narrow rows):
+    1. segment + digest: ``sequence``/``slice`` chunking (zero Python)
+       projected to ``(doc_id, pos, md5(segment))`` — segment text is
+       NOT carried into the frequency aggregation.
+    2. document-frequency: partial-aggregated count of distinct carrier
+       docs per 16-byte digest (two-level groupBy, map-side combinable).
+    3. verdict join back on the digest, then per-doc reassembly with
+       ``sort_array`` over (pos, segment) structs — deterministic order
+       with no per-group sort spill (segments per doc are bounded by
+       document length / chunk).
+
+    At 100 TB the frequency table is |distinct segments| rows of 16
+    bytes; the skew ceiling is the hottest digest's carrier count, which
+    the count-distinct partial aggregation absorbs map-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    n_chunks = F.greatest(
+        F.ceil(F.size("_toks") / F.lit(float(chunk))).cast("long"), F.lit(1)
+    )
+    slices = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * chunk + 1, chunk), " "),
+    )
+    segs = toks.select(
+        F.col(id_col), F.posexplode(slices).alias("_pos", "_seg")
+    ).withColumn("_h", F.md5("_seg"))
+
+    seg_df = (
+        segs.select("_h", id_col)
+        .groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("_h")
+    )
+
+    kept = segs.join(seg_df, "_h", "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_segments").cast("int").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

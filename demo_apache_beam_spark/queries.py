@@ -428,6 +428,53 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_segments",
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS toks FROM corpus
+    ), segs AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(
+               0, greatest(CAST(ceil(len(toks) / 32.0) AS BIGINT), 1) - 1))
+               AS INT) AS pos,
+             toks
+      FROM d
+    ), seg AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos*32+1 : pos*32+32], ' ') AS s
+      FROM segs
+    ), freq AS (
+      SELECT md5(s) AS h FROM seg
+      GROUP BY md5(s) HAVING count(DISTINCT doc_id) <= 1
+    ), kept AS (
+      SELECT doc_id, pos, s FROM seg JOIN freq ON md5(seg.s) = freq.h
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(s, ' ' ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_segments AS INT) AS n_segments,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+           coalesce(r.text_dedup, '') AS text_dedup
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+    doc="CCNet-style corpus-wide segment dedup: 32-token segments are "
+        "digested, segments carried by >1 distinct document are dropped "
+        "from every carrier, and documents are reassembled in original "
+        "order. Frequency counting shuffles 16-byte digests only; "
+        "exact-duplicate documents collapse to empty text.",
+)
+def dedup_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import segment_dedup
+
+    return segment_dedup(_dup_corpus(spark, sf_dir), chunk=32, max_df=1)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),

@@ -411,3 +411,63 @@ def test_pq_codes_shape_and_determinism(spark):
     for r in rows[:50]:
         assert len(r["_codes"]) == 8
         assert all(0 <= c < 16 for c in r["_codes"])
+
+
+class TestSegmentDedup:
+    def _corpus(self, spark):
+        # doc 1 and 2 share their first 32-token segment (boilerplate
+        # header); doc 3 is an exact duplicate of doc 1; doc 4 is unique.
+        header = " ".join(f"h{i}" for i in range(32))
+        body1 = " ".join(f"a{i}" for i in range(32))
+        body2 = " ".join(f"b{i}" for i in range(32))
+        body4 = " ".join(f"c{i}" for i in range(10))  # short tail segment
+        return spark.createDataFrame(
+            [
+                (1, f"{header} {body1}"),
+                (2, f"{header} {body2}"),
+                (3, f"{header} {body1}"),
+                (4, body4),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_shared_segments_dropped_from_all_carriers(self, spark):
+        from demo_apache_beam_spark.operators.dedup import segment_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in segment_dedup(self._corpus(spark), chunk=32).collect()
+        }
+        assert len(out) == 4
+        # the header is carried by docs 1,2,3 -> dropped everywhere
+        assert all("h0" not in out[d]["text_dedup"] for d in (1, 2, 3))
+        # doc 1 and its exact copy doc 3 also share body1 -> both empty
+        assert out[1]["n_kept"] == 0 and out[1]["text_dedup"] == ""
+        assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+        # doc 2 keeps only its unique body, in original content
+        assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+        assert out[2]["text_dedup"] == " ".join(f"b{i}" for i in range(32))
+        # doc 4 is untouched (single short segment, df=1)
+        assert out[4]["n_kept"] == 1 and out[4]["text_dedup"].startswith("c0 ")
+
+    def test_segment_order_preserved(self, spark):
+        from demo_apache_beam_spark.operators.dedup import segment_dedup
+
+        seg = lambda tag: " ".join(f"{tag}{i}" for i in range(32))
+        df = spark.createDataFrame(
+            [(1, " ".join(seg(t) for t in ("x", "y", "z")))],
+            "doc_id long, text string",
+        )
+        row = segment_dedup(df, chunk=32).collect()[0]
+        assert row["n_segments"] == 3 and row["n_kept"] == 3
+        assert row["text_dedup"] == " ".join(seg(t) for t in ("x", "y", "z"))
+
+    def test_max_df_threshold(self, spark):
+        from demo_apache_beam_spark.operators.dedup import segment_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in segment_dedup(self._corpus(spark), chunk=32, max_df=3).collect()
+        }
+        # df=3 header now survives everywhere
+        assert all(out[d]["text_dedup"].startswith("h0 ") for d in (1, 2, 3))
