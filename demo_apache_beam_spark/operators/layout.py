@@ -111,3 +111,52 @@ def compact_files(
     fs.delete(src, True)
     fs.rename(aside, src)
     return n
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every row gets a reproducible pseudorandom position, materialized as
+    ``(shard, pos)`` — the layout a data-parallel trainer consumes
+    (worker w reads shard files w, w+W, w+2W, …; epoch order is fixed by
+    construction, so a run is resumable and byte-for-byte repeatable).
+
+    The shuffle key is ``md5(seed : id)`` — an engine-portable keyed
+    hash, so the same (corpus, seed) produces the same order on any
+    engine (the registry query hash-checks this against DuckDB).
+    ``shard`` is the key's first two hex digits mod ``n_shards``;
+    ``pos`` ranks rows *within* a shard by (key, id).
+
+    Scale shape: no global sort and no global row_number — the only
+    wide operation is one hash partition by ``shard`` with a per-shard
+    sort (Spark's repartition + sortWithinPartitions write pattern,
+    here a window whose partition key IS the shard). Operate it like a
+    real exporter: grow ``n_shards`` ∝ corpus size (a shard ≈ one
+    ~1 GB output file ⇒ 100 TB ⇒ ~10⁵ shards) so each per-shard sort
+    stays file-sized; the hash key keeps shard populations balanced
+    within √N noise regardless of id distribution (no skew salting
+    needed — the key is already uniform).
+    """
+    from pyspark.sql import Window
+
+    hexpos = "instr('0123456789abcdef', substring(_sk, {i}, 1)) - 1"
+    keyed = df.withColumn(
+        "_sk", F.md5(F.concat_ws(":", F.lit("shuffle"), F.lit(seed), F.col(id_col)))
+    ).withColumn(
+        "shard",
+        (
+            (F.expr(hexpos.format(i=1)) * 16 + F.expr(hexpos.format(i=2)))
+            % F.lit(n_shards)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_sk", id_col)
+    return keyed.select(
+        F.col(id_col),
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col("_sk").alias("shuffle_key"),
+    )

@@ -2880,6 +2880,40 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_training_order",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, shuffle_key,
+             CAST(((instr('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef', substring(shuffle_key, 2, 1)) - 1))
+                  % 64 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos,
+           shuffle_key
+    FROM sharded
+    """,
+    doc="Deterministic training-data shuffle + sharding: md5(seed:id) "
+        "gives every document a reproducible pseudorandom rank; shard = "
+        "first two hex digits mod 64, pos = rank within shard. No "
+        "global sort/row_number — the one wide op is a per-shard window "
+        "(the repartition+sortWithinPartitions exporter pattern); grow "
+        "n_shards with corpus size so each shard stays file-sized.",
+)
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.layout import training_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return training_shuffle(docs, n_shards=64, seed=42)
+
+
+@register(
     "doc_repetition_quality",
     """
     WITH t AS (

@@ -86,3 +86,44 @@ def test_compact_files_reduces_file_count_and_preserves_rows(spark, tmp_path):
     assert got == expect
     if len(after) > 1:
         assert _per_file_span_ratio(path, "id") < 0.5  # clustering restored
+
+
+class TestTrainingShuffle:
+    def test_deterministic_and_dense(self, spark):
+        from demo_apache_beam_spark.operators.layout import training_shuffle
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = training_shuffle(df, n_shards=8, seed=7).collect()
+        b = training_shuffle(df, n_shards=8, seed=7).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # positions are dense 0..m-1 within every shard
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        assert set(by_shard) <= set(range(8))
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(len(positions)))
+
+    def test_seed_changes_order(self, spark):
+        from demo_apache_beam_spark.operators.layout import training_shuffle
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: (r["shard"], r["pos"]) for r in training_shuffle(df, seed=1).collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"]) for r in training_shuffle(df, seed=2).collect()}
+        assert a != b
+
+    def test_shards_balanced(self, spark):
+        from demo_apache_beam_spark.operators.layout import training_shuffle
+
+        df = spark.range(0, 4096).withColumnRenamed("id", "doc_id")
+        counts = [
+            r["c"]
+            for r in training_shuffle(df, n_shards=16, seed=3)
+            .groupBy("shard")
+            .agg(__import__("pyspark").sql.functions.count("*").alias("c"))
+            .collect()
+        ]
+        assert len(counts) == 16
+        # uniform hash: every shard within 3x sqrt-N noise of the mean
+        mean = 4096 / 16
+        assert all(abs(c - mean) < 4 * (mean ** 0.5) for c in counts)
