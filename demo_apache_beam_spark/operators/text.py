@@ -197,3 +197,81 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fing
         )
     )
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from a corpus (Sennrich et
+    al. 2016, arXiv:1508.07909): start from characters, repeatedly find
+    the most frequent adjacent symbol pair (weighted by word frequency)
+    and fuse it, recording each merge. The result IS the tokenizer — the
+    ordered merge list a trainer ships alongside the model.
+
+    Returns ``(step, left, right, merged, pair_count)``, one row per
+    merge in learned order. Ties on pair_count break lexicographically
+    on (left, right) so the table is deterministic and reproducible by
+    a sequential reference implementation.
+
+    Scale shape: the corpus is touched ONCE — the token explode +
+    count collapses 100 TB of text to a vocab-sized (word, count)
+    table, and all ``n_merges`` iterations run on that table (the
+    classic Sennrich formulation: pair statistics are linear in vocab,
+    not corpus). Per round: one pair explode + partial-aggregated sum,
+    one ordered ``limit(1)`` (a single driver row — same bounded-scalar
+    discipline as PageRank's dangling mass), one codegen
+    ``regexp_replace`` rewriting the symbol strings. The vocab DF is
+    cached per round and checkpointed through ``localCheckpoint`` so
+    plan depth stays O(1) across rounds rather than O(round).
+    """
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+        # " ".join(word): every char becomes one symbol
+        .withColumn("syms", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
+        .select("syms", "weight")
+    ).localCheckpoint()
+
+    def _quote(s: str) -> str:
+        # regex-literal quoting, portable to the Python reference (re.escape)
+        return "".join("\\" + c if not c.isalnum() else c for c in s)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.col("syms"), " ")
+        # adjacent pairs = zip(arr, arr[1:]); slice length 0 (single-symbol
+        # words) yields an empty pair list, not a descending sequence
+        pairs = F.arrays_zip(
+            F.slice(arr, 1, F.size(arr) - 1).alias("left"),
+            F.slice(arr, 2, F.size(arr) - 1).alias("right"),
+        )
+        top = (
+            vocab.select(F.explode(pairs).alias("p"), "weight")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("weight").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((step, left, right, left + right, cnt))
+        # non-overlapping left-to-right fuse, identical to Python re.sub
+        pattern = f"(?<!\\S){_quote(left)} {_quote(right)}(?!\\S)"
+        fused = vocab.withColumn(
+            "syms", F.regexp_replace("syms", pattern, (left + right).replace("$", "\\$"))
+        )
+        vocab = fused.localCheckpoint()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )

@@ -3082,6 +3082,23 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
 
 
+@register(
+    "corpus_bpe_merges",
+    None,  # iterative, data-dependent regex rounds — sequential-reference pytest
+    doc="BPE tokenizer training (Sennrich '16): one corpus pass collapses "
+        "text to a vocab-sized (word, count) table, then n_merges rounds "
+        "each find the most frequent adjacent symbol pair (ordered "
+        "limit(1) — a single driver row per round) and fuse it with a "
+        "codegen regexp_replace. Output is the ordered merge table; "
+        "pytest replays an independent pure-Python Sennrich reference "
+        "and requires exact equality.",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 # ---------------------------------------------------------------------------
 # Extensions — time-series utilities and sequence analytics over `events`.
 # ---------------------------------------------------------------------------

@@ -343,3 +343,79 @@ def test_sample_frames_through_injected_toy_codec(spark):
     assert set(got) == {0, 3, 6}
     for i in (0, 3, 6):
         assert abs(got[i] - float(frames[i].astype(np.float64).mean())) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction vs a sequential Sennrich reference
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_counts: dict, k: int):
+    """Pure-Python Sennrich '16 reference: independent of the Spark path."""
+    import re
+    from collections import Counter
+
+    syms = {w: " ".join(w) for w in word_counts}
+    merges = []
+    for step in range(1, k + 1):
+        counts = Counter()
+        for w, c in word_counts.items():
+            s = syms[w].split(" ")
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        pat = re.compile(r"(?<!\S)" + re.escape(left) + " " + re.escape(right) + r"(?!\S)")
+        syms = {w: pat.sub(left + right, s) for w, s in syms.items()}
+        merges.append((step, left, right, left + right, cnt))
+    return merges
+
+
+def test_bpe_merges_matches_sennrich_reference(spark):
+    from demo_apache_beam_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "newest widest widest low lowest"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=6).orderBy("step").collect()
+    ]
+    counts = {}
+    for t in ("low low low lower lower newest newest newest newest widest "
+              "newest widest widest low lowest").split():
+        counts[t] = counts.get(t, 0) + 1
+    assert got == _ref_bpe(counts, 6)
+
+
+def test_bpe_merges_on_documents_table(spark):
+    from collections import Counter
+    import re as _re
+
+    from demo_apache_beam_spark.operators.text import bpe_merges
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=5).orderBy("step").collect()
+    ]
+    counts = Counter()
+    for row in docs.select("text").collect():
+        counts.update(_re.findall("[a-z0-9]+", row["text"].lower()))
+    assert got == _ref_bpe(dict(counts), 5)
+
+
+def test_bpe_merges_repeated_symbol_nonoverlapping(spark):
+    """'a a a a' fuses left-to-right non-overlapping: (a,a) -> 'aa aa'."""
+    from demo_apache_beam_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rows = bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == ("a", "a", 6)
+    assert (rows[1]["left"], rows[1]["right"]) == ("aa", "aa")
