@@ -348,3 +348,42 @@ def test_pmi_top30_plans_take_ordered(spark):
     heaps), not a full sort of the bigram-count table."""
     plan = explain_str(REGISTRY["doc_pmi_collocations"].fn(spark, SF_SMALL), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_segment_dedup_frequency_agg_is_digest_only(spark):
+    """The segment document-frequency aggregation must shuffle md5
+    digests + ids only — segment text stays out of that exchange (it
+    rides only the reassembly leg)."""
+    plan = explain_str(REGISTRY["dedup_segments"].fn(spark, SF_SMALL), "formatted")
+    # partial+final count(distinct) around the digest exchange
+    assert "count(distinct" in plan.lower() or "count_distinct" in plan.lower()
+    # reassembly is a sort_array over collected structs, not a global Sort
+    assert "sort_array" in plan.lower()
+
+
+def test_training_order_has_no_global_sort(spark):
+    """training_shuffle ranks within shards: the plan may sort within the
+    shard-hash exchange but must never range-partition globally (a global
+    row_number would serialize 100 TB through one task)."""
+    plan = explain_str(REGISTRY["doc_training_order"].fn(spark, SF_SMALL), "formatted")
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(shard" in plan.lower()
+
+
+def test_bpe_vocab_pass_partially_aggregates(spark):
+    """The one corpus-wide pass of BPE training (word counting) must plan
+    as partial+final HashAggregate — the corpus never reaches the pair
+    rounds, only the vocab table does."""
+    from demo_apache_beam_spark.operators.text import tokens_col
+    from demo_apache_beam_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+    )
+    plan = explain_str(vocab, "simple")
+    assert plan.count("HashAggregate") == 2
+    assert "partial_count" in plan
