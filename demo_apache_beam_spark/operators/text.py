@@ -275,3 +275,58 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned BPE merge list to a vocabulary: (word) →
+    (word, pieces array, n_pieces). Merges fuse in learned order with
+    the same non-overlapping left-to-right semantics as training
+    (:func:`bpe_merges`), so train→encode round-trips exactly.
+
+    Runs as one Arrow-batched ``mapInPandas`` over the *vocabulary* —
+    the corpus never reaches Python. The caller joins pieces back to
+    exploded corpus tokens on the word (an equi-join), so encode cost
+    is ∝ distinct words, not corpus bytes; a per-batch memo collapses
+    repeated words inside a batch. The merge table rides the closure
+    (it is n_merges rows — bytes, not a broadcast-sized artifact).
+    """
+    import pandas as pd
+
+    def encode(word: str) -> list[str]:
+        syms = list(word)
+        for left, right in merges:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+            pieces = []
+            for w in pdf[word_col]:
+                if w not in memo:
+                    memo[w] = encode(w)
+                pieces.append(memo[w])
+            yield pd.DataFrame(
+                {
+                    word_col: pdf[word_col],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    return words.select(word_col).mapInPandas(
+        run, f"{word_col} string, pieces array<string>, n_pieces int"
+    )

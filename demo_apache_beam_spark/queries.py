@@ -3099,6 +3099,34 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
+@register(
+    "doc_bpe_tokenize",
+    None,  # merge table is data-dependent — round-trip reference pytest
+    doc="BPE encode (train→apply round trip): learn 8 merges from the "
+        "corpus, encode the DISTINCT vocabulary once in an Arrow batch "
+        "(Python cost ∝ vocab, never corpus bytes), then equi-join "
+        "pieces back to exploded corpus tokens and aggregate per-doc "
+        "subword counts JVM-side. The per-doc token budget every "
+        "context-window packing step consumes.",
+)
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bpe_encode_words, bpe_merges, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    merge_rows = bpe_merges(docs, n_merges=8).collect()  # 8 driver rows
+    merges = [(r["left"], r["right"]) for r in sorted(merge_rows, key=lambda r: r["step"])]
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    pieces = bpe_encode_words(tok.select("word").distinct(), merges)
+    return (
+        tok.join(pieces.select("word", "n_pieces"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — time-series utilities and sequence analytics over `events`.
 # ---------------------------------------------------------------------------

@@ -419,3 +419,45 @@ def test_bpe_merges_repeated_symbol_nonoverlapping(spark):
     rows = bpe_merges(docs, n_merges=2).orderBy("step").collect()
     assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == ("a", "a", 6)
     assert (rows[1]["left"], rows[1]["right"]) == ("aa", "aa")
+
+
+def test_bpe_encode_round_trips_training_symbols(spark):
+    """Encoding the vocabulary with the learned merge list must reproduce
+    exactly the symbol state BPE training ends in (the regex-sub
+    reference), piece for piece."""
+    from collections import Counter
+    import re as _re
+
+    from demo_apache_beam_spark.operators.text import bpe_encode_words, bpe_merges
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(docs, n_merges=6).orderBy("step").collect()
+    ]
+
+    counts = Counter()
+    for row in docs.select("text").collect():
+        counts.update(_re.findall("[a-z0-9]+", row["text"].lower()))
+    # independent reference: replay the merges with regex substitution
+    syms = {w: " ".join(w) for w in counts}
+    for left, right in merges:
+        pat = _re.compile(r"(?<!\S)" + _re.escape(left) + " " + _re.escape(right) + r"(?!\S)")
+        syms = {w: pat.sub(left + right, s) for w, s in syms.items()}
+
+    vocab = spark.createDataFrame([(w,) for w in counts], "word string")
+    got = {r["word"]: r["pieces"] for r in bpe_encode_words(vocab, merges).collect()}
+    assert set(got) == set(counts)
+    for w, s in syms.items():
+        assert got[w] == s.split(" "), w
+
+
+def test_doc_bpe_tokenize_counts(spark):
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    rows = REGISTRY["doc_bpe_tokenize"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        # merges only shrink: chars-per-word >= pieces >= words
+        assert r["n_words"] <= r["n_bpe_tokens"]
