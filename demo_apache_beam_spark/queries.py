@@ -3083,6 +3083,56 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_zipf_fit",
+    """
+    WITH counts AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), top AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM counts
+      ORDER BY freq DESC, tok ASC LIMIT 1000
+    )
+    SELECT count(*) AS n_terms,
+           round(covar_pop(ln(rank), ln(freq)) / var_pop(ln(rank)), 6) AS zipf_slope,
+           round(avg(ln(freq)) - covar_pop(ln(rank), ln(freq)) / var_pop(ln(rank))
+                 * avg(ln(rank)), 6) AS zipf_intercept,
+           round(corr(ln(rank), ln(freq)) * corr(ln(rank), ln(freq)), 6) AS r2
+    FROM top
+    """,
+    doc="Corpus-health diagnostic: least-squares Zipf fit ln(freq) ~ "
+        "ln(rank) over the top-1000 terms — slope near -1 is natural "
+        "text, flat slopes flag template/synthetic floods. Term counts "
+        "partial-aggregate map-side; the rank window runs on the "
+        "TakeOrdered 1000-row result (bounded, single task), and the fit "
+        "is one covariance aggregate — no global sort anywhere.",
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(1000)
+    # rank window over the bounded top-k only (<=1000 rows, one task)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    ).select(F.log("rank").alias("lr"), F.log("freq").alias("lf"))
+    slope = F.covar_pop("lr", "lf") / F.var_pop("lr")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("lf") - slope * F.avg("lr"), 6).alias("zipf_intercept"),
+        F.round(F.corr("lr", "lf") * F.corr("lr", "lf"), 6).alias("r2"),
+    )
+
+
+@register(
     "corpus_bpe_merges",
     None,  # iterative, data-dependent regex rounds — sequential-reference pytest
     doc="BPE tokenizer training (Sennrich '16): one corpus pass collapses "

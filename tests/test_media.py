@@ -461,3 +461,12 @@ def test_doc_bpe_tokenize_counts(spark):
     for r in rows:
         # merges only shrink: chars-per-word >= pieces >= words
         assert r["n_words"] <= r["n_bpe_tokens"]
+
+
+def test_zipf_fit_shape(spark):
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    row = REGISTRY["corpus_zipf_fit"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_terms"] > 10  # sf0.001 word-soup vocab is ~31 terms
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+    assert 0.0 <= row["r2"] <= 1.0
