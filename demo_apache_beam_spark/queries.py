@@ -5040,6 +5040,73 @@ def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_calibrated",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             cast(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             cast(len(list_filter(string_split(text, ' '),
+                                  t -> t = 'a' OR t = 'the')) AS DOUBLE)
+               AS n_stop,
+             cast(length(text) AS DOUBLE) AS n_chars
+    FROM documents
+    ), z AS (
+      SELECT doc_id, lang,
+             6.0 * (n_stop / n_tokens)
+               + 0.5 * ((n_chars - (n_tokens - 1)) / n_tokens)
+               + 0.01 * n_tokens - 3.2 AS score
+      FROM f
+    ), p AS (
+      SELECT doc_id, lang, score,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY score, doc_id) AS pct
+      FROM z
+    )
+    SELECT doc_id, lang,
+           round(score, 6) + 0.0 AS quality_score,
+           round(pct, 6) AS lang_pctile
+    FROM p WHERE pct >= 0.4
+    """,
+    doc="Per-language quality calibration (the CCNet practice: threshold "
+        "WITHIN each language, because absolute quality scores aren't "
+        "comparable across domains): percent_rank of the classifier "
+        "score inside each lang partition keeps every language's top "
+        "60%. One exchange on lang serves the window; ties break on "
+        "doc_id so the cut is deterministic. At 100 TB a hot language "
+        "is one sorted partition group — salt by (lang, score-bucket) "
+        "and merge rank offsets if a single language dominates.",
+)
+def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: (t == F.lit("a")) | (t == F.lit("the")))
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    score = (
+        F.lit(6.0) * (n_stop / n_tokens)
+        + F.lit(0.5) * ((n_chars - (n_tokens - F.lit(1))) / n_tokens)
+        + F.lit(0.01) * n_tokens
+        - F.lit(3.2)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("_score").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", score.alias("_score"))
+        .withColumn("_pct", F.percent_rank().over(w))
+        .filter(F.col("_pct") >= 0.4)
+        .select(
+            "doc_id",
+            "lang",
+            (F.round("_score", 6) + F.lit(0.0)).alias("quality_score"),
+            F.round("_pct", 6).alias("lang_pctile"),
+        )
+    )
+
+
+@register(
     "doc_unigram_logprob",
     """
     WITH tok AS (
