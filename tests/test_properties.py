@@ -125,3 +125,89 @@ def test_zorder_interleave_is_bijective(spark):
     dec_b = sum((F.shiftright("z", 2 * i + 1).bitwiseAND(F.lit(1)) * (1 << i)) for i in range(8))
     bad = z.filter((dec_a != F.col("a")) | (dec_b != F.col("b"))).count()
     assert bad == 0
+
+
+_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(texts=_corpora, chunk=st.sampled_from([2, 3, 5]), max_df=st.sampled_from([1, 2]))
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_brute_force(spark, texts, chunk, max_df):
+    """Random word-soup corpora against a direct Python re-computation of
+    the CCNet segment-dedup semantics."""
+    from demo_apache_beam_spark.operators.dedup import segment_dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+
+    # independent reference
+    def chunks(t):
+        toks = t.split(" ")
+        n = max(-(-len(toks) // chunk), 1)
+        return [" ".join(toks[i * chunk : i * chunk + chunk]) for i in range(n)]
+
+    from collections import defaultdict
+
+    carriers = defaultdict(set)
+    for i, t in docs:
+        for s in chunks(t):
+            carriers[s].add(i)
+    expect = {}
+    for i, t in docs:
+        segs = chunks(t)
+        kept = [s for s in segs if len(carriers[s]) <= max_df]
+        expect[i] = (len(segs), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(df, chunk=chunk, max_df=max_df).collect()
+    }
+    assert got == expect
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_bpe_merges_matches_reference_on_random_vocab(spark, words):
+    """Tiny two-letter alphabets force heavy pair ties and overlapping
+    runs — the cases where greedy fuse semantics can silently diverge."""
+    import re
+    from collections import Counter
+
+    from demo_apache_beam_spark.operators.text import bpe_merges
+
+    counts = Counter(words)
+    syms = {w: " ".join(w) for w in counts}
+    merges = []
+    for step in range(1, 4):
+        pair_counts = Counter()
+        for w, c in counts.items():
+            s = syms[w].split(" ")
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        (left, right), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left) + " " + re.escape(right) + r"(?!\S)"
+        )
+        syms = {w: pat.sub(left + right, s) for w, s in syms.items()}
+        merges.append((step, left, right, left + right, cnt))
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == merges
