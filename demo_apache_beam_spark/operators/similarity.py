@@ -1068,3 +1068,37 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w_global)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_save(index: tuple[DataFrame, np.ndarray], path: str) -> None:
+    """Persist an IVF index built by :func:`ivf_build` as two parquet
+    datasets: the inverted file at ``path/assigned`` (partitioned by
+    ``_cell`` so a query's nprobe cells prune to their own files at
+    read time) and the coarse quantizer at ``path/centroids`` (nlist
+    rows). This is the production index lifecycle — build once over
+    the corpus, write once, then every query batch loads the quantizer
+    (a few KB to the driver) and scans only the probed cell partitions;
+    the corpus is never re-clustered per query.
+    """
+    assigned, centroids = index
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+        f"{path}/assigned"
+    )
+    spark = assigned.sparkSession
+    rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load an IVF index written by :func:`ivf_save` — the returned pair
+    plugs into ``ivf_topk(index=...)`` / ``semantic_dedup(index=...)``
+    unchanged. Only the nlist centroid rows are collected; the inverted
+    file stays a distributed scan."""
+    assigned = spark.read.parquet(f"{path}/assigned").select(
+        "neighbor_id", F.col("_cell").cast("int").alias("_cell")
+    )
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    return assigned, centroids

@@ -471,3 +471,35 @@ class TestSegmentDedup:
         }
         # df=3 header now survives everywhere
         assert all(out[d]["text_dedup"].startswith("h0 ") for d in (1, 2, 3))
+
+
+def test_ivf_index_save_load_round_trip(spark, tmp_path):
+    """Persisted index must answer queries identically to the in-memory
+    one (same assignments, same quantizer -> same probed cells -> same
+    exact scores)."""
+    from demo_apache_beam_spark.operators.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_save,
+        ivf_topk,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(20).withColumnRenamed("vec_id", "query_id")
+    index = ivf_build(emb, nlist=8, corpus_size_hint=500)
+    mem = ivf_topk(emb, queries, k=5, nlist=8, index=index).collect()
+
+    ivf_save(index, str(tmp_path / "ivf"))
+    loaded = ivf_load(spark, str(tmp_path / "ivf"))
+    disk = ivf_topk(emb, queries, k=5, nlist=8, index=loaded).collect()
+
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 12), r["rank"])
+        for r in rows
+    )
+    assert key(mem) == key(disk)
+    # quantizer survives byte-exact
+    import numpy as np
+
+    assert np.array_equal(index[1], loaded[1])
