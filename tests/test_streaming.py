@@ -953,3 +953,60 @@ def test_stream_health_reports_watermark_and_state(spark, stream_dirs):
         assert h.batch_id is not None
     finally:
         q.stop()
+
+
+def test_streaming_knn_equals_batch(spark, tmp_path):
+    """A query-embedding stream answered from the persisted IVF index
+    must produce exactly the batch ivf_topk answers, across multiple
+    micro-batches."""
+    from demo_apache_beam_spark.operators.similarity import (
+        ivf_build,
+        ivf_save,
+        ivf_topk,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+    from demo_apache_beam_spark.streaming.vector_search import start_streaming_knn
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = ivf_build(emb, nlist=8, corpus_size_hint=500)
+    ivf_save(index, str(tmp_path / "ivf"))
+
+    queries = (
+        emb.limit(30)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
+    )
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    # two files -> the file source picks both up (maxFilesPerTrigger keeps
+    # them in separate micro-batches)
+    for i, half in enumerate((queries[:15], queries[15:])):
+        spark.createDataFrame(
+            half, "query_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(str(qdir / f"part{i}"))
+
+    q = start_streaming_knn(
+        spark,
+        query_dir=str(qdir / "part*"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        corpus=emb,
+        index_path=str(tmp_path / "ivf"),
+        k=5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 10), r["rank"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 10), r["rank"])
+        for r in ivf_topk(emb, qdf, k=5, index=index).collect()
+    )
+    assert got == want
