@@ -1102,3 +1102,92 @@ def ivf_load(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     return assigned, centroids
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an embedding column without any distributed ML
+    training job: each partition reduces to one (count, Σx, Σxxᵀ)
+    moment row via ``mapInPandas`` (numpy BLAS), the driver combines
+    the ≤ num_partitions moment rows — d + d² doubles each, size
+    independent of N — and solves the d×d eigenproblem locally.
+    Returns (mean d, components k×d, explained_variance k).
+
+    Sign convention: each component is flipped so its largest-magnitude
+    coordinate is positive — eigenvectors are defined up to sign, and
+    pinning it makes projections reproducible across partitionings and
+    BLAS builds (the numpy-reference pytest relies on this).
+
+    This is the preprocessing step SemDeDup-style pipelines run before
+    quantization/clustering; at 100 TB it is one corpus scan whose
+    shuffle is the moment rows, never vectors.
+    """
+    import pandas as pd
+
+    d = len(corpus.select(_as_double(F.col(vec_col)).alias("_v")).first()["_v"])
+
+    def moments(batches):
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            n += len(x)
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = (
+        corpus.select(_as_double(F.col(vec_col)).alias("_v"))
+        .mapInPandas(moments, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    evar = evals[order]
+    # pin sign: largest-|coordinate| positive (ties -> lowest index wins)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evar
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components: (id, pca array<double>).
+    The k×d component matrix rides the Arrow UDF closure (a few KB);
+    projection is one corpus scan, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.asarray(mean, dtype=np.float64)
+    c = np.asarray(components, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(list(((x - m) @ c.T)))
+
+    return corpus.select(
+        F.col(id_col), proj(_as_double(F.col(vec_col))).alias(out_col)
+    )

@@ -3083,6 +3083,24 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pca",
+    None,  # eigensolve floats — numpy-reference pytest instead
+    doc="Distributed PCA over the embedding column: per-partition "
+        "(count, Σx, Σxxᵀ) moment rows via one Arrow-batched scan, "
+        "driver-side d×d eigensolve (moment rows are d+d² doubles per "
+        "partition — size independent of N), sign-pinned components, "
+        "then a shuffle-free projection scan. The SemDeDup-style "
+        "dimensionality-reduction step before clustering/quantization.",
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, n_components=8)
+    return pca_project(emb, mean, comps)
+
+
+@register(
     "corpus_zipf_fit",
     """
     WITH counts AS (

@@ -503,3 +503,57 @@ def test_ivf_index_save_load_round_trip(spark, tmp_path):
     import numpy as np
 
     assert np.array_equal(index[1], loaded[1])
+
+
+class TestPCA:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from demo_apache_beam_spark.operators.similarity import pca_fit, pca_project
+        from demo_apache_beam_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        mean, comps, evar = pca_fit(emb, n_components=4)
+
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        ref_mean = x.mean(axis=0)
+        cov = (x - ref_mean).T @ (x - ref_mean) / len(x)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        ref_comps = evecs[:, order].T
+        for i in range(4):
+            j = int(np.argmax(np.abs(ref_comps[i])))
+            if ref_comps[i, j] < 0:
+                ref_comps[i] = -ref_comps[i]
+
+        assert np.allclose(mean, ref_mean, atol=1e-9)
+        assert np.allclose(np.sort(evar)[::-1], np.sort(evals[order])[::-1], atol=1e-9)
+        assert np.allclose(comps, ref_comps, atol=1e-7)
+
+        got = {r["vec_id"]: np.asarray(r["pca"]) for r in pca_project(emb, mean, comps).collect()}
+        want = (x - ref_mean) @ ref_comps.T
+        for i, vid in enumerate(ids):
+            assert np.allclose(got[vid], want[i], atol=1e-7)
+
+    def test_partitioning_invariant(self, spark):
+        import numpy as np
+
+        from demo_apache_beam_spark.operators.similarity import pca_fit
+        from demo_apache_beam_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        m1, c1, _ = pca_fit(emb.repartition(1), n_components=3)
+        m8, c8, _ = pca_fit(emb.repartition(8), n_components=3)
+        assert np.allclose(m1, m8, atol=1e-9)
+        assert np.allclose(c1, c8, atol=1e-7)
+
+    def test_variance_concentrates(self, spark):
+        from demo_apache_beam_spark.operators.similarity import pca_fit
+        from demo_apache_beam_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        _, _, evar = pca_fit(emb, n_components=8)
+        assert all(a >= b - 1e-12 for a, b in zip(evar, evar[1:]))  # descending
+        assert evar[0] > 0
