@@ -632,3 +632,47 @@ def segment_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted digest store
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    store_path: str,
+    key_cols: tuple[str, ...] | list[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup for incremental corpus refreshes: keep the rows of
+    ``new_df`` whose content digest has never been seen — neither in the
+    persisted digest store at ``store_path`` (all prior increments) nor
+    earlier in this increment (min-id winner within the batch) — then
+    append the surviving digests to the store.
+
+    Semantics are FIRST-SEEN-WINS across increments (a re-crawled
+    document never displaces the copy already accepted), which is the
+    production contract: accepted training data is immutable; dedup
+    protects the corpus going forward.
+
+    Scale shape: the store holds 16-byte digests only — at 10⁹ accepted
+    documents it is ~16 GB of parquet, scanned once per increment for a
+    digest anti-join (never the text). The within-batch winner is the
+    same partial-min groupBy as :func:`dedup_exact`; survivors semi-join
+    back by id so document payloads move only for accepted rows. Store
+    appends accumulate small files — compact with
+    ``operators.layout.compact_files`` on the digest column. The append
+    is not atomic with the read; run increments serially (the scheduler
+    contract every ingest pipeline already has).
+    """
+    spark = new_df.sparkSession
+    keyed = new_df.select(content_key(key_cols).alias("_ck"), F.col(id_col))
+    firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+    try:
+        hist = spark.read.parquet(store_path).select("_ck")
+        firsts = firsts.join(hist, "_ck", "left_anti")
+    except Exception:  # first increment: no store yet
+        pass
+    firsts = firsts.localCheckpoint()  # freeze winners before the store mutates
+    firsts.select("_ck").write.mode("append").parquet(store_path)
+    return new_df.join(firsts.select(id_col), id_col, "left_semi")

@@ -557,3 +557,53 @@ class TestPCA:
         _, _, evar = pca_fit(emb, n_components=8)
         assert all(a >= b - 1e-12 for a, b in zip(evar, evar[1:]))  # descending
         assert evar[0] > 0
+
+
+class TestIncrementalDedup:
+    def test_first_seen_wins_across_increments(self, spark, tmp_path):
+        from demo_apache_beam_spark.operators.dedup import incremental_exact_dedup
+
+        store = str(tmp_path / "digests")
+        day1 = spark.createDataFrame(
+            [(10, "alpha"), (11, "beta"), (12, "alpha")],
+            "doc_id long, text string",
+        )
+        day2 = spark.createDataFrame(
+            # 5 re-crawls "alpha" with a SMALLER id: must still lose
+            [(5, "alpha"), (20, "gamma"), (21, "beta"), (22, "gamma")],
+            "doc_id long, text string",
+        )
+        kept1 = sorted(r["doc_id"] for r in incremental_exact_dedup(day1, store).collect())
+        kept2 = sorted(r["doc_id"] for r in incremental_exact_dedup(day2, store).collect())
+        assert kept1 == [10, 11]  # min-id winners within day 1
+        assert kept2 == [20]      # alpha/beta already accepted; gamma min-id
+
+    def test_matches_sequential_reference_on_documents(self, spark, tmp_path):
+        """Three increments over the real table == a sequential first-seen
+        scan over the same batches."""
+        from demo_apache_beam_spark.operators.dedup import incremental_exact_dedup
+        from demo_apache_beam_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        batches = [
+            docs.filter(F.col("doc_id") % 3 == i).collect() for i in range(3)
+        ]
+        seen: set = set()
+        expect: list = []
+        for rows in batches:
+            by_digest: dict = {}
+            for r in sorted(rows, key=lambda r: r["doc_id"]):
+                by_digest.setdefault(r["text"], r["doc_id"])
+            for text, did in by_digest.items():
+                if text not in seen:
+                    seen.add(text)
+                    expect.append(did)
+
+        store = str(tmp_path / "digests")
+        got: list = []
+        for rows in batches:
+            inc = spark.createDataFrame(rows, "doc_id long, text string")
+            got += [r["doc_id"] for r in incremental_exact_dedup(inc, store).collect()]
+        assert sorted(got) == sorted(expect)
