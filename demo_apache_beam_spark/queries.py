@@ -3083,6 +3083,75 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_series_topk",
+    None,  # float correlation ranking — numpy corrcoef reference pytest
+    doc="Distributed time-series similarity search (the EDBT'19 shape): "
+        "each user's events collapse to a 168-bucket hour-of-week "
+        "activity profile (fixed length regardless of how much history "
+        "accumulates — the profile, not the raw series, is what scales), "
+        "profiles are mean-centered in the same Arrow batch that "
+        "scatter-fills them — Pearson correlation IS cosine of centered "
+        "vectors — constant profiles are excluded (correlation "
+        "undefined), and the existing blocked exact-kNN kernel ranks "
+        "each user's top-5 most-correlated peers. Build is one "
+        "partial-aggregated groupBy; similarity inherits the "
+        "bounded-block scan of brute_force_topk_blocked.",
+)
+def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk_blocked
+
+    ev = load_table(spark, sf_dir, "events")
+    entries = (
+        ev.groupBy(
+            "user_id",
+            (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) % 168)
+            .cast("int")
+            .alias("_i"),
+        )
+        .agg(F.sum("value").alias("_v"))
+    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # (bucket, sum) pairs collect JVM-side; ONE Arrow-batched udf
+    # scatters + centers thousands of profiles per batch. The
+    # alternatives measured 4-8x slower here: applyInPandas pays
+    # per-group pandas overhead on tiny groups, and a map/sequence HOF
+    # chain is O(len²) interpreted ops per user.
+    @pandas_udf("array<double>")
+    def scatter_center(p):  # legacy-scalar signature: queries.py has
+        # `from __future__ import annotations`, so pd.Series hints are
+        # strings the hint-inference can't resolve here
+        out = []
+        for lst in p:
+            arr = np.zeros(168)
+            for e in lst:
+                arr[e["_i"]] = e["_v"]
+            arr -= arr.mean()
+            out.append(arr.tolist() if np.any(arr) else None)
+        return pd.Series(out)
+
+    centered = (
+        entries.groupBy("user_id")
+        .agg(F.collect_list(F.struct("_i", "_v")).alias("_p"))
+        .select("user_id", scatter_center("_p").alias("series"))
+        .filter(F.col("series").isNotNull())
+    )
+    out = brute_force_topk_blocked(
+        centered.select(F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")),
+        centered.select(F.col("user_id").alias("query_id"), F.col("series").alias("embedding")),
+        k=5,
+    )
+    return out.select(
+        F.col("query_id").alias("user_id"),
+        F.col("neighbor_id").alias("peer_id"),
+        F.col("cosine").alias("correlation"),
+        "rank",
+    )
+
+
+@register(
     "embedding_pca",
     None,  # eigensolve floats — numpy-reference pytest instead
     doc="Distributed PCA over the embedding column: per-partition "

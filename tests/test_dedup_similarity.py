@@ -607,3 +607,43 @@ class TestIncrementalDedup:
             inc = spark.createDataFrame(rows, "doc_id long, text string")
             got += [r["doc_id"] for r in incremental_exact_dedup(inc, store).collect()]
         assert sorted(got) == sorted(expect)
+
+
+def test_user_series_topk_matches_corrcoef(spark):
+    """Top-correlated peers must agree with numpy corrcoef computed on
+    the same gap-filled hourly series."""
+    import numpy as np
+
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["user_series_topk"].fn(spark, sf).collect()
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value").collect()
+    from collections import defaultdict
+
+    per_hour = defaultdict(float)
+    for r in ev:
+        h = int(r["ts"].timestamp() // 3600) % 168  # hour-of-week bucket
+        per_hour[(r["user_id"], h)] += r["value"]
+    users = sorted({u for (u, _) in per_hour})
+    mat = np.zeros((len(users), 168))
+    for (u, h), v in per_hour.items():
+        mat[users.index(u), h] = v
+    centered = mat - mat.mean(axis=1, keepdims=True)
+    keep = (centered ** 2).sum(axis=1) > 0
+    users = [u for u, k in zip(users, keep) if k]
+    centered = centered[keep]
+    corr = np.corrcoef(centered)
+    np.fill_diagonal(corr, -np.inf)
+
+    by_user = defaultdict(list)
+    for r in got:
+        by_user[r["user_id"]].append(r)
+    assert set(by_user) == set(users)
+    for ui, u in enumerate(users):
+        rows = sorted(by_user[u], key=lambda r: r["rank"])
+        want = np.sort(corr[ui])[::-1][: len(rows)]
+        for r, w in zip(rows, want):
+            assert abs(r["correlation"] - w) < 1e-9, (u, r["rank"])
