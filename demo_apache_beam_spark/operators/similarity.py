@@ -1191,3 +1191,45 @@ def pca_project(
     return corpus.select(
         F.col(id_col), proj(_as_double(F.col(vec_col))).alias(out_col)
     )
+
+
+def topk_incremental_update(
+    prev_topk: DataFrame | None,
+    corpus_delta: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Incremental exact top-k maintenance (the interactive-session
+    pattern: keep per-query neighbor lists current as the corpus grows
+    without ever rescanning it): score the standing queries against ONLY
+    the new ``corpus_delta``, union the candidates with the previous
+    top-k rows, and re-rank. Per refresh the work is |delta|·|Q| scores
+    plus a (2k per query)-row rank — the accumulated corpus never moves
+    again; only its k winners per query survive in ``prev_topk``.
+
+    Correctness: exact top-k is mergeable — a vector outside both the
+    previous top-k and the delta can never enter the new top-k. With
+    ``prev_topk=None`` this is the bootstrap scan. Rank/tie semantics
+    are exactly :func:`brute_force_topk`'s (cosine desc, neighbor id
+    asc), so incremental state after any sequence of deltas is
+    bit-identical to a from-scratch scan of their union — the pytest
+    asserts that equivalence.
+    """
+    fresh = brute_force_topk(
+        corpus_delta,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id", "cosine")
+    cand = (
+        fresh
+        if prev_topk is None
+        else fresh.unionByName(prev_topk.select(query_id_col, "neighbor_id", "cosine"))
+    )
+    out = _topk_two_phase(cand, k, query_id_col)
+    return out.select(query_id_col, "neighbor_id", "cosine", "rank")

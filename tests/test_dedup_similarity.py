@@ -647,3 +647,29 @@ def test_user_series_topk_matches_corrcoef(spark):
         want = np.sort(corr[ui])[::-1][: len(rows)]
         for r, w in zip(rows, want):
             assert abs(r["correlation"] - w) < 1e-9, (u, r["rank"])
+
+
+def test_topk_incremental_equals_full_recompute(spark):
+    """Three corpus deltas maintained incrementally must end bit-identical
+    to one scan over the full corpus."""
+    from demo_apache_beam_spark.operators.similarity import (
+        brute_force_topk,
+        topk_incremental_update,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    deltas = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+
+    state = None
+    for d in deltas:
+        state = topk_incremental_update(state, d, queries, k=7).localCheckpoint()
+
+    full = brute_force_topk(emb, queries, k=7)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
+    )
+    assert key(state.collect()) == key(full.collect())
