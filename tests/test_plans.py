@@ -387,3 +387,45 @@ def test_bpe_vocab_pass_partially_aggregates(spark):
     plan = explain_str(vocab, "simple")
     assert plan.count("HashAggregate") == 2
     assert "partial_count" in plan
+
+
+def test_zipf_fit_has_no_global_sort_exchange(spark):
+    """The top-1000 cut must plan as TakeOrdered, never a full sort of
+    the term-count table; the rank window then runs on the bounded
+    result."""
+    plan = explain_str(REGISTRY["corpus_zipf_fit"].fn(spark, SF_SMALL), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower().replace("takeordered", "")
+
+
+def test_quality_calibration_single_lang_exchange(spark):
+    """percent_rank per language: exactly one exchange (hash on lang)
+    feeds the window — the scan-side expressions stay in codegen."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(
+            REGISTRY["doc_quality_calibrated"].fn(spark, SF_SMALL), "simple"
+        )
+        assert plan.count("Exchange") == 1
+        assert "hashpartitioning(lang" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_series_profile_aggregates_before_python(spark):
+    """user_series_topk: the event scan must collapse through a
+    partial+final JVM aggregate BEFORE anything reaches Arrow — raw
+    events never cross into Python."""
+    from pyspark.sql import functions as F
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    entries = ev.groupBy(
+        "user_id",
+        (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) % 168)
+        .cast("int")
+        .alias("_i"),
+    ).agg(F.sum("value").alias("_v"))
+    plan = explain_str(entries, "simple")
+    assert plan.count("HashAggregate") == 2
+    assert "partial_sum" in plan
