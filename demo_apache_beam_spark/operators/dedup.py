@@ -583,21 +583,21 @@ def segment_dedup(
     3. verdict join back on the digest, then per-doc reassembly with
        ``sort_array`` over (pos, segment) structs — deterministic order
        with no per-group sort spill (segments per doc are bounded by
-       document length / chunk).
+       document length / chunk). Per-doc segment totals are a
+       closed-form expression on the pre-explode side — they never
+       re-run the explode+digest plan.
 
     At 100 TB the frequency table is |distinct segments| rows of 16
     bytes; the skew ceiling is the hottest digest's carrier count, which
     the count-distinct partial aggregation absorbs map-side.
     """
+    from .text import chunk_count, chunk_slices
+
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
-    n_chunks = F.greatest(
-        F.ceil(F.size("_toks") / F.lit(float(chunk))).cast("long"), F.lit(1)
-    )
     slices = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * chunk + 1, chunk), " "),
+        chunk_slices(F.col("_toks"), chunk), lambda s: F.array_join(s, " ")
     )
     segs = toks.select(
         F.col(id_col), F.posexplode(slices).alias("_pos", "_seg")
@@ -622,7 +622,11 @@ def segment_dedup(
             " ",
         ).alias("text_dedup"),
     )
-    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segments"))
+    # per-doc totals come from the pre-explode side as a closed-form
+    # count — no third pass through the explode+digest+shuffle plan
+    totals = toks.select(
+        F.col(id_col), chunk_count(F.col("_toks"), chunk).alias("n_segments")
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(
@@ -665,14 +669,21 @@ def incremental_exact_dedup(
     is not atomic with the read; run increments serially (the scheduler
     contract every ingest pipeline already has).
     """
+    from pyspark.errors import AnalysisException
+
     spark = new_df.sparkSession
     keyed = new_df.select(content_key(key_cols).alias("_ck"), F.col(id_col))
     firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
     try:
         hist = spark.read.parquet(store_path).select("_ck")
         firsts = firsts.join(hist, "_ck", "left_anti")
-    except Exception:  # first increment: no store yet
-        pass
+    except AnalysisException as e:
+        # ONLY the missing-store (first increment) case may proceed
+        # without history; any other failure mode (permissions, corrupt
+        # footers, transient FS errors) must surface — silently skipping
+        # the anti-join would re-admit previously accepted duplicates.
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
     firsts = firsts.localCheckpoint()  # freeze winners before the store mutates
     firsts.select("_ck").write.mode("append").parquet(store_path)
     return new_df.join(firsts.select(id_col), id_col, "left_semi")

@@ -128,7 +128,7 @@ def training_shuffle(
     The shuffle key is ``md5(seed : id)`` — an engine-portable keyed
     hash, so the same (corpus, seed) produces the same order on any
     engine (the registry query hash-checks this against DuckDB).
-    ``shard`` is the key's first two hex digits mod ``n_shards``;
+    ``shard`` is the key's first 48 bits mod ``n_shards``;
     ``pos`` ranks rows *within* a shard by (key, id).
 
     Scale shape: no global sort and no global row_number — the only
@@ -143,15 +143,20 @@ def training_shuffle(
     """
     from pyspark.sql import Window
 
-    hexpos = "instr('0123456789abcdef', substring(_sk, {i}, 1)) - 1"
+    # 12 hex digits = 48 key bits: supports n_shards into the millions
+    # with mod bias ≤ n_shards/2^48 (two digits would cap shards at 256
+    # and starve any shard id above that). Horner evaluation with
+    # engine-portable instr/substring only.
+    hexpos = "CAST(instr('0123456789abcdef', substring(_sk, {i}, 1)) - 1 AS BIGINT)"
+    key_bits = " + ".join(
+        f"{hexpos.format(i=i + 1)} * CAST({16 ** (11 - i)} AS BIGINT)"
+        for i in range(12)
+    )
     keyed = df.withColumn(
         "_sk", F.md5(F.concat_ws(":", F.lit("shuffle"), F.lit(seed), F.col(id_col)))
     ).withColumn(
         "shard",
-        (
-            (F.expr(hexpos.format(i=1)) * 16 + F.expr(hexpos.format(i=2)))
-            % F.lit(n_shards)
-        ).cast("int"),
+        (F.expr(f"CAST({key_bits} AS BIGINT)") % F.lit(n_shards)).cast("int"),
     )
     w = Window.partitionBy("shard").orderBy("_sk", id_col)
     return keyed.select(

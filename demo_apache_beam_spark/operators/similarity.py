@@ -507,6 +507,7 @@ def ivf_topk(
     max_iter: int = 10,
     index: tuple[DataFrame, np.ndarray] | None = None,
     corpus_size_hint: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: a sample-fit spherical-k-means coarse
     quantizer partitions the corpus into ``nlist`` cells; each query
@@ -550,12 +551,14 @@ def ivf_topk(
     q_probed = q_vec.select(
         query_id_col, F.explode(probe_cells(F.col("_qv"))).alias("_cell")
     )
-    candidates = (
-        assigned.join(F.broadcast(q_probed), "_cell")
-        .filter(F.col(query_id_col) != F.col("neighbor_id"))
-        .select(query_id_col, "neighbor_id")
-        .distinct()
-    )
+    candidates = assigned.join(F.broadcast(q_probed), "_cell")
+    if exclude_self:
+        # right semantics ONLY when queries are corpus rows (kNN graph);
+        # external query streams share no id namespace with the corpus —
+        # an id collision there must NOT drop a real neighbor, so
+        # serving paths pass exclude_self=False.
+        candidates = candidates.filter(F.col(query_id_col) != F.col("neighbor_id"))
+    candidates = candidates.select(query_id_col, "neighbor_id").distinct()
     scored = (
         candidates.join(c_vec, "neighbor_id")
         .join(F.broadcast(q_vec), query_id_col)
@@ -1230,6 +1233,15 @@ def topk_incremental_update(
         fresh
         if prev_topk is None
         else fresh.unionByName(prev_topk.select(query_id_col, "neighbor_id", "cosine"))
+    )
+    # A neighbor id may appear in both the standing top-k and an
+    # overlapping delta (re-crawled/re-embedded row); collapse to one
+    # candidate per (query, neighbor) — max cosine, i.e. the better of
+    # old/new scores — so no vector can occupy two of the k slots.
+    # Disjoint deltas make this a no-op, preserving bit-parity with the
+    # from-scratch scan.
+    cand = cand.groupBy(query_id_col, "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
     )
     out = _topk_two_phase(cand, k, query_id_col)
     return out.select(query_id_col, "neighbor_id", "cosine", "rank")

@@ -34,6 +34,28 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
 
 
+def chunk_count(toks: Column, chunk: int) -> Column:
+    """Number of ``chunk``-token windows a token array splits into —
+    ceil(len/chunk), floored at 1 so an empty document still yields one
+    (empty) chunk. THE chunk-boundary rule: ``chunk_slices`` and every
+    chunk-count expression must agree with it."""
+    return F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk))).cast("long"), F.lit(1)
+    )
+
+
+def chunk_slices(toks: Column, chunk: int) -> Column:
+    """Split a token array into its ``chunk``-token windows (array of
+    arrays, last window ragged). Shared by the doc_chunks query and
+    segment-level dedup so the boundary arithmetic can never drift
+    between the two chunker surfaces."""
+    n = chunk_count(toks, chunk)
+    return F.transform(
+        F.sequence(F.lit(0), (n - 1).cast("int")),
+        lambda i: F.slice(toks, i * chunk + 1, chunk),
+    )
+
+
 def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "tokens") -> DataFrame:
     return df.withColumn(out_col, tokens_col(text_col))
 

@@ -530,17 +530,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "context-window-bounded training pipeline runs at ingest.",
 )
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_slices
+
     chunk = 32
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("_toks")
     )
-    n_chunks = F.greatest(
-        F.ceil(F.size("_toks") / F.lit(float(chunk))).cast("long"), F.lit(1)
-    )
-    slices = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.slice(F.col("_toks"), i * chunk + 1, chunk),
-    )
+    slices = chunk_slices(F.col("_toks"), chunk)
     exploded = docs.select("doc_id", F.posexplode(slices).alias("chunk_idx", "_c"))
     return exploded.select(
         "doc_id",
@@ -2886,12 +2882,15 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
       FROM documents
-    ), sharded AS (
+    ), digits AS (
       SELECT doc_id, shuffle_key,
-             CAST(((instr('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1) * 16
-                   + (instr('0123456789abcdef', substring(shuffle_key, 2, 1)) - 1))
-                  % 64 AS INT) AS shard
-      FROM keyed
+             instr('0123456789abcdef', substring(shuffle_key, d, 1)) - 1 AS hv,
+             d
+      FROM keyed, unnest(generate_series(1, 12)) AS t(d)
+    ), sharded AS (
+      SELECT doc_id, any_value(shuffle_key) AS shuffle_key,
+             CAST(CAST(sum(hv * power(16, 12 - d)) AS BIGINT) % 64 AS INT) AS shard
+      FROM digits GROUP BY doc_id
     )
     SELECT doc_id, shard,
            CAST(row_number() OVER (PARTITION BY shard
@@ -2901,7 +2900,7 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deterministic training-data shuffle + sharding: md5(seed:id) "
         "gives every document a reproducible pseudorandom rank; shard = "
-        "first two hex digits mod 64, pos = rank within shard. No "
+        "the key's first 48 bits mod 64, pos = rank within shard. No "
         "global sort/row_number — the one wide op is a per-shard window "
         "(the repartition+sortWithinPartitions exporter pattern); grow "
         "n_shards with corpus size so each shard stays file-sized.",
@@ -5067,6 +5066,28 @@ def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_logit():
+    """The linear quality-classifier logit shared by doc_quality_gate and
+    doc_quality_calibrated (and mirrored verbatim in both oracles):
+    stopword density, mean token length, and length features under fixed
+    public weights. Returns (score, n_tokens) column expressions — keep
+    the weights HERE so the absolute gate and the per-language
+    calibration can never drift apart."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: (t == F.lit("a")) | (t == F.lit("the")))
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    score = (
+        F.lit(6.0) * (n_stop / n_tokens)
+        + F.lit(0.5) * ((n_chars - (n_tokens - F.lit(1))) / n_tokens)
+        + F.lit(0.01) * n_tokens
+        - F.lit(3.2)
+    )
+    return score, n_tokens
+
+
 @register(
     "doc_quality_gate",
     """
@@ -5103,18 +5124,7 @@ def user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.filter(toks, lambda t: (t == F.lit("a")) | (t == F.lit("the")))
-    ).cast("double")
-    n_chars = F.length("text").cast("double")
-    score = (
-        F.lit(6.0) * (n_stop / n_tokens)
-        + F.lit(0.5) * ((n_chars - (n_tokens - F.lit(1))) / n_tokens)
-        + F.lit(0.01) * n_tokens
-        - F.lit(3.2)
-    )
+    score, n_tokens = _quality_logit()
     # `+ 0.0` collapses IEEE negative zero (round(-1e-9, 6) reprs as -0.0
     # in some engines, 0.0 in others — same number, different hash)
     return docs.select(
@@ -5167,18 +5177,7 @@ def doc_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.filter(toks, lambda t: (t == F.lit("a")) | (t == F.lit("the")))
-    ).cast("double")
-    n_chars = F.length("text").cast("double")
-    score = (
-        F.lit(6.0) * (n_stop / n_tokens)
-        + F.lit(0.5) * ((n_chars - (n_tokens - F.lit(1))) / n_tokens)
-        + F.lit(0.01) * n_tokens
-        - F.lit(3.2)
-    )
+    score, _ = _quality_logit()
     w = Window.partitionBy("lang").orderBy(F.col("_score").asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "lang", score.alias("_score"))

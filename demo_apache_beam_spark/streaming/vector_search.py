@@ -68,6 +68,9 @@ def start_streaming_knn(
             id_col=id_col,
             vec_col=vec_col,
             index=index,
+            # external query ids share no namespace with corpus ids — an
+            # id collision must not drop a real neighbor
+            exclude_self=False,
         ).withColumn("_batch_id", F.lit(batch_id))
         write_windowed_idempotent(hits, out_dir, partition_col="_batch_id")
 

@@ -127,3 +127,31 @@ class TestTrainingShuffle:
         # uniform hash: every shard within 3x sqrt-N noise of the mean
         mean = 4096 / 16
         assert all(abs(c - mean) < 4 * (mean ** 0.5) for c in counts)
+
+    def test_large_shard_counts_fully_populated(self, spark):
+        """Regression: a 2-hex-digit key capped shards at 256, starving
+        every shard id above it; 48 key bits must populate all of them."""
+        from demo_apache_beam_spark.operators.layout import training_shuffle
+
+        df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+        shards = {
+            r["shard"]
+            for r in training_shuffle(df, n_shards=512, seed=5)
+            .select("shard")
+            .distinct()
+            .collect()
+        }
+        assert len(shards) == 512
+        # non-power-of-16 count shows no systematic step imbalance
+        from pyspark.sql import functions as F
+
+        counts = [
+            r["c"]
+            for r in training_shuffle(df, n_shards=96, seed=5)
+            .groupBy("shard")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        mean = 20000 / 96
+        assert len(counts) == 96
+        assert all(abs(c - mean) < 5 * (mean ** 0.5) for c in counts)

@@ -1005,8 +1005,15 @@ def test_streaming_knn_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    # serving semantics: NO self-exclusion — stream query ids share no
+    # namespace with corpus ids, so an id collision must not drop a hit
     want = sorted(
         (r["query_id"], r["neighbor_id"], round(r["cosine"], 10), r["rank"])
-        for r in ivf_topk(emb, qdf, k=5, index=index).collect()
+        for r in ivf_topk(emb, qdf, k=5, index=index, exclude_self=False).collect()
     )
     assert got == want
+    # these queries ARE corpus vectors, so each must retrieve itself at
+    # rank 1 — the serving path would silently lose that hit if it
+    # inherited the kNN-graph self-filter
+    rank1 = {r[0]: r[1] for r in got if r[3] == 1}
+    assert all(qid == nid for qid, nid in rank1.items())
