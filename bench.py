@@ -137,6 +137,13 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
     root = tempfile.mkdtemp(prefix="lb_bench_")
 
     def drain(tag: str, in_dir: str) -> float:
+        # same heap discipline as the slow-query re-measure: the batch
+        # bench's 136 queries leave enough garbage to stretch a drain 2x
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         team_q, user_q = start_leaderboard(
             spark,
