@@ -4980,17 +4980,71 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pv.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration over the kNN graph as a DuckDB CTE chain
+    (same construction as the knn_communities oracle): the kNN graph is
+    k-out-regular, so there is no dangling mass and each round is the
+    closed-form base + damping·inflow update. Float combine-order
+    differences between engines are ~1e-15 per round; both sides round
+    to 6 dp, far above that noise."""
+    ctes = [
+        """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), rankedk AS (
+      SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rk
+      FROM scored
+    ), e AS (
+      SELECT src_id AS s, dst_id AS d FROM rankedk WHERE rk <= 5
+    ), verts AS (
+      SELECT DISTINCT s AS id FROM e
+      UNION SELECT DISTINCT d AS id FROM e
+    ), deg AS (
+      SELECT s, count(*) AS outdeg FROM e GROUP BY s
+    ), nn AS (
+      SELECT count(*) AS n FROM verts
+    ), r0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", r{i} AS (
+      SELECT verts.id,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(inf.inflow, 0.0) AS rank
+      FROM verts LEFT JOIN (
+        SELECT e.d AS id, sum(r{i - 1}.rank / deg.outdeg) AS inflow
+        FROM e JOIN r{i - 1} ON e.s = r{i - 1}.id JOIN deg ON deg.s = e.s
+        GROUP BY e.d
+      ) inf ON verts.id = inf.id
+    )"""
+        )
+    return (
+        "".join(ctes)
+        + f"\n    SELECT id AS vec_id, round(rank, 6) AS pagerank FROM r{rounds}"
+    )
+
+
 @register(
     "knn_pagerank",
-    None,  # iterative float accumulation — rows-only; numpy reference test
+    _pagerank_oracle_sql(rounds=10, damping=0.85),
     doc="PageRank over the kNN similarity graph (damping 0.85, 10 power "
         "iterations): hub vectors — documents similar to many others — "
         "surface with high rank, the signal for template/boilerplate "
         "clusters in an embedding corpus. Each round is one shuffle "
         "join (ranks x edges on the source key) plus a partial-"
         "aggregating inflow groupBy; dangling mass moves as one driver "
-        "scalar; localCheckpoint per round caps lineage. Verified "
-        "against an independent numpy power iteration in pytest.",
+        "scalar (skipped entirely here — the kNN graph is k-out-regular); "
+        "localCheckpoint caps lineage. Oracle: the identical power "
+        "iteration unrolled as a DuckDB CTE chain; an independent numpy "
+        "reference test also pins the operator.",
 )
 def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
