@@ -669,21 +669,27 @@ def incremental_exact_dedup(
     is not atomic with the read; run increments serially (the scheduler
     contract every ingest pipeline already has).
     """
-    from pyspark.errors import AnalysisException
-
     spark = new_df.sparkSession
     keyed = new_df.select(content_key(key_cols).alias("_ck"), F.col(id_col))
     firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
-    try:
+    # Explicit existence probe (the same Hadoop FS API layout.compact_files
+    # uses) decides the first-increment case; ONLY a genuinely missing
+    # store may proceed without history. Any reader failure on an existing
+    # path (permissions, corrupt footers, transient FS errors) surfaces —
+    # silently skipping the anti-join would re-admit previously accepted
+    # duplicates. Matching exception TEXT here would couple bootstrap to
+    # Spark's error wording (ADVICE r5).
+    if _hadoop_path_exists(spark, store_path):
         hist = spark.read.parquet(store_path).select("_ck")
         firsts = firsts.join(hist, "_ck", "left_anti")
-    except AnalysisException as e:
-        # ONLY the missing-store (first increment) case may proceed
-        # without history; any other failure mode (permissions, corrupt
-        # footers, transient FS errors) must surface — silently skipping
-        # the anti-join would re-admit previously accepted duplicates.
-        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
     firsts = firsts.localCheckpoint()  # freeze winners before the store mutates
     firsts.select("_ck").write.mode("append").parquet(store_path)
     return new_df.join(firsts.select(id_col), id_col, "left_semi")
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on its filesystem (local, HDFS, object
+    store — whatever the Hadoop conf resolves the scheme to)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)

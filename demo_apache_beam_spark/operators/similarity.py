@@ -102,12 +102,18 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast-cross-join queries × corpus, then
     two-phase rank.
 
-    Output: (query_id, neighbor_id, cosine, rank), self-matches excluded,
-    ties broken by neighbor id for full determinism.
+    Output: (query_id, neighbor_id, cosine, rank), ties broken by
+    neighbor id for full determinism. ``exclude_self`` (default) drops
+    pairs whose query id equals the corpus id — correct ONLY when the
+    query set is drawn from the corpus (the kNN-graph case); serving
+    paths whose external query ids share no namespace with corpus ids
+    must pass ``exclude_self=False`` or a numeric collision silently
+    drops a real neighbor (same contract as :func:`ivf_topk`).
     """
     q = queries.select(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
@@ -115,7 +121,12 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     ).withColumn("_cn", norm_col(F.col("_cv")))
-    scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id")).select(
+    join_cond = (
+        F.col(query_id_col) != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    scored = c.join(F.broadcast(q), join_cond).select(
         query_id_col,
         "neighbor_id",
         _scored_cosine(
@@ -1124,13 +1135,24 @@ def pca_fit(
     pinning it makes projections reproducible across partitionings and
     BLAS builds (the numpy-reference pytest relies on this).
 
+    Moments accumulate **about a pilot point** (the first row's vector):
+    cov = E[(x−p)(x−p)ᵀ] − (μ−p)(μ−p)ᵀ. The naive E[xxᵀ] − μμᵀ form
+    cancels catastrophically when |μ| ≫ σ (ADVICE r5); shifting by any
+    in-distribution point makes both terms O(σ²) so the subtraction
+    loses no precision, at zero extra passes (the pilot rides the same
+    ``first()`` probe that reads the dimension).
+
     This is the preprocessing step SemDeDup-style pipelines run before
     quantization/clustering; at 100 TB it is one corpus scan whose
     shuffle is the moment rows, never vectors.
     """
     import pandas as pd
 
-    d = len(corpus.select(_as_double(F.col(vec_col)).alias("_v")).first()["_v"])
+    pilot = np.asarray(
+        corpus.select(_as_double(F.col(vec_col)).alias("_v")).first()["_v"],
+        dtype=np.float64,
+    )
+    d = len(pilot)
 
     def moments(batches):
         n = 0
@@ -1139,7 +1161,7 @@ def pca_fit(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64) - pilot
             n += len(x)
             s += x.sum(axis=0)
             ss += x.T @ x
@@ -1156,8 +1178,9 @@ def pca_fit(
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0)
-    mean = s / n
-    cov = ss / n - np.outer(mean, mean)
+    mean_shift = s / n  # μ − p
+    mean = pilot + mean_shift
+    cov = ss / n - np.outer(mean_shift, mean_shift)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T
@@ -1204,6 +1227,7 @@ def topk_incremental_update(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Incremental exact top-k maintenance (the interactive-session
     pattern: keep per-query neighbor lists current as the corpus grows
@@ -1212,6 +1236,12 @@ def topk_incremental_update(
     top-k rows, and re-rank. Per refresh the work is |delta|·|Q| scores
     plus a (2k per query)-row rank — the accumulated corpus never moves
     again; only its k winners per query survive in ``prev_topk``.
+
+    ``exclude_self`` defaults to **False**: this is a serving-pattern API
+    (standing external queries against a growing corpus), where query ids
+    live in their own namespace — a numeric collision with a corpus
+    ``vec_id`` must not drop a real neighbor. Flip it on only when the
+    standing queries ARE corpus rows.
 
     Correctness: exact top-k is mergeable — a vector outside both the
     previous top-k and the delta can never enter the new top-k. With
@@ -1228,6 +1258,7 @@ def topk_incremental_update(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        exclude_self=exclude_self,
     ).select(query_id_col, "neighbor_id", "cosine")
     cand = (
         fresh

@@ -558,6 +558,38 @@ class TestPCA:
         assert all(a >= b - 1e-12 for a, b in zip(evar, evar[1:]))  # descending
         assert evar[0] > 0
 
+    def test_large_mean_no_cancellation(self, spark):
+        """|mean| ≫ σ: the naive E[xxᵀ]−μμᵀ form loses every significant
+        digit of the covariance (1e16-magnitude moments, O(1) variance);
+        pilot-shifted accumulation must still match the centered numpy
+        reference (ADVICE r5)."""
+        import numpy as np
+
+        from demo_apache_beam_spark.operators.similarity import pca_fit
+
+        n, d, off = 64, 4, 1.0e8
+        base = np.asarray(
+            [[np.sin(i * 0.7 + j) for j in range(d)] for i in range(n)]
+        )
+        x = base + off
+        rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        mean, comps, evar = pca_fit(df, n_components=2)
+
+        ref_mean = x.mean(axis=0)
+        cov = (x - ref_mean).T @ (x - ref_mean) / n
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:2]
+        ref = evecs[:, order].T
+        for i in range(2):
+            j = int(np.argmax(np.abs(ref[i])))
+            if ref[i, j] < 0:
+                ref[i] = -ref[i]
+        assert np.allclose(mean, ref_mean, rtol=1e-12)
+        assert np.allclose(comps, ref, atol=1e-6)
+        assert np.allclose(np.asarray(evar), evals[order], rtol=1e-6)
+
 
 class TestIncrementalDedup:
     def test_first_seen_wins_across_increments(self, spark, tmp_path):
@@ -666,10 +698,37 @@ def test_topk_incremental_equals_full_recompute(spark):
 
     state = None
     for d in deltas:
-        state = topk_incremental_update(state, d, queries, k=7).localCheckpoint()
+        # queries here ARE corpus rows, so self-exclusion is the correct
+        # semantics on both sides (the serving default is False)
+        state = topk_incremental_update(
+            state, d, queries, k=7, exclude_self=True
+        ).localCheckpoint()
 
     full = brute_force_topk(emb, queries, k=7)
     key = lambda rows: sorted(
         (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows
     )
     assert key(state.collect()) == key(full.collect())
+
+
+def test_topk_incremental_serving_id_collision_keeps_neighbor(spark):
+    """Serving default (exclude_self=False): an external query whose id
+    numerically collides with a corpus vec_id must still receive that
+    vector as a neighbor — the ADVICE r5 hazard."""
+    from demo_apache_beam_spark.operators.similarity import (
+        topk_incremental_update,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # external query id 7 collides with corpus vec_id 7; its vector is
+    # exactly corpus vector 7, which MUST come back as rank 1
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    rows = {
+        r["rank"]: r["neighbor_id"]
+        for r in topk_incremental_update(None, corpus, queries, k=2).collect()
+    }
+    assert rows == {1: 7, 2: 8}

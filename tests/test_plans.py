@@ -401,6 +401,7 @@ def test_zipf_fit_has_no_global_sort_exchange(spark):
 def test_quality_calibration_single_lang_exchange(spark):
     """percent_rank per language: exactly one exchange (hash on lang)
     feeds the window — the scan-side expressions stay in codegen."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = explain_str(
@@ -409,7 +410,7 @@ def test_quality_calibration_single_lang_exchange(spark):
         assert plan.count("Exchange") == 1
         assert "hashpartitioning(lang" in plan
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_series_profile_aggregates_before_python(spark):
