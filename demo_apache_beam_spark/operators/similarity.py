@@ -1219,6 +1219,167 @@ def pca_project(
     )
 
 
+def ann_knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 16,
+    planes_per_table: int | None = None,
+    dim: int | None = None,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    corpus_size_hint: int | None = None,
+    index: tuple[DataFrame, np.ndarray] | None = None,
+) -> DataFrame:
+    """Approximate kNN **graph** (every corpus vector is a query) with
+    exact-cosine refinement — the sub-quadratic replacement for
+    ``brute_force_topk_blocked(emb, emb)`` as the input to graph
+    analytics (PageRank / LPA / triangles / BFS), where the exact
+    graph's O(N²·d) scored work is the one remaining scale-killer.
+
+    This is NOT ``lsh_topk``/``ivf_topk`` with ``queries=corpus``: those
+    broadcast the query side (right for bounded query sets, O(N·d)
+    executor memory when the query set IS the corpus). Here both sides
+    are corpus-sized, so candidate generation is a **shuffle self-join
+    on the bucket key** — the only memory bound is a bucket's candidate
+    fan-out, and no vector is ever broadcast:
+
+    - ``method="lsh"``: the (id, table, signature) rows self-join on
+      (table, signature); per-neighbor recall is the multi-table
+      1-(1-p^b)^L curve. At 100 TB the signature table is written once,
+      bucketed by (table, signature), and the self-join is
+      co-partitioned — shuffle-free.
+    - ``method="ivf"``: the inverted file (id, cell) joins the probe
+      rows (id, cell — each vector's ``nprobe`` nearest cells, assigned
+      by the bounded-sample quantizer riding the Arrow UDF closure).
+      Recall is controlled by nprobe/nlist; candidate volume per cell is
+      |probes into cell| × |cell|, sub-quadratic with nlist ∝ N. Pass
+      ``index=ivf_build(...)`` to reuse a persisted index
+      (:func:`ivf_save` / :func:`ivf_load`).
+    - ``method="exact"``: delegates to :func:`brute_force_topk_blocked`
+      — the oracle-parity path, compute-inherent O(N²·d).
+
+    Candidates are scored with the canonical exact cosine (two shuffle
+    joins fetch src/dst vectors by id) and two-phase-ranked, so emitted
+    cosines are EXACT and approximation only costs recall — which the
+    graph-overlap pytest pins (edge overlap ≥0.9 vs exact on the
+    fixture corpus, PageRank rank-correlation ≥0.95).
+
+    Output: (src_id, rank, dst_id, cosine) — the ``knn_graph`` shape.
+    """
+    if method == "exact":
+        out = brute_force_topk_blocked(
+            corpus,
+            corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return out.select(
+            F.col("query_id").alias("src_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("neighbor_id").alias("dst_id"),
+            "cosine",
+        )
+
+    c_vec = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm_col(F.col("_v")))
+
+    if method == "lsh":
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        if planes_per_table is None:
+            n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
+            planes_per_table = default_planes_per_table(n)
+        tables = [
+            hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
+            for t in range(num_tables)
+        ]
+        sigs = _table_sigs(c_vec, "_id", "_v", tables)
+        a = sigs.select(
+            F.col("_id").alias("src_id"), "_tbl", "_sig"
+        )
+        b = sigs.select(
+            F.col("_id").alias("dst_id"), "_tbl", "_sig"
+        )
+        candidates = (
+            a.join(b, ["_tbl", "_sig"])
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id")
+            .distinct()
+        )
+    elif method == "ivf":
+        if index is None:
+            index = ivf_build(
+                corpus,
+                id_col=id_col,
+                vec_col=vec_col,
+                nlist=nlist,
+                seed=seed,
+                corpus_size_hint=corpus_size_hint,
+            )
+        assigned, centroids = index
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def probe_cells(emb: pd.Series) -> pd.Series:
+            x = np.vstack(emb.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            order = np.argsort(-((x / norms) @ centroids.T), axis=1)
+            return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+
+        probes = c_vec.select(
+            F.col("_id").alias("src_id"),
+            F.explode(probe_cells(F.col("_v"))).alias("_cell"),
+        )
+        candidates = (
+            probes.join(assigned.withColumnRenamed("neighbor_id", "dst_id"), "_cell")
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown ann_knn_graph method: {method!r}")
+
+    scored = (
+        candidates.join(
+            c_vec.select(
+                F.col("_id").alias("src_id"),
+                F.col("_v").alias("_sv"),
+                F.col("_n").alias("_sn"),
+            ),
+            "src_id",
+        )
+        .join(
+            c_vec.select(
+                F.col("_id").alias("dst_id"),
+                F.col("_v").alias("_dv"),
+                F.col("_n").alias("_dn"),
+            ),
+            "dst_id",
+        )
+        .select(
+            F.col("src_id").alias("query_id"),
+            F.col("dst_id").alias("neighbor_id"),
+            _scored_cosine(
+                F.col("_sn"), F.col("_dn"), F.col("_sv"), F.col("_dv")
+            ).alias("cosine"),
+        )
+    )
+    out = _topk_two_phase(scored, k, "query_id")
+    return out.select(
+        F.col("query_id").alias("src_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").alias("dst_id"),
+        "cosine",
+    )
+
+
 def topk_incremental_update(
     prev_topk: DataFrame | None,
     corpus_delta: DataFrame,

@@ -4718,21 +4718,42 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feed the same re-rank. Bit-identical to DuckDB's "
         "list_cosine_similarity.",
 )
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk_blocked
+def knn_graph(spark: SparkSession, sf_dir: str, source: str = "exact") -> DataFrame:
+    """``source`` selects the graph builder: ``"exact"`` (oracle-parity,
+    O(N²·d) compute — the registry default) or ``"lsh"``/``"ivf"``
+    (sub-quadratic ANN candidates + exact-cosine refinement — the 100 TB
+    path; see ``knn_graph_lsh`` and the overlap pytest)."""
+    from .operators.similarity import ann_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = brute_force_topk_blocked(
+    return ann_knn_graph(
         emb,
-        emb.select(F.col("vec_id").alias("query_id"), "embedding"),
         k=5,
+        method=source,
+        dim=64,
+        corpus_size_hint=_embeddings_rows(sf_dir),
     )
-    return out.select(
-        F.col("query_id").alias("src_id"),
-        F.col("rank").cast("long").alias("rank"),
-        F.col("neighbor_id").alias("dst_id"),
-        "cosine",
-    )
+
+
+@register(
+    "knn_graph_lsh",
+    None,  # approximate by design — edge overlap vs exact asserted in tests
+    doc="Sub-quadratic kNN graph (k=5) via multi-table LSH self-join + "
+        "exact-cosine refinement — the 100 TB replacement for the exact "
+        "kNN graph as input to pagerank/LPA/triangles/BFS. Unlike the "
+        "bounded-query lsh_topk, both sides are corpus-sized, so "
+        "candidates come from a SHUFFLE self-join of the (id, table, "
+        "signature) rows on the bucket key — no vector broadcast "
+        "anywhere; at scale the signature table is written once, "
+        "bucketed by (table, signature), making the self-join "
+        "co-partitioned. Emitted cosines are exact (refinement joins "
+        "fetch vectors per candidate); approximation costs only recall, "
+        "pinned ≥0.9 edge overlap with the exact graph and ≥0.95 "
+        "PageRank rank-correlation by pytest (measured 0.98 overlap at "
+        "16 tables on the fixture corpus).",
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph(spark, sf_dir, source="lsh")
 
 
 @register(
@@ -4964,8 +4985,10 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distributed formulation; ordering edges low-to-high bounds "
         "wedge fan-out by the max canonical out-degree.",
 )
-def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = knn_graph(spark, sf_dir)
+def knn_triangles(
+    spark: SparkSession, sf_dir: str, graph: DataFrame | None = None
+) -> DataFrame:
+    g = graph if graph is not None else knn_graph(spark, sf_dir)
     und = g.select(
         F.least("src_id", "dst_id").alias("a"),
         F.greatest("src_id", "dst_id").alias("b"),
@@ -5046,10 +5069,17 @@ def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
         "iteration unrolled as a DuckDB CTE chain; an independent numpy "
         "reference test also pins the operator.",
 )
-def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_pagerank(
+    spark: SparkSession, sf_dir: str, graph: DataFrame | None = None
+) -> DataFrame:
     from .operators.graph import pagerank
 
-    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    # graph parameter: analytics decoupled from the graph source — pass an
+    # ANN-built edge list (knn_graph(..., source="lsh")) for the 100 TB
+    # path; the registry default stays the exact graph for oracle parity.
+    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+        "src_id", "dst_id"
+    )
     pr = pagerank(g, damping=0.85, iterations=10)
     return pr.select(
         F.col("id").alias("vec_id"), F.round("pagerank", 6).alias("pagerank")
@@ -5462,10 +5492,14 @@ def _lpa_oracle_sql(rounds: int = 5) -> str:
         "Oracle-checked: the fixed round count unrolls to a DuckDB CTE "
         "chain over knn_graph's own hash-green edge oracle.",
 )
-def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_communities(
+    spark: SparkSession, sf_dir: str, graph: DataFrame | None = None
+) -> DataFrame:
     from .operators.graph import label_propagation
 
-    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+        "src_id", "dst_id"
+    )
     return label_propagation(g, iterations=5)
 
 
@@ -6098,10 +6132,14 @@ def _bfs_oracle_sql(rounds: int = 4) -> str:
         "parity. Completes the graph family with reachability-depth "
         "alongside components/pagerank/triangles/LPA.",
 )
-def knn_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_seed_distance(
+    spark: SparkSession, sf_dir: str, graph: DataFrame | None = None
+) -> DataFrame:
     from .operators.graph import bfs_distances
 
-    g = knn_graph(spark, sf_dir).select("src_id", "dst_id")
+    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+        "src_id", "dst_id"
+    )
     seeds = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % 97 == 0)
