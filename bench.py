@@ -59,6 +59,13 @@ def main() -> None:
         "SELECT user_id, row_number() OVER (PARTITION BY event_type ORDER BY ts) "
         "FROM {e}", e=ev
     ).write.format("noop").mode("overwrite").save()
+    # Pinned warmup (VERDICT r5 #6): events_k_anonymity benched 2.3x its
+    # r4 value with no code change — pure first-touch/ordering noise on a
+    # two-aggregate plan. One unmeasured run pins it to steady state so a
+    # REAL regression can't hide inside the ambient band.
+    REGISTRY["events_k_anonymity"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     def run_once(spec) -> float:
         # time from plan construction: operators that stage intermediates
@@ -96,18 +103,37 @@ def main() -> None:
     streaming = _streaming_throughput(spark)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming": streaming,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming": streaming,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json archives only a ~2 KB stdout TAIL —
+    # half the per-query timings vanish. Persist the full map alongside
+    # (VERDICT r5 #2) so per-query trends stay auditable. Round number:
+    # $SPARK_GRAFT_ROUND, else 1 + the highest committed BENCH_r*.json.
+    try:
+        full_path = os.path.join(REPO_ROOT, f"BENCH_FULL_r{_round_number()}.json")
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the full line
+
+
+def _round_number() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(REPO_ROOT)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+    ]
+    return max(rounds, default=0) + 1
 
 
 def _release_staged_blocks(spark) -> None:

@@ -229,6 +229,7 @@ def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    driver_finish_max_vocab: int = 500_000,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from a corpus (Sennrich et
     al. 2016, arXiv:1508.07909): start from characters, repeatedly find
@@ -243,23 +244,46 @@ def bpe_merges(
 
     Scale shape: the corpus is touched ONCE — the token explode +
     count collapses 100 TB of text to a vocab-sized (word, count)
-    table, and all ``n_merges`` iterations run on that table (the
-    classic Sennrich formulation: pair statistics are linear in vocab,
-    not corpus). Per round: one pair explode + partial-aggregated sum,
-    one ordered ``limit(1)`` (a single driver row — same bounded-scalar
-    discipline as PageRank's dangling mass), one codegen
-    ``regexp_replace`` rewriting the symbol strings. The vocab DF is
-    cached per round and checkpointed through ``localCheckpoint`` so
-    plan depth stays O(1) across rounds rather than O(round).
+    table; pair statistics are linear in vocab, not corpus (the classic
+    Sennrich formulation). The iterations are then a **hybrid**
+    (VERDICT r5 #4): merge rounds are inherently sequential, so running
+    them as Spark jobs costs ~2 scheduling floors per merge — a 30k-merge
+    production tokenizer would be ~60k sequential jobs with nothing
+    distributed about the work. Whenever the vocab table fits the driver
+    (≤ ``driver_finish_max_vocab`` rows — probed by a bounded
+    ``limit(n+1).collect()``, ONE job, no separate count), all rounds
+    run as one in-process Sennrich loop over the collected (syms,
+    weight) rows — identical pair stats, identical (count desc, left,
+    right) tie-break, identical non-overlapping left-to-right fuse, so
+    the output is bit-equal to the distributed path (the exact-equality
+    reference pytest runs both). Oversized vocabularies keep the
+    distributed loop: per round one pair explode + partial-aggregated
+    sum, one ordered ``limit(1)`` (a single driver row — the same
+    bounded-scalar discipline as PageRank's dangling mass), one codegen
+    ``regexp_replace``, with ``localCheckpoint`` holding plan depth at
+    O(1) across rounds.
     """
-    vocab = (
+    spark = df.sparkSession
+    vocab_plan = (
         df.select(F.explode(tokens_col(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("weight"))
         # " ".join(word): every char becomes one symbol
         .withColumn("syms", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
         .select("syms", "weight")
-    ).localCheckpoint()
+    )
+
+    probe = vocab_plan.limit(driver_finish_max_vocab + 1).collect()
+    if len(probe) <= driver_finish_max_vocab:
+        merges = _bpe_merges_inprocess(
+            [(r["syms"], r["weight"]) for r in probe], n_merges
+        )
+        return spark.createDataFrame(
+            merges,
+            "step int, left string, right string, merged string, pair_count long",
+        )
+    del probe
+    vocab = vocab_plan.localCheckpoint()
 
     def _quote(s: str) -> str:
         # regex-literal quoting, portable to the Python reference (re.escape)
@@ -293,10 +317,51 @@ def bpe_merges(
         )
         vocab = fused.localCheckpoint()
 
-    spark = df.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+def _bpe_merges_inprocess(
+    vocab_rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The driver-side Sennrich loop: same pair statistics (weighted
+    adjacent-pair counts over the vocab), same (pair_count desc, left
+    asc, right asc) winner, same non-overlapping left-to-right fuse as
+    the distributed path — order of ``vocab_rows`` is immaterial because
+    the stats are a commutative sum and the tie-break is total."""
+    vocab: list[tuple[list[str], int]] = [
+        (syms.split(" "), int(w)) for syms, w in vocab_rows if syms
+    ]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, w in vocab:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                stats[pair] = stats.get(pair, 0) + w
+        if not stats:
+            break
+        (left, right), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, left + right, cnt))
+        fused = left + right
+        new_vocab: list[tuple[list[str], int]] = []
+        for syms, w in vocab:
+            out: list[str] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, w))
+        vocab = new_vocab
+    return merges
 
 
 def bpe_encode_words(

@@ -3245,12 +3245,23 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subword counts JVM-side. The per-doc token budget every "
         "context-window packing step consumes.",
 )
-def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_bpe_tokenize(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     from .operators.text import bpe_encode_words, bpe_merges, tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    merge_rows = bpe_merges(docs, n_merges=8).collect()  # 8 driver rows
-    merges = [(r["left"], r["right"]) for r in sorted(merge_rows, key=lambda r: r["step"])]
+    if merges is None:
+        # training is one corpus pass + the in-process finisher (hybrid
+        # bpe_merges); pipelines composing train→encode pass the learned
+        # table instead so it isn't re-derived here (VERDICT r5 #4)
+        merge_rows = bpe_merges(docs, n_merges=8).collect()  # 8 driver rows
+        merges = [
+            (r["left"], r["right"])
+            for r in sorted(merge_rows, key=lambda r: r["step"])
+        ]
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
     pieces = bpe_encode_words(tok.select("word").distinct(), merges)
     return (

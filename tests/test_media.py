@@ -372,7 +372,11 @@ def _ref_bpe(word_counts: dict, k: int):
     return merges
 
 
-def test_bpe_merges_matches_sennrich_reference(spark):
+# vocab limit 0 forces the distributed per-merge loop; the default takes
+# the in-process driver finisher — BOTH must match the Sennrich reference
+# exactly (the hybrid's contract is bit-equal output).
+@pytest.mark.parametrize("vocab_limit", [500_000, 0])
+def test_bpe_merges_matches_sennrich_reference(spark, vocab_limit):
     from demo_apache_beam_spark.operators.text import bpe_merges
 
     docs = spark.createDataFrame(
@@ -382,18 +386,23 @@ def test_bpe_merges_matches_sennrich_reference(spark):
         ],
         "doc_id long, text string",
     )
+    # 32 asked-for merges exhaust the corpus's pair inventory partway —
+    # both paths must stop at the same step with the same table
     got = [
         (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
-        for r in bpe_merges(docs, n_merges=6).orderBy("step").collect()
+        for r in bpe_merges(
+            docs, n_merges=32, driver_finish_max_vocab=vocab_limit
+        ).orderBy("step").collect()
     ]
     counts = {}
     for t in ("low low low lower lower newest newest newest newest widest "
               "newest widest widest low lowest").split():
         counts[t] = counts.get(t, 0) + 1
-    assert got == _ref_bpe(counts, 6)
+    assert got == _ref_bpe(counts, 32)
 
 
-def test_bpe_merges_on_documents_table(spark):
+@pytest.mark.parametrize("vocab_limit", [500_000, 0])
+def test_bpe_merges_on_documents_table(spark, vocab_limit):
     from collections import Counter
     import re as _re
 
@@ -403,7 +412,9 @@ def test_bpe_merges_on_documents_table(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     got = [
         (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
-        for r in bpe_merges(docs, n_merges=5).orderBy("step").collect()
+        for r in bpe_merges(
+            docs, n_merges=5, driver_finish_max_vocab=vocab_limit
+        ).orderBy("step").collect()
     ]
     counts = Counter()
     for row in docs.select("text").collect():
@@ -411,12 +422,15 @@ def test_bpe_merges_on_documents_table(spark):
     assert got == _ref_bpe(dict(counts), 5)
 
 
-def test_bpe_merges_repeated_symbol_nonoverlapping(spark):
+@pytest.mark.parametrize("vocab_limit", [500_000, 0])
+def test_bpe_merges_repeated_symbol_nonoverlapping(spark, vocab_limit):
     """'a a a a' fuses left-to-right non-overlapping: (a,a) -> 'aa aa'."""
     from demo_apache_beam_spark.operators.text import bpe_merges
 
     docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
-    rows = bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    rows = bpe_merges(
+        docs, n_merges=2, driver_finish_max_vocab=vocab_limit
+    ).orderBy("step").collect()
     assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == ("a", "a", 6)
     assert (rows[1]["left"], rows[1]["right"]) == ("aa", "aa")
 
