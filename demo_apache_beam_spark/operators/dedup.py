@@ -342,16 +342,16 @@ def _signatures_from_hashes(
     return hashed.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Band the signature (r = k/bands rows per band), bucket on the band
-    hash, emit within-bucket pairs. The only join is an equi-join on
-    (band_idx, band_hash) — LSH's point is exactly that this is
-    shuffle-friendly at petabyte scale."""
+    """(id, band_idx, band_hash) rows: the signature split into ``bands``
+    bands of r = k/bands minhashes, each collapsed to one 64-bit band
+    hash. The LSH probe unit — shared by the batch candidate join and
+    the incremental band store."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -364,9 +364,22 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(band_structs).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature (r = k/bands rows per band), bucket on the band
+    hash, emit within-bucket pairs. The only join is an equi-join on
+    (band_idx, band_hash) — LSH's point is exactly that this is
+    shuffle-friendly at petabyte scale."""
+    banded = band_rows(signatures, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -693,3 +706,107 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """**Near-dup** dedup for incremental corpus refreshes — the MinHash
+    sibling of :func:`incremental_exact_dedup` (production refreshes need
+    both: a re-crawl rarely arrives byte-identical). The persisted store
+    at ``store_path`` holds the (band_idx, band_hash) rows of every
+    previously ACCEPTED document; an increment is processed as:
+
+    1. band the increment's MinHash signatures (:func:`band_rows`);
+    2. **history probe** — one equi-join of the increment's band rows
+       against the store: any collision marks the document a near-dup of
+       already-accepted content;
+    3. **within-increment clustering** — documents sharing ≥1 band form
+       the LSH collision graph; its connected components are the
+       near-dup clusters (the same cluster semantics as
+       ``duplicate_clusters``). A cluster touching history is dropped
+       whole (its content is already represented — first-seen-wins
+       across increments); otherwise its minimum id survives
+       (first-seen-wins within the increment). Documents too short to
+       shingle have no bands, collide with nothing, and survive as
+       their own singleton.
+    4. survivors' band rows are appended to the store. Only accepted
+       documents contribute bands — the store is the accepted corpus's
+       signature, exactly like the exact-dedup digest store holds
+       accepted digests.
+
+    LSH banding decides near-duplication (probabilistic by design: the
+    (num_hashes, bands) operating point sets the Jaccard threshold
+    curve, the same trade every production MinHash pipeline makes —
+    verifying against history exactly would require storing shingle
+    sets, ~1000× the band rows). Determinism: given fixed parameters the
+    outcome is a pure function of the increment sequence — the pytest
+    replays a sequential reference over the same band rows and requires
+    identical accepted sets, including a near-dup straddling increments.
+
+    Scale shape: the store is O(accepted docs × bands) 12-byte rows,
+    scanned once per increment for the semi-join probe; the in-batch
+    component loop runs on collision EDGES (band-bucket pairs, the same
+    join ``lsh_candidate_pairs`` does), never on text. The append is
+    not atomic with the read; increments run serially (the scheduler
+    contract every ingest pipeline already has). Compact the store with
+    ``operators.layout.compact_files`` as it accumulates per-increment
+    files.
+    """
+    from .graph import connected_components
+
+    spark = new_df.sparkSession
+    sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n)
+    banded = band_rows(sigs, id_col, num_hashes, bands).localCheckpoint()
+
+    if _hadoop_path_exists(spark, store_path):
+        hist = spark.read.parquet(store_path)
+        hist_hits = (
+            banded.join(hist, ["band_idx", "band_hash"], "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+    else:
+        hist_hits = None
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    comp = connected_components(
+        pairs, vertices=new_df.select(id_col), src="id_a", dst="id_b"
+    )
+    if hist_hits is not None:
+        comp = comp.join(hist_hits, comp.id == hist_hits[id_col], "left").select(
+            comp.id, "cluster_id", F.coalesce("_hist", F.lit(False)).alias("_hist")
+        )
+    else:
+        comp = comp.select("id", "cluster_id", F.lit(False).alias("_hist"))
+    survivors = (
+        comp.groupBy("cluster_id")
+        .agg(
+            F.min("id").alias(id_col),
+            F.max(F.col("_hist").cast("int")).alias("_any_hist"),
+        )
+        .filter(F.col("_any_hist") == 0)
+        .select(id_col)
+        .localCheckpoint()  # freeze before the store mutates
+    )
+    banded.join(survivors, id_col, "left_semi").select(
+        "band_idx", "band_hash"
+    ).write.mode("append").parquet(store_path)
+    return new_df.join(survivors, id_col, "left_semi")

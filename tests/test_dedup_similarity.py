@@ -640,6 +640,87 @@ class TestIncrementalDedup:
             got += [r["doc_id"] for r in incremental_exact_dedup(inc, store).collect()]
         assert sorted(got) == sorted(expect)
 
+    def test_minhash_band_store_matches_sequential_reference(self, spark, tmp_path):
+        """Incremental NEAR-dup (band store): three increments, planted
+        near-dups both within an increment and STRADDLING increments,
+        must match a sequential reference applying the same cluster
+        semantics (drop cluster on history hit, min-id winner otherwise)
+        over the same band rows."""
+        from demo_apache_beam_spark.operators.dedup import (
+            band_rows,
+            incremental_minhash_dedup,
+            minhash_signatures,
+        )
+
+        base_a = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town and children play in the green park near the old stone bridge every single afternoon"
+        base_b = "data pipelines shuffle terabytes of text across executors while schedulers balance partitions and optimizers prune columns from scans to keep the cluster busy at all times"
+        base_c = "a completely different narrative about sailing ships crossing vast oceans guided by stars and seasoned captains who read the wind better than any modern instrument ever could"
+        base_d = "mountains rise sharply above the valley floor where a narrow river cuts through ancient rock carrying meltwater from glaciers that have stood for ten thousand years"
+
+        def near(text: str) -> str:  # ~97% shingle overlap
+            return text.rsplit(" ", 1)[0] + " tonight"
+
+        incs = [
+            [(1, base_a), (2, base_b), (3, near(base_a))],     # in-batch pair
+            [(4, near(base_a)), (5, base_c)],                  # straddles inc 1
+            [(6, near(base_b)), (7, base_d), (8, near(base_d))],
+        ]
+
+        # --- sequential reference over the SAME band rows -------------
+        all_rows = [(i, t) for inc in incs for (i, t) in inc]
+        df_all = spark.createDataFrame(all_rows, "doc_id long, text string")
+        bands_by_doc: dict[int, set] = {i: set() for i, _ in all_rows}
+        for r in band_rows(minhash_signatures(df_all)).collect():
+            bands_by_doc[r["doc_id"]].add((r["band_idx"], r["band_hash"]))
+
+        hist: set = set()
+        expect: list[int] = []
+        for inc in incs:
+            ids = [i for i, _ in inc]
+            # union-find over shared-band collisions
+            parent = {i: i for i in ids}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i in ids:
+                for j in ids:
+                    if i < j and bands_by_doc[i] & bands_by_doc[j]:
+                        parent[find(j)] = find(i)
+            clusters: dict[int, list[int]] = {}
+            for i in ids:
+                clusters.setdefault(find(i), []).append(i)
+            for members in clusters.values():
+                if any(bands_by_doc[m] & hist for m in members):
+                    continue  # represented by an earlier increment
+                win = min(members)
+                expect.append(win)
+                hist |= bands_by_doc[win]
+
+        # --- the operator ---------------------------------------------
+        store = str(tmp_path / "bands")
+        got: list[int] = []
+        for inc in incs:
+            df = spark.createDataFrame(inc, "doc_id long, text string")
+            got += [
+                r["doc_id"]
+                for r in incremental_minhash_dedup(df, store).collect()
+            ]
+        assert sorted(got) == sorted(expect)
+        # the planted semantics themselves: 3 drops to 1; 4 drops to
+        # history; 6 drops to history; 8 drops to 7
+        assert sorted(got) == [1, 2, 5, 7]
+
+        # full re-crawl of increment 1 under NEW ids: everything near-dups
+        # accepted history, nothing survives
+        recrawl = spark.createDataFrame(
+            [(100 + i, t) for i, t in incs[0]], "doc_id long, text string"
+        )
+        assert incremental_minhash_dedup(recrawl, store).count() == 0
+
 
 def test_user_series_topk_matches_corrcoef(spark):
     """Top-correlated peers must agree with numpy corrcoef computed on
