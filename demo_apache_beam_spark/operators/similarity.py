@@ -668,6 +668,108 @@ def semantic_dedup(
     return cell_rows.groupBy("_cell").applyInPandas(dedup_cell, out_schema)
 
 
+def semantic_dedup_hash_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    tau: float = 0.95,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup with a **deterministic, SQL-expressible** cell assignment
+    — the oracle-backed sibling of :func:`semantic_dedup` (VERDICT r5
+    #3). The sample-fit k-means quantizer there is oracle-infeasible
+    (driver-side numpy RNG state); here cells are the ``num_planes``-bit
+    random-hyperplane signature (:func:`hyperplanes` — closed-form
+    scrambled constants), which BOTH engines can evaluate: similar
+    vectors still share cells (it is exactly one LSH table), and the
+    greedy within-cell sweep is unchanged SemDeDup semantics.
+
+    Bit-parity engineering (same discipline as
+    :func:`brute_force_topk_blocked`): the cell signature's plane dots
+    and the sweep's pairwise cosines accumulate with an explicit
+    left-to-right loop over the dimension from float32→float64 widened
+    inputs, finished as dot/(n_a·n_b) — the identical IEEE sequence as
+    DuckDB's ``list_dot_product`` / ``list_cosine_similarity``, so every
+    kept/dropped decision and every ``max_prior_sim`` is the same double
+    on both sides. The DuckDB side replays the greedy order as a
+    recursive CTE advancing one (cell, position) per step with the kept
+    set carried as a list column. The kept decision compares an exact
+    double against ``tau``; like the pagerank oracle, a value landing
+    within combine-order noise (~1e-15) of the boundary could flip one
+    side — acknowledged margin, far below any realistic mass.
+
+    Returns (``id_col``, cell, kept, max_prior_sim) with
+    ``max_prior_sim`` UNROUNDED (-1.0 for a cell's first item); the
+    registry query rounds to 6 dp on both sides.
+
+    Scale shape: identical to :func:`semantic_dedup` — one shuffle
+    keyed by cell, one ``applyInPandas`` group per cell whose work is
+    the m×m gram; grow ``num_planes`` with log2(N) so cells stay
+    bounded.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = np.asarray(hyperplanes(dim, num_planes, seed=seed), dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        sig = np.zeros(len(x), dtype=np.int32)
+        for b in range(planes.shape[0]):
+            dot = np.zeros(len(x))
+            for j in range(x.shape[1]):  # left-to-right fold, = SQL's
+                dot += x[:, j] * planes[b, j]
+            sig |= (dot >= 0.0).astype(np.int32) << b
+        return pd.Series(sig)
+
+    rows = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cell", cell_of(F.col("_cv")))
+
+    out_schema = f"{id_col} long, cell int, kept boolean, max_prior_sim double"
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        x = np.vstack(pdf["_cv"].to_numpy()).astype(np.float64)
+        m, d = x.shape
+        dot = np.zeros((m, m))
+        nrm = np.zeros(m)
+        for j in range(d):  # same fold order as the signature/list_* kernels
+            dot += np.outer(x[:, j], x[:, j])
+            nrm += x[:, j] * x[:, j]
+        nrm = np.sqrt(nrm)
+        if np.any(nrm == 0.0):
+            bad = pdf["_id"].to_numpy()[nrm == 0.0][:5].tolist()
+            raise ValueError(
+                "zero-norm embedding(s) (cosine is undefined); "
+                f"offending ids include {bad}"
+            )
+        gram = dot / np.outer(nrm, nrm)
+        kept = np.zeros(m, dtype=bool)
+        best = np.full(m, -1.0)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if kept_idx:
+                best[i] = gram[i, kept_idx].max()
+            if best[i] < tau:
+                kept[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf["_id"],
+                "cell": pdf["_cell"].astype("int32"),
+                "kept": kept,
+                "max_prior_sim": best,
+            }
+        )
+
+    return rows.groupBy("_cell").applyInPandas(dedup_cell, out_schema)
+
+
 def _blocked_candidates(
     c: DataFrame,
     q_ids: "np.ndarray",

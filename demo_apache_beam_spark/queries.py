@@ -5403,7 +5403,13 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "applyInPandas group computing a single BLAS gram matrix; "
         "nlist scales ∝ N to bound cluster sizes, and the shuffle moves "
         "each vector exactly once. Verified against an independent "
-        "sequential reference in pytest.",
+        "sequential reference in pytest. Oracle finding (r6): this "
+        "variant is oracle-infeasible beyond float precision — the cell "
+        "assignment is a function of the driver-side numpy RNG sequence "
+        "(kmeans++ seeding + sampled training rows) that no SQL engine "
+        "can replay; the greedy sweep itself IS oracle-checkable and is "
+        "hash-green in semantic_dedup_hash_cells, which swaps only the "
+        "quantizer for a deterministic hyperplane signature.",
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
@@ -5411,6 +5417,88 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, nlist=16, tau=0.4, corpus_size_hint=_embeddings_rows(sf_dir)
+    )
+
+
+def _semantic_dedup_hash_oracle_sql(
+    num_planes: int = 4, tau: float = 0.4, seed: int = 42, dim: int = 64
+) -> str:
+    """DuckDB oracle for hash-cell SemDeDup: the cell is the hyperplane
+    signature evaluated over the SAME closed-form plane constants
+    (``hyperplanes`` — repr() round-trips every double exactly into the
+    SQL literal), and the greedy within-cell sweep replays as a
+    recursive CTE advancing one (cell, pos) per step, carrying the kept
+    vectors as a list column; ``list_cosine_similarity`` against the
+    kept list reproduces the operator's left-to-right fold kernel
+    bit-for-bit (same margin note as the pagerank oracle for values at
+    a rounding/τ boundary)."""
+    from .operators.similarity import hyperplanes
+
+    terms = []
+    for b, plane in enumerate(hyperplanes(dim, num_planes, seed=seed)):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    cell_expr = "\n           + ".join(terms)
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), cells AS (
+      SELECT vec_id, ve, ({cell_expr}) AS cell FROM v
+    ), ordered AS (
+      SELECT vec_id, ve, cell,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS pos
+      FROM cells
+    ), sweep AS (
+      SELECT cell, pos, vec_id, TRUE AS kept,
+             CAST(-1.0 AS DOUBLE) AS best, [ve] AS kept_vecs
+      FROM ordered WHERE pos = 1
+      UNION ALL
+      SELECT t.cell, t.pos, t.vec_id, t.best < {tau} AS kept, t.best,
+             CASE WHEN t.best < {tau} THEN list_append(t.kept_vecs, t.ve)
+                  ELSE t.kept_vecs END
+      FROM (
+        SELECT o.cell, o.pos, o.vec_id, o.ve, s.kept_vecs,
+               coalesce(list_max(list_transform(s.kept_vecs,
+                 kv -> list_cosine_similarity(o.ve, kv))),
+                 CAST(-1.0 AS DOUBLE)) AS best
+        FROM sweep s JOIN ordered o ON o.cell = s.cell AND o.pos = s.pos + 1
+      ) t
+    )
+    SELECT cast(cell AS INTEGER) AS cell, vec_id, kept,
+           round(best, 6) AS max_prior_sim
+    FROM sweep
+    """
+
+
+@register(
+    "semantic_dedup_hash_cells",
+    _semantic_dedup_hash_oracle_sql(num_planes=4, tau=0.4, seed=42, dim=64),
+    doc="SemDeDup with deterministic hyperplane-signature cells — the "
+        "ORACLE-BACKED variant of semantic_dedup (whose sample-fit "
+        "k-means quantizer is oracle-infeasible: the cluster assignment "
+        "depends on driver-side numpy RNG state no SQL engine can "
+        "replay). Cells here are a 4-bit random-hyperplane signature "
+        "(one LSH table — similar vectors still share cells), and the "
+        "greedy τ-sweep inside each cell is unchanged SemDeDup. Both "
+        "the signature dots and the sweep cosines use the explicit "
+        "left-to-right fold kernel, so the DuckDB oracle — the same "
+        "plane constants as SQL literals plus a recursive CTE replaying "
+        "the greedy order with the kept set as a list column — agrees "
+        "decision-for-decision. One shuffle keyed by cell, one gram per "
+        "cell; num_planes grows with log2(N) to bound cell sizes.",
+)
+def semantic_dedup_hash_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup_hash_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_hash_cells(emb, num_planes=4, tau=0.4, dim=64)
+    return out.select(
+        "cell",
+        "vec_id",
+        "kept",
+        F.round("max_prior_sim", 6).alias("max_prior_sim"),
     )
 
 

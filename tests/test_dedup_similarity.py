@@ -277,6 +277,56 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
         assert not out[1000 + i], "planted near-duplicate must be dropped"
 
 
+def test_semantic_dedup_hash_cells_matches_sequential_reference(spark):
+    """The oracle-backed variant: hyperplane cells + greedy sweep must
+    equal a from-scratch sequential reference (own signature math, own
+    sweep), and planted near-duplicates must drop."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import (
+        hyperplanes,
+        semantic_dedup_hash_cells,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 16)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    rows += [
+        (2000 + i, (base[i] + 0.001 * rng.randn(16)).tolist()) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.95
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"], r["max_prior_sim"])
+        for r in semantic_dedup_hash_cells(
+            df, num_planes=3, tau=tau, dim=16
+        ).collect()
+    }
+    assert len(got) == len(rows)
+
+    planes = np.asarray(hyperplanes(16, 3), dtype=np.float64)
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+    by_cell: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        cell = sum(1 << b for b in range(3) if float(planes[b] @ v) >= 0.0)
+        by_cell.setdefault(cell, []).append(vid)
+    for cell, vids in by_cell.items():
+        kept_u: list[np.ndarray] = []
+        for vid in sorted(vids):
+            v = vecs[vid]
+            u = v / np.linalg.norm(v)
+            best = max((float(u @ k) for k in kept_u), default=-1.0)
+            g_cell, g_kept, g_best = got[vid]
+            assert g_cell == cell, vid
+            assert g_kept == (best < tau), (vid, best)
+            assert abs(g_best - best) < 1e-9, (vid, best, g_best)
+            if best < tau:
+                kept_u.append(u)
+    # a planted near-duplicate landing in its original's cell must drop
+    dropped = [vid for vid, (c, kept, b) in got.items() if vid >= 2000 and not kept]
+    assert dropped, "at least some planted dups share a cell and drop"
+
+
 def test_blocked_topk_matches_hof_fold_and_chunks(spark):
     """brute_force_topk_blocked must return the identical (query, neighbor,
     cosine, rank) set as the zip_with/aggregate fold — including with a
