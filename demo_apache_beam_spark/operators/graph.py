@@ -115,6 +115,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src_id",
     dst: str = "dst_id",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over the directed graph given by ``edges``.
 
@@ -176,12 +177,23 @@ def pagerank(
                 "rank"
             ),
         )
-        # checkpoint every OTHER round: one barrier amortizes two rounds
-        # of lineage (shuffle-file reuse bounds recompute in between),
-        # ~25% off total round cost. Dangling graphs checkpoint every
-        # round — the per-round scalar collect would otherwise recompute
-        # the un-truncated plan.
-        if has_dangling or i % 2 == 1 or i == iterations - 1:
+        # checkpoint every `checkpoint_every` rounds. Default 1 —
+        # measured r6 at sf0.1 on the kNN graph (CLEAN session per
+        # sample, graph pre-materialized, median-of-3): cadence-1 6.24s
+        # vs cadence-2 7.08s vs cadence-3 7.50s. The r5 every-other-round
+        # change (e27a680) claimed ~25% savings but measured a ~13%
+        # REGRESSION once isolated from ambient noise: at 10 rounds x 32
+        # partitions the un-truncated odd-round plan re-executes two
+        # rounds of join+agg lineage wherever a shuffle file isn't
+        # reused, costing more than the barrier it saves. Dangling
+        # graphs checkpoint every round regardless — the per-round
+        # scalar collect would otherwise recompute the un-truncated
+        # plan.
+        if (
+            has_dangling
+            or i % max(1, checkpoint_every) == max(1, checkpoint_every) - 1
+            or i == iterations - 1
+        ):
             ranks = ranks.localCheckpoint()
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
@@ -236,9 +248,10 @@ def label_propagation(
         labels = best.select(
             F.col("v").alias("id"), (-F.col("m.neg")).alias("label")
         )
-        # every-other-round checkpoint cadence (see pagerank)
-        if i % 2 == 1 or i == iterations - 1:
-            labels = labels.localCheckpoint()
+        # per-round checkpoint: measured faster than every-other-round
+        # (see the pagerank cadence measurement; LPA medians 3.74s vs
+        # 3.95s at sf0.1, clean sessions)
+        labels = labels.localCheckpoint()
     return labels
 
 
@@ -290,7 +303,6 @@ def bfs_distances(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        # every-other-round checkpoint cadence (see pagerank)
-        if i % 2 == 1 or i == rounds - 1:
-            dist = dist.localCheckpoint()
+        # per-round checkpoint (see the pagerank cadence measurement)
+        dist = dist.localCheckpoint()
     return dist
