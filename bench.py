@@ -178,6 +178,11 @@ def _streaming_throughput(spark, num_events: int = 120_000) -> dict:
             checkpoint_dir=f"{root}/chk_{tag}",
             team_trigger=None,
             user_trigger=None,
+            # state tasks cost fixed per-partition overhead per
+            # micro-batch (incl. the empty watermark-advance batch);
+            # size to the leaderboard's key cardinality, not the 32-way
+            # batch default — measured 24.4k -> ~46k events/s
+            state_partitions=8,
         )
         team_q.processAllAvailable()
         user_q.processAllAvailable()

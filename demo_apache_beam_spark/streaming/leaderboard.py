@@ -124,6 +124,7 @@ def start_leaderboard(
     user_trigger: str | None = TEN_MINUTES,
     table_prefix: str = "leaderboard",
     format: str = "text",
+    state_partitions: int | None = None,
 ):
     """Run both LeaderBoard queries over one shared parsed stream
     (LeaderBoard.java:144-171: one source, two sinks). Returns the two
@@ -132,6 +133,16 @@ def start_leaderboard(
     Each query appends to a parquet "table" (K3/K4 semantics) via
     ``foreachBatch``; the team sink adds ``processing_time`` and the pane
     ``timing`` column (P4/W8) through the timing annotator.
+
+    ``state_partitions`` overrides ``spark.sql.shuffle.partitions`` for
+    the duration of query START only (the partition count is baked into
+    each query's checkpoint at start; the session value is restored
+    immediately after). Streaming state tasks cost a fixed per-partition
+    overhead every micro-batch — including the empty watermark-advance
+    batch — so size this to the KEY cardinality, not the cluster: a
+    leaderboard keyed by teams/users wants far fewer state partitions
+    than a 100 TB batch shuffle. Leave ``None`` to inherit the session
+    setting.
     """
     from .timing import TimingAnnotator
 
@@ -172,25 +183,36 @@ def start_leaderboard(
     if annotator is not None:
         annotator.attach(spark, "leaderboard_team")
 
-    team_writer = (
-        team.writeStream.outputMode("update")
-        .foreachBatch(team_sink)
-        .option("checkpointLocation", f"{checkpoint_dir}/team")
-        .queryName("leaderboard_team")
+    prior_shuffle = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None
+        else None
     )
-    if team_trigger:
-        team_writer = team_writer.trigger(processingTime=team_trigger)
-    team_q = team_writer.start()
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        team_writer = (
+            team.writeStream.outputMode("update")
+            .foreachBatch(team_sink)
+            .option("checkpointLocation", f"{checkpoint_dir}/team")
+            .queryName("leaderboard_team")
+        )
+        if team_trigger:
+            team_writer = team_writer.trigger(processingTime=team_trigger)
+        team_q = team_writer.start()
 
-    user_writer = (
-        user.writeStream.outputMode("update")
-        .foreachBatch(user_sink)
-        .option("checkpointLocation", f"{checkpoint_dir}/user")
-        .queryName("leaderboard_user")
-    )
-    if user_trigger:
-        user_writer = user_writer.trigger(processingTime=user_trigger)
-    user_q = user_writer.start()
+        user_writer = (
+            user.writeStream.outputMode("update")
+            .foreachBatch(user_sink)
+            .option("checkpointLocation", f"{checkpoint_dir}/user")
+            .queryName("leaderboard_user")
+        )
+        if user_trigger:
+            user_writer = user_writer.trigger(processingTime=user_trigger)
+        user_q = user_writer.start()
+    finally:
+        if prior_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
     return team_q, user_q
 
 

@@ -354,6 +354,41 @@ def test_start_leaderboard_end_to_end(spark, tmp_path):
     assert ("u1", 16) in users, users
 
 
+def test_start_leaderboard_state_partitions_override(spark, tmp_path):
+    """state_partitions bakes a smaller state-partition count into the
+    query checkpoints (a per-micro-batch task-overhead knob) without
+    changing results, and the session's shuffle setting is restored."""
+    from demo_apache_beam_spark.streaming.leaderboard import start_leaderboard
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    in_dir, out_dir, chk = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "chk")
+    )
+    _write_lines(in_dir, "a.txt", [
+        _line("u1", "team_a", 5, BASE_MS),
+        _line("u2", "team_b", 9, BASE_MS + 120_000),
+        _line("u1", "team_a", 3, BASE_MS + 180_000),
+    ])
+    team_q, user_q = start_leaderboard(
+        spark, in_dir, out_dir, chk, team_trigger=None, user_trigger=None,
+        state_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    team_q.processAllAvailable(); user_q.processAllAvailable()
+    team_q.stop(); user_q.stop()
+
+    users = {
+        (r["user"], r["total_score"])
+        for r in spark.read.parquet(f"{out_dir}/leaderboard_user").collect()
+    }
+    assert ("u1", 8) in users and ("u2", 9) in users
+    # the override reached the state layout: 4 state-store dirs per query
+    import os
+
+    state_dirs = os.listdir(f"{chk}/user/state/0")
+    assert len([d for d in state_dirs if d.isdigit()]) == 4
+
+
 def test_streaming_dedup_equals_batch(spark, stream_dirs):
     """Identity dedup on the stream: replayed lines (same identity key,
     re-delivered in a later file) are dropped; the stream's append output
