@@ -4768,6 +4768,23 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_pagerank_lsh",
+    None,  # approximate input graph — rank-correlation >=0.95 pinned in pytest
+    doc="The full 100 TB graph-analytics path end-to-end: PageRank over "
+        "the LSH-built kNN graph (knn_graph_lsh) instead of the exact "
+        "O(N²·d) one. Same power iteration, same per-round join + "
+        "partial-agg plan; the input graph is sub-quadratic. Pytest pins "
+        "the LSH graph at ≥0.9 edge overlap with exact and its PageRank "
+        "at ≥0.95 Spearman rank-correlation; the hash-green exact "
+        "variant (knn_pagerank) stays the oracle-parity anchor.",
+)
+def knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_pagerank(
+        spark, sf_dir, graph=knn_graph(spark, sf_dir, source="lsh")
+    )
+
+
+@register(
     "event_transitions",
     """
     WITH s AS (

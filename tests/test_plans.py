@@ -430,3 +430,30 @@ def test_series_profile_aggregates_before_python(spark):
     plan = explain_str(entries, "simple")
     assert plan.count("HashAggregate") == 2
     assert "partial_sum" in plan
+
+
+def test_ann_knn_graph_all_joins_are_equi_joins(spark):
+    """The LSH graph's candidate generation must be a bucket-key equi
+    self-join: no CartesianProduct / BroadcastNestedLoopJoin anywhere,
+    and with auto-broadcast disabled every join still plans as a
+    shuffle equi-join (SortMerge/ShuffledHash) — i.e. no structural
+    broadcast of a corpus-sized side (size-based broadcasts on a small
+    corpus are Catalyst's call and fine)."""
+    from demo_apache_beam_spark.operators.similarity import ann_knn_graph
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(
+            ann_knn_graph(emb, k=5, method="lsh", dim=64, corpus_size_hint=500),
+            "simple",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan  # nothing structurally broadcast
+    # the signature self-join keys on the bucket
+    assert "SortMergeJoin [_tbl" in plan or "ShuffledHashJoin [_tbl" in plan
