@@ -759,16 +759,49 @@ def incremental_minhash_dedup(
     ``operators.layout.compact_files`` as it accumulates per-increment
     files.
     """
+    spark = new_df.sparkSession
+    hist = (
+        spark.read.parquet(store_path)
+        if _hadoop_path_exists(spark, store_path)
+        else None
+    )
+    survivors, banded = minhash_near_dedup_core(
+        new_df, hist, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    banded.join(survivors, id_col, "left_semi").select(
+        "band_idx", "band_hash"
+    ).write.mode("append").parquet(store_path)
+    return new_df.join(survivors, id_col, "left_semi")
+
+
+def minhash_near_dedup_core(
+    new_df: DataFrame,
+    hist_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The store-layout-agnostic decision kernel behind
+    :func:`incremental_minhash_dedup` (and its streaming wrapper, whose
+    store is batch-id partitioned for replay idempotence): given the
+    increment and the accepted-history band rows (or ``None`` for a
+    bootstrap), return ``(survivor_ids, increment_band_rows)`` — both
+    localCheckpointed so callers can mutate the store afterwards without
+    re-running the plan."""
     from .graph import connected_components
 
-    spark = new_df.sparkSession
     sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n)
     banded = band_rows(sigs, id_col, num_hashes, bands).localCheckpoint()
 
-    if _hadoop_path_exists(spark, store_path):
-        hist = spark.read.parquet(store_path)
+    if hist_bands is not None:
         hist_hits = (
-            banded.join(hist, ["band_idx", "band_hash"], "left_semi")
+            banded.join(
+                hist_bands.select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
             .select(id_col)
             .distinct()
             .withColumn("_hist", F.lit(True))
@@ -806,7 +839,4 @@ def incremental_minhash_dedup(
         .select(id_col)
         .localCheckpoint()  # freeze before the store mutates
     )
-    banded.join(survivors, id_col, "left_semi").select(
-        "band_idx", "band_hash"
-    ).write.mode("append").parquet(store_path)
-    return new_df.join(survivors, id_col, "left_semi")
+    return survivors, banded

@@ -62,3 +62,83 @@ def dedup_event_stream_within_watermark(
     return events.withWatermark(
         "event_time", f"{int(allowed_lateness_minutes)} minutes"
     ).dropDuplicatesWithinWatermark(list(keys))
+
+
+def start_near_dedup_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """Streaming **near-dup** ingestion: every micro-batch of documents
+    is one increment of :func:`operators.dedup.incremental_minhash_dedup`
+    — probe the accepted-history band store, collapse within-batch LSH
+    clusters to their min-id winner, drop clusters already represented,
+    append survivors (and their bands) — so a document stream lands in
+    the corpus already near-deduplicated against everything previously
+    accepted. Micro-batches are serialized by the engine, which IS the
+    serial-increments contract the batch operator documents.
+
+    Replay idempotence (foreachBatch is at-least-once): the band store
+    and the survivor sink are both keyed by the epoch and written with
+    dynamic partition overwrite (``_batch_id`` directories — the
+    ``idempotent.py`` contract), and the history probe reads ONLY
+    partitions with ``_batch_id <`` the current epoch. A replayed epoch
+    therefore sees exactly the history it saw the first time and
+    rewrites exactly its own partitions — bit-identical outcome, no
+    double-append, no self-collision (a naive flat append would find
+    the replayed batch's own bands in the store and drop everything).
+
+    ``input_dir`` holds parquet files of (``id_col`` long, ``text_col``
+    string) rows. Survivor documents land under ``out_dir``
+    partitioned by ``_batch_id``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        _hadoop_path_exists,
+        minhash_near_dedup_core,
+    )
+    from .idempotent import write_windowed_idempotent
+
+    stream = spark.readStream.schema(
+        f"{id_col} long, {text_col} string"
+    ).parquet(input_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = None
+        if _hadoop_path_exists(spark, store_path):
+            hist = spark.read.parquet(store_path).filter(
+                F.col("_batch_id") < F.lit(batch_id)
+            )
+        survivors, banded = minhash_near_dedup_core(
+            batch_df, hist, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        write_windowed_idempotent(
+            banded.join(survivors, id_col, "left_semi")
+            .select("band_idx", "band_hash")
+            .withColumn("_batch_id", F.lit(batch_id)),
+            store_path,
+            partition_col="_batch_id",
+        )
+        write_windowed_idempotent(
+            batch_df.join(survivors, id_col, "left_semi").withColumn(
+                "_batch_id", F.lit(batch_id)
+            ),
+            out_dir,
+            partition_col="_batch_id",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

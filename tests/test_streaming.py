@@ -354,6 +354,78 @@ def test_start_leaderboard_end_to_end(spark, tmp_path):
     assert ("u1", 16) in users, users
 
 
+def test_streaming_near_dedup_equals_batch_increments(spark, tmp_path):
+    """The streaming band-store near-dedup must accept exactly the ids
+    the batch incremental operator accepts over the same increments
+    (micro-batch == increment), including a near-dup straddling
+    batches; the store must be batch-id partitioned (replay contract)."""
+    import os
+    import time
+
+    from demo_apache_beam_spark.operators.dedup import incremental_minhash_dedup
+    from demo_apache_beam_spark.streaming.dedup import start_near_dedup_stream
+
+    base_a = ("the quick brown fox jumps over the lazy dog while rain falls "
+              "on the quiet town and children play in the green park near "
+              "the old stone bridge every single afternoon")
+    base_b = ("data pipelines shuffle terabytes of text across executors "
+              "while schedulers balance partitions and optimizers prune "
+              "columns from scans to keep the cluster busy at all times")
+    near = lambda t: t.rsplit(" ", 1)[0] + " tonight"  # noqa: E731
+    incs = [
+        [(1, base_a), (2, base_b), (3, near(base_a))],
+        [(4, near(base_a)), (5, near(base_b))],
+    ]
+
+    # batch reference over a separate store
+    batch_store = str(tmp_path / "batch_store")
+    expect: list[int] = []
+    for inc in incs:
+        df = spark.createDataFrame(inc, "doc_id long, text string")
+        expect += [
+            r["doc_id"]
+            for r in incremental_minhash_dedup(df, batch_store).collect()
+        ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_near_dedup_stream(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "chk"),
+    )
+    try:
+        for i, inc in enumerate(incs):
+            spark.createDataFrame(inc, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{i}")
+            # one file move per increment -> one micro-batch per increment
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{i}")
+                if f.endswith(".parquet")
+            )
+            os.rename(
+                f"{tmp_path}/stage_{i}/{part}", f"{in_dir}/inc_{i}.parquet"
+            )
+            q.processAllAvailable()
+            time.sleep(0.1)
+    finally:
+        q.stop()
+
+    got = [
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert sorted(got) == sorted(expect) == [1, 2]
+    # the store is epoch-partitioned (the replay-idempotence layout)
+    store_parts = {
+        d for d in os.listdir(str(tmp_path / "store")) if d.startswith("_batch_id=")
+    }
+    assert store_parts  # at least the first accepted increment's partition
+
+
 def test_start_leaderboard_state_partitions_override(spark, tmp_path):
     """state_partitions bakes a smaller state-partition count into the
     query checkpoints (a per-micro-batch task-overhead knob) without
