@@ -9,14 +9,16 @@ written so the payload bytes are read only where genuinely needed
 check ``ReadSchema`` in the plan), and payload-touching work happens in
 Arrow-batched ``mapInPandas`` with numpy, never per-row Python.
 
-Codec note: real image/audio decode (JPEG/PNG/WAV codecs) is STUBBED —
-the container ships no media libraries. ``decode_payload`` raises
-``NotImplementedError`` with the integration point documented;
-``byte_histogram_features`` and ``sample_frames`` are real, deterministic
-payload computations (byte histograms are codec-free features; frame
-sampling operates on fixed-size byte blocks standing in for decoded
-frames) so the Spark-side plumbing — schema, batching, UDF signature,
-partitioning — is fully exercised.
+Codec note: PNG and PCM16-WAV decode are REAL — pure-stdlib codecs in
+``operators/codecs.py`` (zlib inflate + all five PNG scanline filters
+per the public spec; stdlib ``wave``), no external media library
+required.
+Video (MP4) remains the one documented stub: stdlib has no container/
+DCT support, so that ``decode_payload`` branch raises
+``NotImplementedError`` with pyav/ffmpeg as the integration point.
+``byte_histogram_features`` and ``sample_frames`` stay codec-free
+payload computations so metadata/feature pipelines never pay decode
+cost they don't need.
 """
 
 from __future__ import annotations
@@ -114,10 +116,13 @@ def media_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
-    """Codec decode integration point — image/audio/video libraries are
-    not available in this environment. Wire PIL/libsndfile/pyav here;
-    every downstream operator consumes the decoded ndarray through the
-    same mapInPandas batch shape as ``byte_histogram_features``.
+    """Codec decode dispatch. PNG images and PCM16 WAV audio decode for
+    REAL via the pure-stdlib codecs in ``operators/codecs.py`` (zlib
+    inflate + full five-filter unfilter per the public PNG spec; stdlib
+    ``wave`` for PCM) — no external media library needed. Video (MP4)
+    remains the documented stub: stdlib has no container/DCT support, so
+    that branch raises ``NotImplementedError`` with pyav/ffmpeg as the
+    integration point.
 
     Decoder contract (what :func:`resize_images` / :func:`sample_frames`
     accept via their ``decoder=`` parameter): a callable
@@ -128,10 +133,20 @@ def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
     nothing — mirror of a decoder error path). Any cloudpickle-
     serializable callable works (locals included); a decoder living in a
     separate module must be importable on executors.
+    ``decode_payload`` itself raises ``ValueError`` on corrupt bytes —
+    the seam adapters (:func:`codecs.png_raster_decoder`) translate that
+    into the ``None`` rejection.
     """
+    from . import codecs
+
+    if kind == "image":
+        return codecs.png_decode(bytes(payload))
+    if kind == "audio":
+        samples, _rate = codecs.wav_decode(bytes(payload))
+        return samples
     raise NotImplementedError(
         f"no media codec available for kind={kind!r}; "
-        "install a decoder and replace this stub"
+        "wire pyav/ffmpeg here for video containers"
     )
 
 
