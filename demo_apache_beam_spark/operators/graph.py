@@ -198,6 +198,83 @@ def pagerank(
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src_id",
+    dst: str = "dst_id",
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank with **weighted** edges: rank flows out of a vertex in
+    proportion to edge weight (``w / Σ w_out``) instead of uniformly —
+    on a similarity graph this makes strong near-duplicate links carry
+    more centrality than marginal ones, which is what hub/template
+    detection actually wants. Weights must be positive (similarity
+    graphs use an affine shift like ``1 + cosine`` to guarantee it);
+    zero-total-out vertices are dangling exactly as in :func:`pagerank`.
+
+    Plan shape is identical to the unweighted operator: per-round ONE
+    equi-join (ranks × edges on the source key, with the out-weight
+    denominator pre-joined once) + one partial-aggregating inflow
+    groupBy; dangling mass moves as one driver double; per-round
+    ``localCheckpoint`` (measured cadence — see :func:`pagerank`).
+    Deterministic up to float combine order (~1e-15/round); the
+    registry rounds to 6 dp on both engines, same margin as the
+    unweighted oracle.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("s", "d")
+        .agg(F.sum("w").alias("w"))  # parallel edges collapse, like distinct
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    outw = e.groupBy("s").agg(F.sum("w").alias("outw"))
+    ranks = verts.join(outw, verts.id == outw.s, "left").select(
+        "id", F.coalesce("outw", F.lit(0.0)).alias("outw"),
+        F.lit(1.0 / n).alias("rank"),
+    ).localCheckpoint()
+
+    has_dangling = ranks.filter(F.col("outw") == 0.0).limit(1).count() > 0
+    for i in range(iterations):
+        dangling = (
+            ranks.filter(F.col("outw") == 0.0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        ) if has_dangling else 0.0
+        contribs = (
+            e.join(ranks, e.s == ranks.id)
+            .select("d", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = ranks.join(contribs, ranks.id == contribs.d, "left").select(
+            "id",
+            "outw",
+            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (
+            has_dangling
+            or i % max(1, checkpoint_every) == max(1, checkpoint_every) - 1
+            or i == iterations - 1
+        ):
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", F.col("rank").alias("pagerank"))
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 5,

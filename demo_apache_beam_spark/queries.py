@@ -4844,6 +4844,87 @@ def knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_weighted_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED power iteration over the kNN graph: identical
+    CTE-chain construction to the unweighted oracle, with per-edge flow
+    rank·w/Σw_out and weight w = 1 + cosine (the affine shift keeping
+    similarity weights positive). Cosines are bit-identical across
+    engines; the weight sums and inflow sums carry the usual ~1e-15
+    combine-order noise, far under the 6-dp rounding both sides apply."""
+    ctes = [
+        """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(a.ve, b.ve) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), rankedk AS (
+      SELECT src_id, dst_id, cosine,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, dst_id) AS rk
+      FROM scored
+    ), e AS (
+      SELECT src_id AS s, dst_id AS d, 1.0 + cosine AS w
+      FROM rankedk WHERE rk <= 5
+    ), verts AS (
+      SELECT DISTINCT s AS id FROM e
+      UNION SELECT DISTINCT d AS id FROM e
+    ), outw AS (
+      SELECT s, sum(w) AS ow FROM e GROUP BY s
+    ), nn AS (
+      SELECT count(*) AS n FROM verts
+    ), r0 AS (
+      SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", r{i} AS (
+      SELECT verts.id,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+               + {damping} * coalesce(inf.inflow, 0.0) AS rank
+      FROM verts LEFT JOIN (
+        SELECT e.d AS id, sum(r{i - 1}.rank * e.w / outw.ow) AS inflow
+        FROM e JOIN r{i - 1} ON e.s = r{i - 1}.id JOIN outw ON outw.s = e.s
+        GROUP BY e.d
+      ) inf ON verts.id = inf.id
+    )"""
+        )
+    return (
+        "".join(ctes)
+        + f"\n    SELECT id AS vec_id, round(rank, 6) AS pagerank FROM r{rounds}"
+    )
+
+
+@register(
+    "knn_pagerank_weighted",
+    _pagerank_weighted_oracle_sql(rounds=10, damping=0.85),
+    doc="Weighted PageRank over the kNN similarity graph: rank flows in "
+        "proportion to edge weight w = 1 + cosine (affine shift keeps "
+        "similarity weights positive), so strong near-duplicate links "
+        "carry more centrality than marginal ones — the hub signal "
+        "template detection actually wants. Same per-round plan as the "
+        "unweighted operator (one equi-join with the pre-joined Σw_out "
+        "denominator + a partial-aggregating inflow groupBy, per-round "
+        "localCheckpoint per the measured cadence); the k-out-regular "
+        "graph has no dangling vertices so no per-round collect. "
+        "Oracle: the identical weighted iteration unrolled as a DuckDB "
+        "CTE chain; a numpy reference pytest (with a dangling vertex "
+        "and parallel-edge collapse) pins the operator itself.",
+)
+def knn_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_weighted
+
+    g = knn_graph(spark, sf_dir).select(
+        "src_id", "dst_id", (F.lit(1.0) + F.col("cosine")).alias("weight")
+    )
+    pr = pagerank_weighted(g, damping=0.85, iterations=10)
+    return pr.select(
+        F.col("id").alias("vec_id"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
 @register(
     "event_transitions",
     """

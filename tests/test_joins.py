@@ -432,3 +432,38 @@ def test_ann_knn_graph_ivf_wiring(spark):
         "a array<double>, b array<double>",
     ).select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     assert abs(got - some["cosine"]) < 1e-12
+
+
+def test_pagerank_weighted_matches_numpy_reference(spark):
+    """Weighted power iteration vs a dense numpy reference, including a
+    dangling vertex (zero out-weight) and parallel-edge collapse."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.graph import pagerank_weighted
+
+    # 4 vertices; vertex 3 dangling; parallel edge (0->1) collapses to w=5
+    edges = [
+        (0, 1, 2.0), (0, 1, 3.0), (0, 2, 1.0),
+        (1, 2, 4.0), (2, 0, 1.0), (2, 3, 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long, weight double")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_weighted(df, iterations=12, damping=0.85).collect()
+    }
+
+    w = np.zeros((4, 4))
+    for s, d, wt in edges:
+        w[s, d] += wt
+    outw = w.sum(axis=1)
+    rank = np.full(4, 0.25)
+    for _ in range(12):
+        dangling = rank[outw == 0.0].sum()
+        inflow = np.zeros(4)
+        for s in range(4):
+            if outw[s] > 0:
+                inflow += rank[s] * w[s] / outw[s]
+        rank = (1 - 0.85) / 4 + 0.85 * (dangling / 4 + inflow)
+    for v in range(4):
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
