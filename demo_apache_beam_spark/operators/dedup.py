@@ -21,7 +21,7 @@ Python UDFs — so the only costs are the shuffles the algorithms require.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
@@ -648,6 +648,122 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
+    )
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    max_df: int = 1,
+) -> DataFrame:
+    """Span-level exact deduplication (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr variant re-expressed relationally): any run of
+    ``span_tokens`` consecutive tokens whose content occurs in more than
+    ``max_df`` documents is duplicated TEXT, and every token covered by
+    such a run is removed from every carrier — the surgical middle
+    ground between fixed-chunk segment dedup (:func:`segment_dedup`,
+    which can only drop aligned chunks) and whole-document MinHash: a
+    boilerplate paragraph buried mid-document vanishes without touching
+    the surrounding prose and without chunk-boundary alignment luck.
+
+    Relational formulation (the suffix-array machinery of the paper is
+    a single-machine construction; the same spans fall out of sliding
+    window digests):
+
+    1. sliding span digests — ``md5`` of each ``span_tokens``-token
+       window, one (doc, start_pos, digest) row per window (HOF
+       ``transform`` over the token array, zero Python);
+    2. document frequency per digest (partial-aggregated
+       ``count_distinct`` — the ``segment_dedup`` shuffle on 16-byte
+       digests, never text);
+    3. duplicated-span starts join back per (doc, pos);
+    4. coverage — a token at position p is covered iff some duplicated
+       span starts in ``[p - span_tokens + 1, p]``: ONE window max over
+       ``ROWS span_tokens-1 PRECEDING`` per document — no range join,
+       no per-doc cross product;
+    5. rebuild — uncovered tokens re-join in order
+       (``sort_array(collect_list(struct(pos, tok)))``).
+
+    Everything is integer/string algebra — exactly reproducible in SQL,
+    so unlike the probabilistic dedup family this one is fully
+    oracle-checkable. Returns (``id_col``, n_tokens, n_removed,
+    text_dedup); documents shorter than ``span_tokens`` pass through
+    whole (no window exists). Shuffle profile: one digest-count
+    aggregate + everything else partitioned by doc id.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    w = span_tokens
+    spans = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= w,
+                F.expr(
+                    f"transform(sequence(1, size(_toks) - {w - 1}), "
+                    f"s -> md5(concat_ws(' ', slice(_toks, s, {w}))))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        ).alias("_s0", "_h"),
+    ).select(F.col(id_col), (F.col("_s0") + 1).alias("_s"), "_h")
+
+    dup_digests = (
+        spans.select("_h", id_col)
+        .groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_h")
+    )
+    dup_starts = (
+        spans.join(dup_digests, "_h", "left_semi")
+        .select(F.col(id_col), F.col("_s"))
+        .distinct()
+    )
+
+    tok_pos = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("_p0", "_tok")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_p"), "_tok")
+    marked = tok_pos.join(
+        dup_starts.withColumnRenamed("_s", "_p").withColumn("_is_start", F.lit(1)),
+        [id_col, "_p"],
+        "left",
+    ).select(
+        id_col, "_p", "_tok", F.coalesce("_is_start", F.lit(0)).alias("_is_start")
+    )
+    cover_w = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rowsBetween(-(w - 1), 0)
+    )
+    kept = (
+        marked.withColumn("_covered", F.max("_is_start").over(cover_w))
+        .filter(F.col("_covered") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_p", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    totals = toks.select(
+        F.col(id_col), F.size("_toks").cast("long").alias("n_tokens")
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 

@@ -475,6 +475,68 @@ def dedup_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_spans",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+    ), sp AS (
+      SELECT doc_id, CAST(u.s AS BIGINT) AS s,
+             md5(array_to_string(toks[u.s : u.s + 19], ' ')) AS h
+      FROM t, unnest(range(1, len(toks) - 18)) AS u(s)
+      WHERE len(toks) >= 20
+    ), dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY h
+      ) WHERE dfreq > 1
+    ), ds AS (
+      SELECT DISTINCT doc_id, s FROM sp JOIN dup USING (h)
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             CAST(generate_subscripts(toks, 1) AS BIGINT) AS p
+      FROM t
+    ), mk AS (
+      SELECT tok.doc_id, p, tok,
+             CASE WHEN ds.s IS NOT NULL THEN 1 ELSE 0 END AS is_start
+      FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id AND ds.s = tok.p
+    ), cov AS (
+      SELECT doc_id, p, tok,
+             max(is_start) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS covered
+      FROM mk
+    ), kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_dedup
+      FROM cov WHERE covered = 0 GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(kept.text_dedup, '') AS text_dedup
+    FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+    """,
+    doc="Span-level exact dedup (Lee et al. 2021 ExactSubstr, expressed "
+        "relationally): every 20-token run occurring in >1 document is "
+        "duplicated text, and every token covered by such a run is "
+        "removed from every carrier — mid-document boilerplate excised "
+        "without chunk-alignment luck (the near-dup corpus's suffixed "
+        "copies are exactly the partial-overlap case: shared body "
+        "removed, unique suffix survives). Sliding digests via one HOF "
+        "transform (no Python); document frequency shuffles 16-byte "
+        "digests; coverage is ONE window max over ROWS 19 PRECEDING per "
+        "doc — no range join, no per-doc cross product; rebuild is a "
+        "sorted collect per doc. Pure integer/string algebra ⇒ fully "
+        "oracle-checkable, unlike the probabilistic dedup family.",
+)
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_span_removal
+
+    return duplicate_span_removal(
+        _neardup_corpus(spark, sf_dir), span_tokens=20, max_df=1
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH corpus AS ({_NEARDUP_CORPUS_SQL}),

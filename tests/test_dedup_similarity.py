@@ -277,6 +277,40 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
         assert not out[1000 + i], "planted near-duplicate must be dropped"
 
 
+def test_duplicate_span_removal_semantics(spark):
+    """Planted cases: a shared mid-document span is removed from BOTH
+    carriers while each doc's unique prefix/suffix survives; a doc
+    shorter than the span passes through whole; an exact-duplicate pair
+    collapses to empty text on both sides."""
+    from demo_apache_beam_spark.operators.dedup import duplicate_span_removal
+
+    shared = " ".join(f"s{i}" for i in range(8))  # 8-token shared run
+    doc1 = f"a1 a2 a3 {shared} z1 z2 z3"
+    doc2 = f"b1 b2 {shared} y1 y2 y3 y4"
+    dup = " ".join(f"d{i}" for i in range(10))
+    rows = [
+        (1, doc1),
+        (2, doc2),
+        (3, dup),
+        (4, dup),
+        (5, "tiny doc below span width"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"])
+        for r in duplicate_span_removal(df, span_tokens=6, max_df=1).collect()
+    }
+    # every 6-token window inside the 8-token shared run is duplicated;
+    # coverage removes exactly the 8 shared tokens from both docs
+    assert out[1] == (14, 8, "a1 a2 a3 z1 z2 z3")
+    assert out[2] == (14, 8, "b1 b2 y1 y2 y3 y4")
+    # exact duplicates: every window duplicated, all tokens removed
+    assert out[3] == (10, 10, "")
+    assert out[4] == (10, 10, "")
+    # below the span width: no window exists, doc passes through
+    assert out[5] == (5, 0, "tiny doc below span width")
+
+
 def test_semantic_dedup_hash_cells_matches_sequential_reference(spark):
     """The oracle-backed variant: hyperplane cells + greedy sweep must
     equal a from-scratch sequential reference (own signature math, own
