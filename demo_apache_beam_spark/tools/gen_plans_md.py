@@ -37,6 +37,9 @@ HEADLINE = [
     "user_snapshot_diff",
     "doc_quality_gate",
     "doc_unigram_logprob",
+    # round-6 additions: ANN bucket self-join graph, window-coverage span dedup
+    "knn_graph_lsh",
+    "dedup_spans",
 ]
 
 _SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
