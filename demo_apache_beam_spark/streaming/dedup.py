@@ -99,17 +99,39 @@ def start_near_dedup_stream(
     string) rows. Survivor documents land under ``out_dir``
     partitioned by ``_batch_id``.
     """
-    from pyspark.sql import functions as F
-
-    from ..operators.dedup import (
-        _hadoop_path_exists,
-        minhash_near_dedup_core,
-    )
-    from .idempotent import write_windowed_idempotent
-
     stream = spark.readStream.schema(
         f"{id_col} long, {text_col} string"
     ).parquet(input_dir)
+    ingest = make_near_dedup_ingest(
+        spark, out_dir, store_path, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_near_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+):
+    """The foreachBatch callable behind :func:`start_near_dedup_stream`,
+    exposed so the replay contract is directly testable: calling it
+    twice with the same (batch, batch_id) must leave the store and the
+    sink bit-identical to one call — the exactly-once property the
+    epoch-partitioned layout plus the ``_batch_id < epoch`` history
+    probe exist to provide."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _hadoop_path_exists, minhash_near_dedup_core
+    from .idempotent import write_windowed_idempotent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -137,8 +159,4 @@ def start_near_dedup_stream(
             partition_col="_batch_id",
         )
 
-    return (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return ingest

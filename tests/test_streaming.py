@@ -426,6 +426,54 @@ def test_streaming_near_dedup_equals_batch_increments(spark, tmp_path):
     assert store_parts  # at least the first accepted increment's partition
 
 
+def test_near_dedup_replay_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch against the
+    epoch-partitioned store must leave store AND sink exactly as after
+    the first delivery (a flat-append store would self-collide with the
+    replayed batch's own bands and drop everything)."""
+    from demo_apache_beam_spark.streaming.dedup import make_near_dedup_ingest
+
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_near_dedup_ingest(spark, out_dir, store)
+
+    t1 = ("the quick brown fox jumps over the lazy dog while rain falls "
+          "on the quiet town and children play near the old stone bridge")
+    t2 = ("data pipelines shuffle terabytes of text across executors "
+          "while schedulers balance partitions and optimizers prune scans")
+    b0 = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    # epoch 1: a near-dup of an epoch-0 winner plus a fresh doc
+    b1 = spark.createDataFrame(
+        [(3, t1.rsplit(" ", 1)[0] + " tonight"),
+         (4, "an entirely different document about sailing ships and "
+             "stars guiding captains across vast oceans at night")],
+        "doc_id long, text string",
+    )
+
+    def snapshot():
+        sink = sorted(
+            (r["doc_id"], r["_batch_id"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        st = sorted(
+            (r["band_idx"], r["band_hash"], r["_batch_id"])
+            for r in spark.read.parquet(store).collect()
+        )
+        return sink, st
+
+    ingest(b0, 0)
+    ingest(b1, 1)
+    first = snapshot()
+    assert [d for d, _ in first[0]] == [1, 2, 4]  # 3 dropped vs history
+
+    # replay epoch 1 (crash-recovery delivery) — must be a no-op
+    ingest(b1, 1)
+    assert snapshot() == first
+    # and replaying epoch 0 must also be a no-op (history probe reads
+    # only _batch_id < 0 = nothing, same as the first delivery)
+    ingest(b0, 0)
+    assert snapshot() == first
+
+
 def test_start_leaderboard_state_partitions_override(spark, tmp_path):
     """state_partitions bakes a smaller state-partition count into the
     query checkpoints (a per-micro-batch task-overhead knob) without
