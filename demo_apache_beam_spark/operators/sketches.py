@@ -118,9 +118,16 @@ def heavy_hitters(
                 {"item": list(counters), "w": list(counters.values())}
             )
 
+    from pyspark.sql import functions as F
+
     rows = (
         df.select(*cols)
         .mapInPandas(partial, "item string, w long")
+        # canonical fold order: the fold's near-zero tail is
+        # order-dependent, and collect() alone returns partitions in
+        # completion order — sorting makes the result a pure function
+        # of the input partitioning
+        .orderBy(F.desc("w"), "item")
         .collect()
     )
     # fold row-by-row: a single counter row is itself a zero-error

@@ -2910,6 +2910,77 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), probs AS (
+      SELECT lang, n,
+             pow(n, 0.3) / sum(pow(n, 0.3)) OVER () AS q
+      FROM counts
+    ), rates AS (
+      -- budget = half the corpus; per-lang keep rate clamped to 1 and
+      -- rounded to 6 dp so pow()-libm ulp differences cannot flip the
+      -- integer hash threshold (same margin discipline as the float
+      -- oracles elsewhere)
+      SELECT lang, n, round(q, 6) AS q_mix,
+             CAST(round(round(least(1.0,
+               (SELECT sum(n) FROM counts) * 0.5 * q / n), 6) * 1000000, 0)
+               AS BIGINT) AS thresh
+      FROM probs
+    )
+    SELECT d.doc_id, d.lang, r.q_mix
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh
+    """,
+    doc="Temperature-based mixture sampling (the multilingual "
+        "rebalancing rule of mT5/XLM-R: sampling probability ∝ n^α, "
+        "α=0.3): per-language counts raise to the α power, normalize "
+        "into mixture weights, convert to per-language keep-rates "
+        "against a half-corpus budget (clamped at 1 — low-resource "
+        "languages are kept whole, high-resource ones downsampled), "
+        "and apply as a deterministic hash threshold per document. "
+        "One language-cardinality aggregate (broadcast back onto the "
+        "scan) + a scan-side integer filter — no RNG, no shuffle of "
+        "documents; thresholds round to 6 dp before the integer "
+        "comparison so engine libm differences in pow() sit far below "
+        "the decision boundary.",
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    total_w = Window.partitionBy()
+    probs = counts.select(
+        "lang",
+        "n",
+        (F.pow("n", F.lit(0.3)) / F.sum(F.pow("n", F.lit(0.3))).over(total_w)).alias("q"),
+        F.sum("n").over(total_w).alias("total"),
+    )
+    rates = probs.select(
+        "lang",
+        F.round("q", 6).alias("q_mix"),
+        F.round(
+            F.least(F.lit(1.0), F.col("total") * F.lit(0.5) * F.col("q") / F.col("n")),
+            6,
+        ).cast("double").alias("_r"),
+    ).select(
+        "lang",
+        "q_mix",
+        # round-to-nearest BEFORE the long cast: x*1e6 sits within an ulp
+        # of an integer, and a bare cast would truncate in Spark while
+        # DuckDB's CAST rounds — an off-by-one threshold at the boundary
+        F.round(F.col("_r") * 1_000_000, 0).cast("long").alias("_thresh"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter((F.col("doc_id") * F.lit(2654435761)) % F.lit(1_000_000) < F.col("_thresh"))
+        .select("doc_id", "lang", "q_mix")
+    )
+
+
+@register(
     "doc_shard_packing",
     """
     WITH t AS (

@@ -155,3 +155,36 @@ class TestTrainingShuffle:
         mean = 20000 / 96
         assert len(counts) == 96
         assert all(abs(c - mean) < 5 * (mean ** 0.5) for c in counts)
+
+
+def test_temperature_mixture_rebalances_languages(spark):
+    """α=0.3 sampling: the rarest language keeps ~all its docs (rate
+    clamps at 1), the most common is downsampled hardest, and realized
+    per-language sampling rates order INVERSELY to corpus frequency."""
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = REGISTRY["doc_temperature_mixture"].fn(spark, sf).collect()
+    kept_by_lang: dict = {}
+    q_by_lang: dict = {}
+    for r in out:
+        kept_by_lang[r["lang"]] = kept_by_lang.get(r["lang"], 0) + 1
+        q_by_lang[r["lang"]] = r["q_mix"]
+    assert set(kept_by_lang) <= set(n_by_lang)
+    # mixture weights normalize
+    assert abs(sum(q_by_lang.values()) - 1.0) < 1e-4
+    rates = {l: kept_by_lang.get(l, 0) / n for l, n in n_by_lang.items()}
+    langs_by_freq = sorted(n_by_lang, key=n_by_lang.get)
+    rare, common = langs_by_freq[0], langs_by_freq[-1]
+    if n_by_lang[common] > 2 * n_by_lang[rare]:
+        assert rates[rare] > rates[common]
+    # overall budget: about half the corpus (hash threshold is exact in
+    # expectation; allow generous slack at this tiny SF)
+    total = sum(n_by_lang.values())
+    assert 0.3 * total <= len(out) <= 0.75 * total

@@ -69,3 +69,78 @@ def test_heavy_hitters_rejects_k_below_two(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError):
         heavy_hitters(df, "item", k=1)
+
+
+def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
+    """Micro-batched sketching: the folded store view satisfies the 3N/k
+    streaming bound vs exact counts over everything streamed, and a
+    replayed epoch is a bit-identical no-op (merge-on-read + epoch
+    partitions)."""
+    import os
+
+    from demo_apache_beam_spark.streaming.sketches import (
+        make_heavy_hitters_ingest,
+        read_heavy_hitters,
+        start_heavy_hitters_stream,
+    )
+
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    # three batches with one global hot key and per-batch noise keys
+    batches = []
+    for b in range(3):
+        rows = [("hot",)] * 200 + [(f"b{b}_u{i}",) for i in range(150)]
+        batches.append(rows)
+    truth: dict = {}
+    for rows in batches:
+        for (item,) in rows:
+            truth[item] = truth.get(item, 0) + 1
+    n = sum(truth.values())
+    k = 12
+
+    q = start_heavy_hitters_stream(
+        spark, in_dir, store, str(tmp_path / "chk"), "item", k=k
+    )
+    try:
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, "item string").coalesce(1).write.parquet(
+                f"{tmp_path}/stage_{b}"
+            )
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    result = read_heavy_hitters(spark, store, k=k)
+    got = dict(result)
+    bound = 3 * n / k
+    assert result[0][0] == "hot"
+    assert got["hot"] <= truth["hot"] <= got["hot"] + bound
+    for item, lo in got.items():
+        true_count = truth.get(item, 0)
+        assert lo <= true_count <= lo + bound, (item, lo, true_count)
+
+    # Replay contract, tested through the ingest factory directly with a
+    # DETERMINISTIC physical order (replay fidelity = same data, same
+    # order — which recovery gets by re-reading the same source files;
+    # the stream above can coalesce file batches differently run to run,
+    # so it is checked for bounds, not bit-equality).
+    store2 = str(tmp_path / "store2")
+    ingest = make_heavy_hitters_ingest(spark, store2, "item", k=k)
+    dfs = [
+        spark.createDataFrame(rows, "item string").coalesce(1)
+        for rows in batches
+    ]
+    for b, df in enumerate(dfs):
+        ingest(df, b)
+    before = read_heavy_hitters(spark, store2, k=k)
+    ingest(dfs[1], 1)  # redeliver epoch 1: partition overwrite, no merge
+    assert read_heavy_hitters(spark, store2, k=k) == before
+    got2 = dict(before)
+    assert got2["hot"] <= truth["hot"] <= got2["hot"] + bound
