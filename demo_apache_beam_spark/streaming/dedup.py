@@ -141,22 +141,42 @@ def make_near_dedup_ingest(
             hist = spark.read.parquet(store_path).filter(
                 F.col("_batch_id") < F.lit(batch_id)
             )
+        # The core localCheckpoints its intermediates (correctness: the
+        # survivor set must be FROZEN before the store mutates, and a
+        # lost block must fail, never silently recompute against the
+        # mutated store). Checkpoint blocks are not auto-freed, so a
+        # long-running stream would accumulate them without bound —
+        # snapshot the persistent-RDD ids and release exactly what this
+        # batch created once its writes are durable.
+        before = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
         survivors, banded = minhash_near_dedup_core(
             batch_df, hist, id_col, text_col, num_hashes, bands, shingle_n
         )
-        write_windowed_idempotent(
-            banded.join(survivors, id_col, "left_semi")
-            .select("band_idx", "band_hash")
-            .withColumn("_batch_id", F.lit(batch_id)),
-            store_path,
-            partition_col="_batch_id",
-        )
-        write_windowed_idempotent(
-            batch_df.join(survivors, id_col, "left_semi").withColumn(
-                "_batch_id", F.lit(batch_id)
-            ),
-            out_dir,
-            partition_col="_batch_id",
-        )
+        try:
+            write_windowed_idempotent(
+                banded.join(survivors, id_col, "left_semi")
+                .select("band_idx", "band_hash")
+                .withColumn("_batch_id", F.lit(batch_id)),
+                store_path,
+                partition_col="_batch_id",
+            )
+            write_windowed_idempotent(
+                batch_df.join(survivors, id_col, "left_semi").withColumn(
+                    "_batch_id", F.lit(batch_id)
+                ),
+                out_dir,
+                partition_col="_batch_id",
+            )
+        finally:
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for entry in jmap.entrySet().toArray():
+                    if int(entry.getKey()) not in before:
+                        entry.getValue().unpersist(False)
+            except Exception:
+                pass  # cleanup must never fail the batch
 
     return ingest
