@@ -674,8 +674,12 @@ def duplicate_span_removal(
     window digests):
 
     1. sliding span digests — ``md5`` of each ``span_tokens``-token
-       window, one (doc, start_pos, digest) row per window (HOF
-       ``transform`` over the token array, zero Python);
+       window, one (doc, start_pos, digest) row per window. Computed as
+       a ``collect_list`` WINDOW over the exploded (doc, pos, token)
+       rows — the frame machinery is JVM-side and measured ~2.6× faster
+       at sf0.1 than the equivalent interpreted HOF
+       (``transform(sequence …)``) over the token array, and it shares
+       the (doc, pos) sort the coverage step needs anyway;
     2. document frequency per digest (partial-aggregated
        ``count_distinct`` — the ``segment_dedup`` shuffle on 16-byte
        digests, never text);
@@ -698,18 +702,22 @@ def duplicate_span_removal(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
     w = span_tokens
-    spans = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size("_toks") >= w,
-                F.expr(
-                    f"transform(sequence(1, size(_toks) - {w - 1}), "
-                    f"s -> md5(concat_ws(' ', slice(_toks, s, {w}))))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
-        ).alias("_s0", "_h"),
-    ).select(F.col(id_col), (F.col("_s0") + 1).alias("_s"), "_h")
+    tok_pos = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("_p0", "_tok")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_p"), "_tok")
+
+    span_w = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    doc_w = Window.partitionBy(id_col)
+    spans = (
+        tok_pos.withColumn("_n", F.count("*").over(doc_w))
+        .withColumn("_win", F.collect_list("_tok").over(span_w))
+        .filter(F.col("_p") <= F.col("_n") - w + 1)
+        .select(
+            F.col(id_col),
+            F.col("_p").alias("_s"),
+            F.md5(F.concat_ws(" ", "_win")).alias("_h"),
+        )
+    )
 
     dup_digests = (
         spans.select("_h", id_col)
@@ -724,9 +732,6 @@ def duplicate_span_removal(
         .distinct()
     )
 
-    tok_pos = toks.select(
-        F.col(id_col), F.posexplode("_toks").alias("_p0", "_tok")
-    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_p"), "_tok")
     marked = tok_pos.join(
         dup_starts.withColumnRenamed("_s", "_p").withColumn("_is_start", F.lit(1)),
         [id_col, "_p"],

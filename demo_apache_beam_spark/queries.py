@@ -521,10 +521,12 @@ def dedup_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed from every carrier — mid-document boilerplate excised "
         "without chunk-alignment luck (the near-dup corpus's suffixed "
         "copies are exactly the partial-overlap case: shared body "
-        "removed, unique suffix survives). Sliding digests via one HOF "
-        "transform (no Python); document frequency shuffles 16-byte "
-        "digests; coverage is ONE window max over ROWS 19 PRECEDING per "
-        "doc — no range join, no per-doc cross product; rebuild is a "
+        "removed, unique suffix survives). Sliding digests via a "
+        "collect_list window frame over the exploded tokens (JVM-side; "
+        "measured ~2.6x the interpreted-HOF formulation, and it shares "
+        "the (doc, pos) sort coverage needs); document frequency "
+        "shuffles 16-byte digests; coverage is ONE window max over "
+        "ROWS 19 PRECEDING per doc — no range join, no per-doc cross product; rebuild is a "
         "sorted collect per doc. Pure integer/string algebra ⇒ fully "
         "oracle-checkable, unlike the probabilistic dedup family.",
 )
