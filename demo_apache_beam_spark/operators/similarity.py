@@ -216,6 +216,78 @@ def _table_sigs(
     )
 
 
+def lsh_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 16,
+    planes_per_table: int | None = None,
+    dim: int | None = None,
+    corpus_size_hint: int | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """Build the LSH index once: returns ``(signatures, params)`` where
+    ``signatures`` is the corpus (neighbor_id, _tbl, _sig) table and
+    ``params`` = {num_tables, planes_per_table, dim, seed} — everything
+    needed to re-derive the hyperplanes (they are closed-form functions
+    of (seed, table, plane, coord), so persistence never stores plane
+    values). This is the artifact the module docstring's 100 TB story
+    describes: write it once (:func:`lsh_save`, partitioned by table so
+    a probe prunes to its table's files), then every query batch signs
+    only ITSELF and equi-joins the stored rows."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if planes_per_table is None:
+        n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
+        planes_per_table = default_planes_per_table(n)
+    tables = [
+        hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
+        for t in range(num_tables)
+    ]
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    sigs = _table_sigs(c_vec, "neighbor_id", "_cv", tables)
+    params = {
+        "num_tables": num_tables,
+        "planes_per_table": planes_per_table,
+        "dim": dim,
+        "seed": seed,
+    }
+    return sigs, params
+
+
+def lsh_save(index: tuple[DataFrame, dict], path: str) -> None:
+    """Persist an LSH index from :func:`lsh_build`: the signature rows at
+    ``path/signatures`` (partitioned by ``_tbl``) and the four scalar
+    params at ``path/params`` (one row). Plane values are never stored —
+    :func:`hyperplanes` regenerates them bit-identically from the seed."""
+    sigs, params = index
+    sigs.write.mode("overwrite").partitionBy("_tbl").parquet(f"{path}/signatures")
+    spark = sigs.sparkSession
+    spark.createDataFrame(
+        [(params["num_tables"], params["planes_per_table"], params["dim"], params["seed"])],
+        "num_tables int, planes_per_table int, dim int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def lsh_load(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load an index written by :func:`lsh_save`; plugs into
+    ``lsh_topk(index=...)`` unchanged. Only the one params row reaches
+    the driver; the signature table stays a distributed scan."""
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    params = {
+        "num_tables": int(row["num_tables"]),
+        "planes_per_table": int(row["planes_per_table"]),
+        "dim": int(row["dim"]),
+        "seed": int(row["seed"]),
+    }
+    sigs = spark.read.parquet(f"{path}/signatures").select(
+        "neighbor_id", F.col("_tbl").cast("int").alias("_tbl"), "_sig"
+    )
+    return sigs, params
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,6 +301,7 @@ def lsh_topk(
     corpus_size_hint: int | None = None,
     multiprobe_bits: int = 0,
     seed: int = 42,
+    index: tuple[DataFrame, dict] | None = None,
 ) -> DataFrame:
     """Approximate top-k via L independent hash tables.
 
@@ -240,16 +313,24 @@ def lsh_topk(
 
     ``planes_per_table`` defaults to log2(N/64) — pass it (and ``dim``)
     explicitly in production; the fallbacks run one tiny count()/first()
-    job each. At 100 TB: persist the corpus (id, _tbl, _sig) table
-    bucketed by (_tbl, _sig) once; per query batch only the narrow
-    signature rows shuffle, then vectors are fetched for candidate ids
-    only.
+    job each. At 100 TB: build the corpus (id, _tbl, _sig) table ONCE
+    (``index=lsh_build(...)``, persisted via :func:`lsh_save` /
+    :func:`lsh_load`, partitioned by table); per query batch only the
+    query side is signed, the narrow signature rows shuffle, and
+    vectors are fetched for candidate ids only.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    if planes_per_table is None:
-        n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
-        planes_per_table = default_planes_per_table(n)
+    if index is not None:
+        c_sigs, params = index
+        num_tables = params["num_tables"]
+        planes_per_table = params["planes_per_table"]
+        dim = params["dim"]
+        seed = params["seed"]
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        if planes_per_table is None:
+            n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
+            planes_per_table = default_planes_per_table(n)
     tables = [
         hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
         for t in range(num_tables)
@@ -262,7 +343,8 @@ def lsh_topk(
         F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm_col(F.col("_qv")))
 
-    c_sigs = _table_sigs(c_vec, "neighbor_id", "_cv", tables)
+    if index is None:
+        c_sigs = _table_sigs(c_vec, "neighbor_id", "_cv", tables)
     q_sigs = _table_sigs(q_vec, query_id_col, "_qv", tables)
     if multiprobe_bits > 0:
         probe = F.explode(

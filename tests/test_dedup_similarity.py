@@ -589,6 +589,37 @@ def test_ivf_index_save_load_round_trip(spark, tmp_path):
     assert np.array_equal(index[1], loaded[1])
 
 
+def test_lsh_index_save_load_round_trip(spark, tmp_path):
+    """The persisted LSH signature table must answer identically to the
+    inline build — and identically to a fully inline lsh_topk, since the
+    planes regenerate bit-exactly from the stored seed."""
+    from demo_apache_beam_spark.operators.similarity import (
+        lsh_build,
+        lsh_load,
+        lsh_save,
+        lsh_topk,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(15).withColumnRenamed("vec_id", "query_id")
+    inline = lsh_topk(
+        emb, queries, k=5, dim=64, num_tables=8, corpus_size_hint=500
+    ).collect()
+
+    index = lsh_build(emb, num_tables=8, dim=64, corpus_size_hint=500)
+    lsh_save(index, str(tmp_path / "lsh"))
+    loaded = lsh_load(spark, str(tmp_path / "lsh"))
+    assert loaded[1] == index[1]  # params round-trip
+    disk = lsh_topk(emb, queries, k=5, index=loaded).collect()
+
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 12), r["rank"])
+        for r in rows
+    )
+    assert key(inline) == key(disk)
+
+
 class TestPCA:
     def test_matches_numpy_reference(self, spark):
         import numpy as np
