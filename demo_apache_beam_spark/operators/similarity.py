@@ -1483,7 +1483,12 @@ def ann_knn_graph(
             hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
             for t in range(num_tables)
         ]
-        sigs = _table_sigs(c_vec, "_id", "_v", tables)
+        # materialize the narrow (id, table, signature) rows before the
+        # self-join: both join branches would otherwise re-execute the
+        # signature UDF — i.e. scan the corpus twice. This is the inline
+        # stand-in for the persisted signature table (lsh_build/lsh_save)
+        # a production deployment self-joins instead.
+        sigs = _table_sigs(c_vec, "_id", "_v", tables).localCheckpoint()
         a = sigs.select(
             F.col("_id").alias("src_id"), "_tbl", "_sig"
         )
