@@ -697,6 +697,14 @@ def duplicate_span_removal(
     text_dedup); documents shorter than ``span_tokens`` pass through
     whole (no window exists). Shuffle profile: one digest-count
     aggregate + everything else partitioned by doc id.
+
+    Deliberate recompute: the exploded (doc, pos, token) rows feed both
+    the span branch and the coverage branch, and are NOT materialized —
+    at 100 TB the exploded token table is corpus-sized (materializing
+    it would double storage pressure for the sake of skipping a second
+    scan-and-split, which is the cheap, IO-bound part of the plan).
+    Contrast the narrow cases where this engine does checkpoint shared
+    inputs (16-byte band rows, k-row sketch summaries).
     """
     toks = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
