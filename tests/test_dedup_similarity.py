@@ -928,3 +928,38 @@ def test_topk_incremental_serving_id_collision_keeps_neighbor(spark):
         for r in topk_incremental_update(None, corpus, queries, k=2).collect()
     }
     assert rows == {1: 7, 2: 8}
+
+
+def test_ann_knn_graph_k_exceeds_corpus(spark):
+    """k larger than the candidate pool: every vertex keeps all genuine
+    neighbors it has (≤ N-1), with contiguous ranks — no crash, no
+    phantom edges."""
+    from demo_apache_beam_spark.operators.similarity import ann_knn_graph
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_knn_graph(df, k=10, method="lsh", dim=4, corpus_size_hint=3)
+    by_src: dict = {}
+    for r in out.collect():
+        by_src.setdefault(r["src_id"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2  # at most N-1 neighbors
+
+
+def test_incremental_minhash_all_short_docs(spark, tmp_path):
+    """An increment of unsignable (below shingle width) docs: everything
+    survives as singletons, the store stays absent/empty-compatible, and
+    a following normal increment still bootstraps correctly."""
+    from demo_apache_beam_spark.operators.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "b")
+    shorts = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in incremental_minhash_dedup(shorts, store).collect())
+    assert kept == [1, 2]
+    long_text = ("the quick brown fox jumps over the lazy dog while rain "
+                 "falls on the quiet town near the old stone bridge")
+    nxt = spark.createDataFrame([(3, long_text)], "doc_id long, text string")
+    assert [r["doc_id"] for r in incremental_minhash_dedup(nxt, store).collect()] == [3]

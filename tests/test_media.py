@@ -593,3 +593,29 @@ def test_zipf_fit_shape(spark):
     assert row["n_terms"] > 10  # sf0.001 word-soup vocab is ~31 terms
     assert row["zipf_slope"] < 0  # frequency falls with rank
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_png_edge_rasters():
+    """1x1, single-row, and single-column rasters round-trip (window
+    arithmetic degenerates to trivial frames); all-zero and all-255
+    payloads survive every filter type."""
+    from demo_apache_beam_spark.operators.codecs import png_decode, png_encode
+
+    for shape in ((1, 1, 1), (1, 9, 3), (7, 1, 4)):
+        img = _test_raster(*shape)
+        np.testing.assert_array_equal(png_decode(png_encode(img)), img)
+    for fill in (0, 255):
+        img = np.full((4, 5, 3), fill, dtype=np.uint8)
+        data = png_encode(img, row_filters=[0, 1, 2, 3])
+        np.testing.assert_array_equal(png_decode(data), img)
+
+
+def test_wav_empty_and_single_sample():
+    from demo_apache_beam_spark.operators.codecs import wav_decode, wav_encode
+
+    one = np.asarray([12345], dtype=np.int16)
+    s, rate = wav_decode(wav_encode(one, 22_050))
+    np.testing.assert_array_equal(s, one)
+    empty = np.asarray([], dtype=np.int16)
+    s2, _ = wav_decode(wav_encode(empty))
+    assert len(s2) == 0
