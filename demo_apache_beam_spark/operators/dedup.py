@@ -919,10 +919,11 @@ def minhash_near_dedup_core(
     bootstrap), return ``(survivor_ids, increment_band_rows)`` — both
     localCheckpointed so callers can mutate the store afterwards without
     re-running the plan."""
+    from .checkpoints import tracked_local_checkpoint
     from .graph import connected_components
 
     sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n)
-    banded = band_rows(sigs, id_col, num_hashes, bands).localCheckpoint()
+    banded = tracked_local_checkpoint(band_rows(sigs, id_col, num_hashes, bands))
 
     if hist_bands is not None:
         hist_hits = (
@@ -966,6 +967,6 @@ def minhash_near_dedup_core(
         )
         .filter(F.col("_any_hist") == 0)
         .select(id_col)
-        .localCheckpoint()  # freeze before the store mutates
     )
+    survivors = tracked_local_checkpoint(survivors)  # freeze before the store mutates
     return survivors, banded

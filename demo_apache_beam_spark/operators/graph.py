@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import tracked_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -45,14 +47,14 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = sym.filter(F.col("s") != F.col("d")).distinct().localCheckpoint()
+    sym = tracked_local_checkpoint(sym.filter(F.col("s") != F.col("d")).distinct())
 
     labels = sym.select(F.col("s").alias("id")).distinct()
     if vertices is not None:
         labels = labels.unionByName(
             vertices.select(F.col(vertices.columns[0]).alias("id"))
         ).distinct()
-    labels = labels.withColumn("label", F.col("id")).localCheckpoint()
+    labels = tracked_local_checkpoint(labels.withColumn("label", F.col("id")))
 
     for _ in range(max_iterations):
         # 1. neighbor min: pull each neighbor's current label across edges
@@ -81,8 +83,8 @@ def connected_components(
                 "id",
                 F.coalesce("_plabel", "label").alias("label"),
             )
-            .localCheckpoint()
         )
+        jumped = tracked_local_checkpoint(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "id")

@@ -288,6 +288,77 @@ def lsh_load(spark, path: str) -> tuple[DataFrame, dict]:
     return sigs, params
 
 
+def lsh_save_bucketed(
+    index: tuple[DataFrame, dict],
+    path: str,
+    table_name: str,
+    num_buckets: int = 32,
+) -> None:
+    """Persist an LSH index as a parquet table **bucketed and sorted by
+    (_tbl, _sig)** — the layout :func:`ann_knn_graph` self-joins for
+    candidate pairs. Bucketing makes that self-join co-partitioned: both
+    branches scan the same bucketed files, their output partitioning
+    already satisfies the join's distribution requirement, and Catalyst
+    drops the Exchange (and, with the persisted sort, the Sorts) — at
+    100 TB the per-run cost of the graph build falls from
+    sign-the-corpus + full shuffle to a co-located merge join over the
+    stored rows. Params land in ``{path}/_params`` (the underscore
+    prefix hides the file from the table scan); plane values are never
+    stored — :func:`hyperplanes` regenerates them from the seed."""
+    from ..functions.sinks import write_bucketed
+
+    sigs, params = index
+    spark = sigs.sparkSession
+    write_bucketed(
+        sigs.select("neighbor_id", "_tbl", "_sig"),
+        table_name,
+        ["_tbl", "_sig"],
+        num_buckets,
+        sort_cols=["_tbl", "_sig"],
+        path=path,
+    )
+    # after the table write: an overwrite above clears the directory
+    spark.createDataFrame(
+        [
+            (
+                params["num_tables"],
+                params["planes_per_table"],
+                params["dim"],
+                params["seed"],
+                int(num_buckets),
+            )
+        ],
+        "num_tables int, planes_per_table int, dim int, seed int, num_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def lsh_load_bucketed(spark, path: str, table_name: str) -> tuple[DataFrame, dict]:
+    """Load a :func:`lsh_save_bucketed` store, re-registering the
+    bucketed table when this session's catalog doesn't know it yet (the
+    in-memory catalog forgets across processes; the DDL re-attach costs
+    one metadata operation — bucket ids are recovered from the file
+    names, no data pass). The returned signatures carry the bucketing
+    spec, so ``ann_knn_graph(..., index=...)`` self-joins them
+    exchange-free."""
+    row = spark.read.parquet(f"{path}/_params").collect()[0]
+    params = {
+        "num_tables": int(row["num_tables"]),
+        "planes_per_table": int(row["planes_per_table"]),
+        "dim": int(row["dim"]),
+        "seed": int(row["seed"]),
+        "num_buckets": int(row["num_buckets"]),
+    }
+    if not spark.catalog.tableExists(table_name):
+        spark.sql(
+            f"CREATE TABLE {table_name} "
+            "(neighbor_id BIGINT, `_tbl` INT, `_sig` BIGINT) USING parquet "
+            "CLUSTERED BY (`_tbl`, `_sig`) SORTED BY (`_tbl`, `_sig`) "
+            f"INTO {params['num_buckets']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(table_name).select("neighbor_id", "_tbl", "_sig"), params
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1403,6 +1474,24 @@ def pca_project(
     )
 
 
+def lsh_self_candidates(sigs: DataFrame) -> DataFrame:
+    """Candidate (src_id, dst_id) pairs from a signature-table self-join
+    on the bucket key (_tbl, _sig) — the candidate generator of
+    :func:`ann_knn_graph`'s LSH method, exposed so the plan pytest pins
+    the exact construction the operator runs. Over a
+    :func:`lsh_save_bucketed` store both branches scan the same bucketed
+    files and the join plans WITHOUT an Exchange; the only shuffle left
+    is the pair-dedup's."""
+    a = sigs.select(F.col("_id").alias("src_id"), "_tbl", "_sig")
+    b = sigs.select(F.col("_id").alias("dst_id"), "_tbl", "_sig")
+    return (
+        a.join(b, ["_tbl", "_sig"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+
+
 def ann_knn_graph(
     corpus: DataFrame,
     k: int = 5,
@@ -1416,7 +1505,7 @@ def ann_knn_graph(
     nprobe: int = 4,
     seed: int = 42,
     corpus_size_hint: int | None = None,
-    index: tuple[DataFrame, np.ndarray] | None = None,
+    index: tuple[DataFrame, dict] | tuple[DataFrame, np.ndarray] | None = None,
 ) -> DataFrame:
     """Approximate kNN **graph** (every corpus vector is a query) with
     exact-cosine refinement — the sub-quadratic replacement for
@@ -1433,9 +1522,13 @@ def ann_knn_graph(
 
     - ``method="lsh"``: the (id, table, signature) rows self-join on
       (table, signature); per-neighbor recall is the multi-table
-      1-(1-p^b)^L curve. At 100 TB the signature table is written once,
-      bucketed by (table, signature), and the self-join is
-      co-partitioned — shuffle-free.
+      1-(1-p^b)^L curve. Pass ``index=`` an ``(signatures, params)``
+      pair from :func:`lsh_build` / :func:`lsh_load_bucketed` to skip
+      the per-run corpus signing entirely; when the signatures come
+      from the :func:`lsh_save_bucketed` layout (bucketed + sorted by
+      (_tbl, _sig)) the self-join is co-partitioned — **exchange-free**,
+      pinned by the plan pytest. Without an index the signatures are
+      computed inline and localCheckpointed (the single-run stand-in).
     - ``method="ivf"``: the inverted file (id, cell) joins the probe
       rows (id, cell — each vector's ``nprobe`` nearest cells, assigned
       by the bounded-sample quantizer riding the Arrow UDF closure).
@@ -1474,33 +1567,34 @@ def ann_knn_graph(
     ).withColumn("_n", norm_col(F.col("_v")))
 
     if method == "lsh":
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
-        if planes_per_table is None:
-            n = corpus_size_hint if corpus_size_hint is not None else corpus.count()
-            planes_per_table = default_planes_per_table(n)
-        tables = [
-            hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
-            for t in range(num_tables)
-        ]
-        # materialize the narrow (id, table, signature) rows before the
-        # self-join: both join branches would otherwise re-execute the
-        # signature UDF — i.e. scan the corpus twice. This is the inline
-        # stand-in for the persisted signature table (lsh_build/lsh_save)
-        # a production deployment self-joins instead.
-        sigs = _table_sigs(c_vec, "_id", "_v", tables).localCheckpoint()
-        a = sigs.select(
-            F.col("_id").alias("src_id"), "_tbl", "_sig"
-        )
-        b = sigs.select(
-            F.col("_id").alias("dst_id"), "_tbl", "_sig"
-        )
-        candidates = (
-            a.join(b, ["_tbl", "_sig"])
-            .filter(F.col("src_id") != F.col("dst_id"))
-            .select("src_id", "dst_id")
-            .distinct()
-        )
+        if index is not None:
+            # persisted signatures (lsh_build / lsh_load_bucketed): no
+            # signing pass at all, and a bucketed store self-joins
+            # without an Exchange — the production path.
+            sigs = index[0].select(
+                F.col("neighbor_id").alias("_id"), "_tbl", "_sig"
+            )
+        else:
+            if dim is None:
+                dim = len(corpus.select(vec_col).first()[0])
+            if planes_per_table is None:
+                n = (
+                    corpus_size_hint
+                    if corpus_size_hint is not None
+                    else corpus.count()
+                )
+                planes_per_table = default_planes_per_table(n)
+            tables = [
+                hyperplanes(dim, planes_per_table, seed=seed + 7919 * t)
+                for t in range(num_tables)
+            ]
+            # materialize the narrow (id, table, signature) rows before
+            # the self-join: both join branches would otherwise
+            # re-execute the signature UDF — i.e. scan the corpus
+            # twice. This is the single-run stand-in for the persisted
+            # signature table above.
+            sigs = _table_sigs(c_vec, "_id", "_v", tables).localCheckpoint()
+        candidates = lsh_self_candidates(sigs)
     elif method == "ivf":
         if index is None:
             index = ivf_build(
@@ -1592,6 +1686,15 @@ def topk_incremental_update(
     live in their own namespace — a numeric collision with a corpus
     ``vec_id`` must not drop a real neighbor. Flip it on only when the
     standing queries ARE corpus rows.
+
+    .. versionchanged:: round 6
+       Earlier rounds inherited :func:`brute_force_topk`'s unconditional
+       ``query_id != neighbor_id`` filter, so self-matches were silently
+       dropped. The default is now ``exclude_self=False``: pipelines
+       whose standing queries are corpus rows will start receiving
+       cosine-1.0 self rows (displacing a rank-k neighbor) unless they
+       pass ``exclude_self=True`` explicitly — re-check call sites when
+       upgrading.
 
     Correctness: exact top-k is mergeable — a vector outside both the
     previous top-k and the delta can never enter the new top-k. With

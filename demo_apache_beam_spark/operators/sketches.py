@@ -102,7 +102,6 @@ def heavy_hitters(
     cap = k - 1
     if cap < 1:
         raise ValueError("k must be >= 2")
-    cols = [item_col] + ([weight_col] if weight_col else [])
 
     def partial(batches):
         counters: dict = {}
@@ -121,7 +120,14 @@ def heavy_hitters(
     from pyspark.sql import functions as F
 
     rows = (
-        df.select(*cols)
+        # the partial-summary schema is `item string` — cast up front so
+        # non-string keys (a bigint user_id is the canonical top-talkers
+        # key) stringify in the JVM instead of tripping an Arrow type
+        # mismatch inside mapInPandas
+        df.select(
+            F.col(item_col).cast("string").alias(item_col),
+            *([weight_col] if weight_col else []),
+        )
         .mapInPandas(partial, "item string, w long")
         # canonical fold order: the fold's near-zero tail is
         # order-dependent, and collect() alone returns partitions in

@@ -251,7 +251,9 @@ def bpe_merges(
     production tokenizer would be ~60k sequential jobs with nothing
     distributed about the work. Whenever the vocab table fits the driver
     (≤ ``driver_finish_max_vocab`` rows — probed by a bounded
-    ``limit(n+1).collect()``, ONE job, no separate count), all rounds
+    ``limit(n+1).count()`` over the ONE localCheckpointed vocab, so the
+    corpus tokenize+aggregate runs exactly once on either path and the
+    driver never materializes rows just to route), all rounds
     run as one in-process Sennrich loop over the collected (syms,
     weight) rows — identical pair stats, identical (count desc, left,
     right) tie-break, identical non-overlapping left-to-right fuse, so
@@ -273,17 +275,19 @@ def bpe_merges(
         .select("syms", "weight")
     )
 
-    probe = vocab_plan.limit(driver_finish_max_vocab + 1).collect()
-    if len(probe) <= driver_finish_max_vocab:
+    # Materialize the vocab ONCE, then route on a bounded count: the
+    # in-process collect reads the checkpoint blocks back (no second
+    # aggregate), and the oversized case never holds vocab rows on the
+    # driver just to discard them (ADVICE r6).
+    vocab = vocab_plan.localCheckpoint()
+    if vocab.limit(driver_finish_max_vocab + 1).count() <= driver_finish_max_vocab:
         merges = _bpe_merges_inprocess(
-            [(r["syms"], r["weight"]) for r in probe], n_merges
+            [(r["syms"], r["weight"]) for r in vocab.collect()], n_merges
         )
         return spark.createDataFrame(
             merges,
             "step int, left string, right string, merged string, pair_count long",
         )
-    del probe
-    vocab = vocab_plan.localCheckpoint()
 
     def _quote(s: str) -> str:
         # regex-literal quoting, portable to the Python reference (re.escape)

@@ -2840,15 +2840,45 @@ def excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash on doc_id (plain BIGINT arithmetic, identical in Spark and DuckDB),
 # so every "sample" is reproducible and oracle-checkable — the property a
 # real corpus pipeline wants anyway (re-runs must pick the same rows).
+#
+# Overflow discipline: `doc_id * 2654435761` exceeds int64 once doc_id
+# passes ~3.5e9 — non-ANSI Spark wraps silently (a negative dividend
+# makes `%` negative, so a `< thresh` filter admits everything) while
+# DuckDB raises, a silent engine divergence at large id domains.  Every
+# hash below therefore reduces doc_id by the modulus BEFORE multiplying
+# (exact: (a·k) mod m == ((a mod m)·k) mod m), and the mod-2^32 variant
+# additionally splits into 16-bit halves so no intermediate tops 2^48.
+# Both forms equal the naive product wherever it fits, so existing
+# oracle hashes are unchanged.
 # ---------------------------------------------------------------------------
+
+
+def _hash32(col):
+    """Knuth multiplicative hash mod 2^32 in 16-bit halves (see the
+    overflow-discipline note above): identical to
+    ``(col * 2654435761) % 4294967296`` for any non-negative int64
+    input, with every intermediate product below 2^48."""
+    a = col % F.lit(4294967296)
+    al = a % F.lit(65536)
+    ah = F.shiftright(a, 16)
+    return (
+        al * F.lit(2654435761)
+        + ((ah * F.lit(2654435761)) % F.lit(65536)) * F.lit(65536)
+    ) % F.lit(4294967296)
 
 @register(
     "doc_stratified_sample",
     """
-    WITH h AS (
+    WITH a AS (
       SELECT doc_id, lang, source, n_chars,
-             (doc_id * 2654435761) % 4294967296 AS r
+             doc_id % 4294967296 AS a
       FROM documents
+    ), h AS (
+      SELECT doc_id, lang, source, n_chars,
+             ((a % 65536) * 2654435761
+              + (((a // 65536) * 2654435761) % 65536) * 65536)
+             % 4294967296 AS r
+      FROM a
     ), ranked AS (
       SELECT doc_id, lang, source, n_chars,
              row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS rn
@@ -2870,9 +2900,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    hashed = docs.withColumn(
-        "__r", (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    )
+    hashed = docs.withColumn("__r", _hash32(F.col("doc_id")))
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy(F.asc("__r"), F.asc("doc_id"))
     )
@@ -2888,7 +2916,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source
     FROM documents
-    WHERE (doc_id * 1099087573) % 100 <
+    WHERE ((doc_id % 100) * 1099087573) % 100 <
           CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
                     WHEN 'fr' THEN 20 ELSE 10 END
     """,
@@ -2907,7 +2935,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "fr", 20)
         .otherwise(10)
     )
-    keep = (F.col("doc_id") * F.lit(1099087573)) % F.lit(100) < rate
+    keep = ((F.col("doc_id") % F.lit(100)) * F.lit(1099087573)) % F.lit(100) < rate
     return docs.filter(keep).select("doc_id", "lang", "source")
 
 
@@ -2933,7 +2961,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.lang, r.q_mix
     FROM documents d JOIN rates r ON d.lang = r.lang
-    WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh
+    WHERE ((d.doc_id % 1000000) * 2654435761) % 1000000 < r.thresh
     """,
     doc="Temperature-based mixture sampling (the multilingual "
         "rebalancing rule of mT5/XLM-R: sampling probability ∝ n^α, "
@@ -2977,7 +3005,11 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.join(F.broadcast(rates), "lang")
-        .filter((F.col("doc_id") * F.lit(2654435761)) % F.lit(1_000_000) < F.col("_thresh"))
+        .filter(
+            ((F.col("doc_id") % F.lit(1_000_000)) * F.lit(2654435761))
+            % F.lit(1_000_000)
+            < F.col("_thresh")
+        )
         .select("doc_id", "lang", "q_mix")
     )
 
@@ -3138,10 +3170,10 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), eval_sh AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE (doc_id * 2654435761) % 1000 < 50
+      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
     ), train_sh AS (
       SELECT doc_id, shingle FROM sh
-      WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
     )
     SELECT doc_id, count(*) AS n_shared_shingles
     FROM train_sh JOIN eval_sh USING (shingle)
@@ -3160,7 +3192,7 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nothing (driver compare sorts); rows = docs with >= 1 leak.",
 )
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    is_eval = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -4924,11 +4956,15 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feed the same re-rank. Bit-identical to DuckDB's "
         "list_cosine_similarity.",
 )
-def knn_graph(spark: SparkSession, sf_dir: str, source: str = "exact") -> DataFrame:
+def knn_graph(
+    spark: SparkSession, sf_dir: str, source: str = "exact", index=None
+) -> DataFrame:
     """``source`` selects the graph builder: ``"exact"`` (oracle-parity,
     O(N²·d) compute — the registry default) or ``"lsh"``/``"ivf"``
     (sub-quadratic ANN candidates + exact-cosine refinement — the 100 TB
-    path; see ``knn_graph_lsh`` and the overlap pytest)."""
+    path; see ``knn_graph_lsh`` and the overlap pytest). ``index``
+    passes a persisted ANN index through (LSH signature store / IVF
+    inverted file) so the per-run build cost disappears."""
     from .operators.similarity import ann_knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4938,7 +4974,39 @@ def knn_graph(spark: SparkSession, sf_dir: str, source: str = "exact") -> DataFr
         method=source,
         dim=64,
         corpus_size_hint=_embeddings_rows(sf_dir),
+        index=index,
     )
+
+
+def _lsh_sig_store(spark: SparkSession, sf_dir: str):
+    """The persisted bucketed LSH signature store for ``sf_dir``'s
+    embeddings, bootstrapped on first use (the same FS-existence-probe
+    discipline as the dedup digest store): build once with the exact
+    params the inline path would use — so the graph is bit-identical —
+    write bucketed+sorted by (_tbl, _sig), and every later analytics
+    run self-joins the store exchange-free instead of re-signing the
+    corpus. Lives under the session warehouse dir, keyed by scale
+    tag; a missing store is the only case that builds."""
+    import os
+    import re
+
+    from .operators.dedup import _hadoop_path_exists
+    from .operators.similarity import lsh_build, lsh_load_bucketed, lsh_save_bucketed
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.abspath(os.path.join("spark-warehouse", f"lsh_index_{tag}"))
+    table = f"lsh_sigs_{tag}"
+    if not _hadoop_path_exists(spark, f"{path}/_params"):
+        idx = lsh_build(
+            load_table(spark, sf_dir, "embeddings"),
+            id_col="vec_id",
+            vec_col="embedding",
+            num_tables=16,
+            dim=64,
+            corpus_size_hint=_embeddings_rows(sf_dir),
+        )
+        lsh_save_bucketed(idx, path, table, num_buckets=32)
+    return lsh_load_bucketed(spark, path, table)
 
 
 @register(
@@ -4948,18 +5016,23 @@ def knn_graph(spark: SparkSession, sf_dir: str, source: str = "exact") -> DataFr
         "exact-cosine refinement — the 100 TB replacement for the exact "
         "kNN graph as input to pagerank/LPA/triangles/BFS. Unlike the "
         "bounded-query lsh_topk, both sides are corpus-sized, so "
-        "candidates come from a SHUFFLE self-join of the (id, table, "
-        "signature) rows on the bucket key — no vector broadcast "
-        "anywhere; at scale the signature table is written once, "
-        "bucketed by (table, signature), making the self-join "
-        "co-partitioned. Emitted cosines are exact (refinement joins "
+        "candidates come from a self-join of the (id, table, signature) "
+        "rows on the bucket key — no vector broadcast anywhere. The "
+        "signatures come from the PERSISTED store (lsh_save_bucketed, "
+        "bootstrapped on first use like the dedup digest store): written "
+        "once bucketed+sorted by (table, signature), so the self-join is "
+        "co-partitioned and EXCHANGE-FREE (plan-pinned in pytest) and no "
+        "analytics run ever re-signs the corpus. Emitted cosines are "
+        "exact (refinement joins "
         "fetch vectors per candidate); approximation costs only recall, "
         "pinned ≥0.9 edge overlap with the exact graph and ≥0.95 "
         "PageRank rank-correlation by pytest (measured 0.98 overlap at "
         "16 tables on the fixture corpus).",
 )
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_graph(spark, sf_dir, source="lsh")
+    return knn_graph(
+        spark, sf_dir, source="lsh", index=_lsh_sig_store(spark, sf_dir)
+    )
 
 
 @register(
@@ -4974,9 +5047,7 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant (knn_pagerank) stays the oracle-parity anchor.",
 )
 def knn_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_pagerank(
-        spark, sf_dir, graph=knn_graph(spark, sf_dir, source="lsh")
-    )
+    return knn_pagerank(spark, sf_dir, graph=knn_graph_lsh(spark, sf_dir))
 
 
 def _pagerank_weighted_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
@@ -5959,10 +6030,15 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_weighted_sample",
     """
-    WITH h AS (
-      SELECT doc_id, lang, n_chars,
-             ((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0 AS u
+    WITH a0 AS (
+      SELECT doc_id, lang, n_chars, doc_id % 4294967296 AS a
       FROM documents
+    ), h AS (
+      SELECT doc_id, lang, n_chars,
+             (((a % 65536) * 2654435761
+               + (((a // 65536) * 2654435761) % 65536) * 65536)
+              % 4294967296 + 1) / 4294967296.0 AS u
+      FROM a0
     ), keyed AS (
       SELECT doc_id, lang, n_chars, ln(u) / n_chars AS k FROM h
     ), ranked AS (
@@ -5990,9 +6066,7 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) + F.lit(1)
-    ) / F.lit(4294967296.0)
+    u = (_hash32(F.col("doc_id")) + F.lit(1)) / F.lit(4294967296.0)
     keyed = docs.select(
         "doc_id", "lang", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
     )
@@ -6409,14 +6483,14 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), eval_sh AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE (doc_id * 2654435761) % 1000 < 50
+      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
     ), contaminated AS (
       SELECT DISTINCT doc_id FROM sh
-      WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
         AND shingle IN (SELECT shingle FROM eval_sh)
     )
     SELECT doc_id FROM documents
-    WHERE NOT ((doc_id * 2654435761) % 1000 < 50)
+    WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
     doc="Decontamination with a broadcast BLOOM pre-filter: the clean "
@@ -6438,7 +6512,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bloom import bloom_build, bloom_prefilter
 
-    is_eval = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )

@@ -130,6 +130,7 @@ def make_near_dedup_ingest(
     probe exist to provide."""
     from pyspark.sql import functions as F
 
+    from ..operators.checkpoints import track_checkpoints, unpersist_ids
     from ..operators.dedup import _hadoop_path_exists, minhash_near_dedup_core
     from .idempotent import write_windowed_idempotent
 
@@ -145,38 +146,34 @@ def make_near_dedup_ingest(
         # survivor set must be FROZEN before the store mutates, and a
         # lost block must fail, never silently recompute against the
         # mutated store). Checkpoint blocks are not auto-freed, so a
-        # long-running stream would accumulate them without bound —
-        # snapshot the persistent-RDD ids and release exactly what this
-        # batch created once its writes are durable.
-        before = {
-            int(k)
-            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-        }
-        survivors, banded = minhash_near_dedup_core(
-            batch_df, hist, id_col, text_col, num_hashes, bands, shingle_n
-        )
-        try:
-            write_windowed_idempotent(
-                banded.join(survivors, id_col, "left_semi")
-                .select("band_idx", "band_hash")
-                .withColumn("_batch_id", F.lit(batch_id)),
-                store_path,
-                partition_col="_batch_id",
+        # long-running stream would accumulate them without bound — a
+        # thread-local ledger records the RDD id behind every checkpoint
+        # THIS batch takes (foreachBatch runs the body on one thread),
+        # and cleanup releases exactly those ids once the writes are
+        # durable. A global before/after diff of the persistent-RDD map
+        # would also catch — and irrecoverably unpersist — checkpoints a
+        # CONCURRENT job in the same session took during the window
+        # (ADVICE r6); the ledger cannot, by construction.
+        with track_checkpoints() as ckpt_ids:
+            survivors, banded = minhash_near_dedup_core(
+                batch_df, hist, id_col, text_col, num_hashes, bands, shingle_n
             )
-            write_windowed_idempotent(
-                batch_df.join(survivors, id_col, "left_semi").withColumn(
-                    "_batch_id", F.lit(batch_id)
-                ),
-                out_dir,
-                partition_col="_batch_id",
-            )
-        finally:
             try:
-                jmap = spark.sparkContext._jsc.getPersistentRDDs()
-                for entry in jmap.entrySet().toArray():
-                    if int(entry.getKey()) not in before:
-                        entry.getValue().unpersist(False)
-            except Exception:
-                pass  # cleanup must never fail the batch
+                write_windowed_idempotent(
+                    banded.join(survivors, id_col, "left_semi")
+                    .select("band_idx", "band_hash")
+                    .withColumn("_batch_id", F.lit(batch_id)),
+                    store_path,
+                    partition_col="_batch_id",
+                )
+                write_windowed_idempotent(
+                    batch_df.join(survivors, id_col, "left_semi").withColumn(
+                        "_batch_id", F.lit(batch_id)
+                    ),
+                    out_dir,
+                    partition_col="_batch_id",
+                )
+            finally:
+                unpersist_ids(spark, ckpt_ids)
 
     return ingest

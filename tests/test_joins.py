@@ -391,6 +391,46 @@ def test_ann_knn_graph_lsh_overlap_and_pagerank_rank_correlation(spark):
     assert rho >= 0.95, rho
 
 
+def test_lsh_bucketed_store_graph_equals_inline(spark, tmp_path):
+    """ann_knn_graph(index=persisted bucketed store) must return exactly
+    the inline-signed graph: the store holds the same (id, table,
+    signature) rows the inline path computes (planes regenerate from the
+    stored seed/params, never stored), so reuse costs nothing but a
+    metadata attach. Survives a catalog drop — the re-register DDL path
+    a fresh process takes."""
+    from demo_apache_beam_spark.operators.similarity import (
+        ann_knn_graph,
+        lsh_build,
+        lsh_load_bucketed,
+        lsh_save_bucketed,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    inline = ann_knn_graph(emb, k=5, method="lsh", dim=64, corpus_size_hint=500)
+
+    idx = lsh_build(emb, dim=64, corpus_size_hint=500)
+    path = str(tmp_path / "lsh_store")
+    lsh_save_bucketed(idx, path, "t_lsh_sigs_eq", num_buckets=8)
+    loaded = lsh_load_bucketed(spark, path, "t_lsh_sigs_eq")
+    stored = ann_knn_graph(emb, k=5, method="lsh", index=loaded)
+
+    key = lambda r: (r["src_id"], r["rank"])
+    assert sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, stored.collect()), key=lambda t: (t[0], t[1])
+    )
+
+    # fresh-process path: catalog forgets, the DDL re-attach must yield
+    # the same table (and keep its bucketing — pinned in test_plans)
+    spark.sql("DROP TABLE t_lsh_sigs_eq")
+    reloaded = lsh_load_bucketed(spark, path, "t_lsh_sigs_eq")
+    assert reloaded[1]["num_buckets"] == 8
+    again = ann_knn_graph(emb, k=5, method="lsh", index=reloaded)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, stored.collect()))
+    spark.sql("DROP TABLE t_lsh_sigs_eq")
+
+
 def test_ann_knn_graph_ivf_wiring(spark):
     """IVF-built graph: correct shape (k out-edges each, exact cosines,
     no self-edges). Overlap on THIS corpus is structurally limited — the

@@ -44,13 +44,14 @@ def test_reference_parity_queries_stay_in_codegen(spark):
     codegen must cover them (no interpreted Python/HOF hot path). AQE is
     toggled off for the check: adaptive plans defer physical planning, so
     codegen subtrees aren't visible until execution otherwise."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name in ("user_score", "hourly_team_score", "parse_events"):
             df = REGISTRY[name].fn(spark, SF_SMALL)
             assert codegen_stage_count(df) >= 1, name
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_revenue_rollup_broadcasts_dimensions(spark):
@@ -457,3 +458,45 @@ def test_ann_knn_graph_all_joins_are_equi_joins(spark):
     assert "BroadcastExchange" not in plan  # nothing structurally broadcast
     # the signature self-join keys on the bucket
     assert "SortMergeJoin [_tbl" in plan or "ShuffledHashJoin [_tbl" in plan
+
+
+def test_lsh_bucketed_store_self_join_is_exchange_free(spark, tmp_path):
+    """Over the persisted signature store (bucketed + sorted by
+    (_tbl, _sig)) the candidate self-join must plan with NO Exchange on
+    either join branch — the scan's bucketing already satisfies the
+    join's distribution — leaving the pair-dedup's shuffle as the ONLY
+    Exchange in candidate generation. This is the 100 TB contract of
+    lsh_save_bucketed: analytics runs merge co-located buckets instead
+    of re-signing and re-shuffling the corpus."""
+    from demo_apache_beam_spark.operators.similarity import (
+        lsh_build,
+        lsh_load_bucketed,
+        lsh_save_bucketed,
+        lsh_self_candidates,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = lsh_build(emb, dim=64, corpus_size_hint=500)
+    path = str(tmp_path / "lsh_store")
+    lsh_save_bucketed(idx, path, "t_lsh_sigs_plan", num_buckets=8)
+    sigs, _ = lsh_load_bucketed(spark, path, "t_lsh_sigs_plan")
+
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prior_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = lsh_self_candidates(
+            sigs.withColumnRenamed("neighbor_id", "_id")
+        )
+        plan = explain_str(cand, "simple")
+        rows = cand.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bc)
+        spark.sql("DROP TABLE t_lsh_sigs_plan")
+    assert "SortMergeJoin [_tbl" in plan
+    assert plan.count("Exchange") == 1, plan  # the distinct's, nothing else
+    assert rows > 0  # the exchange-free plan actually executes

@@ -65,6 +65,19 @@ def test_heavy_hitters_weighted(spark):
     assert result[0][0] == "big"
 
 
+def test_heavy_hitters_bigint_key(spark):
+    """A non-string item column (bigint user ids — the canonical
+    top-talkers key) must stringify JVM-side, not trip an Arrow type
+    mismatch inside mapInPandas; bounds hold on the stringified keys."""
+    rows = [(7,)] * 400 + [(i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "item bigint").repartition(4)
+    truth = {"7": 401, **{str(i): 1 for i in range(200) if i != 7}}
+    k = 10
+    result = heavy_hitters(df, "item", k=k)
+    _check_bounds(result, truth, sum(truth.values()), k)
+    assert result[0][0] == "7"
+
+
 def test_heavy_hitters_rejects_k_below_two(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError):
