@@ -3248,24 +3248,11 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
 
 
-@register(
-    "user_series_topk",
-    None,  # float correlation ranking — numpy corrcoef reference pytest
-    doc="Distributed time-series similarity search (the EDBT'19 shape): "
-        "each user's events collapse to a 168-bucket hour-of-week "
-        "activity profile (fixed length regardless of how much history "
-        "accumulates — the profile, not the raw series, is what scales), "
-        "profiles are mean-centered in the same Arrow batch that "
-        "scatter-fills them — Pearson correlation IS cosine of centered "
-        "vectors — constant profiles are excluded (correlation "
-        "undefined), and the existing blocked exact-kNN kernel ranks "
-        "each user's top-5 most-correlated peers. Build is one "
-        "partial-aggregated groupBy; similarity inherits the "
-        "bounded-block scan of brute_force_topk_blocked.",
-)
-def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk_blocked
-
+def _user_series_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, series): each user's events collapsed to a mean-centered
+    168-bucket hour-of-week activity profile — the shared input of the
+    exact and ANN series-similarity queries. Constant (all-zero) profiles
+    are excluded (Pearson undefined)."""
     ev = load_table(spark, sf_dir, "events")
     entries = (
         ev.groupBy(
@@ -3298,12 +3285,83 @@ def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(arr.tolist() if np.any(arr) else None)
         return pd.Series(out)
 
-    centered = (
+    return (
         entries.groupBy("user_id")
         .agg(F.collect_list(F.struct("_i", "_v")).alias("_p"))
         .select("user_id", scatter_center("_p").alias("series"))
         .filter(F.col("series").isNotNull())
     )
+
+
+# distinct event users per scale factor (TESTDATA.md) — sizes the series
+# LSH index without a count() job, like _EMBEDDINGS_ROWS.
+_EVENT_USERS = {"0.001": 15, "0.01": 150, "0.1": 1500}
+
+
+def _event_users(sf_dir: str) -> int | None:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return _EVENT_USERS.get(m.group(1)) if m else None
+
+
+@register(
+    "user_series_topk",
+    """
+    WITH b AS (
+      SELECT user_id, CAST((epoch_us(ts) // 3600000000) % 168 AS INT) AS i,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      -- sufficient statistics per profile; the all-zero (constant)
+      -- profiles the Spark side drops are exactly sum(v)=0 AND
+      -- sum(v*v)=0 (sums of squares: zero iff every v is exactly 0)
+      SELECT user_id, sum(v) AS sv, sum(v * v) AS qv
+      FROM b GROUP BY user_id
+      HAVING NOT (sum(v) = 0 AND sum(v * v) = 0)
+    ), p AS (
+      SELECT x.user_id AS ua, y.user_id AS ub, sum(x.v * y.v) AS pxy
+      FROM b x JOIN b y ON x.i = y.i AND x.user_id <> y.user_id
+      GROUP BY 1, 2
+    ), c AS (
+      -- Pearson over the dense 168-bucket vectors without materializing
+      -- them: centered dot = P - Sa*Sb/168, centered norm^2 = Q - S^2/168
+      SELECT sa.user_id AS user_id, sb.user_id AS peer_id,
+             (coalesce(pxy, 0) - sa.sv * sb.sv / 168)
+             / sqrt((sa.qv - sa.sv * sa.sv / 168)
+                    * (sb.qv - sb.sv * sb.sv / 168)) AS corr
+      FROM s sa JOIN s sb ON sa.user_id <> sb.user_id
+      LEFT JOIN p ON p.ua = sa.user_id AND p.ub = sb.user_id
+    ), ranked AS (
+      SELECT user_id, peer_id, corr,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY corr DESC, peer_id) AS rank
+      FROM c
+    )
+    SELECT user_id, peer_id, round(corr, 6) AS correlation, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Distributed time-series similarity search (the EDBT'19 shape): "
+        "each user's events collapse to a 168-bucket hour-of-week "
+        "activity profile (fixed length regardless of how much history "
+        "accumulates — the profile, not the raw series, is what scales), "
+        "profiles are mean-centered in the same Arrow batch that "
+        "scatter-fills them — Pearson correlation IS cosine of centered "
+        "vectors — constant profiles are excluded (correlation "
+        "undefined), and the existing blocked exact-kNN kernel ranks "
+        "each user's top-5 most-correlated peers. Build is one "
+        "partial-aggregated groupBy; similarity inherits the "
+        "bounded-block scan of brute_force_topk_blocked. Oracle: the "
+        "same ranking from sufficient statistics (per-pair shared-bucket "
+        "dot + per-profile sum/sum-of-squares — Pearson without "
+        "materializing the dense vectors); the two formulations agree "
+        "to ~1e-15, far under the 6-dp rounding both sides emit. The "
+        "100 TB variant is user_series_topk_lsh (sub-quadratic).",
+)
+def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk_blocked
+
+    centered = _user_series_profiles(spark, sf_dir)
     out = brute_force_topk_blocked(
         centered.select(F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")),
         centered.select(F.col("user_id").alias("query_id"), F.col("series").alias("embedding")),
@@ -3312,7 +3370,42 @@ def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("query_id").alias("user_id"),
         F.col("neighbor_id").alias("peer_id"),
-        F.col("cosine").alias("correlation"),
+        F.round(F.col("cosine"), 6).alias("correlation"),
+        "rank",
+    )
+
+
+@register(
+    "user_series_topk_lsh",
+    None,  # approximate by design — top-k overlap vs exact pinned in pytest
+    doc="Sub-quadratic series similarity: the same centered 168-bucket "
+        "profiles as user_series_topk (Pearson = cosine of centered "
+        "vectors, so the ANN machinery applies unchanged), ranked "
+        "through the LSH self-join kNN graph instead of the exact "
+        "all-users × all-users scan — at 100× user cardinality the "
+        "exact path's O(U²·d) scored work is the bottleneck; this one "
+        "is bucket-join-bounded with exact-Pearson refinement, so "
+        "approximation costs only recall (top-5 overlap vs exact "
+        "pinned ≥0.9 by pytest). The exact sibling stays the "
+        "oracle-parity anchor.",
+)
+def user_series_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_knn_graph
+
+    centered = _user_series_profiles(spark, sf_dir)
+    out = ann_knn_graph(
+        centered.select(
+            F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")
+        ),
+        k=5,
+        method="lsh",
+        dim=168,
+        corpus_size_hint=_event_users(sf_dir),
+    )
+    return out.select(
+        F.col("src_id").alias("user_id"),
+        F.col("dst_id").alias("peer_id"),
+        F.round(F.col("cosine"), 6).alias("correlation"),
         "rank",
     )
 
