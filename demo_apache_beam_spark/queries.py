@@ -5961,7 +5961,25 @@ def semantic_dedup_hash_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_value_ewma",
-    None,  # per-key float recursion — rows-only; pandas-reference pytest
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    -- closed form of the adjust=False recursion s_t = a*s_{t-1} + α*x_t
+    -- seeded s_0 = x_0:  s_last = a^(n-1)*x_1 + Σ_{rn≥2} α*a^(n-rn)*x_rn
+    -- (a = 0.7). pow() underflow at large n matches the Spark side's —
+    -- the old state's weight genuinely IS ~0 there — and the engines'
+    -- summation-order difference sits ~1e-13, far under the 6-dp round.
+    SELECT user_id, max(n) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN pow(0.7, n - 1) * value
+                          ELSE 0.3 * pow(0.7, n - rn) * value END),
+                 6) AS ewma_last
+    FROM o GROUP BY user_id
+    """,
     doc="Per-user exponentially-weighted moving average of event values "
         "(α=0.3, adjust=False recursion s_t = α·x_t + (1-α)·s_{t-1}) — "
         "the smoothing primitive behind anomaly baselines and trend "
@@ -5975,7 +5993,10 @@ def semantic_dedup_hash_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skew), unlike the naive one-group-per-key applyInPandas. "
         "Verified against pandas ewm directly in pytest, including a "
         "one-key-owns-half-the-rows skew fixture forced across "
-        "multiple segments.",
+        "multiple segments. Oracle: the recursion's closed form as a "
+        "windowed sum of α(1-α)^j-weighted values — pure arithmetic, "
+        "so the segmented scan is hash-checked end-to-end, not just "
+        "rows-counted.",
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ewma import ewma_last_per_key
