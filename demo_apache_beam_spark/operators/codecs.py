@@ -1,9 +1,10 @@
-"""Pure-stdlib media codecs — real PNG and WAV encode/decode with zero
-external dependencies (the container ships no PIL/libsndfile/pyav; both
-formats are fully public specifications: PNG per RFC 2083 / ISO 15948,
-WAV per the RIFF/PCM layout the stdlib ``wave`` module implements).
+"""Pure-stdlib media codecs — real PNG, WAV, and animated-GIF
+encode/decode with zero external dependencies (the container ships no
+PIL/libsndfile/pyav; all three formats are fully public specifications:
+PNG per RFC 2083 / ISO 15948, WAV per the RIFF/PCM layout the stdlib
+``wave`` module implements, GIF per the CompuServe GIF89a spec).
 
-This closes the ``decode_payload`` stub for the two formats stdlib can
+This closes the ``decode_payload`` stub for the formats stdlib can
 genuinely carry:
 
 - **PNG**: chunk parsing, zlib inflate of the IDAT stream, and full
@@ -16,16 +17,25 @@ genuinely carry:
   used by tests to pin the decoder's Sub/Up/Average/Paeth paths against
   the spec).
 - **WAV**: PCM16 via the stdlib ``wave`` reader/writer over BytesIO.
+- **GIF**: LZW decompression (variable-width codes, 12-bit table with
+  deferred clear), local/global palettes, sub-rectangle frames,
+  four-pass interlacing, transparency, and disposal methods 0-3
+  composited onto the logical screen — animated GIFs decode to a real
+  (n_frames, H, W, 3) stack, closing the video branch of the decoder
+  seam. The encoder fabricates spec-valid animations (used by tests and
+  the registry round-trip query).
 
 Decode cost model on executors: one ``zlib.decompress`` (C speed) + an
 unfilter pass — vectorized per row (Sub is a per-lane cumulative sum
 mod 256; Up is one vector add; Average/Paeth walk pixels within the row
 but vectorize across channels). Rasters flow straight into the existing
 Arrow-batched operators (``resize_images``/``sample_frames``) through
-the same decoder seam the stand-in codecs exercise.
+the same decoder seam the stand-in codecs exercise; GIF adds one LZW
+pass (pure-Python but table-bounded) + vectorized palette gather and
+rectangle composition per frame.
 
 MP4/JPEG remain out of scope: no stdlib container/DCT support — the
-``decode_payload`` stub contract still documents that boundary.
+``decode_payload`` contract still documents that boundary.
 """
 
 from __future__ import annotations
@@ -231,3 +241,343 @@ def png_raster_decoder(kind: str, payload: bytes, meta: dict):
         return None
     img = img.astype(np.float64)
     return img if img.ndim == 2 else img.mean(axis=2)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — the multi-frame format stdlib can genuinely carry: LZW
+# is implementable from the public specification (CompuServe GIF89a,
+# 1990; also W3C note "GIF89a specification"), unlike MP4's container +
+# DCT stack. This closes the video branch of the decoder seam with a
+# REAL codec: animated GIFs decode to composited RGB frame stacks with
+# local/global palettes, sub-rectangle frames, interlacing, disposal
+# methods 0-3, and transparency. The encoder exists so tests (and the
+# registry round-trip query) can fabricate spec-valid animations from
+# deterministic data without any media library.
+# ---------------------------------------------------------------------------
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+#: interlace passes: (first row, row step) per the spec's four passes
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    clear/end codes, widths grow 1 past each table-size power of two up
+    to 12 bits; at 4096 entries the table freezes (deferred clear — the
+    decoder mirrors this)."""
+    cs = max(2, int(min_code_size))
+    clear, end = 1 << cs, (1 << cs) + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    width = cs + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = indices.ravel().tolist()
+    if seq:
+        cur = int(seq[0])
+        for k in seq[1:]:
+            k = int(k)
+            nxt = table.get((cur, k))
+            if nxt is not None:
+                cur = nxt
+                continue
+            emit(cur)
+            if next_code < 4096:
+                table[(cur, k)] = next_code
+                next_code += 1
+                # the decoder's table runs ONE entry behind the
+                # encoder's (it derives each entry only after reading
+                # the next code), so its width bump lands one code
+                # later than the encoder's table-size crossing — hence
+                # 2^w + 1, not 2^w (the classic LZW sync off-by-one)
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            cur = k
+        emit(cur)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    # length-prefixed sub-blocks, zero-terminated
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        piece = out[i : i + 255]
+        blocks.append(len(piece))
+        blocks += piece
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """Inverse of :func:`_lzw_encode`; raises ``ValueError`` on codes
+    outside the live table or streams shorter than ``expected`` pixels."""
+    cs = max(2, int(min_code_size))
+    clear, end = 1 << cs, (1 << cs) + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+
+    table: list[bytes] = []
+    width = prev = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = cs + 1
+        prev = -1
+
+    reset()
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev < 0:
+            if code >= len(table) or code >= clear:
+                # first code after (re)set must be a root
+                raise ValueError(f"bad initial LZW code {code}")
+            entry = table[code]
+        elif code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"LZW code {code} outside table")
+        if n_out + len(entry) > expected:
+            raise ValueError("LZW stream overruns raster")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        if prev >= 0 and len(table) < 4096:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if n_out != expected:
+        raise ValueError(f"LZW stream short: {n_out}/{expected} pixels")
+    return out
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate length-prefixed sub-blocks starting at ``pos``; returns
+    (payload, position after the zero terminator)."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(data):
+            raise ValueError("truncated GIF sub-block")
+        parts.append(data[pos : pos + n])
+        pos += n
+
+
+def gif_encode(
+    frames,
+    palette: np.ndarray | None = None,
+    size: tuple[int, int] | None = None,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    transparent_index: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette-index frames as an animated GIF89a.
+
+    ``frames``: list of 2-D uint8 index arrays (or one 3-D stack) —
+    values index ``palette`` (default: 256-entry grayscale i→(i,i,i)).
+    ``size``: (H, W) logical screen; defaults to the max frame extent.
+    ``offsets``: per-frame (top, left) placement for sub-rectangle
+    frames. ``disposals``: per-frame disposal method (0-3; default 1 =
+    leave in place). ``transparent_index``: palette slot treated as
+    see-through for every frame. ``interlace`` writes frame rasters in
+    the spec's four-pass row order.
+    """
+    frames = [np.asarray(f, dtype=np.uint8) for f in np.asarray(frames, dtype=np.uint8)] if isinstance(frames, np.ndarray) else [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [1] * len(frames)
+
+    # GCT size field n encodes 2^(n+1) entries — pad to that
+    n_entries = max(2, int(palette.shape[0]))
+    gct_n = max(0, (n_entries - 1).bit_length() - 1)
+    padded = 1 << (gct_n + 1)
+    pal = np.zeros((padded, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+
+    if size is None:
+        size = (
+            max(t + f.shape[0] for (t, _), f in zip(offsets, frames)),
+            max(left + f.shape[1] for (_, left), f in zip(offsets, frames)),
+        )
+    h, w = size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | gct_n)  # GCT present, color resolution 0
+    out += b"\x00\x00"  # bg index, aspect
+    out += pal.tobytes()
+
+    min_code = max(2, padded.bit_length() - 1)
+    for f, (top, left), disp in zip(frames, offsets, disposals):
+        if int(f.max(initial=0)) >= padded:
+            raise ValueError("frame index outside palette")
+        # graphic control extension
+        packed = (int(disp) & 0x7) << 2
+        t_idx = 0
+        if transparent_index is not None:
+            packed |= 1
+            t_idx = int(transparent_index)
+        out += b"\x21\xf9\x04" + bytes([packed]) + struct.pack("<H", 4) + bytes([t_idx, 0])
+        # image descriptor (no local palette)
+        fh, fw = f.shape
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out.append(0x40 if interlace else 0x00)
+        raster = f
+        if interlace:
+            order = [
+                r for start, step in _GIF_INTERLACE for r in range(start, fh, step)
+            ]
+            raster = f[order]
+        out.append(min_code)
+        out += _lzw_encode(raster, min_code)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode a GIF to composited frames: (n_frames, H, W, 3) uint8 RGB
+    over the logical screen, honoring sub-rectangle placement, local
+    palettes, interlacing, transparency, and disposal methods 0-3.
+    Raises ``ValueError`` for non-GIF bytes (MP4 and friends — no
+    stdlib container/DCT support; that boundary is documented at the
+    decoder seam) and for truncated/corrupt streams."""
+    if len(data) < 13 or data[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF file")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    bg_idx = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x7)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent: int | None = None
+
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF missing trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated extension")
+            label = data[pos]
+            pos += 1
+            payload, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(payload) >= 4:
+                disposal = (payload[0] >> 2) & 0x7
+                transparent = payload[3] if payload[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, fw, fh = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x7)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated local color table")
+            pal = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("image with no color table")
+        if left + fw > w or top + fh > h:
+            raise ValueError("frame rectangle outside logical screen")
+        if pos >= len(data):
+            raise ValueError("truncated image data")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        idx = _lzw_decode(lzw, min_code, fw * fh).reshape(fh, fw)
+        if ipacked & 0x40:  # deinterlace
+            order = [
+                r for start, step in _GIF_INTERLACE for r in range(start, fh, step)
+            ]
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+
+        saved = canvas[top : top + fh, left : left + fw].copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = pal[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + fh, left : left + fw] = saved
+        disposal = 0
+        transparent = None
+
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return np.stack(frames)
+
+
+def gif_frames_decoder(kind: str, payload: bytes, meta: dict):
+    """Decoder-seam adapter (``sample_frames`` contract): real GIF decode
+    → (n_frames, H, W, 3) uint8 stack; ``None`` for undecodable payloads
+    — the documented rejection path."""
+    try:
+        return gif_decode(bytes(payload))
+    except ValueError:
+        return None

@@ -9,13 +9,14 @@ written so the payload bytes are read only where genuinely needed
 check ``ReadSchema`` in the plan), and payload-touching work happens in
 Arrow-batched ``mapInPandas`` with numpy, never per-row Python.
 
-Codec note: PNG and PCM16-WAV decode are REAL — pure-stdlib codecs in
-``operators/codecs.py`` (zlib inflate + all five PNG scanline filters
-per the public spec; stdlib ``wave``), no external media library
-required.
-Video (MP4) remains the one documented stub: stdlib has no container/
-DCT support, so that ``decode_payload`` branch raises
-``NotImplementedError`` with pyav/ffmpeg as the integration point.
+Codec note: PNG, PCM16-WAV, and animated-GIF decode are REAL —
+pure-stdlib codecs in ``operators/codecs.py`` (zlib inflate + all five
+PNG scanline filters; LZW + frame composition with disposal/
+transparency/interlace per the public GIF89a spec; stdlib ``wave``),
+no external media library required. MP4 is the one documented
+out-of-scope container: stdlib has no container/DCT support, so
+non-GIF video bytes raise ``ValueError`` with pyav/ffmpeg as the
+integration point.
 ``byte_histogram_features`` and ``sample_frames`` stay codec-free
 payload computations so metadata/feature pipelines never pay decode
 cost they don't need.
@@ -116,13 +117,15 @@ def media_stats(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
-    """Codec decode dispatch. PNG images and PCM16 WAV audio decode for
-    REAL via the pure-stdlib codecs in ``operators/codecs.py`` (zlib
-    inflate + full five-filter unfilter per the public PNG spec; stdlib
-    ``wave`` for PCM) — no external media library needed. Video (MP4)
-    remains the documented stub: stdlib has no container/DCT support, so
-    that branch raises ``NotImplementedError`` with pyav/ffmpeg as the
-    integration point.
+    """Codec decode dispatch. PNG images, PCM16 WAV audio, and animated
+    GIF video decode for REAL via the pure-stdlib codecs in
+    ``operators/codecs.py`` (zlib inflate + full five-filter unfilter
+    per the public PNG spec; stdlib ``wave`` for PCM; LZW + frame
+    composition per the public GIF89a spec) — no external media library
+    needed. MP4 stays the documented out-of-scope boundary: stdlib has
+    no container/DCT support, so non-GIF video bytes raise
+    ``ValueError`` with pyav/ffmpeg as the integration point for those
+    containers.
 
     Decoder contract (what :func:`resize_images` / :func:`sample_frames`
     accept via their ``decoder=`` parameter): a callable
@@ -144,10 +147,11 @@ def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
     if kind == "audio":
         samples, _rate = codecs.wav_decode(bytes(payload))
         return samples
-    raise NotImplementedError(
-        f"no media codec available for kind={kind!r}; "
-        "wire pyav/ffmpeg here for video containers"
-    )
+    if kind == "video":
+        # gif_decode raises ValueError for non-GIF bytes (MP4 etc. —
+        # the documented stdlib boundary)
+        return codecs.gif_decode(bytes(payload))
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def raw_grayscale_decoder(kind: str, payload: bytes, meta: dict):

@@ -3896,6 +3896,73 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(compute, out_schema)
 
 
+@register(
+    "media_gif_roundtrip",
+    None,  # executor-side codec round trip — byte-exactness asserted inline
+    doc="REAL animated-GIF codec exercised end-to-end on executors "
+        "(pure-stdlib LZW + frame composition in operators/codecs.py per "
+        "the public GIF89a spec — closes the video branch of the decoder "
+        "seam; MP4 stays the documented out-of-scope container): each "
+        "video-kind payload is shaped into a multi-frame 12×16 grayscale "
+        "animation, ENCODED to a valid GIF89a, DECODED back to the "
+        "composited (n_frames, H, W, 3) stack, and the row reports frame "
+        "count, GIF byte size, mean pixel, and a bit-exactness flag "
+        "(decode(encode(x)) == x across all frames) which must be true "
+        "for every row. One Arrow-batched pass; bytes never leave the "
+        "executor. sample_frames runs over the same real GIFs through "
+        "the decoder seam in the e2e pytest.",
+)
+def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd_mod
+
+    from .operators.media import media_from_documents
+
+    m = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "video").select("media_id", "payload")
+
+    out_schema = (
+        "media_id long, n_frames int, height int, width int, "
+        "gif_bytes int, mean_pixel double, roundtrip_exact boolean"
+    )
+
+    def compute(batches):
+        import numpy as np_mod
+
+        from .operators import codecs
+
+        fh, fw = 12, 16
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_frames", "height", "width", "gif_bytes",
+                "mean_pixel", "roundtrip_exact",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np_mod.frombuffer(payload, dtype=np_mod.uint8)
+                n = len(arr) // (fh * fw)
+                if n < 1:
+                    continue
+                frames = arr[: n * fh * fw].reshape(n, fh, fw)
+                data = codecs.gif_encode(frames)
+                back = codecs.gif_decode(data)
+                exact = bool(
+                    back.shape == (n, fh, fw, 3)
+                    and np_mod.array_equal(back[..., 0], frames)
+                    and np_mod.array_equal(back[..., 1], frames)
+                    and np_mod.array_equal(back[..., 2], frames)
+                )
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(n)
+                rows["height"].append(fh)
+                rows["width"].append(fw)
+                rows["gif_bytes"].append(len(data))
+                rows["mean_pixel"].append(float(frames.mean()))
+                rows["roundtrip_exact"].append(exact)
+            yield pd_mod.DataFrame(rows)
+
+    return m.mapInPandas(compute, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------
