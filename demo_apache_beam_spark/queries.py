@@ -359,12 +359,66 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnowing_oracle_sql(k: int = 8, window: int = 16, base: int = 1000003) -> str:
+    """DuckDB oracle for winnowing: the numpy kernel's int64-wraparound
+    polynomial hash reproduced exactly in HUGEINT mod-2^64 arithmetic
+    (per-gram terms expanded against precomputed base powers), mapped
+    back to signed int64, then min-per-sliding-window. The rightmost-min
+    TIE rule needs no SQL analogue: ties share the VALUE, and the output
+    is the distinct set of selected values — only which position was
+    selected differs, which the fingerprint set cannot see."""
+    m = 1 << 64
+    pows = [pow(base, e, m) for e in range(k - 1, -1, -1)]
+    terms = " + ".join(
+        f"codes[i+{j}]::HUGEINT * {pows[j]}::HUGEINT" for j in range(k)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, list_transform(string_split(s, ''), c -> unicode(c)) AS codes,
+             length(s) AS n
+      FROM norm WHERE length(s) >= {k}
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(range(1, n - {k} + 2), i ->
+               CAST((({terms}) % 18446744073709551616::HUGEINT) AS UHUGEINT)) AS hu,
+             n - {k} + 1 AS nh
+      FROM chars
+    ), signed AS (
+      SELECT doc_id, nh,
+             list_transform(hu, h -> CAST(
+               CASE WHEN h >= 9223372036854775808::UHUGEINT
+                    THEN h::HUGEINT - 18446744073709551616::HUGEINT
+                    ELSE h::HUGEINT END AS BIGINT)) AS sh
+      FROM hashes
+    ), pos AS (
+      SELECT doc_id, nh, unnest(sh) AS h, generate_subscripts(sh, 1) AS p
+      FROM signed
+    ), winmin AS (
+      SELECT doc_id, p, nh,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+      FROM pos
+    )
+    SELECT DISTINCT doc_id, wmin AS fingerprint FROM winmin
+    WHERE nh < {window} AND p = 1      -- short doc: one global min (frame clips)
+       OR (nh >= {window} AND p <= nh - {window - 1})
+    """
+
+
 @register(
     "text_winnowing",
-    None,  # mapInPandas rolling-hash selection — asserted in pytest
+    _winnowing_oracle_sql(),
     doc="Winnowing document fingerprints (MOSS rolling-hash): k-gram "
         "polynomial hashes, rightmost-min per sliding window, distinct "
-        "selected hashes exploded to (doc_id, fingerprint) rows.",
+        "selected hashes exploded to (doc_id, fingerprint) rows. "
+        "Oracle: the identical wraparound hash in HUGEINT mod-2^64 "
+        "arithmetic + windowed min (the tie rule only picks WHICH "
+        "position supplies an already-equal value, so the distinct "
+        "fingerprint set is engine-independent) — the deterministic "
+        "fingerprint kernel is hash-checked, not just rows-counted.",
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import winnowing_fingerprints
@@ -5190,9 +5244,13 @@ def _lsh_sig_store(spark: SparkSession, sf_dir: str):
         "16 tables on the fixture corpus).",
 )
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn_graph(
-        spark, sf_dir, source="lsh", index=_lsh_sig_store(spark, sf_dir)
-    )
+    try:
+        index = _lsh_sig_store(spark, sf_dir)
+    except Exception:
+        # read-only checkout / no writable warehouse: the inline signing
+        # path computes the identical graph, just without store reuse
+        index = None
+    return knn_graph(spark, sf_dir, source="lsh", index=index)
 
 
 @register(
