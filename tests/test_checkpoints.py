@@ -68,6 +68,26 @@ def test_untracked_is_plain_checkpoint(spark):
     unpersist_ids(spark, [rid])
 
 
+def test_topk_store_upsert_leaves_no_pinned_rdds(spark, tmp_path):
+    """Each upsert_batch checkpoints its merged slice; the blocks must be
+    released once the overwrite is durable — a long-running stream would
+    otherwise pin one RDD per micro-batch forever."""
+    from demo_apache_beam_spark.streaming.topk import TableTopKStore
+
+    store = TableTopKStore(spark, str(tmp_path / "store"), k=2)
+    before = _persistent_ids(spark)
+    for batch in range(3):
+        store.upsert_batch(
+            spark.createDataFrame(
+                [(f"2025-01-01 0{batch}:00:00", "TeamA", 10 + batch),
+                 (f"2025-01-01 0{batch}:00:00", "TeamB", 5)],
+                "window_start string, team string, total_score long",
+            )
+        )
+    assert _persistent_ids(spark) <= before
+    assert store.topk_df().count() > 0
+
+
 def test_near_dedup_batch_leaves_no_pinned_rdds(spark, tmp_path):
     """End-to-end: one ingest batch (which checkpoints bands, survivors,
     and every connected-components round internally) must release all of
