@@ -824,7 +824,11 @@ def incremental_exact_dedup(
     if _hadoop_path_exists(spark, store_path):
         hist = spark.read.parquet(store_path).select("_ck")
         firsts = firsts.join(hist, "_ck", "left_anti")
-    firsts = firsts.localCheckpoint()  # freeze winners before the store mutates
+    # freeze winners before the store mutates; tracked so a looping
+    # caller (epoch driver, foreachBatch) can scope + free the blocks
+    from .checkpoints import tracked_local_checkpoint
+
+    firsts = tracked_local_checkpoint(firsts)
     firsts.select("_ck").write.mode("append").parquet(store_path)
     return new_df.join(firsts.select(id_col), id_col, "left_semi")
 
