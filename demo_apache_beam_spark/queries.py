@@ -5192,6 +5192,34 @@ def knn_graph(
     )
 
 
+def _knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized exact kNN graph for ``sf_dir`` — the graph
+    analytics family (pagerank / weighted pagerank / LPA / triangles /
+    BFS) all consume the SAME k=5 edge list, so at scale it is built
+    once and persisted, not recomputed per analytics run (the graph
+    build is the dominant cost of each of those queries; the same
+    store-bootstrap discipline as the LSH signature table). The exact
+    graph is fully deterministic — the blocked kernel reproduces the
+    sequential IEEE fold and ties break on neighbor id — so the stored
+    rows are bit-identical to an inline build (pinned by pytest) and
+    every consumer's oracle, which recomputes the graph in SQL, still
+    hash-matches. Bootstrapped on first use behind a _SUCCESS probe;
+    unwritable warehouses fall back to the inline build."""
+    import os
+    import re
+
+    from .operators.dedup import _hadoop_path_exists
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.abspath(os.path.join("spark-warehouse", f"knn_graph_{tag}"))
+    try:
+        if not _hadoop_path_exists(spark, f"{path}/_SUCCESS"):
+            knn_graph(spark, sf_dir).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path).select("src_id", "rank", "dst_id", "cosine")
+    except Exception:
+        return knn_graph(spark, sf_dir)
+
+
 def _lsh_sig_store(spark: SparkSession, sf_dir: str):
     """The persisted bucketed LSH signature store for ``sf_dir``'s
     embeddings, bootstrapped on first use (the same FS-existence-probe
@@ -5340,7 +5368,7 @@ def _pagerank_weighted_oracle_sql(rounds: int = 10, damping: float = 0.85) -> st
 def knn_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank_weighted
 
-    g = knn_graph(spark, sf_dir).select(
+    g = _knn_graph_store(spark, sf_dir).select(
         "src_id", "dst_id", (F.lit(1.0) + F.col("cosine")).alias("weight")
     )
     pr = pagerank_weighted(g, damping=0.85, iterations=10)
@@ -5581,7 +5609,7 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_triangles(
     spark: SparkSession, sf_dir: str, graph: DataFrame | None = None
 ) -> DataFrame:
-    g = graph if graph is not None else knn_graph(spark, sf_dir)
+    g = graph if graph is not None else _knn_graph_store(spark, sf_dir)
     und = g.select(
         F.least("src_id", "dst_id").alias("a"),
         F.greatest("src_id", "dst_id").alias("b"),
@@ -5670,7 +5698,7 @@ def knn_pagerank(
     # graph parameter: analytics decoupled from the graph source — pass an
     # ANN-built edge list (knn_graph(..., source="lsh")) for the 100 TB
     # path; the registry default stays the exact graph for oracle parity.
-    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+    g = (graph if graph is not None else _knn_graph_store(spark, sf_dir)).select(
         "src_id", "dst_id"
     )
     pr = pagerank(g, damping=0.85, iterations=10)
@@ -6199,7 +6227,7 @@ def knn_communities(
 ) -> DataFrame:
     from .operators.graph import label_propagation
 
-    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+    g = (graph if graph is not None else _knn_graph_store(spark, sf_dir)).select(
         "src_id", "dst_id"
     )
     return label_propagation(g, iterations=5)
@@ -6842,7 +6870,7 @@ def knn_seed_distance(
 ) -> DataFrame:
     from .operators.graph import bfs_distances
 
-    g = (graph if graph is not None else knn_graph(spark, sf_dir)).select(
+    g = (graph if graph is not None else _knn_graph_store(spark, sf_dir)).select(
         "src_id", "dst_id"
     )
     seeds = (

@@ -391,6 +391,26 @@ def test_ann_knn_graph_lsh_overlap_and_pagerank_rank_correlation(spark):
     assert rho >= 0.95, rho
 
 
+def test_knn_graph_store_equals_inline(spark):
+    """The persisted exact kNN graph (the analytics family's shared
+    input) must be bit-identical to an inline build — the blocked
+    kernel's deterministic IEEE fold plus the id tie-break guarantee it,
+    and every consumer's oracle (which recomputes the graph in SQL)
+    depends on it."""
+    import shutil
+
+    from demo_apache_beam_spark.queries import _knn_graph_store, knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("spark-warehouse/knn_graph_sf0_001", ignore_errors=True)
+    inline = sorted(map(tuple, knn_graph(spark, sf).collect()))
+    stored = sorted(map(tuple, _knn_graph_store(spark, sf).collect()))
+    assert inline == stored
+    # second call reads the bootstrap back — still identical
+    again = sorted(map(tuple, _knn_graph_store(spark, sf).collect()))
+    assert again == inline
+
+
 def test_lsh_bucketed_store_graph_equals_inline(spark, tmp_path):
     """ann_knn_graph(index=persisted bucketed store) must return exactly
     the inline-signed graph: the store holds the same (id, table,
