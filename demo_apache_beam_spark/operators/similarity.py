@@ -69,6 +69,32 @@ def _scored_cosine(na: Column, nb: Column, a: Column, b: Column) -> Column:
     return dot_col(a, b) / (na * nb)
 
 
+def _arrow_pair_cosine(na: Column, nb: Column, a: Column, b: Column) -> Column:
+    """Arrow-batched sibling of :func:`_scored_cosine` for candidate
+    REFINEMENT, where the pair volume (ANN candidates) makes Spark's
+    row-at-a-time interpretation of the zip_with/aggregate fold the
+    bottleneck. Bit-identical to the interpreted fold: the dot product
+    is accumulated left-to-right over coordinates (``acc += x[:,j] *
+    y[:,j]`` — one numpy op per coordinate, vectorized ACROSS pairs, the
+    same per-pair IEEE op order), then divided by the same precomputed
+    norm product — so swapping the implementations cannot move a single
+    cosine, only the wall clock (the equality pytest pins it)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(na_s, nb_s, a_s, b_s):  # hint-less: future-annotations file
+        if len(a_s) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.vstack(a_s.to_numpy()).astype(np.float64)
+        y = np.vstack(b_s.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(x))
+        for j in range(x.shape[1]):  # left-to-right fold, = the HOF's
+            acc += x[:, j] * y[:, j]
+        return pd.Series(acc / (na_s.to_numpy() * nb_s.to_numpy()))
+
+    return pair_cos(na, nb, a, b)
+
+
 def _topk_two_phase(
     scored: DataFrame, k: int, query_id_col: str = "query_id"
 ) -> DataFrame:
@@ -302,9 +328,9 @@ def lsh_save_bucketed(
     drops the Exchange (and, with the persisted sort, the Sorts) — at
     100 TB the per-run cost of the graph build falls from
     sign-the-corpus + full shuffle to a co-located merge join over the
-    stored rows. Params land in ``{path}/_params`` (the underscore
-    prefix hides the file from the table scan); plane values are never
-    stored — :func:`hyperplanes` regenerates them from the seed."""
+    stored rows. Params land in the SIBLING directory ``{path}_params``
+    — outside the table location, so the table's file listing never
+    sees them; plane values are never stored — :func:`hyperplanes` regenerates them from the seed."""
     from ..functions.sinks import write_bucketed
 
     sigs, params = index
@@ -317,7 +343,8 @@ def lsh_save_bucketed(
         sort_cols=["_tbl", "_sig"],
         path=path,
     )
-    # after the table write: an overwrite above clears the directory
+    # sibling path: overwriting the table clears {path}; the params
+    # live next to it, not inside it
     spark.createDataFrame(
         [
             (
@@ -329,7 +356,7 @@ def lsh_save_bucketed(
             )
         ],
         "num_tables int, planes_per_table int, dim int, seed int, num_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}_params")
 
 
 def lsh_load_bucketed(spark, path: str, table_name: str) -> tuple[DataFrame, dict]:
@@ -340,7 +367,7 @@ def lsh_load_bucketed(spark, path: str, table_name: str) -> tuple[DataFrame, dic
     names, no data pass). The returned signatures carry the bucketing
     spec, so ``ann_knn_graph(..., index=...)`` self-joins them
     exchange-free."""
-    row = spark.read.parquet(f"{path}/_params").collect()[0]
+    row = spark.read.parquet(f"{path}_params").collect()[0]
     params = {
         "num_tables": int(row["num_tables"]),
         "planes_per_table": int(row["planes_per_table"]),
@@ -1649,7 +1676,7 @@ def ann_knn_graph(
         .select(
             F.col("src_id").alias("query_id"),
             F.col("dst_id").alias("neighbor_id"),
-            _scored_cosine(
+            _arrow_pair_cosine(
                 F.col("_sn"), F.col("_dn"), F.col("_sv"), F.col("_dv")
             ).alias("cosine"),
         )

@@ -3415,7 +3415,10 @@ def _event_users(sf_dir: str) -> int | None:
 def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk_blocked
 
-    centered = _user_series_profiles(spark, sf_dir)
+    # materialize the profiles once: the ranking consumes them as both
+    # corpus and query side, and re-running the groupBy+scatter per
+    # consumer would triple the dominant cost
+    centered = _user_series_profiles(spark, sf_dir).localCheckpoint()
     out = brute_force_topk_blocked(
         centered.select(F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")),
         centered.select(F.col("user_id").alias("query_id"), F.col("series").alias("embedding")),
@@ -3441,12 +3444,20 @@ def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is bucket-join-bounded with exact-Pearson refinement, so "
         "approximation costs only recall (top-5 overlap vs exact "
         "pinned ≥0.9 by pytest). The exact sibling stays the "
-        "oracle-parity anchor.",
+        "oracle-parity anchor. Wall note: at the bench's 1,500-user "
+        "corpus the exact path's single vectorized scan is still "
+        "cheaper — the ANN variant pays per-candidate join machinery "
+        "(shuffling 168-d vectors onto ~10^6 candidate pairs) whose "
+        "crossover sits at much larger user cardinality; it is the "
+        "scale path, not the small-corpus winner, by design.",
 )
 def user_series_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_knn_graph
 
-    centered = _user_series_profiles(spark, sf_dir)
+    # materialize once: the ANN graph reads its corpus THREE times
+    # (signature pass + the two refinement vector joins) — each read
+    # would otherwise re-run the profile groupBy + scatter UDF
+    centered = _user_series_profiles(spark, sf_dir).localCheckpoint()
     out = ann_knn_graph(
         centered.select(
             F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")
@@ -5238,7 +5249,7 @@ def _lsh_sig_store(spark: SparkSession, sf_dir: str):
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
     path = os.path.abspath(os.path.join("spark-warehouse", f"lsh_index_{tag}"))
     table = f"lsh_sigs_{tag}"
-    if not _hadoop_path_exists(spark, f"{path}/_params"):
+    if not _hadoop_path_exists(spark, f"{path}_params"):
         idx = lsh_build(
             load_table(spark, sf_dir, "embeddings"),
             id_col="vec_id",
