@@ -69,32 +69,6 @@ def _scored_cosine(na: Column, nb: Column, a: Column, b: Column) -> Column:
     return dot_col(a, b) / (na * nb)
 
 
-def _arrow_pair_cosine(na: Column, nb: Column, a: Column, b: Column) -> Column:
-    """Arrow-batched sibling of :func:`_scored_cosine` for candidate
-    REFINEMENT, where the pair volume (ANN candidates) makes Spark's
-    row-at-a-time interpretation of the zip_with/aggregate fold the
-    bottleneck. Bit-identical to the interpreted fold: the dot product
-    is accumulated left-to-right over coordinates (``acc += x[:,j] *
-    y[:,j]`` — one numpy op per coordinate, vectorized ACROSS pairs, the
-    same per-pair IEEE op order), then divided by the same precomputed
-    norm product — so swapping the implementations cannot move a single
-    cosine, only the wall clock (the equality pytest pins it)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def pair_cos(na_s, nb_s, a_s, b_s):  # hint-less: future-annotations file
-        if len(a_s) == 0:
-            return pd.Series([], dtype="float64")
-        x = np.vstack(a_s.to_numpy()).astype(np.float64)
-        y = np.vstack(b_s.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(x))
-        for j in range(x.shape[1]):  # left-to-right fold, = the HOF's
-            acc += x[:, j] * y[:, j]
-        return pd.Series(acc / (na_s.to_numpy() * nb_s.to_numpy()))
-
-    return pair_cos(na, nb, a, b)
-
-
 def _topk_two_phase(
     scored: DataFrame, k: int, query_id_col: str = "query_id"
 ) -> DataFrame:
@@ -1572,6 +1546,16 @@ def ann_knn_graph(
     graph-overlap pytest pins (edge overlap ≥0.9 vs exact on the
     fixture corpus, PageRank rank-correlation ≥0.95).
 
+    Refinement stays JVM-side deliberately: an Arrow-batched numpy
+    scorer was measured HEAD-TO-HEAD against the interpreted
+    zip_with/aggregate fold at sf0.1 (clean sessions, 3 runs each) and
+    LOST — 4.1-4.6 s vs 2.6-3.2 s on the 64-d graph, parity on the
+    168-d series profiles — because shipping both vectors of every
+    candidate pair through Arrow (pairs × 2·dim × 8 B) costs more than
+    interpreting the fold; the vectorized-kernel win only applies when
+    Python already holds the vectors (the blocked exact scan), not when
+    they must be exported per pair.
+
     Output: (src_id, rank, dst_id, cosine) — the ``knn_graph`` shape.
     """
     if method == "exact":
@@ -1676,7 +1660,7 @@ def ann_knn_graph(
         .select(
             F.col("src_id").alias("query_id"),
             F.col("dst_id").alias("neighbor_id"),
-            _arrow_pair_cosine(
+            _scored_cosine(
                 F.col("_sn"), F.col("_dn"), F.col("_sv"), F.col("_dv")
             ).alias("cosine"),
         )

@@ -878,45 +878,6 @@ def test_user_series_topk_matches_corrcoef(spark):
             assert abs(r["correlation"] - w) < 5.1e-7, (u, r["rank"])
 
 
-def test_arrow_pair_cosine_bit_equals_interpreted_fold(spark):
-    """The Arrow-batched refinement cosine must be BIT-identical to the
-    interpreted zip_with/aggregate fold (_scored_cosine) — the numpy
-    kernel folds coordinates left-to-right exactly like the HOF, so the
-    swap is pure wall-clock."""
-    import numpy as np
-
-    from demo_apache_beam_spark.operators.similarity import (
-        _arrow_pair_cosine,
-        _as_double,
-        _scored_cosine,
-        norm_col,
-    )
-
-    rng = np.random.default_rng(5)
-    rows = [
-        (i, [float(v) for v in rng.normal(size=17)],
-         [float(v) for v in rng.normal(size=17)])
-        for i in range(200)
-    ]
-    df = spark.createDataFrame(
-        rows, "id long, a array<double>, b array<double>"
-    ).select(
-        "id",
-        _as_double(F.col("a")).alias("a"),
-        _as_double(F.col("b")).alias("b"),
-    ).withColumn("na", norm_col(F.col("a"))).withColumn(
-        "nb", norm_col(F.col("b"))
-    )
-    got = df.select(
-        "id",
-        _scored_cosine(F.col("na"), F.col("nb"), F.col("a"), F.col("b")).alias("hof"),
-        _arrow_pair_cosine(F.col("na"), F.col("nb"), F.col("a"), F.col("b")).alias("arrow"),
-    ).collect()
-    assert len(got) == 200
-    for r in got:
-        assert r["hof"] == r["arrow"], r["id"]  # bit equality, no tolerance
-
-
 def test_user_series_topk_lsh_overlap(spark):
     """The LSH-ranked top-5 peer lists must overlap the exact ones ≥0.9
     (150-user corpus, 750 (user, peer) edges): Pearson = cosine on the
