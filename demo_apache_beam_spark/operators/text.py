@@ -253,7 +253,9 @@ def bpe_merges(
     (≤ ``driver_finish_max_vocab`` rows — probed by a bounded
     ``limit(n+1).count()`` over the ONE localCheckpointed vocab, so the
     corpus tokenize+aggregate runs exactly once on either path and the
-    driver never materializes rows just to route), all rounds
+    driver never materializes rows just to route — the checkpoint adds
+    ~0.5 s at sf0.1 over the old collect-to-route, the deliberate price
+    of bounded driver memory per ADVICE r6), all rounds
     run as one in-process Sennrich loop over the collected (syms,
     weight) rows — identical pair stats, identical (count desc, left,
     right) tie-break, identical non-overlapping left-to-right fuse, so
