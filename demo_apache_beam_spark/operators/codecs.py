@@ -261,6 +261,13 @@ _GIF_SIGS = (b"GIF87a", b"GIF89a")
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _gif_interlace_order(fh: int) -> list[int]:
+    """Row order of the spec's four interlace passes — the ONE
+    permutation both the encoder (applies it) and the decoder (inverts
+    it) must agree on for round trips to hold."""
+    return [r for start, step in _GIF_INTERLACE for r in range(start, fh, step)]
+
+
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF-variant LZW: variable-width codes (LSB-first bit packing),
     clear/end codes, widths grow 1 past each table-size power of two up
@@ -427,7 +434,13 @@ def gif_encode(
     offsets = offsets or [(0, 0)] * len(frames)
     disposals = disposals or [1] * len(frames)
 
-    # GCT size field n encodes 2^(n+1) entries — pad to that
+    # GCT size field n encodes 2^(n+1) entries — pad to that. The field
+    # is 3 bits, so a GIF color table caps at 256 entries: reject larger
+    # palettes here instead of emitting structurally invalid bytes.
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"GIF palettes cap at 256 entries, got {palette.shape[0]}"
+        )
     n_entries = max(2, int(palette.shape[0]))
     gct_n = max(0, (n_entries - 1).bit_length() - 1)
     padded = 1 << (gct_n + 1)
@@ -463,10 +476,7 @@ def gif_encode(
         out.append(0x40 if interlace else 0x00)
         raster = f
         if interlace:
-            order = [
-                r for start, step in _GIF_INTERLACE for r in range(start, fh, step)
-            ]
-            raster = f[order]
+            raster = f[_gif_interlace_order(fh)]
         out.append(min_code)
         out += _lzw_encode(raster, min_code)
     out.append(0x3B)
@@ -543,11 +553,8 @@ def gif_decode(data: bytes) -> np.ndarray:
         lzw, pos = _gif_subblocks(data, pos)
         idx = _lzw_decode(lzw, min_code, fw * fh).reshape(fh, fw)
         if ipacked & 0x40:  # deinterlace
-            order = [
-                r for start, step in _GIF_INTERLACE for r in range(start, fh, step)
-            ]
             de = np.empty_like(idx)
-            de[order] = idx
+            de[_gif_interlace_order(fh)] = idx
             idx = de
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")

@@ -5203,6 +5203,78 @@ def knn_graph(
     )
 
 
+def _store_errors():
+    """The exception set that legitimately means "store unavailable,
+    fall back / rebuild": filesystem errors, Spark analysis errors
+    (missing/corrupt paths, catalog DDL), and JVM-side I/O surfaced
+    through Py4J. Programming errors (TypeError, AssertionError, ...)
+    stay OUTSIDE this set and propagate — a silent downgrade to the
+    inline path must not hide real bugs (review r7)."""
+    from py4j.protocol import Py4JError
+    from pyspark.errors import AnalysisException
+
+    return (OSError, AnalysisException, Py4JError, IndexError)
+
+
+def _source_fingerprint(spark: SparkSession, sf_dir: str, table: str, extra: str) -> str:
+    """Content fingerprint of a source table + build params: md5 over the
+    sorted (file name, size, mtime) listing of ``{sf_dir}/{table}.parquet``
+    plus the params string. Regenerated testdata or changed build params
+    change the fingerprint, forcing a store rebuild — existence probes
+    alone would silently serve stale artifacts."""
+    import hashlib
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{table}.parquet")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        entries.append(
+            f"{st.getPath().getName()}:{st.getLen()}:{st.getModificationTime()}"
+        )
+    return hashlib.md5(
+        ("|".join(sorted(entries)) + "||" + extra).encode()
+    ).hexdigest()
+
+
+def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
+                     source_table: str, params_desc: str, build, load):
+    """Shared store-bootstrap shape for the persisted shared artifacts
+    (exact kNN graph, LSH signature table): key by scale tag under the
+    warehouse dir ($SPARK_GRAFT_STORE_DIR overrides; default
+    ./spark-warehouse), probe a one-row ``{path}_meta`` parquet holding
+    the SOURCE FINGERPRINT (file listing + build params — see
+    :func:`_source_fingerprint`), rebuild on missing/mismatched meta,
+    and hand the path to ``load``. Raises the store-unavailable set
+    (:func:`_store_errors`) for the caller's fallback; other exceptions
+    propagate."""
+    import os
+    import re
+
+    from .operators.dedup import _hadoop_path_exists
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    path = os.path.abspath(os.path.join(root, f"{name}_{tag}"))
+    fp = _source_fingerprint(spark, sf_dir, source_table, params_desc)
+    meta_path = f"{path}_meta"
+    fresh = False
+    if _hadoop_path_exists(spark, meta_path):
+        try:
+            row = spark.read.parquet(meta_path).collect()
+            fresh = bool(row) and row[0]["fingerprint"] == fp
+        except _store_errors():
+            fresh = False
+    if not fresh:
+        build(path, f"{name}_{tag}")
+        spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+    return load(path, f"{name}_{tag}")
+
+
 def _knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized exact kNN graph for ``sf_dir`` — the graph
     analytics family (pagerank / weighted pagerank / LPA / triangles /
@@ -5214,42 +5286,40 @@ def _knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential IEEE fold and ties break on neighbor id — so the stored
     rows are bit-identical to an inline build (pinned by pytest) and
     every consumer's oracle, which recomputes the graph in SQL, still
-    hash-matches. Bootstrapped on first use behind a _SUCCESS probe;
-    unwritable warehouses fall back to the inline build."""
-    import os
-    import re
-
-    from .operators.dedup import _hadoop_path_exists
-
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.abspath(os.path.join("spark-warehouse", f"knn_graph_{tag}"))
+    hash-matches. The store key fingerprints the embeddings files and
+    the build params, so regenerated testdata rebuilds instead of
+    serving stale edges; unwritable warehouses fall back to the inline
+    build (narrow store-error set only — real bugs propagate)."""
     try:
-        if not _hadoop_path_exists(spark, f"{path}/_SUCCESS"):
-            knn_graph(spark, sf_dir).write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path).select("src_id", "rank", "dst_id", "cosine")
-    except Exception:
+        return _bootstrap_store(
+            spark,
+            "knn_graph",
+            sf_dir,
+            "embeddings",
+            "knn_graph:k=5:dim=64:v1",
+            lambda path, _t: knn_graph(spark, sf_dir)
+            .write.mode("overwrite")
+            .parquet(path),
+            lambda path, _t: spark.read.parquet(path).select(
+                "src_id", "rank", "dst_id", "cosine"
+            ),
+        )
+    except _store_errors():
         return knn_graph(spark, sf_dir)
 
 
 def _lsh_sig_store(spark: SparkSession, sf_dir: str):
     """The persisted bucketed LSH signature store for ``sf_dir``'s
-    embeddings, bootstrapped on first use (the same FS-existence-probe
-    discipline as the dedup digest store): build once with the exact
-    params the inline path would use — so the graph is bit-identical —
-    write bucketed+sorted by (_tbl, _sig), and every later analytics
-    run self-joins the store exchange-free instead of re-signing the
-    corpus. Lives under the session warehouse dir, keyed by scale
-    tag; a missing store is the only case that builds."""
-    import os
-    import re
-
-    from .operators.dedup import _hadoop_path_exists
+    embeddings: build once with the exact params the inline path would
+    use — so the graph is bit-identical — write bucketed+sorted by
+    (_tbl, _sig), and every later analytics run self-joins the store
+    exchange-free instead of re-signing the corpus. Same
+    fingerprinted-bootstrap discipline as :func:`_knn_graph_store`
+    (regenerated embeddings or changed index params rebuild the store).
+    Raises the store-unavailable set for the caller's inline fallback."""
     from .operators.similarity import lsh_build, lsh_load_bucketed, lsh_save_bucketed
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    path = os.path.abspath(os.path.join("spark-warehouse", f"lsh_index_{tag}"))
-    table = f"lsh_sigs_{tag}"
-    if not _hadoop_path_exists(spark, f"{path}_params"):
+    def build(path, table):
         idx = lsh_build(
             load_table(spark, sf_dir, "embeddings"),
             id_col="vec_id",
@@ -5259,7 +5329,16 @@ def _lsh_sig_store(spark: SparkSession, sf_dir: str):
             corpus_size_hint=_embeddings_rows(sf_dir),
         )
         lsh_save_bucketed(idx, path, table, num_buckets=32)
-    return lsh_load_bucketed(spark, path, table)
+
+    return _bootstrap_store(
+        spark,
+        "lsh_index",
+        sf_dir,
+        "embeddings",
+        "lsh:tables=16:dim=64:seed=42:buckets=32:v1",
+        build,
+        lambda path, table: lsh_load_bucketed(spark, path, table),
+    )
 
 
 @register(
@@ -5285,7 +5364,7 @@ def _lsh_sig_store(spark: SparkSession, sf_dir: str):
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         index = _lsh_sig_store(spark, sf_dir)
-    except Exception:
+    except _store_errors():
         # read-only checkout / no writable warehouse: the inline signing
         # path computes the identical graph, just without store reuse
         index = None

@@ -411,6 +411,24 @@ def test_knn_graph_store_equals_inline(spark):
     assert again == inline
 
 
+def test_knn_graph_store_rebuilds_on_stale_fingerprint(spark):
+    """A store whose meta fingerprint no longer matches the source
+    listing + build params must REBUILD, not serve stale edges — the
+    existence probe alone would (review r7)."""
+    from demo_apache_beam_spark.queries import _knn_graph_store
+
+    sf = "/root/testdata/sf0.001"
+    _knn_graph_store(spark, sf).count()  # ensure bootstrapped
+    meta = "spark-warehouse/knn_graph_sf0_001_meta"
+    spark.createDataFrame([("stale",)], "fingerprint string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(meta)
+    rows = _knn_graph_store(spark, sf)  # must rebuild
+    assert rows.count() > 0
+    fp = spark.read.parquet(meta).collect()[0]["fingerprint"]
+    assert fp != "stale"  # meta rewritten with the real fingerprint
+
+
 def test_lsh_bucketed_store_graph_equals_inline(spark, tmp_path):
     """ann_knn_graph(index=persisted bucketed store) must return exactly
     the inline-signed graph: the store holds the same (id, table,

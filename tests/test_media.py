@@ -721,6 +721,14 @@ def test_gif_interlaced_frames_deinterlace():
     assert np.array_equal(out[0, :, :, 0], f)
 
 
+def test_gif_encode_rejects_oversized_palette():
+    """The GCT size field is 3 bits (max 256 entries): an oversized
+    palette must fail at encode time, never emit invalid bytes."""
+    c = _gif()
+    with pytest.raises(ValueError, match="256"):
+        c.gif_encode([np.zeros((4, 4), np.uint8)], palette=np.zeros((300, 3), np.uint8))
+
+
 def test_gif_rejects_non_gif_truncated_and_corrupt():
     c = _gif()
     frames = np.zeros((1, 4, 4), np.uint8)
