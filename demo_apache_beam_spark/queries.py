@@ -6898,6 +6898,57 @@ def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_docs.join(contaminated, "doc_id", "left_anti")
 
 
+@register(
+    "embedding_decontamination",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE ((vec_id % 1000) * 2654435761) % 1000 < 50
+    ), t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings
+      WHERE NOT (((vec_id % 1000) * 2654435761) % 1000 < 50)
+    )
+    SELECT t.vec_id,
+           max(list_cosine_similarity(t.tv, e.ev)) AS max_eval_cosine,
+           max(list_cosine_similarity(t.tv, e.ev)) >= 0.5 AS contaminated
+    FROM t, e
+    GROUP BY t.vec_id
+    """,
+    doc="SEMANTIC train/eval decontamination — the embedding-space "
+        "sibling of the n-gram shingle check (corpus_decontamination): "
+        "for every training vector, the maximum cosine to ANY vector of "
+        "the held-out eval split (a 5% deterministic hash sample "
+        "standing in for a benchmark set), plus a contaminated flag at "
+        "cosine ≥ 0.5 — the leak check that catches paraphrased or "
+        "re-tokenized benchmark content exact n-gram matching misses. "
+        "Scale shape: the eval side is small BY CONSTRUCTION (it is a "
+        "benchmark), so it broadcasts and the corpus-sized train side "
+        "is scored in ONE scan with a partial-aggregated max — no "
+        "shuffle of train vectors, no ANN needed; the 100 TB cost is "
+        "the scan itself. Cosines fold left-to-right (cosine_col), "
+        "bit-identical to DuckDB's list_cosine_similarity, so max and "
+        "flag hash-match exactly.",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import _as_double, cosine_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = ((F.col("vec_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("_eid"), _as_double(F.col("embedding")).alias("_ev")
+    )
+    tr = emb.filter(~is_eval).select(
+        "vec_id", _as_double(F.col("embedding")).alias("_tv")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "vec_id", cosine_col(F.col("_tv"), F.col("_ev")).alias("_cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("_cos").alias("max_eval_cosine"),
+        (F.max("_cos") >= F.lit(0.5)).alias("contaminated"),
+    )
+
+
 def _bfs_oracle_sql(rounds: int = 4) -> str:
     """Unrolled multi-source BFS over knn_graph's hash-green edge CTE:
     each round is the operator's min-plus relaxation verbatim — frontier

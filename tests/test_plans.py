@@ -460,6 +460,18 @@ def test_ann_knn_graph_all_joins_are_equi_joins(spark):
     assert "SortMergeJoin [_tbl" in plan or "ShuffledHashJoin [_tbl" in plan
 
 
+def test_embedding_decontamination_broadcasts_eval_side(spark):
+    """Semantic decontamination must broadcast the (small, benchmark)
+    eval split and keep the corpus-sized train side in one scan feeding
+    a partial+final max — never shuffle train vectors."""
+    plan = explain_str(
+        REGISTRY["embedding_decontamination"].fn(spark, SF_SMALL), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") == 2  # partial + final max
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
 def test_lsh_bucketed_store_self_join_is_exchange_free(spark, tmp_path):
     """Over the persisted signature store (bucketed + sorted by
     (_tbl, _sig)) the candidate self-join must plan with NO Exchange on
