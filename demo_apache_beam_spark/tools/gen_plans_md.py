@@ -40,6 +40,11 @@ HEADLINE = [
     # round-6 additions: ANN bucket self-join graph, window-coverage span dedup
     "knn_graph_lsh",
     "dedup_spans",
+    # round-7 additions: oracle-backed series similarity, segmented-scan
+    # EWMA, broadcast-side semantic decontamination
+    "user_series_topk",
+    "user_value_ewma",
+    "embedding_decontamination",
 ]
 
 _SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
