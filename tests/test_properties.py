@@ -211,3 +211,46 @@ def test_bpe_merges_matches_reference_on_random_vocab(spark, words):
         for r in bpe_merges(docs, n_merges=3).orderBy("step").collect()
     ]
     assert got == merges
+
+
+@given(
+    frames=st.integers(1, 3),
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    interlace=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+@settings(**_SETTINGS)
+def test_gif_round_trip_random_animations(frames, h, w, interlace, seed):
+    """Randomized GIF round trips (no Spark): any frame count / raster
+    shape / interlacing must decode back bit-exactly — the LZW width
+    machinery, sub-block framing, and interlace permutation have no
+    shape-dependent edge left untested."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.codecs import gif_decode, gif_encode
+
+    rng = np.random.default_rng(seed)
+    f = rng.integers(0, 256, size=(frames, h, w), dtype=np.uint8)
+    out = gif_decode(gif_encode(f, interlace=interlace))
+    assert out.shape == (frames, h, w, 3)
+    for ch in range(3):
+        assert np.array_equal(out[..., ch], f)
+
+
+@given(v=st.integers(0, 2**63 - 1))
+@settings(**_SETTINGS)
+def test_hash32_equals_naive_product_everywhere(spark, v):
+    """The 16-bit-halves multiplicative hash must equal the naive
+    (v * 2654435761) % 2^32 for EVERY non-negative int64 — including the
+    range where the naive product would overflow int64 and Spark would
+    silently wrap (the reason the halves exist)."""
+    from demo_apache_beam_spark.queries import _hash32
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.range(1)
+        .select(_hash32(F.lit(v).cast("long")).alias("h"))
+        .first()["h"]
+    )
+    assert got == (v * 2654435761) % 4294967296
