@@ -5249,7 +5249,11 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
     :func:`_source_fingerprint`), rebuild on missing/mismatched meta,
     and hand the path to ``load``. Raises the store-unavailable set
     (:func:`_store_errors`) for the caller's fallback; other exceptions
-    propagate."""
+    propagate. Concurrency: two processes bootstrapping the same key
+    race last-writer-wins on the overwrite (both write identical bytes
+    — builds are deterministic); a reader overlapping the overwrite
+    window surfaces a store error and takes the caller's inline
+    fallback rather than wrong data."""
     import os
     import re
 
@@ -6923,25 +6927,40 @@ def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-tokenized benchmark content exact n-gram matching misses. "
         "Scale shape: the eval side is small BY CONSTRUCTION (it is a "
         "benchmark), so it broadcasts and the corpus-sized train side "
-        "is scored in ONE scan with a partial-aggregated max — no "
-        "shuffle of train vectors, no ANN needed; the 100 TB cost is "
-        "the scan itself. Cosines fold left-to-right (cosine_col), "
+        "is scored in one scan + one row-volume shuffle (a deliberate "
+        "materialization barrier before the pair loop — see the inline "
+        "note) into a partial-aggregated max; no ANN needed, the "
+        "100 TB cost is the scan itself. Cosines fold left-to-right, "
         "bit-identical to DuckDB's list_cosine_similarity, so max and "
         "flag hash-match exactly.",
 )
 def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import _as_double, cosine_col
+    from .operators.similarity import _as_double, dot_col_unrolled, norm_col
 
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = ((F.col("vec_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
     ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("_eid"), _as_double(F.col("embedding")).alias("_ev")
-    )
+    ).withColumn("_en", norm_col(F.col("_ev")))
     tr = emb.filter(~is_eval).select(
         "vec_id", _as_double(F.col("embedding")).alias("_tv")
-    )
+    ).withColumn("_tn", norm_col(F.col("_tv")))
+    # Exchange barrier before the pair loop, deliberately: fused into
+    # the BroadcastNestedLoopJoin's codegen, the stream side's
+    # interpreted double-cast + norm fold re-evaluate PER PAIR (|eval|
+    # times per train row — measured 2.0 s vs 1.2 s at sf0.1); the
+    # shuffle materializes them once per ROW and spreads the pair loop
+    # across the cluster. Shuffled volume is just the train vectors —
+    # the same bytes the scan read.
+    tr = tr.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    # norms fold once per ROW (HOF is fine there); the per-PAIR dot is
+    # the hot path — unrolled into a codegen'd 64-term chain, identical
+    # IEEE order to the fold (see dot_col_unrolled)
     scored = tr.crossJoin(F.broadcast(ev)).select(
-        "vec_id", cosine_col(F.col("_tv"), F.col("_ev")).alias("_cos")
+        "vec_id",
+        (
+            dot_col_unrolled("_tv", "_ev", 64) / (F.col("_tn") * F.col("_en"))
+        ).alias("_cos"),
     )
     return scored.groupBy("vec_id").agg(
         F.max("_cos").alias("max_eval_cosine"),

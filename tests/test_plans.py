@@ -462,14 +462,16 @@ def test_ann_knn_graph_all_joins_are_equi_joins(spark):
 
 def test_embedding_decontamination_broadcasts_eval_side(spark):
     """Semantic decontamination must broadcast the (small, benchmark)
-    eval split and keep the corpus-sized train side in one scan feeding
-    a partial+final max — never shuffle train vectors."""
+    eval split and score the corpus-sized train side through exactly two
+    row-volume shuffles: the deliberate materialization barrier before
+    the pair loop (without it the stream side's cast + norm re-evaluate
+    per PAIR inside the fused BNLJ codegen) and the final max's."""
     plan = explain_str(
         REGISTRY["embedding_decontamination"].fn(spark, SF_SMALL), "simple"
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") == 2  # partial + final max
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
 
 
 def test_lsh_bucketed_store_self_join_is_exchange_free(spark, tmp_path):
