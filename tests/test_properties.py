@@ -254,3 +254,26 @@ def test_hash32_equals_naive_product_everywhere(spark, v):
         .first()["h"]
     )
     assert got == (v * 2654435761) % 4294967296
+
+
+@given(
+    h=st.integers(1, 14),
+    w=st.integers(1, 14),
+    ch=st.sampled_from([1, 3, 4]),
+    seed=st.integers(0, 10_000),
+)
+@settings(**_SETTINGS)
+def test_png_round_trip_random_rasters(h, w, ch, seed):
+    """Randomized PNG round trips with a random filter type per row: any
+    raster shape × channel count × filter sequence must reconstruct
+    exactly (the five unfilter paths share no shape-dependent edge)."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.codecs import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h).tolist()
+    out = png_decode(png_encode(img, row_filters=filters))
+    assert np.array_equal(out, img)
