@@ -6968,6 +6968,88 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_contamination_report",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p
+      FROM t WHERE len(toks) >= 8
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[p:p+7], ' ') AS shingle
+      FROM pos
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
+    ), ngram AS (
+      SELECT doc_id, count(*) AS n_shared_shingles
+      FROM sh JOIN eval_sh USING (shingle)
+      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
+      GROUP BY doc_id
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE ((vec_id % 1000) * 2654435761) % 1000 < 50
+    ), tv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings
+      WHERE NOT (((vec_id % 1000) * 2654435761) % 1000 < 50)
+    ), sem AS (
+      SELECT tv.vec_id AS doc_id,
+             max(list_cosine_similarity(tv.tv, e.ev)) AS max_eval_cosine
+      FROM tv, e GROUP BY tv.vec_id
+    )
+    SELECT d.doc_id,
+           coalesce(ngram.n_shared_shingles, 0) AS n_shared_shingles,
+           sem.max_eval_cosine,
+           coalesce(ngram.n_shared_shingles, 0) > 0 AS ngram_contaminated,
+           coalesce(sem.max_eval_cosine >= 0.5, FALSE) AS semantic_contaminated,
+           (coalesce(ngram.n_shared_shingles, 0) > 0
+            OR coalesce(sem.max_eval_cosine >= 0.5, FALSE)) AS contaminated
+    FROM documents d
+    LEFT JOIN ngram ON ngram.doc_id = d.doc_id
+    LEFT JOIN sem ON sem.doc_id = d.doc_id
+    WHERE NOT (((d.doc_id % 1000) * 2654435761) % 1000 < 50)
+    """,
+    doc="The composed decontamination CAPSTONE: one row per training "
+        "document carrying BOTH leak signals against the eval split — "
+        "exact 8-token shingle overlap count (corpus_decontamination's "
+        "broadcast join) and embedding-space max cosine "
+        "(embedding_decontamination's broadcast scan, for documents "
+        "that have an embedding) — with per-signal and combined "
+        "contamination flags. The id spaces align by construction "
+        "(vec_id ⊂ doc_id), so both signals use the SAME deterministic "
+        "hash split and the report is a pure composition of two "
+        "hash-green pieces: left joins from the train-doc list, no new "
+        "float math, oracle-checked end-to-end. Scale shape inherits "
+        "its parts: two corpus scans, benchmark-sized broadcasts, "
+        "doc-count-sized join keys.",
+)
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ngram = corpus_decontamination(spark, sf_dir)
+    sem = embedding_decontamination(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        "max_eval_cosine",
+        F.col("contaminated").alias("_sem"),
+    )
+    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    train = (
+        load_table(spark, sf_dir, "documents").filter(~is_eval).select("doc_id")
+    )
+    n = F.coalesce(F.col("n_shared_shingles"), F.lit(0).cast("long"))
+    return (
+        train.join(ngram, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_shared_shingles"),
+            "max_eval_cosine",
+            (n > 0).alias("ngram_contaminated"),
+            F.coalesce(F.col("_sem"), F.lit(False)).alias("semantic_contaminated"),
+            ((n > 0) | F.coalesce(F.col("_sem"), F.lit(False))).alias("contaminated"),
+        )
+    )
+
+
 def _bfs_oracle_sql(rounds: int = 4) -> str:
     """Unrolled multi-source BFS over knn_graph's hash-green edge CTE:
     each round is the operator's min-plus relaxation verbatim — frontier

@@ -878,6 +878,32 @@ def test_user_series_topk_matches_corrcoef(spark):
             assert abs(r["correlation"] - w) < 5.1e-7, (u, r["rank"])
 
 
+def test_dot_col_unrolled_bit_equals_fold(spark):
+    """The expr-string unrolled dot must be BIT-identical to the
+    interpreted aggregate fold: SQL + is left-associative, so the
+    addition sequence matches the fold's exactly (the fold's leading
+    0.0+ cannot change a sum)."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import dot_col, dot_col_unrolled
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(v) for v in rng.normal(size=23)],
+         [float(v) for v in rng.normal(size=23)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        "id",
+        dot_col(F.col("a"), F.col("b")).alias("fold"),
+        dot_col_unrolled("a", "b", 23).alias("unrolled"),
+    ).collect()
+    assert len(got) == 150
+    for r in got:
+        assert r["fold"] == r["unrolled"], r["id"]  # bit equality
+
+
 def test_user_series_topk_lsh_overlap(spark):
     """The LSH-ranked top-5 peer lists must overlap the exact ones ≥0.9
     (150-user corpus, 750 (user, peer) edges): Pearson = cosine on the
