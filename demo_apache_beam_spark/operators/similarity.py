@@ -70,10 +70,14 @@ def dot_col_unrolled(a_name: str, b_name: str, dim: int) -> Column:
     arithmetic instead of a per-element interpreted lambda. Built as
     ONE ``F.expr`` string over column NAMES: constructing it from 2·dim
     ``getItem`` Column objects measured ~0.9 s of per-call py4j/analysis
-    overhead on the driver — the string parses in one call. Use when
-    the dimension is statically known; the HOF stays for dynamic dims."""
+    overhead on the driver — the string parses in one call. The chain
+    KEEPS the fold's leading ``0.0 +`` so even the negative-zero case
+    is bit-identical (without it, all-(-0.0) products would yield -0.0
+    where the fold yields +0.0). Use when the dimension is statically
+    known; the HOF stays for dynamic dims."""
     return F.expr(
-        " + ".join(f"{a_name}[{j}] * {b_name}[{j}]" for j in range(dim))
+        "0.0 + "
+        + " + ".join(f"{a_name}[{j}] * {b_name}[{j}]" for j in range(dim))
     )
 
 
@@ -357,7 +361,12 @@ def lsh_load_bucketed(spark, path: str, table_name: str) -> tuple[DataFrame, dic
     names, no data pass). The returned signatures carry the bucketing
     spec, so ``ann_knn_graph(..., index=...)`` self-joins them
     exchange-free."""
-    row = spark.read.parquet(f"{path}_params").collect()[0]
+    rows = spark.read.parquet(f"{path}_params").collect()
+    if not rows:
+        # corrupt/truncated sidecar = store unavailable (callers fall
+        # back or rebuild) — not a programming error
+        raise OSError(f"empty LSH params sidecar at {path}_params")
+    row = rows[0]
     params = {
         "num_tables": int(row["num_tables"]),
         "planes_per_table": int(row["planes_per_table"]),

@@ -5213,7 +5213,7 @@ def _store_errors():
     from py4j.protocol import Py4JError
     from pyspark.errors import AnalysisException
 
-    return (OSError, AnalysisException, Py4JError, IndexError)
+    return (OSError, AnalysisException, Py4JError)
 
 
 def _source_fingerprint(spark: SparkSession, sf_dir: str, table: str, extra: str) -> str:
@@ -5242,18 +5242,24 @@ def _source_fingerprint(spark: SparkSession, sf_dir: str, table: str, extra: str
 def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
                      source_table: str, params_desc: str, build, load):
     """Shared store-bootstrap shape for the persisted shared artifacts
-    (exact kNN graph, LSH signature table): key by scale tag under the
-    warehouse dir ($SPARK_GRAFT_STORE_DIR overrides; default
+    (exact/ANN kNN graph, LSH signature table): key by scale tag under
+    the warehouse dir ($SPARK_GRAFT_STORE_DIR overrides; default
     ./spark-warehouse), probe a one-row ``{path}_meta`` parquet holding
     the SOURCE FINGERPRINT (file listing + build params — see
     :func:`_source_fingerprint`), rebuild on missing/mismatched meta,
     and hand the path to ``load``. Raises the store-unavailable set
     (:func:`_store_errors`) for the caller's fallback; other exceptions
-    propagate. Concurrency: two processes bootstrapping the same key
-    race last-writer-wins on the overwrite (both write identical bytes
-    — builds are deterministic); a reader overlapping the overwrite
-    window surfaces a store error and takes the caller's inline
-    fallback rather than wrong data."""
+    propagate. Hardening (review r7): freshness requires the DATA
+    directory's ``_SUCCESS`` too, not just the meta — a deleted store
+    under a surviving sidecar rebuilds instead of permanently falling
+    back; an unwritable warehouse fails a tiny FS create-probe BEFORE
+    any build work runs (no doomed full build per call); and a
+    per-session memo skips the meta-read job when the recomputed
+    fingerprint matches the one already served. Concurrency: two
+    processes bootstrapping the same key race last-writer-wins on the
+    overwrite (both write identical bytes — builds are deterministic);
+    a reader overlapping the overwrite window surfaces a store error
+    and takes the caller's inline fallback rather than wrong data."""
     import os
     import re
 
@@ -5262,21 +5268,53 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
     root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
     path = os.path.abspath(os.path.join(root, f"{name}_{tag}"))
+    table = f"{name}_{tag}"
     fp = _source_fingerprint(spark, sf_dir, source_table, params_desc)
+
+    memo_key = (id(spark), path)
+    cached = _STORE_MEMO.get(memo_key)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+
     meta_path = f"{path}_meta"
     fresh = False
-    if _hadoop_path_exists(spark, meta_path):
+    if _hadoop_path_exists(spark, meta_path) and _hadoop_path_exists(
+        spark, f"{path}/_SUCCESS"
+    ):
         try:
             row = spark.read.parquet(meta_path).collect()
             fresh = bool(row) and row[0]["fingerprint"] == fp
         except _store_errors():
             fresh = False
     if not fresh:
-        build(path, f"{name}_{tag}")
+        _probe_writable(spark, path)  # raises OSError before any build work
+        build(path, table)
         spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
             "overwrite"
         ).parquet(meta_path)
-    return load(path, f"{name}_{tag}")
+    out = load(path, table)
+    _STORE_MEMO[memo_key] = (fp, out)
+    return out
+
+
+#: (session id, store path) -> (fingerprint, loaded DataFrame) — plan
+#: objects only; lets warm calls skip the meta-read job (the cheap FS
+#: listing still runs every call, so source changes are never missed)
+_STORE_MEMO: dict = {}
+
+
+def _probe_writable(spark: SparkSession, path: str) -> None:
+    """Create-and-delete a sentinel under the store root; raises OSError
+    when the warehouse is unwritable, so callers fall back BEFORE paying
+    a full build whose write is doomed."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}__probe")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(p, True).close()
+        fs.delete(p, False)
+    except Exception as e:  # any JVM-side failure = unwritable
+        raise OSError(f"store root not writable: {path}") from e
 
 
 def _knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6973,6 +7011,11 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("_eid"), _as_double(F.col("embedding")).alias("_ev")
     ).withColumn("_en", norm_col(F.col("_ev")))
+    # the unrolled dot hardcodes dim=64: fail loudly on mismatched data
+    # instead of silently truncating (or NULLing) the cosine
+    ev = ev.withColumn(
+        "_dimchk", F.assert_true(F.size("_ev") == 64, F.lit("embedding dim != 64"))
+    ).drop("_dimchk")
     tr = emb.filter(~is_eval).select(
         "vec_id", _as_double(F.col("embedding")).alias("_tv")
     ).withColumn("_tn", norm_col(F.col("_tv")))

@@ -893,15 +893,25 @@ def test_dot_col_unrolled_bit_equals_fold(spark):
          [float(v) for v in rng.normal(size=23)])
         for i in range(150)
     ]
+    # adversarial -0.0 case: EVERY product is -0.0 (-1.0 * +0.0), so a
+    # chain without the fold's leading 0.0+ would sum to -0.0 while the
+    # fold yields +0.0 — the sign-bit assert below catches the drift
+    rows.append((150, [-1.0] * 23, [0.0] * 23))
     df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
     got = df.select(
         "id",
         dot_col(F.col("a"), F.col("b")).alias("fold"),
         dot_col_unrolled("a", "b", 23).alias("unrolled"),
     ).collect()
-    assert len(got) == 150
+    assert len(got) == 151
+    import math
+
     for r in got:
-        assert r["fold"] == r["unrolled"], r["id"]  # bit equality
+        # TRUE bit equality: == treats -0.0 == 0.0, copysign does not
+        assert r["fold"] == r["unrolled"], r["id"]
+        assert math.copysign(1.0, r["fold"]) == math.copysign(
+            1.0, r["unrolled"]
+        ), r["id"]
 
 
 def test_user_series_topk_lsh_overlap(spark):

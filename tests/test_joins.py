@@ -417,16 +417,48 @@ def test_knn_graph_store_rebuilds_on_stale_fingerprint(spark):
     existence probe alone would (review r7)."""
     from demo_apache_beam_spark.queries import _knn_graph_store
 
+    import os
+
     sf = "/root/testdata/sf0.001"
     _knn_graph_store(spark, sf).count()  # ensure bootstrapped
-    meta = "spark-warehouse/knn_graph_sf0_001_meta"
+    # derive the meta path the way _bootstrap_store does, so the test
+    # holds under $SPARK_GRAFT_STORE_DIR or a non-root cwd
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    meta = os.path.abspath(os.path.join(root, "knn_graph_sf0_001")) + "_meta"
     spark.createDataFrame([("stale",)], "fingerprint string").coalesce(
         1
     ).write.mode("overwrite").parquet(meta)
+    # the session memo legitimately skips the meta re-read while the
+    # SOURCE fingerprint is unchanged; staleness detection is a
+    # fresh-session concern — clear it to simulate one
+    from demo_apache_beam_spark.queries import _STORE_MEMO
+
+    _STORE_MEMO.clear()
     rows = _knn_graph_store(spark, sf)  # must rebuild
     assert rows.count() > 0
     fp = spark.read.parquet(meta).collect()[0]["fingerprint"]
     assert fp != "stale"  # meta rewritten with the real fingerprint
+
+
+def test_knn_graph_store_self_heals_after_data_loss(spark):
+    """A deleted data directory under a SURVIVING meta sidecar must
+    rebuild (freshness probes the data _SUCCESS too), not permanently
+    fall back to the inline path (review r7)."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import _STORE_MEMO, _knn_graph_store
+
+    sf = "/root/testdata/sf0.001"
+    _knn_graph_store(spark, sf).count()  # bootstrapped
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    data = os.path.abspath(os.path.join(root, "knn_graph_sf0_001"))
+    assert os.path.isdir(data) and os.path.isdir(data + "_meta")
+    shutil.rmtree(data)  # lose the data, keep the sidecar
+    _STORE_MEMO.clear()  # fresh-session view
+    rows = _knn_graph_store(spark, sf)
+    assert rows.count() > 0
+    assert os.path.isdir(data)  # rebuilt, not fallen back
 
 
 def test_lsh_bucketed_store_graph_equals_inline(spark, tmp_path):
