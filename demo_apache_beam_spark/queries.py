@@ -5273,8 +5273,16 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
 
     memo_key = (id(spark), path)
     cached = _STORE_MEMO.get(memo_key)
-    if cached is not None and cached[0] == fp:
+    if (
+        cached is not None
+        and cached[0] == fp
+        and _hadoop_path_exists(spark, f"{path}/_SUCCESS")
+    ):
+        # the _SUCCESS probe (one FS call, like the source listing above)
+        # keeps a long-lived session from serving plans over a store
+        # deleted out-of-band — it falls through and self-heals instead
         return cached[1]
+    _STORE_MEMO.pop(memo_key, None)
 
     meta_path = f"{path}_meta"
     fresh = False
@@ -5292,6 +5300,11 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
         spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
             "overwrite"
         ).parquet(meta_path)
+        # purge the session-shared file-listing cache for both paths: an
+        # out-of-band delete + rebuild reuses the same directory, and a
+        # stale cached listing would hand new reads the OLD part files
+        spark.catalog.refreshByPath(path)
+        spark.catalog.refreshByPath(meta_path)
     out = load(path, table)
     _STORE_MEMO[memo_key] = (fp, out)
     return out
@@ -5299,7 +5312,9 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
 
 #: (session id, store path) -> (fingerprint, loaded DataFrame) — plan
 #: objects only; lets warm calls skip the meta-read job (the cheap FS
-#: listing still runs every call, so source changes are never missed)
+#: listing still runs every call, so source changes are never missed,
+#: and a _SUCCESS probe per hit means out-of-band store deletion
+#: self-heals instead of serving plans over vanished part files)
 _STORE_MEMO: dict = {}
 
 

@@ -461,6 +461,29 @@ def test_knn_graph_store_self_heals_after_data_loss(spark):
     assert os.path.isdir(data)  # rebuilt, not fallen back
 
 
+def test_knn_graph_store_self_heals_with_warm_memo(spark):
+    """Out-of-band data loss while the SESSION MEMO is warm: the memo
+    hit must notice the vanished _SUCCESS and fall through to a rebuild
+    — without the probe, a long-lived session keeps serving plans over
+    deleted part files (FAILED_READ_FILE), and since the poisoned entry
+    short-circuits the bootstrap, every later consumer in the session
+    fails too (the r7 full-suite cascade)."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import _knn_graph_store, knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    expected = sorted(map(tuple, knn_graph(spark, sf).collect()))
+    _knn_graph_store(spark, sf).count()  # bootstrapped; memo now warm
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    data = os.path.abspath(os.path.join(root, "knn_graph_sf0_001"))
+    shutil.rmtree(data)  # NO memo clear — the live session must recover
+    rows = sorted(map(tuple, _knn_graph_store(spark, sf).collect()))
+    assert rows == expected
+    assert os.path.isdir(data)  # rebuilt through the memo fall-through
+
+
 def test_lsh_bucketed_store_graph_equals_inline(spark, tmp_path):
     """ann_knn_graph(index=persisted bucketed store) must return exactly
     the inline-signed graph: the store holds the same (id, table,
