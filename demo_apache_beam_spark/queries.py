@@ -7139,6 +7139,91 @@ def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_mix",
+    """
+    WITH d AS (
+      SELECT source, lang, text,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             count(DISTINCT md5(text)) AS n_distinct_texts
+      FROM d GROUP BY source
+    ), sl AS (
+      SELECT source, lang, count(*) AS c FROM d GROUP BY source, lang
+    ), ent AS (
+      SELECT sl.source,
+             sum(-(sl.c / s.n_docs) * ln(sl.c / s.n_docs)) AS h
+      FROM sl JOIN s ON s.source = sl.source
+      GROUP BY sl.source
+    ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+    SELECT s.source,
+           s.n_docs,
+           round(s.n_docs / tot.total, 6) AS corpus_share,
+           s.n_tokens,
+           round(s.n_tokens / s.n_docs, 6) AS avg_tokens,
+           round(s.n_distinct_texts / s.n_docs, 6) AS distinct_text_rate,
+           round(ent.h, 6) AS lang_entropy
+    FROM s JOIN ent ON ent.source = s.source, tot
+    ORDER BY s.source
+    """,
+    doc="Per-source corpus composition audit — the domain-mix health "
+        "report every pretraining pipeline runs before fixing sampling "
+        "weights (the Pile/RefinedWeb-style table): per source its doc "
+        "count and corpus share, token volume and mean doc length, "
+        "distinct-text rate (1.0 = no exact dups inside the source — "
+        "the within-domain dup health signal), and the Shannon entropy "
+        "of its language distribution (low entropy = a monolingual "
+        "source). Scale shape: the heavy text column is read ONCE — "
+        "the per-source aggregate carries token sums and a "
+        "digest-based distinct count (16-byte md5 digests shuffle, "
+        "never text; Spark's two-phase distinct aggregate), while the "
+        "language histogram is a second scan over two tiny "
+        "dictionary-encoded columns (source, lang) that column pruning "
+        "keeps bytes-trivial. The entropy and share divisions run over "
+        "source-cardinality rows (dozens, not documents); the grand "
+        "total rides in as a broadcast 1-row cross join. ln() noise "
+        "sits ~1e-16 under the 6-dp rounding both engines apply (the "
+        "corpus_zipf_fit discipline).",
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "text", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") / F.col("n_docs")
+    ent = (
+        sl.join(s.select("source", "n_docs"), "source")
+        .groupBy("source")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+    )
+    total = s.agg(F.sum("n_docs").cast("long").alias("total"))
+    return (
+        s.join(ent, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("corpus_share"),
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("avg_tokens"),
+            F.round(F.col("n_distinct_texts") / F.col("n_docs"), 6).alias(
+                "distinct_text_rate"
+            ),
+            F.round("h", 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 def _bfs_oracle_sql(rounds: int = 4) -> str:
     """Unrolled multi-source BFS over knn_graph's hash-green edge CTE:
     each round is the operator's min-plus relaxation verbatim — frontier
