@@ -1685,6 +1685,15 @@ def ann_knn_graph(
         .select(
             F.col("src_id").alias("query_id"),
             F.col("dst_id").alias("neighbor_id"),
+            # the interpreted fold is the measured winner HERE, like the
+            # Arrow scorer before it (docstring): swapping in
+            # dot_col_unrolled was tried head-to-head and LOST 3-4x at
+            # both dims (64-d: 9.5 s vs 2.9 s; 168-d: 22 s vs 5.5 s,
+            # clean sessions) — atop the double shuffle join the wide
+            # expression falls out of whole-stage codegen and evaluates
+            # ~4·dim interpreted nodes per pair, where the fold is one
+            # node looping JVM-side. The unrolled chain wins only in
+            # narrow broadcast-scan plans (embedding_decontamination).
             _scored_cosine(
                 F.col("_sn"), F.col("_dn"), F.col("_sv"), F.col("_dv")
             ).alias("cosine"),
