@@ -514,3 +514,17 @@ def test_lsh_bucketed_store_self_join_is_exchange_free(spark, tmp_path):
     assert "SortMergeJoin [_tbl" in plan
     assert plan.count("Exchange") == 1, plan  # the distinct's, nothing else
     assert rows > 0  # the exchange-free plan actually executes
+
+
+def test_corpus_source_mix_reads_text_once(spark):
+    """The domain-mix audit's contract: the heavy text column reaches
+    exactly ONE parquet scan (the per-source aggregate carrying token
+    sums + the digest distinct), while the language histogram and the
+    count-only re-aggregations prune to the tiny source/lang columns."""
+    plan = explain_str(REGISTRY["corpus_source_mix"].fn(spark, SF_SMALL))
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    with_text = [s for s in schemas if "text" in s]
+    assert len(with_text) == 1, schemas
+    # and no scan drags the unused columns along
+    for s in schemas:
+        assert "n_chars" not in s and "doc_id" not in s, s
