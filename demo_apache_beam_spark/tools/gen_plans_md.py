@@ -45,14 +45,26 @@ HEADLINE = [
     "user_series_topk",
     "user_value_ewma",
     "embedding_decontamination",
+    # single-text-scan domain-mix audit
+    "corpus_source_mix",
 ]
 
-_SCRUB = re.compile(r"#\d+L?|file:[^\],\s]+")
+_SCRUB = re.compile(
+    r"#\d+L?|file:[^\],\s]+|, \[plan_id=\d+\]"
+    # session-counter noise: lambda variable suffixes (x_15 → x), RDD ids
+    r"|(?<=lambda [a-z])_\d+|(?<=MapPartitionsRDD)\[\d+\]"
+)
 
 
 def _clean(plan: str) -> str:
-    # strip expression ids + absolute paths so regenerating is diff-stable
-    return _SCRUB.sub("", plan)
+    # strip expression/plan ids, lambda counters + absolute paths so
+    # regenerating is diff-stable; render literal control characters in
+    # expressions (content_key's 0x1f separator / 0x00 sentinel) as
+    # escapes so the artifact stays plain text
+    plan = _SCRUB.sub("", plan)
+    return "".join(
+        c if c in "\n\t" or ord(c) >= 0x20 else f"\\x{ord(c):02x}" for c in plan
+    )
 
 
 def generate(out_path: str = "PLANS.md", sf_dir: str = "/root/testdata/sf0.001") -> None:
