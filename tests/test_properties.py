@@ -277,3 +277,64 @@ def test_png_round_trip_random_rasters(h, w, ch, seed):
     filters = rng.integers(0, 5, size=h).tolist()
     out = png_decode(png_encode(img, row_filters=filters))
     assert np.array_equal(out, img)
+
+
+@given(
+    texts=_corpora,
+    m_bits=st.sampled_from([64, 256, 4096]),
+    num_hashes=st.sampled_from([2, 5]),
+)
+@settings(**_SETTINGS)
+def test_bloom_prefilter_never_drops_a_member(spark, texts, m_bits, num_hashes):
+    """The Bloom contract decontamination correctness rests on: probing
+    the EXACT key set the bitset was built from loses nothing — build
+    and probe share the position math, so a false negative is
+    impossible even at tiny m_bits where the table saturates (64 bits
+    vs dozens of keys = near-all-ones, max false positives, still zero
+    false negatives)."""
+    from demo_apache_beam_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    df = spark.createDataFrame([(t,) for t in texts], "k string")
+    bits = bloom_build(df, "k", m_bits=m_bits, num_hashes=num_hashes)
+    kept = bloom_prefilter(df, bits, "k", m_bits=m_bits, num_hashes=num_hashes)
+    assert sorted(r["k"] for r in kept.collect()) == sorted(texts)
+
+
+@given(texts=_corpora)
+@settings(**_SETTINGS)
+def test_minhash_pairs_exact_jaccard_and_exact_dups_always_caught(spark, texts):
+    """Two invariants of the MinHash pipeline on random corpora:
+    (1) every emitted pair's jaccard equals the exact 3-shingle-set
+    Jaccard (LSH only GENERATES candidates; verification is exact), and
+    (2) byte-identical texts with at least one shingle are ALWAYS
+    paired at jaccard 1.0 — identical shingle sets give identical
+    signatures, hence identical bands, so an exact duplicate can never
+    slip past the probabilistic stage."""
+    import re as _re
+
+    from demo_apache_beam_spark.operators.dedup import minhash_dedup_pairs
+
+    corpus = list(texts) + texts[:1]  # force at least one exact dup
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            df, num_hashes=16, bands=8, verify_threshold=0.0
+        ).collect()
+    }
+
+    def sh(t):
+        toks = _re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(corpus)}
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert union > 0 and j == inter / union, (a, b, j)
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            if sets[a] and sets[a] == sets[b]:
+                assert got.get((a, b)) == 1.0, (a, b, got.get((a, b)))
