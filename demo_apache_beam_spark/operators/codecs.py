@@ -140,6 +140,8 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError("truncated chunk")
         pos += 12 + length  # length + type + data + crc
         if kind == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"bad IHDR length {len(body)}")
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -158,7 +160,13 @@ def png_decode(data: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt bytes must surface as the documented ValueError — the
+        # media pipeline classifies those as bad records; a raw
+        # zlib.error would instead kill the whole job (fuzz-pinned)
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT size does not match dimensions")
@@ -223,8 +231,12 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             n_ch = w.getnchannels()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
-    except wave.Error as e:
-        raise ValueError(f"not a WAV file: {e}") from e
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # the stdlib wave module leaks EOFError (truncated chunk) and a
+        # bare RuntimeError (malformed chunk size -> unseekable skip,
+        # wave.py:155) on corrupt bytes — normalize to the documented
+        # ValueError so bad records classify instead of killing the job
+        raise ValueError(f"not a WAV file: {e!r}") from e
     s = np.frombuffer(frames, dtype=np.int16)
     return (s if n_ch == 1 else s.reshape(-1, n_ch)), rate
 

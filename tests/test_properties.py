@@ -338,3 +338,57 @@ def test_minhash_pairs_exact_jaccard_and_exact_dups_always_caught(spark, texts):
         for b in range(a + 1, len(corpus)):
             if sets[a] and sets[a] == sets[b]:
                 assert got.get((a, b)) == 1.0, (a, b, got.get((a, b)))
+
+
+@given(
+    codec=st.sampled_from(["png", "gif", "wav"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_codec_decoders_fail_closed_on_corrupt_bytes(codec, seed):
+    """Decode of arbitrarily corrupted media bytes must either succeed
+    or raise the documented ValueError — never leak zlib.error /
+    struct.error / EOFError / bare RuntimeError (all observed from the
+    underlying layers under fuzzing). The media pipeline classifies
+    ValueError as a bad record; anything else kills the whole job."""
+    import random
+
+    import numpy as np
+
+    from demo_apache_beam_spark.operators import codecs
+
+    rng = random.Random(seed)
+    if codec == "png":
+        blob = codecs.png_encode(
+            np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+        )
+        decode = codecs.png_decode
+    elif codec == "gif":
+        idx = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6) % 8
+        blob = codecs.gif_encode(
+            np.stack([idx, (idx * 3) % 8]),
+            np.arange(8 * 3, dtype=np.uint8).reshape(8, 3),
+        )
+        decode = codecs.gif_decode
+    else:
+        blob = codecs.wav_encode((np.arange(300) % 1000).astype(np.int16))
+        decode = codecs.wav_decode
+
+    b = bytearray(blob)
+    op = rng.random()
+    if op < 0.4:  # flip a few bytes
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+    elif op < 0.7:  # truncate
+        b = b[: rng.randrange(len(b))]
+    else:  # splice garbage
+        pos = rng.randrange(len(b))
+        b = (
+            b[:pos]
+            + bytes(rng.randrange(256) for _ in range(rng.randint(1, 16)))
+            + b[pos:]
+        )
+    try:
+        decode(bytes(b))
+    except ValueError:
+        pass  # the documented fail-closed path
