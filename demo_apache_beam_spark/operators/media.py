@@ -246,7 +246,11 @@ def byte_histogram_long(media: DataFrame, bins: int = 16) -> DataFrame:
 
 
 def sample_frames(
-    media: DataFrame, frame_bytes: int = 256, stride: int = 4, decoder=None
+    media: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    decoder=None,
+    rejected_counter=None,
 ) -> DataFrame:
     """Frame sampling for ``video`` payloads: decode to a (n_frames, ...)
     array, keep every ``stride``-th frame with its per-frame mean value.
@@ -258,7 +262,8 @@ def sample_frames(
 
     Output: (media_id, frame_idx, frame_mean) — one row per sampled
     frame, exploded executor-side so payloads never amplify through a
-    shuffle before reduction.
+    shuffle before reduction. ``rejected_counter``: optional accumulator
+    counting decoder rejections (see :func:`resize_images`).
     """
     out_schema = "media_id long, frame_idx int, frame_mean double"
     decode = decoder or raw_block_frame_decoder(frame_bytes)
@@ -269,6 +274,8 @@ def sample_frames(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames = decode("video", payload, {})
                 if frames is None:
+                    if rejected_counter is not None:
+                        rejected_counter.add(1)
                     continue  # decoder rejected the file
                 for f_idx in range(0, frames.shape[0], stride):
                     ids.append(media_id)
@@ -289,7 +296,11 @@ def sample_frames(
     )
 
 def resize_images(
-    media: DataFrame, target_h: int = 8, target_w: int = 8, decoder=None
+    media: DataFrame,
+    target_h: int = 8,
+    target_w: int = 8,
+    decoder=None,
+    rejected_counter=None,
 ) -> DataFrame:
     """Image resize (area-average pooling) for ``image`` payloads over the
     same mapInPandas batch shape every real decoder would feed.
@@ -309,7 +320,12 @@ def resize_images(
     SMALLER than the target in either axis — upscaling would leave
     empty target bins (0/0 = NaN cells); a real pipeline routes those to
     an upsampling interpolator instead, which is out of scope for an
-    area-average reducer.
+    area-average reducer. Pass ``rejected_counter`` (a
+    ``sparkContext.accumulator(0)``) to COUNT decoder rejections — the
+    media mirror of the parse path's M1 ParseErrors metric (``observe``
+    can't see inside a Python batch loop; an accumulator can). Same
+    caveat as Beam counters: task retries re-count, so treat it as
+    at-least-once telemetry, not an exact total.
 
     Output: one row per (media_id, py, px) target cell with the pooled
     value — narrow scalar rows out of the executor (canonicalizable, no
@@ -328,6 +344,8 @@ def resize_images(
             ):
                 img = decode("image", payload, {"width": width})
                 if img is None:
+                    if rejected_counter is not None:
+                        rejected_counter.add(1)
                     continue  # decoder rejected the file
                 h, w = img.shape
                 if h < target_h or w < target_w:

@@ -787,3 +787,50 @@ def test_media_gif_roundtrip_registry_all_exact(spark):
     assert rows
     assert all(r["roundtrip_exact"] for r in rows)
     assert all(r["n_frames"] >= 1 for r in rows)
+
+
+def test_decoder_rejections_are_countable(spark):
+    """The media mirror of the parse path's M1 ParseErrors metric: an
+    accumulator passed as ``rejected_counter`` must count exactly the
+    decoder-rejected rows (observe() can't see inside a Python batch
+    loop), while the output still silently excludes them."""
+    from demo_apache_beam_spark.operators.codecs import (
+        gif_encode,
+        gif_frames_decoder,
+        png_encode,
+        png_raster_decoder,
+    )
+    from demo_apache_beam_spark.operators.media import resize_images, sample_frames
+
+    good = _test_raster(12, 10, 1)
+    rows = [
+        (1, "image", bytearray(png_encode(good)), {"width": 10}),
+        (2, "image", bytearray(b"not a png"), {"width": 4}),
+        (3, "image", bytearray(b"also corrupt"), {"width": 4}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta struct<width:int>"
+    )
+    counter = spark.sparkContext.accumulator(0)
+    out = resize_images(
+        df, target_h=4, target_w=4,
+        decoder=png_raster_decoder, rejected_counter=counter,
+    ).collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert counter.value == 2
+
+    idx = (np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)) % 8
+    pal = np.arange(8 * 3, dtype=np.uint8).reshape(8, 3)
+    vrows = [
+        (10, "video", bytearray(gif_encode(np.stack([idx, idx]), pal)), {"width": 6}),
+        (11, "video", bytearray(b"GIF89a truncated"), {"width": 6}),
+    ]
+    vdf = spark.createDataFrame(
+        vrows, "media_id long, kind string, payload binary, meta struct<width:int>"
+    )
+    vcounter = spark.sparkContext.accumulator(0)
+    vout = sample_frames(
+        vdf, stride=1, decoder=gif_frames_decoder, rejected_counter=vcounter
+    ).collect()
+    assert {r["media_id"] for r in vout} == {10}
+    assert vcounter.value == 1
