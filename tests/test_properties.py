@@ -392,3 +392,39 @@ def test_codec_decoders_fail_closed_on_corrupt_bytes(codec, seed):
         decode(bytes(b))
     except ValueError:
         pass  # the documented fail-closed path
+
+
+_lines = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\r\n"),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(lines=_lines)
+@settings(**_SETTINGS)
+def test_parse_game_events_never_throws_and_counts_every_drop(spark, lines):
+    """The reference's catch-and-drop contract (P1/M1) under arbitrary
+    input: parsing ANY line set must never raise, every emitted row has
+    all four fields non-null, and parse_errors + emitted == lines_seen
+    — no line silently vanishes outside the counter."""
+    from pyspark.sql import Observation
+
+    from demo_apache_beam_spark.operators.parse import parse_game_events
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    obs = Observation()
+    out = parse_game_events(df, observation=obs).collect()
+    assert all(
+        r["user"] is not None
+        and r["team"] is not None
+        and r["score"] is not None
+        and r["timestamp"] is not None
+        for r in out
+    )
+    m = obs.get
+    assert m["lines_seen"] == len(lines)
+    assert m["parse_errors"] + len(out) == len(lines)
