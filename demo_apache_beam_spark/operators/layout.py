@@ -83,19 +83,40 @@ def compact_files(
     the REAL byte total from the filesystem (no row-count heuristics);
     with ``sort_col`` the rewrite range-partitions + sorts so compaction
     simultaneously restores clustering (pair with ``zorder_value`` to
-    re-establish multi-column skipping). The swap is
-    write-aside → delete → rename: crash-safe in the sense that the
-    original survives any failure before the delete, and the aside copy
-    survives one after it."""
+    re-establish multi-column skipping). A Hive-partitioned dataset
+    (``k=v`` subdirectories) compacts per partition, preserving the
+    directory layout — partition pruning and replay-by-partition-
+    overwrite (the epoch-partitioned streaming stores) keep working.
+    The swap is write-aside → delete → rename: crash-safe in the sense
+    that the original survives any failure before the delete, and the
+    aside copy survives one after it."""
     import math
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(hconf)
+    entries = list(fs.listStatus(src))
+    part_dirs = [
+        e for e in entries
+        if e.isDirectory() and "=" in e.getPath().getName()
+    ]
+    if part_dirs:
+        # Hive-partitioned dataset: compact each partition IN PLACE so the
+        # directory layout survives — flattening it would break partition
+        # pruning and any replay-by-partition-overwrite contract (the
+        # epoch-partitioned streaming band/marker stores). The previous
+        # top-level-only listing also summed 0 bytes here, so the rewrite
+        # would have collapsed everything into one file on top of that.
+        return sum(
+            compact_files(
+                spark, e.getPath().toString(), target_file_bytes, sort_col
+            )
+            for e in part_dirs
+        )
     total = sum(
         f.getLen()
-        for f in fs.listStatus(src)
+        for f in entries
         if f.getPath().getName().startswith("part-")
     )
     n = max(1, math.ceil(total / target_file_bytes))

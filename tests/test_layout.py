@@ -88,6 +88,43 @@ def test_compact_files_reduces_file_count_and_preserves_rows(spark, tmp_path):
         assert _per_file_span_ratio(path, "id") < 0.5  # clustering restored
 
 
+def test_compact_files_preserves_partitioned_layout(spark, tmp_path):
+    """A Hive-partitioned dataset must compact PER PARTITION: the k=v
+    directories survive (partition pruning and the streaming stores'
+    replay-by-partition-overwrite depend on them), every partition's
+    file count drops, and the read-back — including the partition
+    column — is unchanged. The old top-level-only listing summed 0
+    bytes here and would have flattened the whole layout into one
+    unpartitioned file set."""
+    import os
+
+    from demo_apache_beam_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "pt")
+    for i in range(12):  # 12 appends x 3 partitions = 36 tiny files
+        spark.range(i * 60, (i + 1) * 60).selectExpr(
+            "id", "id % 3 AS _batch_id"
+        ).coalesce(1).write.mode("append").partitionBy("_batch_id").parquet(path)
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("_batch_id=")
+    )
+    assert parts == ["_batch_id=0", "_batch_id=1", "_batch_id=2"]
+    assert all(
+        len(glob.glob(f"{path}/{d}/part-*.parquet")) == 12 for d in parts
+    )
+    expect = {(r["id"], r["_batch_id"]) for r in spark.read.parquet(path).collect()}
+
+    compact_files(spark, path, target_file_bytes=1 << 20, sort_col="id")
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("_batch_id=")
+    ) == parts  # layout preserved
+    for d in parts:
+        assert len(glob.glob(f"{path}/{d}/part-*.parquet")) < 12
+    got = {(r["id"], r["_batch_id"]) for r in spark.read.parquet(path).collect()}
+    assert got == expect
+
+
 class TestTrainingShuffle:
     def test_deterministic_and_dense(self, spark):
         from demo_apache_beam_spark.operators.layout import training_shuffle
