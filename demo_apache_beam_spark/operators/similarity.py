@@ -1500,14 +1500,37 @@ def pca_project(
     )
 
 
-def lsh_self_candidates(sigs: DataFrame) -> DataFrame:
+def lsh_self_candidates(
+    sigs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate (src_id, dst_id) pairs from a signature-table self-join
     on the bucket key (_tbl, _sig) — the candidate generator of
     :func:`ann_knn_graph`'s LSH method, exposed so the plan pytest pins
     the exact construction the operator runs. Over a
     :func:`lsh_save_bucketed` store both branches scan the same bucketed
     files and the join plans WITHOUT an Exchange; the only shuffle left
-    is the pair-dedup's."""
+    is the pair-dedup's.
+
+    ``max_bucket`` (opt-in) drops buckets holding more than that many
+    ids before the join — the standard production-LSH guard against
+    mega-buckets: a bucket of B ids contributes B² candidate pairs, so
+    a corpus with dense near-identical clusters (measured: 10 replicas
+    per vector → candidate volume ×100, the LSH build 2× SLOWER than
+    the exact graph it replaces) degrades quadratically while normal
+    buckets stay small. Pairs inside a dropped bucket usually co-occur
+    in another table's (finer) bucket; edges lost outright are
+    cosine≈1 duplicate edges — which exact dedup upstream should have
+    removed anyway (the pipeline order the curation capstones use).
+    Sizing runs as one partial-aggregated groupBy on the same bucket
+    key, exchange-free over the bucketed store."""
+    if max_bucket is not None:
+        keep = (
+            sigs.groupBy("_tbl", "_sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("_tbl", "_sig")
+        )
+        sigs = sigs.join(keep, ["_tbl", "_sig"], "left_semi")
     a = sigs.select(F.col("_id").alias("src_id"), "_tbl", "_sig")
     b = sigs.select(F.col("_id").alias("dst_id"), "_tbl", "_sig")
     return (
@@ -1532,6 +1555,7 @@ def ann_knn_graph(
     seed: int = 42,
     corpus_size_hint: int | None = None,
     index: tuple[DataFrame, dict] | tuple[DataFrame, np.ndarray] | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate kNN **graph** (every corpus vector is a query) with
     exact-cosine refinement — the sub-quadratic replacement for
@@ -1555,6 +1579,9 @@ def ann_knn_graph(
       (_tbl, _sig)) the self-join is co-partitioned — **exchange-free**,
       pinned by the plan pytest. Without an index the signatures are
       computed inline and localCheckpointed (the single-run stand-in).
+      ``max_bucket`` opts into the mega-bucket guard (see
+      :func:`lsh_self_candidates`) for corpora with dense
+      near-identical clusters.
     - ``method="ivf"``: the inverted file (id, cell) joins the probe
       rows (id, cell — each vector's ``nprobe`` nearest cells, assigned
       by the bounded-sample quantizer riding the Arrow UDF closure).
@@ -1630,7 +1657,7 @@ def ann_knn_graph(
             # twice. This is the single-run stand-in for the persisted
             # signature table above.
             sigs = _table_sigs(c_vec, "_id", "_v", tables).localCheckpoint()
-        candidates = lsh_self_candidates(sigs)
+        candidates = lsh_self_candidates(sigs, max_bucket=max_bucket)
     elif method == "ivf":
         if index is None:
             index = ivf_build(

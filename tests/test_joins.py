@@ -600,3 +600,62 @@ def test_pagerank_weighted_matches_numpy_reference(spark):
     for v in range(4):
         assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_lsh_self_candidates_mega_bucket_guard(spark):
+    """max_bucket drops only the oversized buckets: no pair sourced
+    SOLELY from a planted 50-id mega-bucket survives, pairs from normal
+    buckets are untouched, and the default (None) still emits
+    everything — the quadratic candidate blowup measured on
+    replica-dense corpora (B ids → B² pairs per bucket) is opt-out-able
+    without changing default semantics."""
+    from demo_apache_beam_spark.operators.similarity import lsh_self_candidates
+
+    rows = (
+        # mega-bucket: 50 ids share (table 0, sig 999)
+        [(i, 0, 999) for i in range(50)]
+        # two normal buckets of 3 and 2
+        + [(100 + i, 1, 5) for i in range(3)]
+        + [(200 + i, 2, 7) for i in range(2)]
+    )
+    sigs = spark.createDataFrame(rows, "_id long, _tbl int, _sig long")
+    norm_pairs = {
+        (a, b)
+        for grp in ([100, 101, 102], [200, 201])
+        for a in grp
+        for b in grp
+        if a != b
+    }
+
+    full = {
+        (r["src_id"], r["dst_id"])
+        for r in lsh_self_candidates(sigs).collect()
+    }
+    assert norm_pairs <= full and len(full) == 50 * 49 + len(norm_pairs)
+
+    capped = {
+        (r["src_id"], r["dst_id"])
+        for r in lsh_self_candidates(sigs, max_bucket=10).collect()
+    }
+    assert capped == norm_pairs  # mega-bucket contributes nothing
+
+
+def test_ann_knn_graph_max_bucket_generous_cap_keeps_recall(spark):
+    """A cap well above natural bucket sizes must leave the LSH graph's
+    edge set intact on the fixture corpus — the guard only bites on
+    pathological density, never on healthy data."""
+    from demo_apache_beam_spark.operators.similarity import ann_knn_graph
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = {
+        (r["src_id"], r["dst_id"])
+        for r in ann_knn_graph(emb, k=5, dim=64, corpus_size_hint=500).collect()
+    }
+    capped = {
+        (r["src_id"], r["dst_id"])
+        for r in ann_knn_graph(
+            emb, k=5, dim=64, corpus_size_hint=500, max_bucket=256
+        ).collect()
+    }
+    assert capped == base
