@@ -943,15 +943,20 @@ def minhash_near_dedup_core(
     else:
         hist_hits = None
 
-    a, b = banded.alias("a"), banded.alias("b")
+    # STAR edges, not clique edges: banding alone decides membership here
+    # (no pairwise verification step), and for connected components a
+    # bucket's clique and its star to the bucket-min id produce IDENTICAL
+    # components — so emit one edge per band row (O(rows)) instead of the
+    # B² within-bucket pairs a self-join materializes. On a bucket holding
+    # B near-identical documents (exactly the corpus near-dup dedup
+    # exists for) the clique is quadratic; the star is linear.
+    roots = banded.groupBy("band_idx", "band_hash").agg(
+        F.min(id_col).alias("_root")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        banded.join(roots, ["band_idx", "band_hash"])
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
     )
     comp = connected_components(
