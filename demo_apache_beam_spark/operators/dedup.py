@@ -297,15 +297,23 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """k seeded-xxhash64 minima per document = the MinHash signature.
 
     One explode of distinct shingles, then k ``min`` aggregates — Catalyst
     plans partial mins before the shuffle on the id, so network volume is
     k longs per document regardless of document size.
+
+    ``portable=True`` swaps the hash family from seeded xxhash64 to md5
+    chains (``min(md5('i:' || md5(shingle)))`` — 32-hex strings under
+    binary collation), which every ANSI engine with ``md5`` reproduces
+    bit-for-bit; it is what makes the DuckDB oracle for the *entire*
+    MinHash → LSH → verify pipeline possible. Same plan shape; md5 costs
+    ~2-3× xxhash64 per call, so the default stays xxhash64.
     """
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
-    return _signatures_from_hashes(hashed, id_col, num_hashes)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n, portable)
+    return _signatures_from_hashes(hashed, id_col, num_hashes, portable)
 
 
 def hashed_shingles(
@@ -313,32 +321,42 @@ def hashed_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingle-hash) rows: one xxhash64 per distinct shingle.
 
     All downstream MinHash work (signatures, verification) runs on these
     8-byte hashes — shingle equality ⇔ hash equality up to a 2^-64
     collision, which is far below any near-dup threshold's noise floor.
+    ``portable=True`` digests with md5 (32-hex string) instead so an
+    external SQL engine can replay the exact values.
     """
     from ..sources.tables import spread
 
+    digest = F.md5("_sh") if portable else F.xxhash64("_sh")
     return (
         spread(df)
         .select(F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("_sh"))
-        .select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+        .select(F.col(id_col), digest.alias("_h"))
     )
 
 
 def _signatures_from_hashes(
-    hashed: DataFrame, id_col: str, num_hashes: int
+    hashed: DataFrame, id_col: str, num_hashes: int, portable: bool = False
 ) -> DataFrame:
     # one variable-length string hash per shingle (already done), then k
     # cheap fixed-width rehashes of the long — k× cheaper than hashing
     # the shingle string k times, same independence in practice
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_h")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     return hashed.groupBy(id_col).agg(*mins)
 
 
@@ -347,19 +365,27 @@ def band_rows(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows: the signature split into ``bands``
     bands of r = k/bands minhashes, each collapsed to one 64-bit band
     hash. The LSH probe unit — shared by the batch candidate join and
-    the incremental band store."""
+    the incremental band store. ``portable=True`` collapses each band
+    with ``md5(concat_ws('|', …))`` instead of xxhash64 (the minhashes
+    are then 32-hex strings, never null)."""
     rows_per_band = num_hashes // bands
+
+    def _band_hash(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+                _band_hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -374,12 +400,13 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signature (r = k/bands rows per band), bucket on the band
     hash, emit within-bucket pairs. The only join is an equi-join on
     (band_idx, band_hash) — LSH's point is exactly that this is
     shuffle-friendly at petabyte scale."""
-    banded = band_rows(signatures, id_col, num_hashes, bands)
+    banded = band_rows(signatures, id_col, num_hashes, bands, portable)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -401,14 +428,19 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     verify_threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact shingle
-    Jaccard verification of candidates only. Output: (id_a, id_b, jaccard)."""
+    Jaccard verification of candidates only. Output: (id_a, id_b, jaccard).
+
+    ``portable=True`` runs the identical pipeline over the md5 hash family
+    (see :func:`minhash_signatures`) so an external ANSI-SQL engine can
+    replay every stage — candidates included — bit-for-bit."""
     # the shingle regex runs exactly once: the staged (id, hash) rows
     # feed both the signature aggregate and the verification arrays
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n).localCheckpoint()
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n, portable).localCheckpoint()
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, portable)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
     sh = hashed.groupBy(id_col).agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
     union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
@@ -425,7 +457,8 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document (Charikar '02): each token votes ±1 on
     every bit of its 64-bit hash; the fingerprint takes the sign.
@@ -433,11 +466,24 @@ def simhash_signatures(
     Shape: explode to (id, token) rows, then 64 conditional-sum aggregates
     — constant 64 longs of state per document, no row blowup, fully
     map-side combinable.
+
+    ``portable=True`` derives the 64 token-hash bits from md5 instead of
+    xxhash64 — the signed-64 reinterpretation of the digest's first 16 hex
+    chars, assembled from two 32-bit conv() halves so no string→long cast
+    can overflow. Every downstream step (votes, fingerprint packing, Manku
+    probes, Hamming) is pure bit algebra on that long, so an external
+    ANSI engine with md5 replays the whole pipeline bit-for-bit.
     """
     from ..sources.tables import spread
 
     toks = spread(df).select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
-    toks = toks.withColumn("_h", F.xxhash64("_t"))
+    if portable:
+        hx = F.md5("_t")
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        toks = toks.withColumn("_h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    else:
+        toks = toks.withColumn("_h", F.xxhash64("_t"))
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(_h >> {i}) & 1 = 1"), F.lit(1)).otherwise(F.lit(-1))
@@ -464,6 +510,7 @@ def simhash_near_pairs(
     strategy: str = "auto",
     pairwise_max_docs: int = 20000,
     salt_buckets: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — Manku-style block
     permutations (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates for
@@ -496,7 +543,7 @@ def simhash_near_pairs(
     """
     block_bits = 64 // num_blocks
     mask = (1 << block_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint()
+    sigs = simhash_signatures(df, id_col, text_col, portable).localCheckpoint()
     if strategy == "auto":
         strategy = "pairwise" if sigs.count() <= pairwise_max_docs else "probe"
     if strategy == "pairwise":

@@ -766,6 +766,87 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_neardup_corpus(spark, sf_dir)).select("id_a", "id_b", "jaccard")
 
 
+# Portable MinHash parameters: k = 16 md5-chain hashes in 4 bands of r = 4
+# (same per-band selectivity r as the production k=32/b=8 pipeline). The SQL
+# below is generated from them so Spark and DuckDB agree by construction.
+_MH_PORT_K = 16
+_MH_PORT_BANDS = 4
+_MH_PORT_R = _MH_PORT_K // _MH_PORT_BANDS
+_MH_PORT_MINS = ",\n             ".join(
+    f"min(md5('{i}:' || h)) AS mh{i}" for i in range(_MH_PORT_K)
+)
+_MH_PORT_BANDS_SQL = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
+        b=b,
+        expr=" || '|' || ".join(f"mh{b * _MH_PORT_R + r}" for r in range(_MH_PORT_R)),
+    )
+    for b in range(_MH_PORT_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_portable",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM corpus
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(toks[u.i : u.i + 2], ' ')) AS h
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ), sigs AS (
+      SELECT doc_id,
+             {_MH_PORT_MINS}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+{_MH_PORT_BANDS_SQL}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n
+      FROM cands c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jaccard
+    FROM cands c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.5
+    """,
+    doc="MinHash+LSH near-dup over a PORTABLE hash family: shingle digests, "
+        "the 16 seeded minima (min(md5('i:'||h)), 32-hex strings under "
+        "binary collation), the 4 band hashes, the bucket self-join "
+        "candidates AND the exact-Jaccard verification are all md5 chains "
+        "both engines compute bit-for-bit — the DuckDB oracle replays the "
+        "entire probabilistic pipeline, candidates included, not just the "
+        "verified tail. Same plan shape as the xxhash64 production variant "
+        "(dedup_minhash, which stays rows-only: Spark's seeded xxhash64 "
+        "has no DuckDB counterpart); the hash-cell precedent is "
+        "semantic_dedup_hash_cells. k=16, bands=4 keeps r=4 selectivity.",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        _neardup_corpus(spark, sf_dir),
+        num_hashes=_MH_PORT_K,
+        bands=_MH_PORT_BANDS,
+        portable=True,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @register(
     "dedup_simhash",
     None,  # xxhash64 bit-votes aren't portable to DuckDB — rows-only
@@ -778,6 +859,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return simhash_near_pairs(
         _neardup_corpus(spark, sf_dir), max_hamming=12
+    ).select("id_a", "id_b", "hamming")
+
+
+# Generated SQL pieces for the portable-SimHash oracle: the 64 per-bit vote
+# sums (md5 nibble → bit), the signed-64 fingerprint packing (bit 63 is the
+# sign bit, Spark's `1L << 63` wraparound spelled as a BIGINT-safe literal),
+# and the 84 Manku probe keys (3 rotations × C(8,2) block pairs) expressed
+# as arithmetic shift-and-mask on the packed fingerprint — identical bit
+# algebra on both engines.
+_SH_BIT_SUMS = ",\n             ".join(
+    "sum(CASE WHEN ((((strpos('0123456789abcdef', substr(hx, {c}, 1)) - 1)"
+    " >> {b}) & 1) = 1) THEN 1 ELSE -1 END) AS b{i}".format(
+        c=16 - i // 4, b=i % 4, i=i
+    )
+    for i in range(64)
+)
+_SH_FP_TERMS = "\n             + ".join(
+    "CASE WHEN b{i} > 0 THEN {v} ELSE 0 END".format(
+        i=i, v=(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+    )
+    for i in range(64)
+)
+
+
+def _sh_block_sql(i: int, r: int) -> str:
+    return "(" + " + ".join(
+        f"(((fp >> {(8 * i + t - r) % 64}) & 1) * {1 << t})" for t in range(8)
+    ) + ")"
+
+
+_sh_branches = []
+for _r in (0, 3, 6):
+    for _i in range(8):
+        for _j in range(_i + 1, 8):
+            _sh_branches.append(
+                f"      SELECT doc_id, fp, {len(_sh_branches)} AS band_idx,\n"
+                f"             {_sh_block_sql(_i, _r)} * 256\n"
+                f"             + {_sh_block_sql(_j, _r)} AS band_val FROM sigs"
+            )
+_SH_PROBES_SQL = "\n      UNION ALL\n".join(_sh_branches)
+del _sh_branches, _r, _i, _j
+
+
+@register(
+    "dedup_simhash_portable",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM corpus
+    ), h AS (
+      SELECT doc_id, md5(t) AS hx FROM tok
+    ), bits AS (
+      SELECT doc_id,
+             {_SH_BIT_SUMS}
+      FROM h GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             {_SH_FP_TERMS} AS fp
+      FROM bits
+    ), banded AS (
+{_SH_PROBES_SQL}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+     AND bit_count(xor(a.fp, b.fp)) <= 12
+    """,
+    doc="SimHash near-dup over a PORTABLE hash family, probe strategy "
+        "FIXED to the corpus-scale Manku path: token-hash bits come from "
+        "md5 (signed-64 of the first 16 hex chars), and the vote sums, "
+        "sign-packed fingerprint, all 84 rotation×block-pair probe keys, "
+        "and bit_count(xor) Hamming verification are replayed by the "
+        "DuckDB oracle as pure bit algebra on the same packed long — the "
+        "probabilistic candidate generation itself is oracle-checked, not "
+        "just the verified tail. The production dedup_simhash keeps "
+        "xxhash64 (no DuckDB counterpart) and stays rows-only.",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _neardup_corpus(spark, sf_dir),
+        max_hamming=12,
+        strategy="probe",
+        portable=True,
     ).select("id_a", "id_b", "hamming")
 
 

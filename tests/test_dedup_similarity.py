@@ -31,6 +31,21 @@ def test_minhash_finds_planted_near_dups(spark):
     assert jacc.filter(F.col("jaccard") < 0.5).count() == 0
 
 
+def test_minhash_portable_finds_planted_near_dups(spark):
+    """The md5-chain (oracle-checkable) hash family must keep the planted
+    recall despite running half the hashes (k=16, bands=4 vs 32/8) —
+    value parity with DuckDB is pinned separately by test_oracle_parity."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_minhash_portable"].fn(spark, SF_SMALL).collect()
+    }
+    planted = _planted_pairs(spark)
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"portable minhash recall {recall}: {planted - got}"
+    jacc = REGISTRY["dedup_minhash_portable"].fn(spark, SF_SMALL)
+    assert jacc.filter(F.col("jaccard") < 0.5).count() == 0
+
+
 def test_simhash_finds_planted_near_dups(spark):
     got = {
         (r["id_a"], r["id_b"])
@@ -39,6 +54,19 @@ def test_simhash_finds_planted_near_dups(spark):
     planted = _planted_pairs(spark)
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_simhash_portable_finds_planted_near_dups(spark):
+    """The md5-bit (oracle-checkable) hash family on the FIXED probe path
+    must keep the planted recall — probe-key parity with DuckDB is pinned
+    by test_oracle_parity."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["dedup_simhash_portable"].fn(spark, SF_SMALL).collect()
+    }
+    planted = _planted_pairs(spark)
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"portable simhash recall {recall}"
 
 
 def test_simhash_probe_strategy_recall(spark):
