@@ -47,6 +47,9 @@ HEADLINE = [
     "embedding_decontamination",
     # single-text-scan domain-mix audit
     "corpus_source_mix",
+    # oracle-checkable portable-hash near-dup (md5 chains; candidate
+    # generation itself value-checked against DuckDB)
+    "dedup_minhash_portable",
 ]
 
 _SCRUB = re.compile(
