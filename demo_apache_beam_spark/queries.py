@@ -784,10 +784,10 @@ _MH_PORT_BANDS_SQL = "\n      UNION ALL\n".join(
 )
 
 
-@register(
-    "dedup_minhash_portable",
-    f"""
-    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+# The shared CTE chain of the portable-MinHash oracle — reused verbatim by
+# dedup_minhash_portable (jaccard tail) and dedup_near_clusters (recursive
+# component-closure tail) so the two can never drift apart.
+_MH_PORT_CTES = f"""corpus AS ({_NEARDUP_CORPUS_SQL}),
     t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       FROM corpus
@@ -815,7 +815,13 @@ _MH_PORT_BANDS_SQL = "\n      UNION ALL\n".join(
       JOIN sh x ON x.doc_id = c.id_a
       JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
       GROUP BY c.id_a, c.id_b
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_portable",
+    f"""
+    WITH {_MH_PORT_CTES}
     SELECT c.id_a, c.id_b,
            round(CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n), 6) AS jaccard
     FROM cands c
@@ -845,6 +851,58 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_near_clusters",
+    f"""
+    WITH RECURSIVE {_MH_PORT_CTES},
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.5
+    ), und AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ), comp AS (
+      SELECT a AS doc_id, least(min(b), a) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id
+    FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
+    """,
+    doc="NEAR-dup pairs → clusters: connected components (min-label "
+        "propagation with pointer doubling) over the oracle-checked "
+        "portable-MinHash pair output, every document labeled with its "
+        "component's min doc-id (itself when it has no near-dups) — the "
+        "canonical-representative selection step a near-dedup pipeline "
+        "runs after pair generation, composing two verified pieces. The "
+        "oracle replays the identical pair pipeline (shared CTE chain, "
+        "cannot drift) and closes components with a recursive "
+        "transitive-closure CTE — safe because near-dup components are "
+        "tiny; the Spark side uses the same O(log n) pointer-doubling "
+        "kernel that survives corpus-scale components.",
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import duplicate_clusters
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus,
+        num_hashes=_MH_PORT_K,
+        bands=_MH_PORT_BANDS,
+        portable=True,
+    )
+    return duplicate_clusters(pairs.select("id_a", "id_b"), corpus.select("doc_id"))
 
 
 @register(

@@ -46,6 +46,19 @@ def test_minhash_portable_finds_planted_near_dups(spark):
     assert jacc.filter(F.col("jaccard") < 0.5).count() == 0
 
 
+def test_near_dup_clusters_group_planted_pairs(spark):
+    """Composed capstone: planted near-dup pairs that the portable pipeline
+    catches must land in one cluster, and labels are component minima."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_near_clusters"].fn(spark, SF_SMALL).collect()
+    }
+    planted = _planted_pairs(spark)
+    grouped = {(a, b) for (a, b) in planted if labels[a] == labels[b]}
+    assert len(grouped) / len(planted) >= 0.9
+    assert all(c <= d for d, c in labels.items())
+
+
 def test_simhash_finds_planted_near_dups(spark):
     got = {
         (r["id_a"], r["id_b"])
