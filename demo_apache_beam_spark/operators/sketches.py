@@ -38,7 +38,8 @@ user agents at 100 TB) — the canonical "top talkers" regime.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _mg_update(counters: dict, item, w: int, cap: int) -> None:
@@ -144,3 +145,124 @@ def heavy_hitters(
     for r in rows:
         merged = _mg_merge(merged, {r["item"]: r["w"]}, cap)
     return sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketches — set cardinality, Jaccard, intersection
+# ---------------------------------------------------------------------------
+
+def kmv_sketches(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int = 32,
+    seed: str = "kmv1",
+) -> DataFrame:
+    """Per-key bottom-``k`` distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 "Distinct-value synopses"): the ``k`` smallest
+    md5 hashes of the key's distinct items.
+
+    Output: ``(<key_col>, hx string, f double, rk int)`` — ``hx`` the
+    32-hex md5, ``f`` its leading-48-bit fraction in [0, 1) (exactly
+    representable, so downstream estimator arithmetic is bit-portable),
+    ``rk`` the 1-based rank by ``hx``. Lexicographic order on the hex
+    string IS numeric order, and md5 makes the sketch deterministic —
+    the same engine-portable hash family as the near-dup oracles, so a
+    SQL oracle can replay estimates exactly.
+
+    Scale: the distinct pass is one combine-lifted shuffle on
+    ``(key, item)``; the rank window shuffles only (key, 16-byte-hash)
+    rows and emits ≤ k per key. For a skew-hot key, pre-filter with a
+    conservative hash threshold (P[h < t] covers k·safety draws) before
+    the window — the sketch only ever needs the smallest hashes.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(item_col).cast("string"))
+    )
+    d = df.select(F.col(key_col), h.alias("hx")).distinct()
+    return rank_bottom_k(d, key_col, k)
+
+
+def rank_bottom_k(hashed: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Keep the ``k`` smallest distinct ``hx`` per key (rank + fraction
+    columns added). Also the MERGE of KMV sketches: the bottom-k of a
+    union of bottom-k sketches IS the union's bottom-k — any of the
+    union's k smallest hashes is among its own source's k smallest —
+    so re-ranking epoch/partition sketches reconstructs the exact
+    whole-corpus sketch (the streaming store reads through this)."""
+    w = Window.partitionBy(key_col).orderBy("hx")
+    frac = (
+        F.conv(F.substring("hx", 1, 12), 16, 10).cast("long").cast("double")
+        / F.lit(float(16 ** 12))
+    )
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("f", frac)
+    )
+
+
+def kmv_pair_estimates(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pairwise distinct-set overlap estimates from bottom-k sketches.
+
+    For every unordered key pair (a < b), combine the two sketches into
+    the union's bottom-k and report:
+
+    - ``union_est``   = (k−1)/f_(k)  (the classic KMV estimator), or the
+      EXACT distinct union when the combined sketch has < k hashes
+      (both sets were fully enumerated — small-set branch);
+    - ``jaccard_est`` = |union bottom-k present in BOTH sketches| / k
+      (the bottom-k Jaccard estimator — the union's bottom-k is a
+      uniform sample of the union);
+    - ``intersection_est`` = jaccard_est · union_est.
+
+    Everything after the sketches is joins over ≤ k·|keys| rows — for
+    any realistic key count the pair stage is broadcast-sized however
+    large the underlying item domain (the whole point of sketching at
+    100 TB: pairwise overlap over billions of users costs k rows per
+    key, not a quadratic distinct-join).
+    """
+    keys = sketches.select(key_col).distinct()
+    ka, kb = F.col("_ka"), F.col("_kb")
+    pairs = (
+        keys.select(F.col(key_col).alias("_ka"))
+        .join(keys.select(F.col(key_col).alias("_kb")), ka < kb)
+    )
+    side_a = pairs.join(
+        sketches.select(F.col(key_col).alias("_ka"), "hx", "f"), "_ka"
+    ).select("_ka", "_kb", "hx", "f", F.lit(True).alias("in_a"), F.lit(False).alias("in_b"))
+    side_b = pairs.join(
+        sketches.select(F.col(key_col).alias("_kb"), "hx", "f"), "_kb"
+    ).select("_ka", "_kb", "hx", "f", F.lit(False).alias("in_a"), F.lit(True).alias("in_b"))
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("_ka", "_kb", "hx", "f")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("_ka", "_kb").orderBy("hx")
+    wcnt = Window.partitionBy("_ka", "_kb")
+    ranked = merged.withColumn("rk", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(wcnt)
+    )
+    agg = ranked.groupBy("_ka", "_kb").agg(
+        F.max("m").alias("m"),
+        F.max(
+            F.when(F.col("rk") == F.least(F.lit(k), F.col("m")), F.col("f"))
+        ).alias("f_k"),
+        F.sum(
+            F.when((F.col("rk") <= k) & F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+        ).alias("both"),
+    )
+    small = F.col("m") < k
+    union_est = F.when(small, F.col("m").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("f_k")
+    )
+    denom = F.when(small, F.col("m")).otherwise(F.lit(k)).cast("double")
+    jacc = F.col("both").cast("double") / denom
+    return agg.select(
+        F.col("_ka").alias("key_a"),
+        F.col("_kb").alias("key_b"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(union_est, 6).alias("union_est"),
+        (F.round(jacc * union_est, 6) + F.lit(0.0)).alias("intersection_est"),
+    )

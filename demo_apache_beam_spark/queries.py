@@ -7700,6 +7700,324 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data selection, private release, sketch set-ops (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _hex_int_sql(expr: str, n: int) -> str:
+    """DuckDB SQL for ``int(<expr>[:n], 16)`` — a nibble chain, the
+    oracle-side counterpart of Spark's ``conv(substring(x, 1, n), 16,
+    10)`` (cf. the SimHash oracle's per-bit form at ``_SH_BIT_SUMS``)."""
+    out = "0"
+    for i in range(1, n + 1):
+        out = (
+            f"({out} * 16 + (strpos('0123456789abcdef', "
+            f"substr({expr}, {i}, 1)) - 1))"
+        )
+    return out
+
+
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1', 'src2')"
+
+# Shared oracle CTE chain for the DSIR family: hashed features → class
+# histograms → smoothed log-ratio table → per-raw-doc weights.
+_DSIR_CTES = f"""base AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+             {_DSIR_TARGET_SQL} AS tgt
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, tgt, unnest(t) AS feat FROM base
+    ), bi AS (
+      SELECT doc_id, tgt, t[p] || '_' || t[p + 1] AS feat
+      FROM base, LATERAL unnest(range(1, len(t))) AS r(p)
+    ), feats AS (
+      SELECT doc_id, tgt,
+             {_hex_int_sql("md5(feat)", 2)} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), tf AS (
+      SELECT doc_id, tgt, bucket, count(*) AS tf FROM feats GROUP BY 1, 2, 3
+    ), hist AS (
+      SELECT bucket,
+             cast(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ct,
+             cast(sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS BIGINT) AS cr
+      FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT cast(sum(ct) AS BIGINT) AS t_tot,
+             cast(sum(cr) AS BIGINT) AS r_tot FROM hist
+    ), lam AS (
+      SELECT bucket,
+             cast(ln(cast((ct + 1) * (r_tot + 256) AS DOUBLE)
+                     / cast((cr + 1) * (t_tot + 256) AS DOUBLE))
+                  AS DECIMAL(18,6)) AS lam
+      FROM hist CROSS JOIN tot
+    ), wts AS (
+      SELECT doc_id, cast(sum(tf) AS BIGINT) AS n_feats,
+             cast(sum(tf * lam) AS DOUBLE) AS w
+      FROM tf JOIN lam USING (bucket) WHERE NOT tgt GROUP BY doc_id
+    )"""
+
+
+@register(
+    "doc_dsir_selection",
+    f"""
+    WITH {_DSIR_CTES}
+    SELECT b.doc_id, b.lang, n_feats, round(w, 6) + 0.0 AS weight
+    FROM wts JOIN base b USING (doc_id)
+    ORDER BY weight DESC, b.doc_id LIMIT 100
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+        "Language Models via Importance Resampling'): score every raw "
+        "document by the log-likelihood ratio of its hashed unigram+"
+        "bigram bag under the target-corpus vs raw-pool multinomials "
+        "(add-one smoothing over the 256-bucket hash space), keep the "
+        "top 100. Target = the curated sources src0-src2; raw = the "
+        "crawl remainder. Hash-bucketing caps both class histograms at "
+        "256 rows regardless of corpus size, so the log-ratio table "
+        "always broadcasts and the scoring join never shuffles the "
+        "corpus; per-bucket ratios round to 6 dp once and accumulate as "
+        "exact tf×decimal products (stable_sum discipline); the top-100 "
+        "head plans as TakeOrderedAndProject. The md5-prefix bucket hash "
+        "is the engine-portable family of the near-dup oracles, so the "
+        "oracle replays the entire pipeline — smoothing, hashing, "
+        "ranking — bit-for-bit.",
+)
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1", "src2")
+    wts = dsir_importance_weights(
+        docs.select("doc_id", "text", tgt.alias("is_target"))
+    )
+    return (
+        wts.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            (F.round("weight", 6) + F.lit(0.0)).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_dsir_gumbel",
+    f"""
+    WITH {_DSIR_CTES}, keyed AS (
+      SELECT doc_id, n_feats, w,
+             md5('dsg1:' || cast(doc_id AS VARCHAR)) AS hg
+      FROM wts
+    ), g AS (
+      SELECT doc_id, n_feats, w,
+             cast(-ln(-ln(({_hex_int_sql("hg", 6)} + 0.5) / 16777216.0))
+                  AS DECIMAL(18,6)) AS gum
+      FROM keyed
+    )
+    SELECT b.doc_id, b.lang, round(w, 6) + 0.0 AS weight,
+           cast(gum AS DOUBLE) + 0.0 AS gumbel,
+           round(round(w, 6) + cast(gum AS DOUBLE), 6) + 0.0 AS sample_score
+    FROM g JOIN base b USING (doc_id)
+    ORDER BY sample_score DESC, b.doc_id LIMIT 50
+    """,
+    doc="DSIR's actual RESAMPLING step (Xie et al. 2023 §2.3): sample 50 "
+        "raw documents WITHOUT replacement with probability ∝ exp(log-"
+        "ratio weight) via the Gumbel-top-k trick — rank by weight + "
+        "Gumbel(0,1) noise and take the head (Gumbel-max makes top-k "
+        "under noise exactly weighted sampling without replacement). "
+        "The noise is the engine's seeded-hash draw (privacy.py's "
+        "seeded_uniform through the inverse Gumbel CDF −ln(−ln u)), so "
+        "the sample is reproducible shard-by-shard at 100 TB — "
+        "re-sampling a replayed partition redraws identical noise — and "
+        "the oracle replays draw, transform, and ranking bit-for-bit. "
+        "Same broadcast-model plan as doc_dsir_selection, one extra "
+        "md5+ln per raw doc, TakeOrderedAndProject head.",
+)
+def doc_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import seeded_uniform
+    from .operators.selection import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = F.col("source").isin("src0", "src1", "src2")
+    wts = dsir_importance_weights(
+        docs.select("doc_id", "text", tgt.alias("is_target"))
+    )
+    u = seeded_uniform(F.col("doc_id").cast("string"), "dsg1")
+    gum = (-F.log(-F.log(u))).cast("decimal(18,6)")
+    return (
+        wts.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.round("weight", 6) + F.lit(0.0)).alias("weight"),
+            (gum.cast("double") + F.lit(0.0)).alias("gumbel"),
+        )
+        .withColumn(
+            "sample_score",
+            F.round(F.col("weight") + F.col("gumbel"), 6) + F.lit(0.0),
+        )
+        .orderBy(F.desc("sample_score"), "doc_id")
+        .limit(50)
+    )
+
+
+def _dp_noise_sql(u_expr: str, scale: int) -> str:
+    """Oracle-side mirror of ``seeded_laplace_noise``: sign × scale ×
+    6-dp-rounded ln, all exact-decimal after the single ln call."""
+    return (
+        f"(CASE WHEN {u_expr} >= 0.5 THEN -{scale} ELSE {scale} END"
+        f" * cast(ln(1 - 2 * abs({u_expr} - 0.5)) AS DECIMAL(18,6)))"
+    )
+
+
+@register(
+    "events_dp_release",
+    f"""
+    WITH cells AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS cnt,
+             sum(cast(round(least(greatest(value, 0.0), 100.0), 6)
+                      AS DECIMAL(18,6))) AS s
+      FROM events GROUP BY 1, 2
+    ), keyed AS (
+      SELECT event_type, day, cnt, s,
+             md5('dp1:' || event_type || ':' || day || ':c') AS hc,
+             md5('dp1:' || event_type || ':' || day || ':s') AS hs
+      FROM cells
+    ), draws AS (
+      SELECT event_type, day, cnt, s,
+             ({_hex_int_sql("hc", 6)} + 0.5) / 16777216.0 AS uc,
+             ({_hex_int_sql("hs", 6)} + 0.5) / 16777216.0 AS us
+      FROM keyed
+    )
+    SELECT event_type, day,
+           round(cast(cast(cnt AS DECIMAL(18,6))
+                      + {_dp_noise_sql("uc", 1)} AS DOUBLE), 6) + 0.0
+             AS noisy_count,
+           round(cast(s + {_dp_noise_sql("us", 100)} AS DOUBLE), 6) + 0.0
+             AS noisy_sum
+    FROM draws
+    """,
+    doc="Differentially-private aggregate release (Laplace mechanism, "
+        "Dwork et al. 2006) — the release gate after the "
+        "events_k_anonymity audit: per (event_type, day) cell, the "
+        "event count + Laplace(1/ε) and the [0,100]-clipped value sum + "
+        "Laplace(100/ε) at ε=1 per statistic. Noise is SEEDED from an "
+        "md5 of the release key — reproducible (a re-release must not "
+        "redraw noise, or averaging cancels the mechanism), testable, "
+        "and oracle-replayable; a production deployment swaps the seeded "
+        "uniform for a secure RNG, nothing else changes. Noise is one "
+        "md5 + one ln per RELEASED CELL (not per row) in whole-stage "
+        "codegen; the clipped sum accumulates as exact decimal, the ln "
+        "rounds to 6 dp once, and everything after is exact-decimal — "
+        "bit-identical across engines and partitionings.",
+)
+def events_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import dp_noisy
+
+    ev = _events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)), 6
+    ).cast("decimal(18,6)")
+    cells = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum(clipped).alias("_s")
+    )
+    key = F.concat_ws(":", "event_type", "day")
+    return cells.select(
+        "event_type",
+        "day",
+        dp_noisy(F.col("_cnt"), F.concat(key, F.lit(":c")), 1, "dp1").alias(
+            "noisy_count"
+        ),
+        dp_noisy(F.col("_s"), F.concat(key, F.lit(":s")), 100, "dp1").alias(
+            "noisy_sum"
+        ),
+    )
+
+
+_KMV_K = 32
+
+
+@register(
+    "team_overlap_kmv",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS key,
+             md5('kmv1:' || cast(user_id AS VARCHAR)) AS hx
+      FROM events
+    ), sk AS (
+      SELECT * FROM (
+        SELECT key, hx,
+               {_hex_int_sql("hx", 12)} / 281474976710656.0 AS f,
+               row_number() OVER (PARTITION BY key ORDER BY hx) AS rk
+        FROM d
+      ) WHERE rk <= {_KMV_K}
+    ), ks AS (SELECT DISTINCT key FROM sk),
+    pairs AS (
+      SELECT a.key AS ka, b.key AS kb FROM ks a JOIN ks b ON a.key < b.key
+    ), merged AS (
+      SELECT p.ka, p.kb, s.hx, s.f,
+             sum(CASE WHEN s.key = p.ka THEN 1 ELSE 0 END) > 0 AS in_a,
+             sum(CASE WHEN s.key = p.kb THEN 1 ELSE 0 END) > 0 AS in_b
+      FROM pairs p JOIN sk s ON s.key = p.ka OR s.key = p.kb
+      GROUP BY 1, 2, 3, 4
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY ka, kb ORDER BY hx) AS rk,
+             count(*) OVER (PARTITION BY ka, kb) AS m
+      FROM merged
+    ), agg AS (
+      SELECT ka, kb, max(m) AS m,
+             max(CASE WHEN rk = least({_KMV_K}, m) THEN f END) AS f_k,
+             sum(CASE WHEN rk <= {_KMV_K} AND in_a AND in_b
+                 THEN 1 ELSE 0 END) AS n_both
+      FROM r GROUP BY 1, 2
+    )
+    SELECT ka AS team_a, kb AS team_b,
+           round(cast(n_both AS DOUBLE)
+                 / cast(CASE WHEN m < {_KMV_K} THEN m
+                        ELSE {_KMV_K} END AS DOUBLE), 6) AS jaccard_est,
+           round(CASE WHEN m < {_KMV_K} THEN cast(m AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0 / f_k END, 6) AS union_est,
+           round((cast(n_both AS DOUBLE)
+                  / cast(CASE WHEN m < {_KMV_K} THEN m
+                         ELSE {_KMV_K} END AS DOUBLE))
+                 * (CASE WHEN m < {_KMV_K} THEN cast(m AS DOUBLE)
+                    ELSE {_KMV_K - 1}.0 / f_k END), 6) + 0.0
+             AS intersection_est
+    FROM agg
+    """,
+    doc="Pairwise audience-overlap estimates from KMV bottom-k distinct "
+        "sketches (Bar-Yossef et al. 2002; Beyer et al. 2007): for every "
+        "team pair, estimated Jaccard, union cardinality ((k−1)/f_(k)), "
+        "and intersection — exact on the small-set branch (combined "
+        "sketch under k hashes means both sets were fully enumerated). "
+        "The sketch pass is the only corpus-sized work (one combine-"
+        "lifted distinct + a rank window emitting ≤ k rows per key); "
+        "the pair stage runs over k·|teams| rows — pairwise overlap over "
+        "billions of users for k rows per key, never a quadratic "
+        "distinct-join. md5 hashing (the portable oracle family) makes "
+        "the sketch deterministic, so the oracle replays sketches AND "
+        "estimators bit-for-bit; 48-bit hash fractions keep the "
+        "estimator arithmetic exactly representable.",
+)
+def team_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import kmv_pair_estimates, kmv_sketches
+
+    sk = kmv_sketches(_events(spark, sf_dir), "event_type", "user_id", k=_KMV_K)
+    est = kmv_pair_estimates(sk, "event_type", k=_KMV_K)
+    return est.select(
+        F.col("key_a").alias("team_a"),
+        F.col("key_b").alias("team_b"),
+        "jaccard_est",
+        "union_est",
+        "intersection_est",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

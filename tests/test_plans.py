@@ -528,3 +528,25 @@ def test_corpus_source_mix_reads_text_once(spark):
     # and no scan drags the unused columns along
     for s in schemas:
         assert "n_chars" not in s and "doc_id" not in s, s
+
+
+def test_dsir_scoring_join_broadcasts_log_ratios(spark):
+    """DSIR's whole scale story is that the 256-bucket log-ratio table
+    broadcasts: the scoring join must be a BroadcastHashJoin (the corpus
+    side never shuffles for the model), and the feature groupBy must
+    partial-aggregate (map-side combine over repeated buckets)."""
+    plan = explain_str(REGISTRY["doc_dsir_selection"].fn(spark, SF_SMALL), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    # top-100 head: per-partition heads + k-row merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_pass_is_partial_aggregated(spark):
+    """The KMV distinct pass must combine map-side (partial HashAggregate
+    before the exchange) and the pair stage must join the k-row sketches
+    by broadcast — the corpus shuffles once, the estimators never do."""
+    plan = explain_str(REGISTRY["team_overlap_kmv"].fn(spark, SF_SMALL), "simple")
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

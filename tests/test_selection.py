@@ -1,0 +1,214 @@
+"""DSIR importance weights, seeded-Laplace DP release, KMV overlap sketches.
+
+Each operator is checked against an independent pure-Python reference on
+synthetic inputs with controlled structure (planted domain shift, known
+set overlap), not just the registry oracle — the oracle proves engine
+parity, these prove the MATH."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from demo_apache_beam_spark.operators.privacy import seeded_laplace_noise, seeded_uniform
+from demo_apache_beam_spark.operators.selection import (
+    dsir_importance_weights,
+    hashed_ngram_features,
+)
+from demo_apache_beam_spark.operators.sketches import kmv_pair_estimates, kmv_sketches
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def _bucket(feat: str) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:2], 16)
+
+
+def _ref_features(text: str) -> list[int]:
+    toks = text.split(" ")
+    feats = list(toks)
+    feats += [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    return [_bucket(f) for f in feats]
+
+
+def _ref_weights(docs: list[tuple[int, str, bool]]) -> dict[int, float]:
+    """Sequential DSIR: hashed uni+bigram multinomials, add-one smoothing
+    over 256 buckets, per-bucket log-ratios rounded to 6 dp (half-even,
+    matching the decimal cast), summed exactly per raw doc."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text, tgt in docs:
+        tf: dict[int, int] = {}
+        for b in _ref_features(text):
+            tf[b] = tf.get(b, 0) + 1
+        per_doc[doc_id] = tf
+        sink = ct if tgt else cr
+        for b, n in tf.items():
+            sink[b] = sink.get(b, 0) + n
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    out = {}
+    for doc_id, text, tgt in docs:
+        if tgt:
+            continue
+        w = Decimal(0)
+        for b, n in per_doc[doc_id].items():
+            lam = math.log(
+                ((ct.get(b, 0) + 1) * (r_tot + 256))
+                / ((cr.get(b, 0) + 1) * (t_tot + 256))
+            )
+            # Spark's double→decimal cast rounds HALF_UP on the exact
+            # binary value
+            lam6 = Decimal(lam).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            w += n * lam6
+        out[doc_id] = float(w)
+    return out
+
+
+_DSIR_DOCS = [
+    # target corpus: aquatic vocabulary
+    (1, "whale shark reef coral whale", True),
+    (2, "reef coral kelp shark tide", True),
+    (3, "tide whale kelp coral reef", True),
+    # raw pool: one aquatic look-alike, one mixed, two desert docs
+    (10, "whale reef coral tide kelp", False),
+    (11, "whale dune cactus reef sand", False),
+    (12, "dune cactus sand mirage dune", False),
+    (13, "sand mirage cactus dune sand", False),
+]
+
+
+def test_dsir_weights_match_sequential_reference(spark):
+    df = spark.createDataFrame(
+        [(d, t, g) for d, t, g in _DSIR_DOCS], "doc_id long, text string, is_target boolean"
+    )
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(df).collect()
+    }
+    want = _ref_weights(_DSIR_DOCS)
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        assert got[doc_id] == pytest.approx(w, abs=1e-9), doc_id
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """The planted domain shift must order the raw pool: pure-aquatic >
+    mixed > pure-desert."""
+    df = spark.createDataFrame(_DSIR_DOCS, "doc_id long, text string, is_target boolean")
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(df).collect()
+    }
+    assert got[10] > got[11] > got[12]
+    assert got[11] > got[13]
+
+
+def test_hashed_features_single_token_doc_has_no_bigrams(spark):
+    """sequence(1, 0) descends in Spark — a 1-token doc must contribute
+    exactly one unigram feature, not a wrapped bigram."""
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    rows = hashed_ngram_features(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["tf"] == 1
+    assert rows[0]["bucket"] == _bucket("solo")
+
+
+# ---------------------------------------------------------------------------
+# Seeded Laplace
+# ---------------------------------------------------------------------------
+
+def test_seeded_noise_is_deterministic_and_laplace_shaped(spark):
+    """Same key → identical noise across evaluations; across many keys the
+    draws look Laplace(b): mean |noise| ≈ b, hard bound b·ln(16⁶), and
+    both signs occur."""
+    n, scale = 4000, 3
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    noise = seeded_laplace_noise(F.col("k"), scale, seed="t")
+    a = [float(r["x"]) for r in df.select(noise.cast("double").alias("x")).collect()]
+    b = [float(r["x"]) for r in df.select(noise.cast("double").alias("x")).collect()]
+    assert a == b
+    bound = scale * math.log(16**6) + 1e-9
+    assert all(abs(x) <= bound for x in a)
+    assert any(x > 0 for x in a) and any(x < 0 for x in a)
+    mean_abs = sum(abs(x) for x in a) / n
+    assert mean_abs == pytest.approx(scale, rel=0.1)
+    # sign balance: P(positive) = 1/2
+    assert sum(1 for x in a if x >= 0) / n == pytest.approx(0.5, abs=0.05)
+
+
+def test_seeded_uniform_matches_hashlib(spark):
+    df = spark.createDataFrame([("alpha",), ("beta",)], "k string")
+    got = {
+        r["k"]: r["u"]
+        for r in df.select("k", seeded_uniform(F.col("k"), "s").alias("u")).collect()
+    }
+    for k in ("alpha", "beta"):
+        v = int(hashlib.md5(f"s:{k}".encode()).hexdigest()[:6], 16)
+        assert got[k] == (v + 0.5) / 16**6
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def _overlap_rows():
+    """Two keys with |A|=600, |B|=500, |A∩B|=300; one tiny key (exact
+    branch pairs)."""
+    rows = []
+    rows += [("a", i) for i in range(600)]
+    rows += [("b", i) for i in range(300)]  # shared with a
+    rows += [("b", 10_000 + i) for i in range(200)]
+    rows += [("t", i) for i in range(5)]  # tiny, subset of a ∩ b? of a
+    return rows
+
+
+def test_kmv_estimates_known_overlap(spark):
+    df = spark.createDataFrame(_overlap_rows(), "key string, item long")
+    sk = kmv_sketches(df, "key", "item", k=64)
+    est = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_pair_estimates(sk, "key", k=64).collect()
+    }
+    ab = est[("a", "b")]
+    # k=64 ⇒ σ(union) ≈ union/√(k−2) ≈ 13%; allow 3σ
+    assert ab["union_est"] == pytest.approx(800, rel=0.4)
+    assert ab["jaccard_est"] == pytest.approx(300 / 800, abs=0.2)
+    assert ab["intersection_est"] == pytest.approx(300, rel=0.55)
+
+
+def test_kmv_small_set_branch_is_exact(spark):
+    """When the combined sketch holds under k hashes both sets were fully
+    enumerated: union, Jaccard, and intersection are EXACT."""
+    df = spark.createDataFrame(_overlap_rows(), "key string, item long")
+    sk = kmv_sketches(df, "key", "item", k=2048)
+    est = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_pair_estimates(sk, "key", k=2048).collect()
+    }
+    at = est[("a", "t")]
+    assert at["union_est"] == 600.0
+    assert at["intersection_est"] == pytest.approx(5.0, abs=1e-6)
+    ab = est[("a", "b")]
+    assert ab["union_est"] == 800.0
+    assert ab["jaccard_est"] == pytest.approx(300 / 800, abs=1e-6)
+    assert ab["intersection_est"] == pytest.approx(300.0, abs=1e-4)
+
+
+def test_kmv_sketch_size_capped(spark):
+    df = spark.createDataFrame(_overlap_rows(), "key string, item long")
+    sk = kmv_sketches(df, "key", "item", k=16)
+    sizes = {
+        r["key"]: r["n"]
+        for r in sk.groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes["a"] == 16 and sizes["b"] == 16 and sizes["t"] == 5
