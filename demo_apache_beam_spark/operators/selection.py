@@ -60,24 +60,126 @@ def hashed_ngram_features(
     text_col: str = "text",
     hex_chars: int = 2,
     bigrams: bool = True,
+    carry: tuple = (),
 ) -> DataFrame:
     """Per-document hashed n-gram term frequencies.
 
-    Output: ``(<id_col>, bucket int, tf long)`` with
+    Output: ``(<id_col>, *carry, bucket int, tf long)`` with
     ``bucket = int(md5(feature)[:hex_chars], 16)`` over word unigrams
     (whitespace split) and, when ``bigrams``, ``w1_w2`` adjacent pairs.
+    ``carry`` columns ride THROUGH the explode and groupBy (they are
+    per-document constants, e.g. a class tag) — carrying beats joining
+    them back on: the join would shuffle two corpus-sized sides.
     """
-    toks = df.select(id_col, F.split(text_col, " ").alias("_toks"))
-    feats = toks.select(id_col, F.explode("_toks").alias("_feat"))
+    carry = list(carry)
+    toks = df.select(id_col, *carry, F.split(text_col, " ").alias("_toks"))
+    feats = toks.select(id_col, *carry, F.explode("_toks").alias("_feat"))
     if bigrams:
         feats = feats.unionAll(
-            toks.select(id_col, F.explode(F.expr(_BIGRAMS_EXPR)).alias("_feat"))
+            toks.select(
+                id_col, *carry, F.explode(F.expr(_BIGRAMS_EXPR)).alias("_feat")
+            )
         )
     bucket = F.conv(F.substring(F.md5("_feat"), 1, hex_chars), 16, 10).cast("int")
     return (
-        feats.select(id_col, bucket.alias("bucket"))
-        .groupBy(id_col, "bucket")
+        feats.select(id_col, *carry, bucket.alias("bucket"))
+        .groupBy(id_col, *carry, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tagged_features(
+    docs: DataFrame,
+    is_target: F.Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Class-tagged per-doc feature counts ``(<id_col>, _tgt, bucket,
+    tf)`` — the shared input of the histogram and scoring passes."""
+    if is_target is None:
+        is_target = F.col("is_target")
+    tagged = docs.select(
+        F.col(id_col), F.col(text_col), is_target.alias("_tgt")
+    )
+    return hashed_ngram_features(
+        tagged, id_col=id_col, text_col=text_col,
+        hex_chars=hex_chars, bigrams=bigrams, carry=("_tgt",),
+    )
+
+
+def dsir_histograms(
+    docs: DataFrame,
+    is_target: F.Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    bigrams: bool = True,
+) -> DataFrame:
+    """The DSIR MODEL: per-bucket feature counts for the target corpus
+    (``ct``) and raw pool (``cr``) — ≤ ``16^hex_chars`` rows however
+    large the corpus. Pure counts, so models MERGE exactly: summing two
+    increments' histograms per bucket equals the histogram of their
+    union (``dsir_merge_models``) — the property that makes incremental
+    crawls cheap (fold the new epoch in; never rescan history)."""
+    feats = tagged_features(
+        docs, is_target, id_col=id_col, text_col=text_col,
+        hex_chars=hex_chars, bigrams=bigrams,
+    )
+    return _hist_from_features(feats)
+
+
+def _hist_from_features(feats: DataFrame) -> DataFrame:
+    return feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), F.col("tf")).otherwise(0)).alias("cr"),
+    )
+
+
+def dsir_log_ratios(hist: DataFrame, hex_chars: int = 2) -> DataFrame:
+    """Per-bucket smoothed log ratio λ_b = round6(ln(p_t(b)/p_r(b))) from
+    a count model — one ln of an exact-integer ratio, rounded once:
+    ln( (ct+1)(R+B) / ((cr+1)(T+B)) ), add-one smoothing over the full
+    bucket space B."""
+    n_buckets = 16 ** hex_chars
+    tot = hist.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("r_tot") + F.lit(n_buckets)))
+            .cast("double")
+            / ((F.col("cr") + 1) * (F.col("t_tot") + F.lit(n_buckets)))
+            .cast("double")
+        )
+        .cast(STABLE_DECIMAL)
+        .alias("lam"),
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lam: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Score documents against a log-ratio table (broadcast, ≤ bucket-
+    space rows): weight = Σ tf_b · λ_b as exact tf×decimal sums. This is
+    the serving path for a PERSISTED model — a new crawl increment is
+    scored with one pass over the increment only."""
+    feats = hashed_ngram_features(
+        docs, id_col=id_col, text_col=text_col,
+        hex_chars=hex_chars, bigrams=bigrams,
+    )
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("lam")).cast("double").alias("weight"),
+        )
     )
 
 
@@ -95,43 +197,20 @@ def dsir_importance_weights(
     named ``is_target``). Output: ``(<id_col>, n_feats long, weight
     double)`` where weight = Σ tf_b · round6(ln(p_t(b)/p_r(b))) with
     add-one smoothing over the full ``16^hex_chars`` bucket space.
+
+    One-pass discipline: the class tag rides THROUGH the feature explode
+    (no corpus-vs-corpus tag join), and the compact per-doc bucket-count
+    table — ≤ bucket-space rows per document, far smaller than the text
+    it summarizes — is localCheckpointed so the histogram pass and the
+    scoring pass both read it instead of re-scanning and re-exploding
+    the corpus (the engine's materialize-the-compressed-form rule; cf.
+    the kNN graph's signature table).
     """
-    if is_target is None:
-        is_target = F.col("is_target")
-    n_buckets = 16 ** hex_chars
-
-    tagged = docs.select(
-        F.col(id_col), F.col(text_col), is_target.alias("_tgt")
-    )
-    feats = hashed_ngram_features(
-        tagged, id_col=id_col, text_col=text_col,
+    feats = tagged_features(
+        docs, is_target, id_col=id_col, text_col=text_col,
         hex_chars=hex_chars, bigrams=bigrams,
-    ).join(tagged.select(id_col, "_tgt"), id_col)
-
-    # class histograms: ≤ n_buckets rows each, whatever the corpus size
-    hist = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("_tgt"), F.col("tf")).otherwise(0)).alias("cr"),
-    )
-    tot = hist.agg(
-        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
-    )
-    # one ln of an exact-integer ratio, rounded once to 6 dp:
-    # ln(p_t/p_r) = ln( (ct+1)(R+B) / ((cr+1)(T+B)) )
-    lam = (
-        hist.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.log(
-                ((F.col("ct") + 1) * (F.col("r_tot") + F.lit(n_buckets)))
-                .cast("double")
-                / ((F.col("cr") + 1) * (F.col("t_tot") + F.lit(n_buckets)))
-                .cast("double")
-            )
-            .cast(STABLE_DECIMAL)
-            .alias("lam"),
-        )
-    )
+    ).localCheckpoint(eager=False)
+    lam = dsir_log_ratios(_hist_from_features(feats), hex_chars=hex_chars)
     return (
         feats.filter(~F.col("_tgt"))
         .join(F.broadcast(lam), "bucket")
@@ -141,3 +220,26 @@ def dsir_importance_weights(
             F.sum(F.col("tf") * F.col("lam")).cast("double").alias("weight"),
         )
     )
+
+
+def dsir_merge_models(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold one increment's histogram into another: per-bucket count
+    sums. Exact — hist(A ∪ B) = merge(hist(A), hist(B)) — so weights
+    scored from a merged model are bit-identical to a full recompute."""
+    return (
+        a.select("bucket", "ct", "cr")
+        .unionAll(b.select("bucket", "ct", "cr"))
+        .groupBy("bucket")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+
+
+def dsir_save_model(hist: DataFrame, path: str) -> None:
+    """Persist the count model (coalesced — it is ≤ bucket-space rows)."""
+    hist.select("bucket", "ct", "cr").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def dsir_load_model(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("bucket", "ct", "cr")

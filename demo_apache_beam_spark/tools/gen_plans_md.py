@@ -50,6 +50,9 @@ HEADLINE = [
     # oracle-checkable portable-hash near-dup (md5 chains; candidate
     # generation itself value-checked against DuckDB)
     "dedup_minhash_portable",
+    # broadcast-model data selection and k-row-sketch set ops
+    "doc_dsir_selection",
+    "team_overlap_kmv",
 ]
 
 _SCRUB = re.compile(

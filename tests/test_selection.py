@@ -212,3 +212,48 @@ def test_kmv_sketch_size_capped(spark):
         for r in sk.groupBy("key").agg(F.count("*").alias("n")).collect()
     }
     assert sizes["a"] == 16 and sizes["b"] == 16 and sizes["t"] == 5
+
+
+def test_dsir_incremental_model_merge_is_exact(spark, tmp_path):
+    """Persisted-model path: hist(epoch0) ⊕ hist(epoch1) must equal
+    hist(epoch0 ∪ epoch1) exactly, and scoring a new increment from the
+    merged persisted model must be BIT-IDENTICAL to the one-shot inline
+    weights over everything — the property that lets a crawl pipeline
+    fold each epoch in without rescanning history."""
+    from demo_apache_beam_spark.operators.selection import (
+        dsir_histograms,
+        dsir_importance_weights,
+        dsir_load_model,
+        dsir_log_ratios,
+        dsir_merge_models,
+        dsir_save_model,
+        dsir_score,
+    )
+
+    schema = "doc_id long, text string, is_target boolean"
+    epoch0 = spark.createDataFrame(_DSIR_DOCS[:5], schema)
+    epoch1 = spark.createDataFrame(_DSIR_DOCS[5:], schema)
+    everything = spark.createDataFrame(_DSIR_DOCS, schema)
+
+    merged = dsir_merge_models(
+        dsir_histograms(epoch0), dsir_histograms(epoch1)
+    )
+    want_hist = {
+        r["bucket"]: (r["ct"], r["cr"])
+        for r in dsir_histograms(everything).collect()
+    }
+    got_hist = {r["bucket"]: (r["ct"], r["cr"]) for r in merged.collect()}
+    assert got_hist == want_hist
+
+    path = str(tmp_path / "model")
+    dsir_save_model(merged, path)
+    raw = everything.filter("NOT is_target").select("doc_id", "text")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_score(raw, dsir_log_ratios(dsir_load_model(spark, path))).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_importance_weights(everything).collect()
+    }
+    assert got == want
