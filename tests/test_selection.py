@@ -257,3 +257,32 @@ def test_dsir_incremental_model_merge_is_exact(spark, tmp_path):
         for r in dsir_importance_weights(everything).collect()
     }
     assert got == want
+
+
+def test_user_level_dp_bounds_single_user_influence(spark):
+    """Removing one user (however many events they had) must move the
+    user-level release by at most cap + |Δnoise| — the sensitivity the
+    Laplace scale is calibrated to. The hot user here has 1000 events;
+    an event-level release would move by ~1000."""
+    from demo_apache_beam_spark.operators.privacy import dp_noisy
+
+    def release(rows):
+        df = spark.createDataFrame(rows, "cell string, user_id long")
+        per_user = df.groupBy("cell", "user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        cells = per_user.groupBy("cell").agg(
+            F.sum(F.least(F.col("n"), F.lit(5))).alias("capped")
+        )
+        out = cells.select(
+            "cell",
+            dp_noisy(F.col("capped"), F.col("cell"), 5, "t").alias("rel"),
+        ).collect()
+        return {r["cell"]: r["rel"] for r in out}
+
+    base = [("c", u) for u in range(50)]
+    with_hot = base + [("c", 999)] * 1000
+    a, b = release(base), release(with_hot)
+    # same cell key → identical noise; difference is exactly the capped
+    # contribution of the extra user
+    assert abs(b["c"] - a["c"]) == pytest.approx(5.0, abs=1e-6)
