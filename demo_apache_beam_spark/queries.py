@@ -853,10 +853,9 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register(
-    "dedup_near_clusters",
-    f"""
-    WITH RECURSIVE {_MH_PORT_CTES},
+# Portable pair pipeline + transitive closure → per-doc cluster ids,
+# shared by the cluster-assignment and leakage-safe-split oracles.
+_MH_CLUSTER_CTES = f"""{_MH_PORT_CTES},
     mh_pairs AS (
       SELECT c.id_a, c.id_b
       FROM cands c
@@ -875,9 +874,17 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT a AS doc_id, least(min(b), a) AS cluster_id
       FROM reach GROUP BY a
-    )
-    SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id
-    FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
+    ), clusters AS (
+      SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id
+      FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id
+    )"""
+
+
+@register(
+    "dedup_near_clusters",
+    f"""
+    WITH RECURSIVE {_MH_CLUSTER_CTES}
+    SELECT doc_id, cluster_id FROM clusters
     """,
     doc="NEAR-dup pairs → clusters: connected components (min-label "
         "propagation with pointer doubling) over the oracle-checked "
@@ -8090,6 +8097,55 @@ def team_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_est",
         "intersection_est",
     )
+
+
+@register(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_MH_CLUSTER_CTES}, draws AS (
+      SELECT doc_id, cluster_id,
+             ({_hex_int_sql("md5('split1:' || cast(cluster_id AS VARCHAR))", 6)}
+              + 0.5) / 16777216.0 AS u
+      FROM clusters
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM draws
+    """,
+    doc="Leakage-safe train/val/test split: the 80/10/10 hash split is "
+        "drawn per NEAR-DUP CLUSTER, not per document — every member of "
+        "a near-duplicate cluster lands in the same fold, so a val/test "
+        "document can never have a training-set near-twin (the eval-"
+        "leakage failure mode a naive per-doc split bakes in; cf. the "
+        "decontamination family, which CHECKS for leakage — this "
+        "PREVENTS it at split time). Composes two verified pieces: the "
+        "oracle-checked portable-MinHash cluster assignment "
+        "(dedup_near_clusters — shared CTE chain, cannot drift) and the "
+        "seeded-hash uniform draw keyed on the cluster id (same split "
+        "for every member by construction; deterministic, so re-running "
+        "the split on a grown corpus moves no existing singleton). One "
+        "md5 per doc on top of the clustering cost; no new shuffles.",
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import duplicate_clusters
+    from .operators.privacy import seeded_uniform
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, num_hashes=_MH_PORT_K, bands=_MH_PORT_BANDS, portable=True
+    )
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"), corpus.select("doc_id")
+    )
+    u = seeded_uniform(F.col("cluster_id").cast("string"), "split1")
+    split = (
+        F.when(u < F.lit(0.8), F.lit("train"))
+        .when(u < F.lit(0.9), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
 
 
 # ---------------------------------------------------------------------------

@@ -286,3 +286,96 @@ def test_user_level_dp_bounds_single_user_influence(spark):
     # same cell key → identical noise; difference is exactly the capped
     # contribution of the extra user
     assert abs(b["c"] - a["c"]) == pytest.approx(5.0, abs=1e-6)
+
+
+def test_streaming_dsir_scoring_equals_batch(spark, tmp_path):
+    """Scores streamed epoch-by-epoch from the persisted model must equal
+    the batch scoring of everything streamed, bit-for-bit (pure per-doc
+    function of text and the pinned model)."""
+    import os
+
+    from demo_apache_beam_spark.operators.selection import (
+        dsir_histograms,
+        dsir_load_model,
+        dsir_log_ratios,
+        dsir_save_model,
+        dsir_score,
+    )
+    from demo_apache_beam_spark.streaming.selection import start_dsir_scoring_stream
+
+    model_path = str(tmp_path / "model")
+    dsir_save_model(
+        dsir_histograms(
+            spark.createDataFrame(
+                _DSIR_DOCS, "doc_id long, text string, is_target boolean"
+            )
+        ),
+        model_path,
+    )
+
+    epochs = [
+        [(100, "whale reef coral"), (101, "dune sand")],
+        [(102, "kelp tide whale shark"), (103, "mirage cactus dune")],
+    ]
+    in_dir = str(tmp_path / "in")
+    out_path = str(tmp_path / "scores")
+    os.makedirs(in_dir)
+    q = start_dsir_scoring_stream(
+        spark, in_dir, model_path, out_path, str(tmp_path / "chk")
+    )
+    try:
+        for b, rows in enumerate(epochs):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    every = spark.createDataFrame(
+        [r for rows in epochs for r in rows], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_feats"], r["weight"])
+        for r in dsir_score(
+            every, dsir_log_ratios(dsir_load_model(spark, model_path))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster must land whole in one fold, folds must be
+    non-degenerate, and the assignment must be reproducible."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    df = REGISTRY["corpus_leakage_safe_split"].fn(spark, sf)
+    rows = df.collect()
+    assert len(rows) > 500  # the near-dup fixture corpus incl. planted dups
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # at least one real (multi-doc) cluster exercised the constraint
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert max(sizes.values()) >= 2
+    shares = Counter(r["split"] for r in rows)
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > shares["val"] and shares["train"] > shares["test"]
+    again = {
+        (r["doc_id"], r["split"])
+        for r in REGISTRY["corpus_leakage_safe_split"].fn(spark, sf).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
