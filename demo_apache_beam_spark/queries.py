@@ -8148,6 +8148,81 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
 
 
+@register(
+    "dedup_cluster_best",
+    f"""
+    WITH RECURSIVE {_MH_CLUSTER_CTES}, feat AS (
+      SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             cast(len(list_filter(string_split(text, ' '),
+                                  t -> t = 'a' OR t = 'the')) AS DOUBLE)
+               AS n_stop,
+             cast(length(text) AS DOUBLE) AS n_chars
+      FROM corpus
+    ), scored AS (
+      SELECT k.cluster_id, k.doc_id,
+             6.0 * (n_stop / n_tokens)
+               + 0.5 * ((n_chars - (n_tokens - 1)) / n_tokens)
+               + 0.01 * n_tokens - 3.2 AS score
+      FROM clusters k JOIN feat USING (doc_id)
+    ), ranked AS (
+      SELECT cluster_id, doc_id, score,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM scored
+    )
+    SELECT cluster_id, doc_id AS kept_doc, n_members,
+           round(score, 6) + 0.0 AS quality_score
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Best-of-cluster canonical selection: instead of the min-id "
+        "winner (dedup_near_clusters' policy), keep the member with the "
+        "HIGHEST quality-classifier score from each near-dup cluster — "
+        "what curation pipelines actually want when duplicates differ "
+        "in cleanliness (boilerplate-suffixed copies lose to the clean "
+        "original on merit, not id order). Composes three verified "
+        "pieces over shared CTEs: the portable-MinHash clustering, the "
+        "shared quality logit (_quality_logit — same weights as "
+        "doc_quality_gate, cannot drift), and a per-cluster argmax "
+        "window with doc_id tie-break. Clusters are tiny (near-dup "
+        "components), so the argmax window partitions are bounded; one "
+        "exchange on cluster_id beyond the clustering cost.",
+)
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.graph import duplicate_clusters
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, num_hashes=_MH_PORT_K, bands=_MH_PORT_BANDS, portable=True
+    )
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"), corpus.select("doc_id")
+    )
+    score, _ = _quality_logit()
+    scored = clusters.join(
+        corpus.select("doc_id", score.alias("_score")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            "n_members",
+            (F.round("_score", 6) + F.lit(0.0)).alias("quality_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

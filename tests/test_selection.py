@@ -379,3 +379,60 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
         for r in REGISTRY["corpus_leakage_safe_split"].fn(spark, sf).collect()
     }
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_cluster_best_keeps_true_argmax(spark):
+    """dedup_cluster_best must pick, per cluster, exactly the member with
+    the maximal quality logit (doc_id tie-break) — checked against an
+    independent recomputation over the same corpus and clustering."""
+    from demo_apache_beam_spark.queries import (
+        REGISTRY,
+        _MH_PORT_BANDS,
+        _MH_PORT_K,
+        _neardup_corpus,
+        _quality_logit,
+    )
+    from demo_apache_beam_spark.operators.dedup import minhash_dedup_pairs
+    from demo_apache_beam_spark.operators.graph import duplicate_clusters
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["cluster_id"]: (r["kept_doc"], r["n_members"])
+        for r in REGISTRY["dedup_cluster_best"].fn(spark, sf).collect()
+    }
+
+    corpus = _neardup_corpus(spark, sf)
+    pairs = minhash_dedup_pairs(
+        corpus, num_hashes=_MH_PORT_K, bands=_MH_PORT_BANDS, portable=True
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            pairs.select("id_a", "id_b"), corpus.select("doc_id")
+        ).collect()
+    }
+    score, _ = _quality_logit()
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select("doc_id", score.alias("s")).collect()
+    }
+    want: dict = {}
+    for doc, cl in clusters.items():
+        cand = (scores[doc], doc)
+        best = want.get(cl)
+        # max score, then MIN doc id: compare (-score, doc)
+        if best is None or (-cand[0], cand[1]) < (-best[0], best[1]):
+            want[cl] = cand
+    sizes: dict = {}
+    for cl in clusters.values():
+        sizes[cl] = sizes.get(cl, 0) + 1
+    assert got == {cl: (doc, sizes[cl]) for cl, (s, doc) in want.items()}
+    # the policy must differ from min-id on merit somewhere: at least one
+    # multi-member cluster keeps a non-minimal doc_id (the suffixed copy
+    # scores higher via the 0.01·n_tokens term when it survives banding)
+    members: dict = {}
+    for doc, cl in clusters.items():
+        members.setdefault(cl, []).append(doc)
+    multi = [cl for cl, docs in members.items() if len(docs) >= 2]
+    assert multi
+    assert any(got[cl][0] != min(members[cl]) for cl in multi)
