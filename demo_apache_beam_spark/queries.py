@@ -8223,6 +8223,131 @@ def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch split for the drift report: doc_id parity simulates two crawl
+# epochs deterministically (the fixture has no crawl timestamp).
+_DRIFT_CTES = f"""base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             (doc_id % 2 = 0) AS tgt
+      FROM documents
+    ), uni AS (
+      SELECT doc_id, tgt, unnest(t) AS feat FROM base
+    ), bi AS (
+      SELECT doc_id, tgt, t[p] || '_' || t[p + 1] AS feat
+      FROM base, LATERAL unnest(range(1, len(t))) AS r(p)
+    ), feats AS (
+      SELECT doc_id, tgt,
+             {_hex_int_sql("md5(feat)", 2)} AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ), tf AS (
+      SELECT doc_id, tgt, bucket, count(*) AS tf FROM feats GROUP BY 1, 2, 3
+    ), hist AS (
+      SELECT bucket,
+             cast(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS ca,
+             cast(sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS BIGINT) AS cb
+      FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT cast(sum(ca) AS BIGINT) AS ta,
+             cast(sum(cb) AS BIGINT) AS tb FROM hist
+    ), terms AS (
+      -- every product in DOUBLE: int64 would wrap silently in Spark at
+      -- crawl-scale counts while DuckDB promotes to HUGEINT (the
+      -- doc_temperature_mixture overflow lesson); identical operand
+      -- order keeps the doubles bit-equal across engines
+      SELECT bucket, ca, cb,
+             (cast(ca + 1 AS DOUBLE) / (ta + 256))
+               * ln(2.0 * cast(ca + 1 AS DOUBLE) * cast(tb + 256 AS DOUBLE)
+                    / (cast(ca + 1 AS DOUBLE) * cast(tb + 256 AS DOUBLE)
+                       + cast(cb + 1 AS DOUBLE) * cast(ta + 256 AS DOUBLE)))
+             + (cast(cb + 1 AS DOUBLE) / (tb + 256))
+               * ln(2.0 * cast(cb + 1 AS DOUBLE) * cast(ta + 256 AS DOUBLE)
+                    / (cast(ca + 1 AS DOUBLE) * cast(tb + 256 AS DOUBLE)
+                       + cast(cb + 1 AS DOUBLE) * cast(ta + 256 AS DOUBLE)))
+               AS contrib
+      FROM hist CROSS JOIN tot
+    ), total AS (
+      SELECT cast(sum(cast(contrib AS DECIMAL(28,12))) AS DOUBLE) AS jsd
+      FROM terms
+    )"""
+
+
+@register(
+    "corpus_drift_report",
+    f"""
+    WITH {_DRIFT_CTES}
+    SELECT bucket, ca, cb,
+           round(contrib * 1e6, 6) + 0.0 AS contrib_e6,
+           round(jsd * 1e6, 6) + 0.0 AS jsd_e6
+    FROM terms CROSS JOIN total
+    ORDER BY contrib_e6 DESC, bucket LIMIT 10
+    """,
+    doc="Distribution-drift monitor between two corpus epochs (doc-id "
+        "parity stands in for crawl epochs): Jensen–Shannon divergence "
+        "of the hashed uni+bigram bucket distributions (add-one "
+        "smoothing, the DSIR feature space — same histogram pass, "
+        "``operators/selection.py``), reported as the total JSD plus "
+        "the 10 buckets contributing most — the gate a training "
+        "pipeline runs before folding a new crawl epoch into the "
+        "mixture, and the drill-down that says WHICH vocabulary moved. "
+        "Both class histograms are ≤ 256 rows regardless of corpus "
+        "size, so everything after the feature pass is constant work; "
+        "per-bucket contributions are identical double expressions on "
+        "both engines, the total accumulates as decimal(28,12) (order-"
+        "independent), and outputs scale to ppm so the 6-dp hash "
+        "comparison keeps real precision. Summation is over OBSERVED "
+        "buckets (the histogram's support) — unseen buckets' smoothed "
+        "masses differ only when epoch totals differ, a term the "
+        "report deliberately excludes so drift reflects vocabulary, "
+        "not corpus growth.",
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import tagged_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = tagged_features(docs, (F.col("doc_id") % 2) == 0)
+    hist = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("_tgt"), F.col("tf")).otherwise(0)).alias("cb"),
+    )
+    tot = hist.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    B = 256
+    ca1, cb1 = F.col("ca") + 1, F.col("cb") + 1
+    ta_b, tb_b = F.col("ta") + F.lit(B), F.col("tb") + F.lit(B)
+    # all products in DOUBLE (silent int64 wrap at crawl-scale counts
+    # vs DuckDB's HUGEINT promotion — the temperature-mixture lesson);
+    # operand order mirrors the oracle so the doubles are bit-equal
+    ca1d, cb1d = ca1.cast("double"), cb1.cast("double")
+    ta_bd, tb_bd = ta_b.cast("double"), tb_b.cast("double")
+    denom = ca1d * tb_bd + cb1d * ta_bd
+    contrib = (
+        (ca1d / ta_b) * F.log(F.lit(2.0) * ca1d * tb_bd / denom)
+        + (cb1d / tb_b) * F.log(F.lit(2.0) * cb1d * ta_bd / denom)
+    )
+    terms = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket", "ca", "cb", contrib.alias("_contrib")
+    )
+    total = terms.agg(
+        F.sum(F.col("_contrib").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_jsd")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "ca",
+            "cb",
+            (F.round(F.col("_contrib") * F.lit(1e6), 6) + F.lit(0.0)).alias(
+                "contrib_e6"
+            ),
+            (F.round(F.col("_jsd") * F.lit(1e6), 6) + F.lit(0.0)).alias(
+                "jsd_e6"
+            ),
+        )
+        .orderBy(F.desc("contrib_e6"), "bucket")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -436,3 +436,38 @@ def test_cluster_best_keeps_true_argmax(spark):
     multi = [cl for cl, docs in members.items() if len(docs) >= 2]
     assert multi
     assert any(got[cl][0] != min(members[cl]) for cl in multi)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_drift_report_zero_on_identical_epochs_positive_on_shift(spark, tmp_path):
+    """JSD must be exactly 0 when the even/odd epochs carry identical
+    text multisets, and strictly positive once one epoch's vocabulary
+    shifts — with the shifted bucket surfacing in the drill-down."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    same = []
+    for i, text in enumerate(["whale reef coral", "dune sand mirage", "kelp tide"]):
+        same.append((2 * i, text, "en", "s0", len(text)))
+        same.append((2 * i + 1, text, "en", "s0", len(text)))
+    d1 = str(tmp_path / "same")
+    _write_docs(spark, d1, same)
+    rows = REGISTRY["corpus_drift_report"].fn(spark, d1).collect()
+    assert rows
+    assert all(r["jsd_e6"] == 0.0 for r in rows)
+    assert all(r["contrib_e6"] == 0.0 for r in rows)
+
+    shifted = list(same)
+    shifted[1] = (1, "plasma reactor tokamak plasma plasma", "en", "s0", 30)
+    d2 = str(tmp_path / "shift")
+    _write_docs(spark, d2, shifted)
+    rows2 = REGISTRY["corpus_drift_report"].fn(spark, d2).collect()
+    assert rows2[0]["jsd_e6"] > 0
+    assert rows2[0]["contrib_e6"] > 0
+    # descending drill-down
+    contribs = [r["contrib_e6"] for r in rows2]
+    assert contribs == sorted(contribs, reverse=True)
