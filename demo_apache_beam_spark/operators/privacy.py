@@ -56,6 +56,10 @@ def seeded_laplace_noise(key: Column, scale: int, seed: str = "dp1") -> Column:
     stays exact decimal. |noise| ≤ b·ln(16^6) ≈ 16.6·b by construction
     (the uniform never reaches 0 or 1).
     """
+    if int(scale) != scale or int(scale) < 1:
+        # a float scale would silently truncate below (0.5 → 0 disables
+        # the mechanism); express fractional b = Δ/ε by scaling Δ
+        raise ValueError(f"scale must be a positive integer, got {scale!r}")
     u = seeded_uniform(key, seed)
     ln6 = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))).cast(
         STABLE_DECIMAL

@@ -471,3 +471,12 @@ def test_drift_report_zero_on_identical_epochs_positive_on_shift(spark, tmp_path
     # descending drill-down
     contribs = [r["contrib_e6"] for r in rows2]
     assert contribs == sorted(contribs, reverse=True)
+
+
+def test_laplace_rejects_non_integer_scale(spark):
+    """A float scale would silently truncate to int (0.5 → 0 disables the
+    mechanism) — it must be rejected loudly."""
+    with pytest.raises(ValueError, match="positive integer"):
+        seeded_laplace_noise(F.lit("k"), 0.5, seed="t")
+    with pytest.raises(ValueError, match="positive integer"):
+        seeded_laplace_noise(F.lit("k"), 0, seed="t")
