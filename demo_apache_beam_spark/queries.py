@@ -8348,6 +8348,96 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_kmv_rollup",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             md5('kmv1:' || cast(user_id AS VARCHAR)) AS hx
+      FROM events
+    ), daily AS (
+      SELECT * FROM (
+        SELECT event_type, day, hx,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY hx) AS rk
+        FROM d
+      ) WHERE rk <= {_KMV_K}
+    ), merged AS (
+      SELECT DISTINCT event_type, hx FROM daily
+    ), rolled AS (
+      SELECT * FROM (
+        SELECT event_type, hx,
+               {_hex_int_sql("hx", 12)} / 281474976710656.0 AS f,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM merged
+      ) WHERE rk <= {_KMV_K}
+    ), days AS (
+      SELECT event_type, count(DISTINCT day) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT r.event_type AS team, d.n_days,
+           round(CASE WHEN max(r.m) < {_KMV_K} THEN cast(max(r.m) AS DOUBLE)
+                 ELSE {_KMV_K - 1}.0
+                      / max(CASE WHEN r.rk = {_KMV_K} THEN r.f END) END, 6)
+             AS approx_users
+    FROM rolled r JOIN days d ON d.event_type = r.event_type
+    GROUP BY r.event_type, d.n_days
+    """,
+    doc="KMV mergeable-sketch rollup — the oracle-checkable sibling of "
+        "user_sketch_rollup (whose DataSketches HLL binaries are "
+        "engine-specific BY NATURE, so it stays rows-only): per-(team, "
+        "day) bottom-k user sketches built in one pass, then MERGED — "
+        "re-rank the union of daily bottom-k hashes, exact by the "
+        "bottom-k merge property — into per-team distinct estimates, "
+        "(k−1)/f_(k) with the exact small-set branch. Same incremental-"
+        "warehouse shape (daily partials written once, any rollup "
+        "window is a k-row merge, never a rescan of raw events), but "
+        "with md5 hashing every number — daily sketches, merge, and "
+        "estimator — replays bit-for-bit in DuckDB. The engine now "
+        "holds BOTH flavors: the production HLL (smaller sketches, "
+        "library-grade accuracy) and the portable KMV (value-checked "
+        "end to end).",
+)
+def user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.sketches import rank_bottom_k
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("kmv1:"), F.col("user_id").cast("string")))
+    d = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        h.alias("hx"),
+    ).distinct()
+    wd = Window.partitionBy("event_type", "day").orderBy("hx")
+    daily = d.withColumn("rk", F.row_number().over(wd)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    days = daily.groupBy("event_type").agg(
+        F.count_distinct("day").alias("n_days")
+    )
+    rolled = rank_bottom_k(
+        daily.select("event_type", "hx").distinct(), "event_type", _KMV_K
+    )
+    est = rolled.groupBy("event_type").agg(
+        F.max("rk").alias("_m"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("f"))).alias("_fk"),
+    )
+    approx = F.when(
+        F.col("_m") < _KMV_K, F.col("_m").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_fk"))
+    return (
+        est.join(days, "event_type")
+        .select(
+            F.col("event_type").alias("team"),
+            "n_days",
+            F.round(approx, 6).alias("approx_users"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -480,3 +480,30 @@ def test_laplace_rejects_non_integer_scale(spark):
         seeded_laplace_noise(F.lit("k"), 0.5, seed="t")
     with pytest.raises(ValueError, match="positive integer"):
         seeded_laplace_noise(F.lit("k"), 0, seed="t")
+
+
+def test_kmv_rollup_tracks_exact_distinct(spark):
+    """The merged-daily-sketch estimate must sit within the KMV error
+    band of the exact per-team distinct count (k=32 ⇒ σ ≈ 18%; allow
+    3σ), and the exact small-set branch must be exact."""
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r["team"]: r["approx_users"]
+        for r in REGISTRY["user_kmv_rollup"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for team, n in exact.items():
+        if n < 32:
+            assert est[team] == float(n), team
+        else:
+            assert est[team] == pytest.approx(n, rel=0.55), (team, est[team], n)
