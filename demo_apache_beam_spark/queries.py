@@ -623,6 +623,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+    sets AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+      FROM corpus
+    )
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+           len(list_intersect(a.ts, b.ts)) / len(a.ts) AS containment
+    FROM sets a JOIN sets b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+     AND len(b.ts) >= 0.9 * len(a.ts)
+    WHERE len(list_intersect(a.ts, b.ts)) >= 0.9 * len(a.ts)
+    """,
+    doc="Asymmetric set-containment near-subset detection (Broder '97's "
+        "directional resemblance): ordered pairs with |A∩B|/|A| ≥ 0.9 — "
+        "the dedup that catches a short document quoted whole inside a "
+        "long one, which Jaccard structurally misses (the union dilutes "
+        "the score below any usable threshold). Candidates come from "
+        "probe-side-only prefix filtering (A's rarest-first prefix vs "
+        "B's full posting lists — containment puts no bound on |B|, so "
+        "a B-prefix would be lossy) or the bitset kernel on small "
+        "vocabularies; the lossless |B| ≥ t·|A| size prune applies on "
+        "both paths, and survivors are verified exactly. The oracle is "
+        "the naive pairwise definition — results must match exactly; "
+        "every planted near-dup's original is a strict subset of its "
+        "copy, so (orig → copy) must surface at containment 1.0.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_pairs
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    return containment_pairs(corpus, ["lang"], threshold=0.9)
+
+
+@register(
     "doc_chunks",
     """
     WITH d AS (

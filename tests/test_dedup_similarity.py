@@ -1065,3 +1065,48 @@ def test_incremental_minhash_all_short_docs(spark, tmp_path):
                  "falls on the quiet town near the old stone bridge")
     nxt = spark.createDataFrame([(3, long_text)], "doc_id long, text string")
     assert [r["doc_id"] for r in incremental_minhash_dedup(nxt, store).collect()] == [3]
+
+
+def test_containment_planted_subsets(spark):
+    """Every planted near-dup's original is a strict token subset of its
+    copy (the copy appends five new tokens), so (orig -> copy) must
+    surface with containment exactly 1.0."""
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in REGISTRY["dedup_containment"].fn(spark, SF_SMALL).collect()
+    }
+    for a, b in _planted_pairs(spark):
+        assert got.get((a, b)) == 1.0, f"planted subset ({a},{b}) missing"
+
+
+def test_containment_prefix_path_matches_reference(spark):
+    """The large-vocab prefix path (probe-side prefixes vs full posting
+    lists) against a brute-force Python reference on a corpus with
+    planted subset/superset structure — and it must agree with the
+    bitset path row-for-row."""
+    from demo_apache_beam_spark.operators.dedup import containment_pairs
+
+    vocab = [f"tok{i:02d}" for i in range(40)]
+    docs = []
+    for i in range(20):
+        base = [vocab[(i * 7 + j) % 40] for j in range(10 + i % 5)]
+        docs.append((i, " ".join(base)))
+        if i % 4 == 0:  # plant a superset: base + 1 extra token
+            docs.append((100 + i, " ".join(base + [vocab[(i + 17) % 40]])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in docs}
+    expect = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a])
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) >= 0.9 * len(sets[a])
+    }
+    for strategy in ("prefix", "bitset"):
+        got = {
+            (r["id_sub"], r["id_super"]): r["containment"]
+            for r in containment_pairs(df, threshold=0.9, strategy=strategy).collect()
+        }
+        assert got == expect, f"{strategy} mismatch"
+    # the planted supersets guarantee a non-degenerate assertion
+    assert any(v == 1.0 for v in expect.values())
