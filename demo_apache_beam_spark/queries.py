@@ -8475,6 +8475,148 @@ def user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_token_entropy",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+    ), d AS (
+      SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types, sum(c * ln(c)) AS clogc
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round((ln(n_tokens) - clogc / n_tokens) / ln(2), 6) AS entropy_bits
+    FROM d
+    """,
+    doc="Per-document token-distribution Shannon entropy + type-token "
+        "ratio — the repetitiveness quality signal the Gopher-style "
+        "rules approximate with hard thresholds (low entropy = the doc "
+        "keeps saying the same tokens; generated/boilerplate text sits "
+        "far below prose of the same length). Computed as H = log2(n) − "
+        "Σ c·ln(c)/(n·ln 2) from the per-doc term histogram, so the "
+        "whole thing is two partial-aggregated groupBys shuffling "
+        "(doc, token, count) rows — no vectors, no Python; per-doc sums "
+        "run over ≤|doc vocab| doubles and 6-dp rounding absorbs "
+        "combine-order float noise (the event_value_statistics "
+        "discipline). Complements doc_repetition_quality (n-gram "
+        "duplication) with a distribution-level signal.",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+    )
+    n = F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / n.cast("double"), 6).alias("ttr"),
+        F.round(
+            (F.log(n) - F.col("_clogc") / n) / F.log(F.lit(2.0)), 6
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "events_ab_test",
+    f"""
+    WITH v AS (
+      SELECT event_type, value,
+             {_hex_int_sql("md5('ab1:' || cast(user_id AS VARCHAR))", 6)} % 2 = 0
+               AS in_a
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             count(CASE WHEN in_a THEN 1 END) AS n_a,
+             count(CASE WHEN NOT in_a THEN 1 END) AS n_b,
+             avg(CASE WHEN in_a THEN value END) AS ma,
+             avg(CASE WHEN NOT in_a THEN value END) AS mb,
+             var_samp(CASE WHEN in_a THEN value END) AS va,
+             var_samp(CASE WHEN NOT in_a THEN value END) AS vb
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(ma / mb - 1, 6) AS lift,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS welch_t,
+           round(pow(va / n_a + vb / n_b, 2)
+                 / (pow(va / n_a, 2) / (n_a - 1)
+                    + pow(vb / n_b, 2) / (n_b - 1)), 6) AS welch_df
+    FROM s
+    """,
+    doc="Online-experiment readout over the event stream: users are "
+        "assigned to variant A/B by a salted md5 of user_id (the "
+        "portable-hash discipline — assignment replays identically on "
+        "any engine, and the unit of randomization is the USER, so a "
+        "user's events never straddle variants), then per event type "
+        "the Welch two-sample t statistic and Welch–Satterthwaite "
+        "degrees of freedom on event value, plus the relative lift. "
+        "One conditional-aggregation groupBy — count/avg/var_samp are "
+        "all streaming partial-aggregable moment states, so the 100 TB "
+        "cost is one shuffle of constant-size states per event type; "
+        "the t/df algebra runs on final scalars. The experimentation "
+        "primitive every data-driven curation change (new filter, new "
+        "mixture) is gated on.",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    v = ev.select("event_type", "value", in_a.alias("in_a"))
+    s = v.groupBy("event_type").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.avg(F.when(F.col("in_a"), F.col("value"))).alias("ma"),
+        F.avg(F.when(~F.col("in_a"), F.col("value"))).alias("mb"),
+        F.var_samp(F.when(F.col("in_a"), F.col("value"))).alias("va"),
+        F.var_samp(F.when(~F.col("in_a"), F.col("value"))).alias("vb"),
+    )
+    se2 = F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round(F.col("ma") / F.col("mb") - 1, 6).alias("lift"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("welch_t"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("vb") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
