@@ -8617,6 +8617,88 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_quantile_rollup",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(least(floor(value / 10), 63) AS INT) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bin, cast(sum(c) AS BIGINT) AS c
+      FROM daily GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM merged
+    ), days AS (
+      SELECT event_type, count(DISTINCT day) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT c.event_type, d.n_days, cast(max(c.n) AS BIGINT) AS n_events,
+           cast(min(CASE WHEN cum >= 0.5 * n THEN (bin + 1) * 10 END) AS INT)
+             AS p50_ub,
+           cast(min(CASE WHEN cum >= 0.9 * n THEN (bin + 1) * 10 END) AS INT)
+             AS p90_ub,
+           cast(min(CASE WHEN cum >= 0.99 * n THEN (bin + 1) * 10 END) AS INT)
+             AS p99_ub
+    FROM cum c JOIN days d ON d.event_type = c.event_type
+    GROUP BY c.event_type, d.n_days
+    """,
+    doc="Mergeable-histogram quantile rollup — the percentile-dashboard "
+        "pattern at warehouse scale, and the quantile sibling of "
+        "user_kmv_rollup: per-(type, day) fixed-bin value histograms "
+        "are the partials a production pipeline writes once per day "
+        "(≤64 rows each, any rollup window is a sum of a few hundred "
+        "rows — never a rescan of raw events, and unlike a sorted-"
+        "quantile job, never a global sort); merged histograms yield "
+        "p50/p90/p99 upper bounds from the cumulative sum, error "
+        "bounded by the bin width by construction. Deterministic "
+        "integer binning end to end, so — unlike approx_percentile's "
+        "engine-specific sketch — the whole rollup is oracle-checkable. "
+        "The engine carries all three quantile flavors: exact "
+        "(score_quantiles_per_team), library sketch "
+        "(approx_score_quantiles), and portable mergeable (this).",
+)
+def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.least(F.floor(F.col("value") / 10), F.lit(63)).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = merged.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    days = daily.groupBy("event_type").agg(F.count_distinct("day").alias("n_days"))
+
+    def _q(q: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.lit(q) * F.col("n"), (F.col("bin") + 1) * 10)
+        ).cast("int").alias(name)
+
+    return (
+        cum.join(days, "event_type")
+        .groupBy("event_type", "n_days")
+        .agg(
+            F.max("n").alias("n_events"),
+            _q(0.5, "p50_ub"),
+            _q(0.9, "p90_ub"),
+            _q(0.99, "p99_ub"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -67,3 +67,31 @@ def test_welch_t_matches_numpy_reference(spark):
         assert abs(row["welch_df"] - df) < 1e-6
         # Welch df sits between min(na,nb)-1 and na+nb-2
         assert min(len(a), len(b)) - 1 - 1e-9 <= df <= len(a) + len(b) - 2 + 1e-9
+
+
+def test_quantile_rollup_bounds_true_quantiles(spark):
+    """The histogram upper bound must bracket the true order-statistic
+    quantile: v_q <= p_ub < v_q + bin_width (exact by construction for
+    unclamped bins)."""
+    import numpy as np
+
+    vals: dict = {}
+    for r in load_table(spark, SF_SMALL, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["value_quantile_rollup"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(vals)
+    for et, v in vals.items():
+        v = np.sort(np.array(v))
+        row = got[et]
+        assert row["n_events"] == len(v)
+        for q, col in ((0.5, "p50_ub"), (0.9, "p90_ub"), (0.99, "p99_ub")):
+            # smallest value whose cumulative count reaches q*n — the
+            # same "cum >= q*n" definition the histogram uses
+            vq = v[int(math.ceil(q * len(v))) - 1]
+            ub = row[col]
+            assert vq <= ub, f"{et} {col}: true {vq} > bound {ub}"
+            if ub < 640:  # unclamped bin: bound is tight to one bin width
+                assert ub - 10 <= vq, f"{et} {col}: bound {ub} loose vs {vq}"
