@@ -243,3 +243,80 @@ def dsir_save_model(hist: DataFrame, path: str) -> None:
 
 def dsir_load_model(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select("bucket", "ct", "cr")
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: single-class histograms + Jensen–Shannon divergence
+# ---------------------------------------------------------------------------
+
+def corpus_histogram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hex_chars: int = 2,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-bucket total hashed-n-gram counts ``(bucket, c)`` for one
+    corpus (epoch) — the drift monitor's mergeable partial: ≤
+    ``16^hex_chars`` rows however large the epoch, and summing two
+    epochs' histograms per bucket equals the histogram of their union."""
+    feats = hashed_ngram_features(
+        docs, id_col=id_col, text_col=text_col,
+        hex_chars=hex_chars, bigrams=bigrams,
+    )
+    return feats.groupBy("bucket").agg(F.sum("tf").alias("c"))
+
+
+def save_histogram(hist: DataFrame, path: str) -> None:
+    """Persist a corpus histogram (coalesced — ≤ bucket-space rows)."""
+    hist.select("bucket", "c").coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_histogram(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("bucket", "c")
+
+
+def jsd_of_histograms(
+    ha: DataFrame, hb: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """One-row ``(n_a, n_b, jsd)``: add-one-smoothed Jensen–Shannon
+    divergence between two bucket histograms — the same formula (and the
+    same decimal-accumulation discipline, so the total is combine-order
+    independent) as the ``corpus_drift_report`` registry query, factored
+    over two single-class histograms so batch jobs and the streaming
+    drift monitor share one definition. Summation runs over the joint
+    histogram's OBSERVED support (see the query's docstring for why
+    unseen buckets are excluded). Everything after the histograms is
+    constant work: a ≤-2·n_buckets-row outer join and one scalar
+    aggregate."""
+    a = ha.select("bucket", F.col("c").alias("ca"))
+    b = hb.select("bucket", F.col("c").alias("cb"))
+    hist = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = hist.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    ca1, cb1 = F.col("ca") + 1, F.col("cb") + 1
+    ta_b, tb_b = F.col("ta") + F.lit(n_buckets), F.col("tb") + F.lit(n_buckets)
+    ca1d, cb1d = ca1.cast("double"), cb1.cast("double")
+    ta_bd, tb_bd = ta_b.cast("double"), tb_b.cast("double")
+    denom = ca1d * tb_bd + cb1d * ta_bd
+    contrib = (
+        (ca1d / ta_b) * F.log(F.lit(2.0) * ca1d * tb_bd / denom)
+        + (cb1d / tb_b) * F.log(F.lit(2.0) * cb1d * ta_bd / denom)
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(F.col("ta"), F.col("tb"), contrib.alias("_contrib"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("_contrib").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("jsd")
+        )
+        .select(F.col("ta").alias("n_a"), F.col("tb").alias("n_b"), "jsd")
+    )

@@ -13,6 +13,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_SMALL
+
 from demo_apache_beam_spark.operators.privacy import seeded_laplace_noise, seeded_uniform
 from demo_apache_beam_spark.operators.selection import (
     dsir_importance_weights,
@@ -507,3 +509,138 @@ def test_kmv_rollup_tracks_exact_distinct(spark):
             assert est[team] == float(n), team
         else:
             assert est[team] == pytest.approx(n, rel=0.55), (team, est[team], n)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: JSD operator + streaming monitor
+# ---------------------------------------------------------------------------
+
+def _py_hist(texts):
+    """Pure-python hashed uni+bigram histogram (md5 2-hex buckets)."""
+    hist: dict = {}
+    for t in texts:
+        toks = t.split(" ")
+        feats = list(toks) + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        for f_ in feats:
+            b = int(hashlib.md5(f_.encode()).hexdigest()[:2], 16)
+            hist[b] = hist.get(b, 0) + 1
+    return hist
+
+
+def _py_jsd(ha, hb, n_buckets=256):
+    ta, tb = sum(ha.values()), sum(hb.values())
+    out = 0.0
+    for b in set(ha) | set(hb):
+        ca1, cb1 = ha.get(b, 0) + 1, hb.get(b, 0) + 1
+        ta_b, tb_b = ta + n_buckets, tb + n_buckets
+        denom = ca1 * tb_b + cb1 * ta_b
+        out += (ca1 / ta_b) * math.log(2.0 * ca1 * tb_b / denom)
+        out += (cb1 / tb_b) * math.log(2.0 * cb1 * ta_b / denom)
+    return out
+
+
+def test_jsd_operator_matches_python_reference(spark):
+    from demo_apache_beam_spark.operators.selection import (
+        corpus_histogram,
+        jsd_of_histograms,
+    )
+
+    texts_a = ["whale reef coral", "kelp tide whale", "reef shark coral kelp"]
+    texts_b = ["dune sand mirage", "cactus dune sand", "mirage cactus heat dune"]
+    df_a = spark.createDataFrame(list(enumerate(texts_a)), "doc_id long, text string")
+    df_b = spark.createDataFrame(list(enumerate(texts_b)), "doc_id long, text string")
+    row = jsd_of_histograms(
+        corpus_histogram(df_a), corpus_histogram(df_b)
+    ).collect()[0]
+    ha, hb = _py_hist(texts_a), _py_hist(texts_b)
+    assert row["n_a"] == sum(ha.values()) and row["n_b"] == sum(hb.values())
+    assert abs(row["jsd"] - _py_jsd(ha, hb)) < 1e-9
+    # JSD bounds: 0 <= jsd <= ln(2); disjoint corpora => clearly positive
+    assert 0 < row["jsd"] < math.log(2) + 1e-12
+
+
+def test_jsd_operator_consistent_with_drift_report_query(spark):
+    """The factored operator must reproduce the registry query's total on
+    the same doc-parity split of the fixture corpus."""
+    from demo_apache_beam_spark.operators.selection import (
+        corpus_histogram,
+        jsd_of_histograms,
+    )
+    from demo_apache_beam_spark.queries import REGISTRY
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ha = corpus_histogram(docs.filter(F.col("doc_id") % 2 == 0))
+    hb = corpus_histogram(docs.filter(F.col("doc_id") % 2 != 0))
+    jsd = jsd_of_histograms(ha, hb).collect()[0]["jsd"]
+    q = REGISTRY["corpus_drift_report"].fn(spark, SF_SMALL).collect()[0]
+    assert abs(jsd * 1e6 - q["jsd_e6"]) < 1e-6
+
+
+def test_streaming_drift_equals_batch_and_replays_idempotently(spark, tmp_path):
+    import os
+
+    from demo_apache_beam_spark.operators.selection import (
+        corpus_histogram,
+        jsd_of_histograms,
+        load_histogram,
+        save_histogram,
+    )
+    from demo_apache_beam_spark.streaming.drift import (
+        make_drift_ingest,
+        start_drift_stream,
+    )
+
+    ref_docs = spark.createDataFrame(
+        [(0, "whale reef coral kelp"), (1, "tide whale shark reef")],
+        "doc_id long, text string",
+    )
+    ref_path = str(tmp_path / "ref")
+    save_histogram(corpus_histogram(ref_docs), ref_path)
+
+    epochs = [
+        [(100, "whale reef coral"), (101, "kelp tide whale")],     # in-dist
+        [(102, "dune sand mirage"), (103, "cactus dune heat")],    # drifted
+    ]
+    in_dir = str(tmp_path / "in")
+    out_path = str(tmp_path / "jsd")
+    os.makedirs(in_dir)
+    q = start_drift_stream(
+        spark, in_dir, ref_path, out_path, str(tmp_path / "chk")
+    )
+    try:
+        for b, rows in enumerate(epochs):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["_batch_id"]: (r["n_a"], r["n_b"], r["jsd"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert len(got) == 2
+    ref = load_histogram(spark, ref_path)
+    for b, rows in enumerate(epochs):
+        epoch_df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = jsd_of_histograms(ref, corpus_histogram(epoch_df)).collect()[0]
+        assert got[b] == (want["n_a"], want["n_b"], want["jsd"])
+    # the drifted epoch must score strictly higher than the in-dist one
+    assert got[1][2] > got[0][2]
+
+    # replay: re-running an epoch's ingest rewrites identical rows
+    ingest = make_drift_ingest(spark, ref_path, out_path)
+    epoch0 = spark.createDataFrame(epochs[0], "doc_id long, text string")
+    ingest(epoch0, 0)
+    again = {
+        r["_batch_id"]: (r["n_a"], r["n_b"], r["jsd"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert again == got
