@@ -550,3 +550,19 @@ def test_kmv_sketch_pass_is_partial_aggregated(spark):
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_join_is_hash_not_nested_loop(spark):
+    """Both containment physical strategies must candidate-join on an
+    equi key (salt bucket / prefix token) — never a CartesianProduct or
+    BroadcastNestedLoopJoin over the raw pairwise condition."""
+    from demo_apache_beam_spark.operators.dedup import containment_pairs
+    from demo_apache_beam_spark.queries import _neardup_corpus
+
+    corpus = _neardup_corpus(spark, SF_SMALL)
+    for strategy in ("bitset", "prefix"):
+        plan = explain_str(
+            containment_pairs(corpus, ["lang"], threshold=0.9, strategy=strategy)
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, strategy
+        assert "CartesianProduct" not in plan, strategy
