@@ -148,3 +148,78 @@ def sequential_pack(
         local.withColumn(shard_col, F.floor(prior / F.lit(float(budget))))
         .drop("__bucket", "__local_prior")
     )
+
+
+def keyed_exclusive_prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    weight_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "prior",
+) -> DataFrame:
+    """Per-key exclusive prefix sum of ``weight_col`` in ``order_col``
+    order — ``sequential_pack``'s two-pass trick applied WITHIN each key,
+    so a key's scan never degenerates to one sort task however large the
+    key. A plain ``Window.partitionBy(key)`` puts each key's entire run
+    in a single task (at 100 TB with a handful of sources, that is five
+    tasks sorting 20 TB each); here rows range-bucket on frozen
+    ``order_col`` boundaries, the window sorts only (key, bucket) slices
+    — parallelism keys × buckets — and per-(key, bucket) totals fold
+    into per-key offsets on the driver (O(keys · buckets) rows, the
+    bounded-driver-payload discipline).
+
+    ``order_col`` must be unique within each key and non-null; weights
+    non-negative. Adds ``out_col`` (long); keeps all input columns.
+    """
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    try:
+        df = df.persist()
+    except Exception:
+        pass
+    bounds = _range_bounds(df, order_col, nparts)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(order_col) >= b))
+    else:
+        bucket = F.lit(0)
+    ranged = df.withColumn("__bucket", bucket)
+    in_bucket = Window.partitionBy(key_col, "__bucket").orderBy(
+        order_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn(
+        "__local_prior",
+        F.coalesce(F.sum(weight_col).over(in_bucket), F.lit(0)).cast("long"),
+    )
+    totals = (
+        ranged.groupBy(key_col, "__bucket")
+        .agg(F.sum(weight_col).cast("long").alias("__total"))
+        .collect()
+    )
+    offsets: dict = {}
+    acc: dict = {}
+    for row in sorted(totals, key=lambda r: (str(r[key_col]), r["__bucket"])):
+        k = row[key_col]
+        offsets[(k, row["__bucket"])] = acc.get(k, 0)
+        acc[k] = acc.get(k, 0) + row["__total"]
+    if offsets:
+        omap = F.create_map(
+            *[
+                lit
+                for (k, b), v in offsets.items()
+                for lit in (F.lit(f"{k}\x1f{b}"), F.lit(v))
+            ]
+        )
+        prior: Column = F.col("__local_prior") + omap[
+            F.concat_ws(
+                "\x1f",
+                F.col(key_col).cast("string"),
+                F.col("__bucket").cast("string"),
+            )
+        ]
+    else:  # empty input
+        prior = F.col("__local_prior")
+    return local.withColumn(out_col, prior.cast("long")).drop(
+        "__bucket", "__local_prior"
+    )

@@ -8699,6 +8699,48 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_budget_fill",
+    """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             cast(coalesce(sum(n_chars) OVER (PARTITION BY source
+                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS prior
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, prior
+    FROM t WHERE prior < 4000
+    """,
+    doc="Per-source token-budget fill — the 'take the first N tokens of "
+        "each source' step of a mixture recipe (cf. The Pile / Dolma "
+        "per-source caps): documents stream in deterministic doc_id "
+        "order and a source stops admitting once its cumulative chars "
+        "reach the budget (a row straddling the boundary is admitted — "
+        "sequential-writer semantics, same convention as "
+        "doc_shard_packing). The oracle is the single-reducer "
+        "PARTITION BY source window; the engine computes the identical "
+        "per-key prefix sum with keyed_exclusive_prefix_sum "
+        "(operators/packing.py): rows range-bucket on frozen doc_id "
+        "boundaries, windows sort only (source, bucket) slices — "
+        "parallelism sources x buckets instead of one task per source, "
+        "which at 100 TB with a handful of sources is the difference "
+        "between 5 tasks sorting 20 TB each and an even spread — and "
+        "per-(source, bucket) totals fold into offsets on the driver "
+        "(O(sources x buckets) rows).",
+)
+def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import keyed_exclusive_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    filled = keyed_exclusive_prefix_sum(docs, "source", "doc_id", "n_chars")
+    return filled.filter(F.col("prior") < 4000).select(
+        "doc_id", "source", "n_chars", "prior"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -108,6 +108,55 @@ def test_pack_string_order_col(spark):
         acc += w
 
 
+def test_keyed_prefix_sum_equals_per_key_reference(spark):
+    """Range-bucketed per-key prefix sum must equal the single-task
+    Window.partitionBy(key) formulation exactly — including keys whose
+    runs straddle many range buckets."""
+    import random
+
+    from demo_apache_beam_spark.operators.packing import (
+        keyed_exclusive_prefix_sum,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (f"src{i % 5}", i, rng.randint(0, 40)) for i in rng.sample(range(3000), 900)
+    ]
+    df = spark.createDataFrame(rows, "src string, k long, w long").repartition(7)
+    for nparts in (1, 4, 16):
+        got = {
+            (r["src"], r["k"]): r["prior"]
+            for r in keyed_exclusive_prefix_sum(
+                df, "src", "k", "w", num_partitions=nparts
+            ).collect()
+        }
+        acc: dict = {}
+        for src, k, w in sorted(rows, key=lambda r: (r[0], r[1])):
+            assert got[(src, k)] == acc.get(src, 0), (nparts, src, k)
+            acc[src] = acc.get(src, 0) + w
+        assert len(got) == len(rows)
+
+
+def test_keyed_prefix_sum_single_key_matches_sequential_pack_prior(spark):
+    """With one key the keyed variant degenerates to the global prefix sum."""
+    from demo_apache_beam_spark.operators.packing import (
+        keyed_exclusive_prefix_sum,
+    )
+
+    rows = [(1, i, (i * 13) % 9 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, k long, w long")
+    got = {
+        r["k"]: r["prior"]
+        for r in keyed_exclusive_prefix_sum(
+            df, "g", "k", "w", num_partitions=6
+        ).collect()
+    }
+    acc = 0
+    for _, k, w in sorted(rows, key=lambda r: r[1]):
+        assert got[k] == acc
+        acc += w
+
+
 def test_pack_timestamp_order_col(spark):
     import datetime as dt
 

@@ -159,6 +159,103 @@ def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
     assert got2["hot"] <= truth["hot"] <= got2["hot"] + bound
 
 
+def test_streaming_histogram_store_equals_batch_and_replays(spark, tmp_path):
+    """The merged epoch-histogram store must equal BIT-FOR-BIT the batch
+    histogram over everything streamed (fixed-bin counts merge exactly),
+    the quantile readout must match a sequential Python reference, and a
+    redelivered epoch is a no-op."""
+    import os
+
+    from demo_apache_beam_spark.streaming.histograms import (
+        batch_value_histogram,
+        histogram_quantile_readout,
+        make_histogram_ingest,
+        read_histogram_store,
+        start_histogram_stream,
+    )
+
+    batches = []
+    for b in range(3):
+        rows = [("web", float((i * 7) % 130)) for i in range(b * 40, b * 40 + 90)]
+        rows += [("app", float((i * 13) % 700)) for i in range(b * 30, b * 30 + 70)]
+        batches.append(rows)
+    all_rows = [r for rows in batches for r in rows]
+
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_histogram_stream(
+        spark, in_dir, store, str(tmp_path / "chk"), "k", "v",
+        bin_width=10.0, n_bins=64,
+    )
+    try:
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, "k string, v double").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(all_rows, "k string, v double")
+    want_hist = sorted(
+        tuple(r)
+        for r in batch_value_histogram(batch_df, "k", "v").collect()
+    )
+    got_hist = sorted(
+        tuple(r) for r in read_histogram_store(spark, store, "k").collect()
+    )
+    assert got_hist == want_hist
+
+    got_ro = {
+        r["k"]: (r["n_events"], r["p50_ub"], r["p90_ub"], r["p99_ub"])
+        for r in histogram_quantile_readout(
+            read_histogram_store(spark, store, "k"), "k"
+        ).collect()
+    }
+    # sequential reference: first bin right-edge whose cum count >= q*n
+    import collections
+
+    bins: dict = collections.defaultdict(collections.Counter)
+    for k, v in all_rows:
+        bins[k][min(int(v // 10), 63)] += 1
+    for k, ctr in bins.items():
+        n = sum(ctr.values())
+        expect = [n]
+        for qq in (0.5, 0.9, 0.99):
+            cum = 0
+            for b in sorted(ctr):
+                cum += ctr[b]
+                if cum >= qq * n:
+                    expect.append((b + 1) * 10.0)
+                    break
+        assert got_ro[k] == tuple(expect), (k, got_ro[k], expect)
+
+    # redelivery: same epoch, same rows -> partition overwrite, no-op
+    store2 = str(tmp_path / "store2")
+    ingest = make_histogram_ingest(spark, store2, "k", "v")
+    dfs = [
+        spark.createDataFrame(rows, "k string, v double").coalesce(1)
+        for rows in batches
+    ]
+    for b, df in enumerate(dfs):
+        ingest(df, b)
+    before = sorted(
+        tuple(r) for r in read_histogram_store(spark, store2, "k").collect()
+    )
+    assert before == want_hist
+    ingest(dfs[2], 2)  # redeliver epoch 2
+    after = sorted(
+        tuple(r) for r in read_histogram_store(spark, store2, "k").collect()
+    )
+    assert after == before
+
+
 def test_streaming_kmv_store_equals_batch_sketch(spark, tmp_path):
     """The KMV epoch store re-ranked on read must equal BIT-FOR-BIT the
     batch sketch over everything streamed (bottom-k of bottom-ks is the
