@@ -8741,6 +8741,90 @@ def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_negative_samples",
+    """
+    WITH cand AS (
+      SELECT vec_id AS neg_id, label AS neg_label,
+             (((vec_id % 65536) * 2654435761
+               + (((vec_id // 65536) * 2654435761) % 65536) * 65536)
+              % 4294967296) % 8 AS b
+      FROM embeddings
+    ), anch AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             ((((vec_id * 3 + 1) % 65536) * 2654435761
+               + ((((vec_id * 3 + 1) // 65536) * 2654435761) % 65536) * 65536)
+              % 4294967296) % 8 AS pb
+      FROM embeddings
+    ), pairs AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label,
+             (((anchor_id * 100003 + neg_id) % 65536) * 2654435761
+              + ((((anchor_id * 100003 + neg_id) // 65536) * 2654435761)
+                 % 65536) * 65536) % 4294967296 AS r
+      FROM anch JOIN cand ON pb = b
+      WHERE neg_id <> anchor_id AND neg_label <> anchor_label
+    ), ranked AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY r, neg_id) AS rn
+      FROM pairs
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label,
+           CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 4
+    """,
+    doc="Contrastive negative sampling — the 'k random negatives per "
+        "anchor' step of embedding-model training data (in-batch / "
+        "bucket negatives, cf. DPR): every anchor draws 4 pseudorandom "
+        "different-label negatives from a HASH-BUCKET candidate pool "
+        "instead of the full corpus, so the plan is one equi-join on "
+        "the bucket id (anchor probes bucket knuth32(3·id+1) mod B, "
+        "candidates live in bucket knuth32(id) mod B) — never a "
+        "cartesian. Per-anchor pool size is N/B; at 100 TB you grow B "
+        "with the corpus so the pool stays ~constant and the join "
+        "output stays O(N · pool). Pair order is a deterministic "
+        "Knuth hash of (anchor, candidate) — reproducible epoch-to-"
+        "epoch with no RNG state, re-saltable by changing the pair "
+        "multiplier. Same-label candidates are excluded as stand-in "
+        "positives (a real pipeline anti-joins its positive-pair "
+        "table here). All hash arithmetic is the 16-bit-halves "
+        "knuth32 (_hash32) so Spark and the oracle agree exactly.",
+)
+def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cand = vecs.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        (_hash32(F.col("vec_id")) % F.lit(8)).alias("b"),
+    )
+    anch = vecs.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        (_hash32(F.col("vec_id") * F.lit(3) + F.lit(1)) % F.lit(8)).alias("pb"),
+    )
+    pairs = (
+        anch.join(cand, F.col("pb") == F.col("b"))
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .withColumn(
+            "r",
+            _hash32(F.col("anchor_id") * F.lit(100003) + F.col("neg_id")),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy(F.asc("r"), F.asc("neg_id"))
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= 4)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
