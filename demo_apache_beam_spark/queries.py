@@ -8825,6 +8825,57 @@ def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_length_batches",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(length(bin(n_chars)) AS INT) AS bucket
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+               AS pos
+      FROM t
+    )
+    SELECT doc_id, n_chars, bucket,
+           CAST(pos // 16 AS BIGINT) AS batch_id
+    FROM r
+    """,
+    doc="Sequence-length bucketed batching — the padding-efficiency step "
+        "of a training loader (group examples of similar length so a "
+        "batch wastes minimal pad tokens): documents fall into "
+        "power-of-two length bands (bucket = bit length of n_chars — "
+        "integer arithmetic on both engines, no libm log2 boundary "
+        "risk), and within each band consecutive groups of 16 form a "
+        "batch. The oracle positions rows with a per-bucket row_number "
+        "— one task per bucket, and length distributions are heavily "
+        "skewed into a few hot bands, so at 100 TB that is a handful "
+        "of tasks sorting the whole corpus; the engine instead derives "
+        "the identical position as a per-bucket exclusive COUNT prefix "
+        "(keyed_exclusive_prefix_sum with unit weights, "
+        "operators/packing.py): buckets x range-slices parallelism, "
+        "O(buckets x slices) driver payload — the second consumer of "
+        "the keyed scan after corpus_budget_fill.",
+)
+def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import keyed_exclusive_prefix_sum
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("bucket", F.length(F.bin("n_chars")).cast("int"))
+        .withColumn("__one", F.lit(1))
+    )
+    pos = keyed_exclusive_prefix_sum(docs, "bucket", "doc_id", "__one")
+    return pos.select(
+        "doc_id",
+        "n_chars",
+        "bucket",
+        F.floor(F.col("prior") / F.lit(16)).cast("long").alias("batch_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
