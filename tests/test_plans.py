@@ -167,6 +167,17 @@ def test_shard_packing_windows_are_bucket_partitioned(spark):
     assert "__bucket" in plan, "window should be partitioned by the range bucket"
 
 
+def test_keyed_prefix_sum_windows_are_bucket_partitioned(spark):
+    """The keyed prefix-sum consumers must never plan a per-key-only
+    window (one task per hot key) — the window partitions on
+    (key, range bucket) so hot keys split across slices."""
+    for name in ("corpus_budget_fill", "doc_length_batches"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF_SMALL), "formatted")
+        assert "__bucket" in plan, (
+            f"{name}: window should be partitioned by (key, __bucket)"
+        )
+
+
 def test_discounted_revenue_all_predicates_push(spark):
     """Q6 shape: every predicate (shipdate range, discount band, quantity
     cap) must reach the parquet scan — the query is pure scan bandwidth."""
