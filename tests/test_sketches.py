@@ -159,6 +159,24 @@ def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
     assert got2["hot"] <= truth["hot"] <= got2["hot"] + bound
 
 
+def test_cms_estimates_never_undercount_and_bound_overestimate(spark):
+    """Count-Min invariants on the registry query over real events:
+    n_cms >= n_true for every user (min over d counters can never
+    undercount), and the worst overestimate stays within 2N/w — the
+    standard eps*N band (w=64, d=4 drives the failure probability
+    well below this fixture's size)."""
+    from conftest import SF_SMALL
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    rows = REGISTRY["user_cms_estimates"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n_total = sum(r["n_true"] for r in rows)
+    bound = 2 * n_total / 64
+    for r in rows:
+        assert r["n_cms"] >= r["n_true"], r
+        assert r["n_cms"] - r["n_true"] <= bound, (r, bound)
+
+
 def test_streaming_histogram_store_equals_batch_and_replays(spark, tmp_path):
     """The merged epoch-histogram store must equal BIT-FOR-BIT the batch
     histogram over everything streamed (fixed-bin counts merge exactly),
