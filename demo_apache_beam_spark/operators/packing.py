@@ -170,7 +170,13 @@ def keyed_exclusive_prefix_sum(
     bounded-driver-payload discipline).
 
     ``order_col`` must be unique within each key and non-null; weights
-    non-negative. Adds ``out_col`` (long); keeps all input columns.
+    non-negative; keys non-null. This operator is for LOW-cardinality
+    keys (sources, length bands, shards — the regime where per-key
+    windows starve parallelism): the offset map is a broadcast literal
+    of keys x buckets entries, so high-cardinality keys (users, docs)
+    must use a plain ``Window.partitionBy(key)`` instead — enforced
+    with a hard cap below rather than silently building a megabyte
+    plan literal. Adds ``out_col`` (long); keeps all input columns.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -195,12 +201,25 @@ def keyed_exclusive_prefix_sum(
     totals = (
         ranged.groupBy(key_col, "__bucket")
         .agg(F.sum(weight_col).cast("long").alias("__total"))
+        .limit(65537)
         .collect()
     )
+    if len(totals) > 65536:
+        raise ValueError(
+            "keyed_exclusive_prefix_sum: more than 65536 (key, bucket) "
+            "groups — this operator targets low-cardinality keys; use a "
+            f"plain Window.partitionBy({key_col!r}) for high-cardinality "
+            "keys, whose per-key runs are small enough for one task each"
+        )
     offsets: dict = {}
     acc: dict = {}
     for row in sorted(totals, key=lambda r: (str(r[key_col]), r["__bucket"])):
         k = row[key_col]
+        if "\x1f" in str(k):
+            raise ValueError(
+                "keyed_exclusive_prefix_sum: key values must not contain "
+                "the \\x1f separator used by the offset-map lookup"
+            )
         offsets[(k, row["__bucket"])] = acc.get(k, 0)
         acc[k] = acc.get(k, 0) + row["__total"]
     if offsets:

@@ -157,6 +157,34 @@ def test_keyed_prefix_sum_single_key_matches_sequential_pack_prior(spark):
         acc += w
 
 
+def test_keyed_prefix_sum_rejects_high_cardinality_keys(spark):
+    """The offset map is a broadcast literal of keys x buckets entries;
+    high-cardinality keys must fail loudly, not build a megabyte plan."""
+    from pyspark.sql import functions as F2
+
+    from demo_apache_beam_spark.operators.packing import (
+        keyed_exclusive_prefix_sum,
+    )
+
+    df = spark.range(70_000).select(
+        F2.col("id").alias("k"), F2.col("id").alias("o"), F2.lit(1).alias("w")
+    )
+    with pytest.raises(ValueError, match="65536"):
+        keyed_exclusive_prefix_sum(df, "k", "o", "w", num_partitions=1)
+
+
+def test_keyed_prefix_sum_rejects_separator_in_key(spark):
+    from demo_apache_beam_spark.operators.packing import (
+        keyed_exclusive_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("a\x1fb", 1, 2), ("c", 2, 3)], "k string, o long, w long"
+    )
+    with pytest.raises(ValueError, match="separator"):
+        keyed_exclusive_prefix_sum(df, "k", "o", "w", num_partitions=2)
+
+
 def test_pack_timestamp_order_col(spark):
     import datetime as dt
 
