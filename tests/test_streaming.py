@@ -1172,3 +1172,87 @@ def test_streaming_knn_equals_batch(spark, tmp_path):
     # inherited the kNN-graph self-filter
     rank1 = {r[0]: r[1] for r in got if r[3] == 1}
     assert all(qid == nid for qid, nid in rank1.items())
+
+
+def test_streaming_budget_fill_equals_batch_and_replays(spark, tmp_path):
+    """Streamed per-source budget enforcement must equal the batch
+    sequential-fill over the concatenated epochs (epochs arrive in
+    order_col order), and a redelivered epoch is a bit-identical no-op."""
+    import random
+
+    from demo_apache_beam_spark.streaming.budget import (
+        make_budget_ingest,
+        start_budget_stream,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (("srcA", "srcB", "srcC")[i % 3], i, rng.randint(1, 30))
+        for i in range(300)
+    ]
+    budget = 350  # srcA/B/C fill mid-stream at different epochs
+    epochs = [rows[:100], rows[100:200], rows[200:]]
+
+    out_dir = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_budget_stream(
+        spark, in_dir, out_dir, store, str(tmp_path / "chk"),
+        "src", "k", "w", budget,
+        schema="src string, k long, w long",
+    )
+    try:
+        for b, chunk in enumerate(epochs):
+            spark.createDataFrame(chunk, "src string, k long, w long").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # sequential batch reference over the full concatenation
+    acc: dict = {}
+    want = {}
+    for src, k, w in sorted(rows, key=lambda r: r[1]):
+        prior = acc.get(src, 0)
+        if prior < budget:
+            want[k] = (src, w, prior)
+        acc[src] = prior + w
+    assert any(acc[s] > budget for s in acc)  # the cap actually bit
+
+    got = {
+        r["k"]: (r["src"], r["w"], r["prior"])
+        for r in spark.read.parquet(out_dir).drop("_batch_id").collect()
+    }
+    assert got == want
+
+    # redelivery: same epoch, same rows -> partition overwrite, no-op
+    out2 = str(tmp_path / "out2")
+    store2 = str(tmp_path / "store2")
+    ingest = make_budget_ingest(
+        spark, out2, store2, "src", "k", "w", budget
+    )
+    dfs = [
+        spark.createDataFrame(chunk, "src string, k long, w long").coalesce(1)
+        for chunk in epochs
+    ]
+    for b, df in enumerate(dfs):
+        ingest(df, b)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(out2).collect()
+    )
+    ingest(dfs[1], 1)  # redeliver epoch 1
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(out2).collect()
+    )
+    assert after == before
+    assert {
+        r["k"]: (r["src"], r["w"], r["prior"])
+        for r in spark.read.parquet(out2).drop("_batch_id").collect()
+    } == want
