@@ -8950,6 +8950,68 @@ def user_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_events_per_type_salted",
+    """
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    )
+    SELECT event_type, event_id, value, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+    doc="Top-5 events by value per type via a SALTED two-phase partial "
+        "top-k — the skew-proof sibling of the window formulation "
+        "(team_rank_per_window): phase 1 takes each (type, salt) "
+        "group's local top-5 (16 salts, so a hot type's buffered rows "
+        "split 16 ways and no task ever holds a whole hot key), phase "
+        "2 merges 16 five-row arrays per type and re-slices — "
+        "exchange payload is O(types x salts x k) structs, not the "
+        "event stream. Exact by the standard argument: any global "
+        "top-5 row is top-5 within its salt group. Ties break on "
+        "event_id ascending via a descending sort over (value, "
+        "-event_id) structs, matching the oracle's ORDER BY exactly; "
+        "values pass through unmodified so the comparison is "
+        "bit-identical. At 100 TB this is how per-key leaderboards "
+        "survive power-law keys; grow salts with the hottest key's "
+        "share.",
+)
+def top_events_per_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, S = 5, 16
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    item = F.struct(
+        F.col("value").alias("value"),
+        (-F.col("event_id")).alias("neg_id"),
+        F.col("event_id").alias("event_id"),
+    )
+    local = (
+        ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(S)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(item), asc=False), 1, K
+            ).alias("part")
+        )
+    )
+    merged = local.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("part")), asc=False), 1, K
+        ).alias("top")
+    )
+    return merged.select(
+        "event_type", F.posexplode("top").alias("pos", "x")
+    ).select(
+        "event_type",
+        F.col("x.event_id").alias("event_id"),
+        F.col("x.value").alias("value"),
+        (F.col("pos") + 1).cast("int").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
