@@ -9012,6 +9012,101 @@ def top_events_per_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}"
+        )
+    done = set()
+    for a in _CORR_COLS:
+        for b in _CORR_COLS:
+            if (a, b) in done or (b, a) in done:
+                continue
+            done.add((a, b))
+            sums.append(
+                f"CAST(sum(CAST({a} AS DECIMAL(18,2))"
+                f" * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS s_{a}_{b}"
+            )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            pairs.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"round((CAST(n AS DOUBLE) * s_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((CAST(n AS DOUBLE) * s_{a}_{a} - s_{a} * s_{a}) * "
+                f"(CAST(n AS DOUBLE) * s_{b}_{b} - s_{b} * s_{b})), 6) AS r "
+                f"FROM t"
+            )
+    return (
+        "WITH t AS (SELECT " + ", ".join(sums) + " FROM lineitem) "
+        + " UNION ALL ".join(pairs)
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    _corr_matrix_oracle(),
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+        "measures in ONE scan and ONE constant-size aggregate — the "
+        "multivariate step of table profiling (table_profile's "
+        "univariate sibling). All 15 sufficient statistics (sums, "
+        "squares, cross-products) accumulate as EXACT decimals, so — "
+        "unlike a float corr() whose partial-combine order varies with "
+        "partitioning — every r is computed from bit-identical inputs "
+        "by the same double expression on both engines (the "
+        "value_outliers discipline extended to cross-moments); 6-dp "
+        "rounding absorbs the final-expression ulp. Shuffle payload "
+        "is one 15-number state per partition regardless of table "
+        "size; the 6 output rows are driver-side arithmetic.",
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+    done = set()
+    for a in _CORR_COLS:
+        for b in _CORR_COLS:
+            if (a, b) in done or (b, a) in done:
+                continue
+            done.add((a, b))
+            aggs.append(
+                F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}_{b}")
+            )
+    t = li.agg(*aggs)
+
+    def _r(a: str, b: str):
+        # pairs iterate in _CORR_COLS order, matching the agg aliases
+        key = f"s_{a}_{b}"
+        n = F.col("n").cast("double")
+        return F.round(
+            (n * F.col(key) - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / F.sqrt(
+                (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    _r(a, b).alias("r"),
+                )
+            )
+    return t.select(F.explode(F.array(*rows)).alias("x")).select(
+        "x.col_x", "x.col_y", "x.r"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
