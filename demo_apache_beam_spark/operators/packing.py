@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import NumericType
 
 
@@ -172,11 +173,13 @@ def keyed_exclusive_prefix_sum(
     ``order_col`` must be unique within each key and non-null; weights
     non-negative; keys non-null. This operator is for LOW-cardinality
     keys (sources, length bands, shards — the regime where per-key
-    windows starve parallelism): the offset map is a broadcast literal
-    of keys x buckets entries, so high-cardinality keys (users, docs)
-    must use a plain ``Window.partitionBy(key)`` instead — enforced
-    with a hard cap below rather than silently building a megabyte
-    plan literal. Adds ``out_col`` (long); keeps all input columns.
+    windows starve parallelism): per-(key, bucket) offsets are folded
+    on the driver and broadcast-joined back (native key types — no
+    string encoding of the key), so the driver payload is
+    O(keys · buckets) rows — capped below so high-cardinality keys
+    (users, docs) fail loudly with a pointer to the plain
+    ``Window.partitionBy(key)`` that regime actually wants. Adds
+    ``out_col`` (long); keeps all input columns.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
@@ -198,47 +201,58 @@ def keyed_exclusive_prefix_sum(
         "__local_prior",
         F.coalesce(F.sum(weight_col).over(in_bucket), F.lit(0)).cast("long"),
     )
+    # Driver payload cap: the totals collect is O(keys x buckets) rows.
+    # 2^20 skinny rows is tens of MB — comfortably bounded — while still
+    # admitting e.g. 64 keys x 8192-way parallelism; anything beyond it
+    # means the keys are not the low-cardinality regime this operator
+    # serves.
+    cap = 1 << 20
     totals = (
         ranged.groupBy(key_col, "__bucket")
         .agg(F.sum(weight_col).cast("long").alias("__total"))
-        .limit(65537)
+        .limit(cap + 1)
         .collect()
     )
-    if len(totals) > 65536:
+    if len(totals) > cap:
         raise ValueError(
-            "keyed_exclusive_prefix_sum: more than 65536 (key, bucket) "
-            "groups — this operator targets low-cardinality keys; use a "
-            f"plain Window.partitionBy({key_col!r}) for high-cardinality "
-            "keys, whose per-key runs are small enough for one task each"
+            f"keyed_exclusive_prefix_sum: more than {cap} (key, bucket) "
+            "groups — this operator targets low-cardinality keys; reduce "
+            "num_partitions, or use a plain "
+            f"Window.partitionBy({key_col!r}) for high-cardinality keys, "
+            "whose per-key runs are small enough for one task each"
         )
-    offsets: dict = {}
     acc: dict = {}
+    offset_rows = []
     for row in sorted(totals, key=lambda r: (str(r[key_col]), r["__bucket"])):
         k = row[key_col]
-        if "\x1f" in str(k):
-            raise ValueError(
-                "keyed_exclusive_prefix_sum: key values must not contain "
-                "the \\x1f separator used by the offset-map lookup"
-            )
-        offsets[(k, row["__bucket"])] = acc.get(k, 0)
+        offset_rows.append((k, row["__bucket"], acc.get(k, 0)))
         acc[k] = acc.get(k, 0) + row["__total"]
-    if offsets:
-        omap = F.create_map(
-            *[
-                lit
-                for (k, b), v in offsets.items()
-                for lit in (F.lit(f"{k}\x1f{b}"), F.lit(v))
+    if offset_rows:
+        # broadcast join on native key types — no string encoding of the
+        # key (a literal-map lookup would compare Python str(k) against
+        # Spark's CAST(key AS STRING), which disagree for booleans and
+        # doubles), and no plan-literal size ceiling
+        otype = T.StructType(
+            [
+                df.schema[key_col],
+                T.StructField("__bucket", T.IntegerType()),
+                T.StructField("__offset", T.LongType()),
             ]
         )
-        prior: Column = F.col("__local_prior") + omap[
-            F.concat_ws(
-                "\x1f",
-                F.col(key_col).cast("string"),
-                F.col("__bucket").cast("string"),
-            )
-        ]
-    else:  # empty input
-        prior = F.col("__local_prior")
-    return local.withColumn(out_col, prior.cast("long")).drop(
-        "__bucket", "__local_prior"
-    )
+        offsets_df = spark.createDataFrame(offset_rows, otype)
+        joined = local.join(
+            F.broadcast(offsets_df),
+            (local[key_col] == offsets_df[key_col])
+            & (local["__bucket"] == offsets_df["__bucket"]),
+            "left",
+        ).drop(offsets_df[key_col]).drop(offsets_df["__bucket"])
+        prior: Column = F.col("__local_prior") + F.coalesce(
+            F.col("__offset"), F.lit(0)
+        )
+        return joined.withColumn(out_col, prior.cast("long")).drop(
+            "__bucket", "__local_prior", "__offset"
+        )
+    # empty input
+    return local.withColumn(
+        out_col, F.col("__local_prior").cast("long")
+    ).drop("__bucket", "__local_prior")

@@ -266,3 +266,79 @@ def kmv_pair_estimates(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
         F.round(union_est, 6).alias("union_est"),
         (F.round(jacc * union_est, 6) + F.lit(0.0)).alias("intersection_est"),
     )
+
+
+def _knuth32(col):
+    """Knuth multiplicative hash mod 2^32 in 16-bit halves (every
+    intermediate product stays below 2^48, so the arithmetic replays
+    exactly on any engine with int64 — the queries.py `_hash32`
+    definition, duplicated here to keep operators import-free of the
+    registry)."""
+    a = col % F.lit(4294967296)
+    al = a % F.lit(65536)
+    ah = F.shiftright(a, 16)
+    return (
+        al * F.lit(2654435761)
+        + ((ah * F.lit(2654435761)) % F.lit(65536)) * F.lit(65536)
+    ) % F.lit(4294967296)
+
+
+CMS_MULTIPLIERS = [3, 5, 7, 11]
+
+
+def cms_hash_structs(col, d: int = 4, w: int = 64):
+    """The d Count-Min cell coordinates of an integer key as an array of
+    (i, h) structs. Buckets come from the HIGH log2(w) bits of the
+    multiplicative hash — the low bits of knuth32(x) are an affine
+    bijection of ``x mod w`` (low-bit m·x mod 2^k only mixes the low k
+    bits of x), which would give every row the SAME collision structure
+    and collapse the sketch to one partition of the id space; the high
+    bits are where a multiplicative hash actually mixes (Knuth's own
+    prescription), and distinct odd multipliers give the d rows
+    near-independent bucket maps."""
+    if w & (w - 1) or w < 2:
+        raise ValueError(f"w must be a power of two >= 2, got {w}")
+    if d > len(CMS_MULTIPLIERS):
+        raise ValueError(f"d must be <= {len(CMS_MULTIPLIERS)}, got {d}")
+    shift = 32 - (w.bit_length() - 1)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftright(
+                    _knuth32(col * F.lit(CMS_MULTIPLIERS[i]) + F.lit(i)),
+                    shift,
+                ).alias("h"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_estimates(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Count-Min point estimates vs exact counts for every distinct
+    value of an integer ``key_col``: (key, n_true, n_cms) with
+    n_cms >= n_true always and the overestimate eps·N w.h.p.
+
+    Scale shape: the build is one scan whose map-side combine collapses
+    every partition to <= d·w cells before a tiny shuffle; the probe
+    broadcast-joins the d·w-row sketch onto the distinct-key side; two
+    sketches merge by cell-wise addition (the mergeable-partials
+    discipline applied to point frequencies)."""
+    ev = df.select(key_col)
+    pairs = ev.select(
+        F.explode(cms_hash_structs(F.col(key_col), d, w)).alias("x")
+    ).select("x.i", "x.h")
+    sketch = pairs.groupBy("i", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = ev.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_true"))
+    probe = truth.select(
+        key_col, "n_true", F.explode(cms_hash_structs(F.col(key_col), d, w)).alias("x")
+    ).select(key_col, "n_true", "x.i", "x.h")
+    return (
+        probe.join(F.broadcast(sketch), ["i", "h"])
+        .groupBy(key_col, "n_true")
+        .agg(F.min("cnt").alias("n_cms"))
+        .select(key_col, "n_true", "n_cms")
+    )

@@ -8883,7 +8883,7 @@ def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, i,
              ((((user_id * m + i) % 65536) * 2654435761
                + ((((user_id * m + i) // 65536) * 2654435761) % 65536)
-                 * 65536) % 4294967296) % 64 AS h
+                 * 65536) % 4294967296) // 67108864 AS h
       FROM events, (VALUES (0, 3), (1, 5), (2, 7), (3, 11)) AS t(i, m)
     ), sk AS (
       SELECT i, h, count(*) AS cnt FROM hi GROUP BY i, h
@@ -8900,54 +8900,31 @@ def doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM truth t JOIN est e USING (user_id)
     """,
     doc="Count-Min sketch point estimates vs exact counts for every "
-        "user: d=4 rows x w=64 buckets, h_i(u) = knuth32(u*m_i + i) "
-        "mod w with distinct odd multipliers — all integer arithmetic, "
-        "so unlike approx_count_distinct's engine-private sketch the "
-        "WHOLE sketch (build, merge, probe) replays exactly in the "
-        "oracle; n_cms >= n_true always, overestimate bounded by "
-        "eps*N w.h.p. The sketch is the canonical bounded-memory "
-        "frequency store: the build is one scan with map-side combine "
-        "collapsing every partition to <= d*w rows (256 here) before "
-        "a tiny shuffle, the probe broadcast-joins the 256-row sketch "
-        "back onto the distinct-user side, and two sketches merge by "
-        "cell-wise addition — the mergeable-partials discipline of "
+        "user: d=4 rows x w=64 buckets, h_i(u) = the HIGH 6 bits of "
+        "knuth32(u*m_i + i) with distinct odd multipliers (high bits "
+        "are where a multiplicative hash mixes — the low bits are an "
+        "affine bijection of u mod w, which would hand every row the "
+        "same collision structure; see operators/sketches.py:"
+        "cms_hash_structs). All integer arithmetic, so unlike "
+        "approx_count_distinct's engine-private sketch the WHOLE "
+        "sketch (build, merge, probe) replays exactly in the oracle; "
+        "n_cms >= n_true always, overestimate bounded by eps*N w.h.p. "
+        "The sketch is the canonical bounded-memory frequency store: "
+        "the build is one scan with map-side combine collapsing every "
+        "partition to <= d*w rows (256 here) before a tiny shuffle, "
+        "the probe broadcast-joins the 256-row sketch back onto the "
+        "distinct-user side, and two sketches merge by cell-wise "
+        "addition — the mergeable-partials discipline of "
         "user_kmv_rollup/value_quantile_rollup applied to point "
         "frequencies. Completes the sketch family next to Misra-Gries "
         "(top-k), KMV (distinct), Bloom (membership), and fixed-bin "
         "histograms (quantiles).",
 )
 def user_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    D, W = 4, 64
-    MULTS = [3, 5, 7, 11]
-
-    def hashes(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    (_hash32(col * F.lit(MULTS[i]) + F.lit(i)) % F.lit(W)).alias(
-                        "h"
-                    ),
-                )
-                for i in range(D)
-            ]
-        )
+    from .operators.sketches import cms_estimates
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    pairs = ev.select(F.explode(hashes(F.col("user_id"))).alias("x")).select(
-        "x.i", "x.h"
-    )
-    sketch = pairs.groupBy("i", "h").agg(F.count(F.lit(1)).alias("cnt"))
-    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
-    probe = truth.select(
-        "user_id", "n_true", F.explode(hashes(F.col("user_id"))).alias("x")
-    ).select("user_id", "n_true", "x.i", "x.h")
-    return (
-        probe.join(F.broadcast(sketch), ["i", "h"])
-        .groupBy("user_id", "n_true")
-        .agg(F.min("cnt").alias("n_cms"))
-        .select("user_id", "n_true", "n_cms")
-    )
+    return cms_estimates(ev, "user_id", d=4, w=64)
 
 
 @register(

@@ -54,6 +54,19 @@ def make_budget_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        try:
+            _ingest(batch_df, batch_id)
+        finally:
+            # keyed_exclusive_prefix_sum persists its input for the
+            # boundary/totals/window passes; without an explicit release
+            # a long-running stream accumulates one cached micro-batch
+            # per epoch until the JVM GCs the references
+            try:
+                batch_df.unpersist()
+            except Exception:
+                pass
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         local = keyed_exclusive_prefix_sum(
             batch_df, key_col, order_col, weight_col,
             num_partitions=num_partitions, out_col="__local",

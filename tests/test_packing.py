@@ -158,31 +158,44 @@ def test_keyed_prefix_sum_single_key_matches_sequential_pack_prior(spark):
 
 
 def test_keyed_prefix_sum_rejects_high_cardinality_keys(spark):
-    """The offset map is a broadcast literal of keys x buckets entries;
-    high-cardinality keys must fail loudly, not build a megabyte plan."""
+    """The driver folds O(keys x buckets) offset rows; high-cardinality
+    keys must fail loudly with a pointer to Window.partitionBy, not
+    silently collect millions of rows."""
     from pyspark.sql import functions as F2
 
     from demo_apache_beam_spark.operators.packing import (
         keyed_exclusive_prefix_sum,
     )
 
-    df = spark.range(70_000).select(
+    df = spark.range((1 << 20) + 5).select(
         F2.col("id").alias("k"), F2.col("id").alias("o"), F2.lit(1).alias("w")
     )
-    with pytest.raises(ValueError, match="65536"):
+    with pytest.raises(ValueError, match="Window.partitionBy"):
         keyed_exclusive_prefix_sum(df, "k", "o", "w", num_partitions=1)
 
 
-def test_keyed_prefix_sum_rejects_separator_in_key(spark):
+def test_keyed_prefix_sum_non_string_key_types(spark):
+    """Offsets join back on NATIVE key types — boolean and awkward keys
+    must produce correct priors, never silent NULL-offset misses (the
+    failure mode of a stringified map lookup, where Python str(True)
+    and Spark's CAST 'true' disagree)."""
     from demo_apache_beam_spark.operators.packing import (
         keyed_exclusive_prefix_sum,
     )
 
-    df = spark.createDataFrame(
-        [("a\x1fb", 1, 2), ("c", 2, 3)], "k string, o long, w long"
-    )
-    with pytest.raises(ValueError, match="separator"):
-        keyed_exclusive_prefix_sum(df, "k", "o", "w", num_partitions=2)
+    rows = [(i % 2 == 0, i, i % 5 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k boolean, o long, w long")
+    got = {
+        (r["k"], r["o"]): r["prior"]
+        for r in keyed_exclusive_prefix_sum(
+            df, "k", "o", "w", num_partitions=6
+        ).collect()
+    }
+    acc: dict = {}
+    for k, o, w in sorted(rows, key=lambda r: r[1]):
+        assert got[(k, o)] == acc.get(k, 0), (k, o)
+        acc[k] = acc.get(k, 0) + w
+    assert None not in {v for v in got.values()}
 
 
 def test_pack_timestamp_order_col(spark):

@@ -170,11 +170,18 @@ def test_shard_packing_windows_are_bucket_partitioned(spark):
 def test_keyed_prefix_sum_windows_are_bucket_partitioned(spark):
     """The keyed prefix-sum consumers must never plan a per-key-only
     window (one task per hot key) — the window partitions on
-    (key, range bucket) so hot keys split across slices."""
+    (key, range bucket) so hot keys split across slices. Asserted on
+    the windowspecdefinition itself: __bucket appearing elsewhere in
+    the plan (projections, the offset join) must not satisfy this."""
     for name in ("corpus_budget_fill", "doc_length_batches"):
         plan = explain_str(REGISTRY[name].fn(spark, SF_SMALL), "formatted")
-        assert "__bucket" in plan, (
-            f"{name}: window should be partitioned by (key, __bucket)"
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        assert specs, f"{name}: no window in plan"
+        assert all("__bucket" in ln for ln in specs), (
+            f"{name}: window spec should partition by (key, __bucket): "
+            f"{specs}"
         )
 
 

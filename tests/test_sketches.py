@@ -159,6 +159,28 @@ def test_streaming_heavy_hitters_bounds_and_replay(spark, tmp_path):
     assert got2["hot"] <= truth["hot"] <= got2["hot"] + bound
 
 
+def test_cms_strided_keys_do_not_collapse(spark):
+    """Regression for the low-bits degeneracy: bucket = knuth32(x) % w
+    is an affine bijection of x mod w, so ids allocated in strides of
+    w (sharded/partition-prefixed id spaces) would ALL share one cell
+    in every row and every estimate would absorb the full stream.
+    With high-bit buckets the eps*N band must hold on exactly that
+    adversarial id layout."""
+    from demo_apache_beam_spark.operators.sketches import cms_estimates
+
+    w = 64
+    # 96 distinct keys, all congruent mod 64, uniform 10 occurrences
+    rows = [(64 * (i % 96),) for i in range(960)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {r["user_id"]: r for r in cms_estimates(df, "user_id", w=w).collect()}
+    assert len(got) == 96
+    n = len(rows)
+    bound = 2 * n / w
+    for r in got.values():
+        assert r["n_cms"] >= r["n_true"]
+        assert r["n_cms"] - r["n_true"] <= bound, (dict(r.asDict()), bound)
+
+
 def test_cms_estimates_never_undercount_and_bound_overestimate(spark):
     """Count-Min invariants on the registry query over real events:
     n_cms >= n_true for every user (min over d counters can never
