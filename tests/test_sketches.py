@@ -296,6 +296,94 @@ def test_streaming_histogram_store_equals_batch_and_replays(spark, tmp_path):
     assert after == before
 
 
+def test_streaming_cms_store_equals_batch_sketch(spark, tmp_path):
+    """The summed epoch-cell store must equal BIT-FOR-BIT the batch CMS
+    over everything streamed (cell counts merge exactly), store-backed
+    estimates must equal the batch operator's, and a redelivered epoch
+    is a no-op."""
+    import os
+
+    from demo_apache_beam_spark.operators.sketches import (
+        cms_estimates,
+        cms_hash_structs,
+    )
+    from demo_apache_beam_spark.streaming.cms import (
+        cms_store_estimates,
+        make_cms_ingest,
+        read_cms_store,
+        start_cms_stream,
+    )
+
+    batches = [
+        [(int(j),) for j in range(b * 50, b * 50 + 150)] for b in range(3)
+    ]
+    all_rows = [r for rows in batches for r in rows]
+
+    store = str(tmp_path / "store")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_cms_stream(
+        spark, in_dir, store, str(tmp_path / "chk"), "user_id"
+    )
+    try:
+        for b, rows in enumerate(batches):
+            spark.createDataFrame(rows, "user_id long").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(all_rows, "user_id long")
+    # store cells == batch-built cells bit-for-bit
+    want_cells = sorted(
+        tuple(r)
+        for r in batch_df.select(
+            F.explode(cms_hash_structs(F.col("user_id"))).alias("x")
+        )
+        .select("x.i", "x.h")
+        .groupBy("i", "h")
+        .count()
+        .collect()
+    )
+    got_cells = sorted(
+        tuple(r) for r in read_cms_store(spark, store).collect()
+    )
+    assert got_cells == want_cells
+
+    # store-backed estimates == batch operator estimates
+    keys = batch_df.distinct()
+    got_est = {
+        r["user_id"]: r["n_cms"]
+        for r in cms_store_estimates(spark, store, keys, "user_id").collect()
+    }
+    want_est = {
+        r["user_id"]: r["n_cms"]
+        for r in cms_estimates(batch_df, "user_id").collect()
+    }
+    assert got_est == want_est
+
+    # redelivery: same epoch -> partition overwrite, no-op
+    store2 = str(tmp_path / "store2")
+    ingest = make_cms_ingest(spark, store2, "user_id")
+    dfs = [
+        spark.createDataFrame(rows, "user_id long").coalesce(1)
+        for rows in batches
+    ]
+    for b, df in enumerate(dfs):
+        ingest(df, b)
+    before = sorted(tuple(r) for r in read_cms_store(spark, store2).collect())
+    assert before == want_cells
+    ingest(dfs[0], 0)  # redeliver epoch 0
+    after = sorted(tuple(r) for r in read_cms_store(spark, store2).collect())
+    assert after == before
+
+
 def test_streaming_kmv_store_equals_batch_sketch(spark, tmp_path):
     """The KMV epoch store re-ranked on read must equal BIT-FOR-BIT the
     batch sketch over everything streamed (bottom-k of bottom-ks is the
