@@ -9084,6 +9084,100 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_budget_waterfill",
+    """
+    WITH totals AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, total_chars,
+             row_number() OVER (ORDER BY total_chars, source) AS rn,
+             count(*) OVER () AS n,
+             CAST(coalesce(sum(total_chars) OVER (
+               ORDER BY total_chars, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s_before
+      FROM totals
+    ), cap AS (
+      SELECT (1000000.0 - s_before) / (n - rn + 1) AS c
+      FROM ranked
+      WHERE CAST(total_chars AS DOUBLE) > (1000000.0 - s_before) / (n - rn + 1)
+      ORDER BY rn LIMIT 1
+    )
+    SELECT r.source, r.total_chars,
+           round(least(CAST(r.total_chars AS DOUBLE),
+                       coalesce((SELECT c FROM cap),
+                                CAST(r.total_chars AS DOUBLE))), 6) AS alloc
+    FROM ranked r
+    """,
+    doc="Waterfill budget allocation — the mixture-design math that "
+        "splits a global training-token budget across sources fairly "
+        "(each source capped at the water level c, with capacity no "
+        "source can use flowing to larger sources; cf. The Pile / "
+        "Dolma mixture construction): c is max{c : sum(min(total_i, "
+        "c)) <= B}, found in CLOSED FORM — sort sources ascending by "
+        "total, and the first source whose total exceeds "
+        "(B - prefix_before)/(sources remaining) pins c at that "
+        "candidate (every smaller source is provably uncapped, every "
+        "larger one capped); no iteration, no driver loop. The heavy "
+        "step is the per-source totals aggregate (one scan, map-side "
+        "combine); the window + cap run over the source-cardinality "
+        "table, so at 100 TB this costs exactly one pass however many "
+        "documents exist. Budget B = 1e6 chars caps the big sources "
+        "at sf0.1 while the whole corpus fits at sf0.01 (the "
+        "no-cap branch) — both branches are driver-checked. Pairs "
+        "with corpus_budget_fill, which ENFORCES a per-source cap "
+        "row-by-row once this query has chosen it.",
+)
+def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    B = 1_000_000.0
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+    w = Window.orderBy("total_chars", "source")
+    ranked = (
+        totals.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        .withColumn(
+            "s_before",
+            F.coalesce(
+                F.sum("total_chars").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    cand = (F.lit(B) - F.col("s_before")) / (
+        F.col("n") - F.col("rn") + F.lit(1)
+    )
+    # always exactly one row (c NULL when no source is capped), so the
+    # broadcast cross join is total — no eager action, no empty-join trap
+    cap_df = (
+        ranked.withColumn("c", cand)
+        .filter(F.col("total_chars").cast("double") > F.col("c"))
+        .agg(F.min_by("c", "rn").alias("c"))
+    )
+    return ranked.crossJoin(F.broadcast(cap_df)).select(
+        "source",
+        "total_chars",
+        F.round(
+            F.least(
+                F.col("total_chars").cast("double"),
+                F.coalesce(F.col("c"), F.col("total_chars").cast("double")),
+            ),
+            6,
+        ).alias("alloc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
