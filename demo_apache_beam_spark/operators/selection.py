@@ -320,3 +320,69 @@ def jsd_of_histograms(
         )
         .select(F.col("ta").alias("n_a"), F.col("tb").alias("n_b"), "jsd")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 4,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Contrastive negative sampling from hash-bucket candidate pools
+    (the ``embedding_negative_samples`` registry shape, parameterized):
+    every anchor draws ``k`` pseudorandom different-label negatives from
+    the candidate bucket ``knuth32(3·id+1) mod n_buckets`` — an
+    equi-join, never a cartesian. ``n_buckets`` is THE scale knob: the
+    per-anchor pool is N/n_buckets and join output is O(N · pool), so
+    grow it with the corpus to keep the pool (and wall) ~constant;
+    a fixed bucket count at 10× the corpus does 100× the pair work
+    (measured in the fresh-point probe — see SURVEY §6).
+
+    Output: (anchor_id, anchor_label, neg_id, neg_label, rn) with
+    rn ∈ 1..k ranked by the deterministic knuth32 pair hash, so the
+    draw replays identically epoch to epoch and across engines.
+    ``id_col`` must be a non-negative integer id."""
+    from pyspark.sql import Window
+
+    def _knuth32(col):
+        a = col % F.lit(4294967296)
+        al = a % F.lit(65536)
+        ah = F.shiftright(a, 16)
+        return (
+            al * F.lit(2654435761)
+            + ((ah * F.lit(2654435761)) % F.lit(65536)) * F.lit(65536)
+        ) % F.lit(4294967296)
+
+    vecs = df.select(id_col, label_col)
+    cand = vecs.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        (_knuth32(F.col(id_col)) % F.lit(n_buckets)).alias("b"),
+    )
+    anch = vecs.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        (
+            _knuth32(F.col(id_col) * F.lit(3) + F.lit(1)) % F.lit(n_buckets)
+        ).alias("pb"),
+    )
+    pairs = (
+        anch.join(cand, F.col("pb") == F.col("b"))
+        .filter(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .withColumn(
+            "r",
+            _knuth32(F.col("anchor_id") * F.lit(100003) + F.col("neg_id")),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy(F.asc("r"), F.asc("neg_id"))
+    )
+    return (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "rn")
+    )

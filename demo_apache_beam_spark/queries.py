@@ -8791,38 +8791,10 @@ def corpus_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knuth32 (_hash32) so Spark and the oracle agree exactly.",
 )
 def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.selection import negative_samples
 
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    cand = vecs.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("neg_label"),
-        (_hash32(F.col("vec_id")) % F.lit(8)).alias("b"),
-    )
-    anch = vecs.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        (_hash32(F.col("vec_id") * F.lit(3) + F.lit(1)) % F.lit(8)).alias("pb"),
-    )
-    pairs = (
-        anch.join(cand, F.col("pb") == F.col("b"))
-        .filter(
-            (F.col("neg_id") != F.col("anchor_id"))
-            & (F.col("neg_label") != F.col("anchor_label"))
-        )
-        .withColumn(
-            "r",
-            _hash32(F.col("anchor_id") * F.lit(100003) + F.col("neg_id")),
-        )
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("anchor_id").orderBy(F.asc("r"), F.asc("neg_id"))
-    )
-    return (
-        pairs.withColumn("rn", rn)
-        .filter(F.col("rn") <= 4)
-        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "rn")
-    )
+    return negative_samples(vecs, "vec_id", "label", k=4, n_buckets=8)
 
 
 @register(
