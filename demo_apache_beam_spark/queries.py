@@ -9156,6 +9156,71 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_fingerprint",
+    """
+    WITH h AS (
+      SELECT md5('fp:' || CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR) || ':'
+                 || CAST(l_quantity AS VARCHAR) || ':'
+                 || l_returnflag) AS hx
+      FROM lineitem
+    ), d AS (
+      SELECT hx,
+             instr('0123456789abcdef', substring(hx, dd, 1)) - 1 AS hv, dd
+      FROM h, unnest(generate_series(1, 12)) AS t(dd)
+    ), rowh AS (
+      -- duplicate full-row tuples share one hx group; its digit sum is
+      -- then k x the row value, which is exactly the multiset
+      -- contribution, so the grouped formulation sums correctly
+      SELECT hx,
+             CAST(sum(hv * power(16, 12 - dd)) AS BIGINT) AS rh
+      FROM d GROUP BY hx
+    )
+    SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(rh) AS HUGEINT) % 281474976710656 AS BIGINT)
+             AS checksum
+    FROM rowh
+    """,
+    doc="Order-independent table fingerprint: one 48-bit md5-prefix "
+        "integer per row, SUMMED mod 2^48 — an O(1)-state, "
+        "embarrassingly parallel checksum whose value is independent "
+        "of row order, partitioning, and engine, so two environments "
+        "can compare snapshots (post-migration, post-compaction, "
+        "post-backfill) by exchanging 16 bytes instead of rows. "
+        "Addition is the commutative fold (a concat/xor-of-sorted "
+        "formulation would need a global sort); summing 48-bit values "
+        "rides a decimal accumulator on Spark and HUGEINT in the "
+        "oracle, both exact, mod 2^48 at the end (the text_winnowing "
+        "wraparound discipline). The md5 input pins the exact column "
+        "set and rendering, so the fingerprint doubles as a schema-"
+        "drift tripwire: any type or formatting change moves it. At "
+        "100 TB the cost is the one scan every validation pass "
+        "already pays; the shuffle is a single 2-number state.",
+)
+def lineitem_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    hx = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit("fp"),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("string"),
+            F.col("l_returnflag"),
+        )
+    )
+    rh = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    return li.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(F.col("rh").cast("decimal(20,0)")), F.lit(281474976710656))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
