@@ -9221,6 +9221,138 @@ def lineitem_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), tot AS (
+      SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current type) — the sequence-"
+        "mining primitive behind funnel discovery, next-action "
+        "prediction features, and bot-pattern detection (a robot's "
+        "transition row is near-deterministic where humans spread). "
+        "One exchange on user_id serves the lead() window; the pair "
+        "counts then partial-aggregate to |types|² rows — constant "
+        "however long the history — and the per-source normalizer is "
+        "a groupBy over THAT table, never a second event scan. "
+        "Same-timestamp ties order by event_id, so sequences — and "
+        "therefore counts — are engine-identical; prob is one double "
+        "division of exact counts, 6-dp rounded.",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("n_from").cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+@register(
+    "event_value_trend",
+    """
+    WITH t AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Per-type linear trend of event value over time (least-squares "
+        "slope per hour, intercept, r²) — the drift/trend detector a "
+        "metrics pipeline runs per series; the grouped-regression "
+        "sibling of lineitem_corr_matrix. x is integer hours from "
+        "epoch micros (epoch_us // 3.6e9 — whole-integer on both "
+        "engines), y accumulates as DECIMAL(18,2), so all six "
+        "sufficient statistics per type are exact and every "
+        "slope/intercept/r² is the same double expression over "
+        "bit-identical inputs regardless of partitioning; 6-dp "
+        "rounding absorbs the final ulp. One scan, one partial-"
+        "aggregating groupBy of constant-size states — at 100 TB the "
+        "scan is the entire cost.",
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    t = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
