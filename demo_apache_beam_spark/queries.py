@@ -9353,6 +9353,65 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_length_rank_normalized",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           round(CAST(rk AS DOUBLE) / CAST(n_src - 1 AS DOUBLE), 6) AS pct
+    FROM r
+    """,
+    doc="Per-source rank normalization — map every document's length "
+        "(the stand-in for any per-source quality score) to its "
+        "percentile WITHIN its source, so scores from heterogeneous "
+        "sources become comparable before a global gate (the standard "
+        "fix for 'source A's classifier runs hot': filter on the "
+        "within-source percentile, not the raw score; cf. CCNet's "
+        "per-language buckets). The oracle is the per-source "
+        "row_number window — one task per source, dead for a hot "
+        "source at 100 TB; the engine derives the identical 0-based "
+        "rank as a unit-weight keyed count prefix over a UNIQUE "
+        "composite order (score·10^7 + doc_id, monotone in (score, "
+        "doc_id)) via keyed_exclusive_prefix_sum — sources × "
+        "range-slices parallelism, the third consumer of the keyed "
+        "scan after corpus_budget_fill and doc_length_batches. "
+        "pct = rank/(n_source - 1), one exact double division, "
+        "6-dp rounded.",
+)
+def doc_length_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import keyed_exclusive_prefix_sum
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn(
+            "__ord",
+            F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id"),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    ranked = keyed_exclusive_prefix_sum(
+        docs, "source", "__ord", "__one", out_col="__rk"
+    )
+    n_src = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    return ranked.join(F.broadcast(n_src), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            F.col("__rk").cast("double")
+            / (F.col("__n") - F.lit(1)).cast("double"),
+            6,
+        ).alias("pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
