@@ -173,7 +173,11 @@ def test_keyed_prefix_sum_windows_are_bucket_partitioned(spark):
     (key, range bucket) so hot keys split across slices. Asserted on
     the windowspecdefinition itself: __bucket appearing elsewhere in
     the plan (projections, the offset join) must not satisfy this."""
-    for name in ("corpus_budget_fill", "doc_length_batches"):
+    for name in (
+        "corpus_budget_fill",
+        "doc_length_batches",
+        "doc_length_rank_normalized",
+    ):
         plan = explain_str(REGISTRY[name].fn(spark, SF_SMALL), "formatted")
         specs = [
             ln for ln in plan.splitlines() if "windowspecdefinition" in ln
