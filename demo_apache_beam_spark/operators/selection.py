@@ -345,14 +345,7 @@ def negative_samples(
     ``id_col`` must be a non-negative integer id."""
     from pyspark.sql import Window
 
-    def _knuth32(col):
-        a = col % F.lit(4294967296)
-        al = a % F.lit(65536)
-        ah = F.shiftright(a, 16)
-        return (
-            al * F.lit(2654435761)
-            + ((ah * F.lit(2654435761)) % F.lit(65536)) * F.lit(65536)
-        ) % F.lit(4294967296)
+    from .sketches import _knuth32
 
     vecs = df.select(id_col, label_col)
     cand = vecs.select(

@@ -9160,10 +9160,10 @@ def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_fingerprint",
     """
     WITH h AS (
-      SELECT md5('fp:' || CAST(l_orderkey AS VARCHAR) || ':'
-                 || CAST(l_linenumber AS VARCHAR) || ':'
-                 || CAST(l_quantity AS VARCHAR) || ':'
-                 || l_returnflag) AS hx
+      SELECT md5('fp:' || coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || ':'
+                 || coalesce(CAST(l_linenumber AS VARCHAR), chr(1)) || ':'
+                 || coalesce(CAST(l_quantity AS VARCHAR), chr(1)) || ':'
+                 || coalesce(l_returnflag, chr(1))) AS hx
       FROM lineitem
     ), d AS (
       SELECT hx,
@@ -9202,14 +9202,24 @@ def lineitem_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
+    # coalesce each column to a \x01 sentinel BEFORE concat: concat_ws
+    # silently skips NULL parts while the oracle's '||' nullifies the
+    # whole string — a NULL-bearing row would checksum differently per
+    # engine, the exact post-migration scenario a fingerprint exists
+    # to catch
+    sentinel = F.lit("\x01")
+
+    def _c(col):
+        return F.coalesce(col.cast("string"), sentinel)
+
     hx = F.md5(
         F.concat_ws(
             ":",
             F.lit("fp"),
-            F.col("l_orderkey").cast("string"),
-            F.col("l_linenumber").cast("string"),
-            F.col("l_quantity").cast("string"),
-            F.col("l_returnflag"),
+            _c(F.col("l_orderkey")),
+            _c(F.col("l_linenumber")),
+            _c(F.col("l_quantity")),
+            _c(F.col("l_returnflag")),
         )
     )
     rh = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
@@ -9300,15 +9310,19 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
-           round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-                 / CAST(n AS DOUBLE), 6) AS intercept,
-           round(((CAST(n AS DOUBLE) * sxy - sx * sy)
-                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
-                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = 0 THEN NULL
+                ELSE round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                     / CAST(n AS DOUBLE), 6) END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy) = 0 THEN NULL
+                ELSE round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS r2
     FROM s
     """,
     doc="Per-type linear trend of event value over time (least-squares "
@@ -9344,12 +9358,21 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
     slope = cov / varx
+    # degenerate groups (all x equal / all y equal / single event) give
+    # varx or vary = 0 -> NULL rather than silent NaN/Inf rows; varx and
+    # vary are exact (decimal/int inputs), so the zero test is exact on
+    # both engines
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
-        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+        F.when(varx != 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            varx != 0,
+            F.round((F.col("sy") - slope * F.col("sx")) / n, 6),
+        ).alias("intercept"),
+        F.when(
+            varx * vary != 0, F.round((cov * cov) / (varx * vary), 6)
+        ).alias("r2"),
     )
 
 
@@ -9364,7 +9387,8 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_chars,
-           round(CAST(rk AS DOUBLE) / CAST(n_src - 1 AS DOUBLE), 6) AS pct
+           round(CAST(rk AS DOUBLE)
+                 / CAST(greatest(n_src - 1, 1) AS DOUBLE), 6) AS pct
     FROM r
     """,
     doc="Per-source rank normalization — map every document's length "
@@ -9387,15 +9411,25 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_length_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import keyed_exclusive_prefix_sum
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "n_chars")
-        .withColumn(
-            "__ord",
-            F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id"),
-        )
-        .withColumn("__one", F.lit(1))
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
     )
+    # the composite order is monotone in (n_chars, doc_id) only while
+    # doc_id < multiplier, so derive the multiplier from the data (one
+    # bounded scalar collect — the oracle orders by the pair directly
+    # and never sees it) and fail loudly if the product could overflow
+    bounds = base.agg(
+        F.max("doc_id").alias("mid"), F.max("n_chars").alias("mch")
+    ).collect()[0]
+    mult = int(bounds["mid"] or 0) + 1
+    if (int(bounds["mch"] or 0) + 1) * mult >= 1 << 62:
+        raise ValueError(
+            "doc_length_rank_normalized: n_chars * (max doc_id + 1) would "
+            "overflow int64 — rank on a narrower composite"
+        )
+    docs = base.withColumn(
+        "__ord", F.col("n_chars") * F.lit(mult) + F.col("doc_id")
+    ).withColumn("__one", F.lit(1))
     ranked = keyed_exclusive_prefix_sum(
         docs, "source", "__ord", "__one", out_col="__rk"
     )
@@ -9406,7 +9440,7 @@ def doc_length_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(
             F.col("__rk").cast("double")
-            / (F.col("__n") - F.lit(1)).cast("double"),
+            / F.greatest(F.col("__n") - F.lit(1), F.lit(1)).cast("double"),
             6,
         ).alias("pct"),
     )

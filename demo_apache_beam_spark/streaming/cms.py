@@ -82,8 +82,15 @@ def cms_store_estimates(
     probe = keys.select(
         key_col, F.explode(cms_hash_structs(F.col(key_col), d, w)).alias("x")
     ).select(key_col, "x.i", "x.h")
+    # LEFT join + coalesce-to-zero: a probe cell no streamed key ever
+    # touched has NO sketch row, and an inner join would drop it —
+    # returning a positive min for a never-seen key (or no row at all
+    # when all its cells are empty) instead of the true estimate 0.
+    # The batch operator's inner join is safe only because it probes
+    # keys drawn from the sketched data itself.
     return (
-        probe.join(F.broadcast(sketch), ["i", "h"])
+        probe.join(F.broadcast(sketch), ["i", "h"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy(key_col)
         .agg(F.min("cnt").alias("n_cms"))
     )

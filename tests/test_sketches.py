@@ -368,6 +368,33 @@ def test_streaming_cms_store_equals_batch_sketch(spark, tmp_path):
     }
     assert got_est == want_est
 
+    # a key NEVER seen in the stream whose cells include an empty one
+    # must report the zero-cell minimum (0), not a positive count from
+    # an inner join that silently dropped the empty cells
+    import itertools
+
+    seen_cells = {(r[0], r[1]) for r in got_cells}
+    probe_unseen = None
+    all_ids = {r[0] for r in all_rows}
+    for cand_id in itertools.count(10_000):
+        if cand_id in all_ids:
+            continue
+        cells = spark.createDataFrame([(cand_id,)], "user_id long").select(
+            F.explode(cms_hash_structs(F.col("user_id"))).alias("x")
+        ).select("x.i", "x.h").collect()
+        if any((r["i"], r["h"]) not in seen_cells for r in cells):
+            probe_unseen = cand_id
+            break
+        if cand_id > 11_000:
+            break
+    if probe_unseen is not None:
+        est = cms_store_estimates(
+            spark, store,
+            spark.createDataFrame([(probe_unseen,)], "user_id long"),
+            "user_id",
+        ).collect()
+        assert len(est) == 1 and est[0]["n_cms"] == 0, est
+
     # redelivery: same epoch -> partition overwrite, no-op
     store2 = str(tmp_path / "store2")
     ingest = make_cms_ingest(spark, store2, "user_id")
