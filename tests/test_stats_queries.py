@@ -95,3 +95,158 @@ def test_quantile_rollup_bounds_true_quantiles(spark):
             assert vq <= ub, f"{et} {col}: true {vq} > bound {ub}"
             if ub < 640:  # unclamped bin: bound is tight to one bin width
                 assert ub - 10 <= vq, f"{et} {col}: bound {ub} loose vs {vq}"
+
+
+def test_waterfill_closed_form_matches_iterative_reference(spark):
+    """The closed-form water level (first capped candidate in ascending
+    order) must equal the iterative reference max{c : sum(min(t_i, c))
+    <= B} on random totals, including the all-fit and all-capped
+    regimes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(4242)
+    for trial in range(6):
+        n = rng.randint(1, 12)
+        totals = [rng.randint(1, 1000) for _ in range(n)]
+        B = rng.choice(
+            [sum(totals) + 10, sum(totals) // 2 + 1, min(totals), 1]
+        )
+
+        # iterative reference: sort ascending, admit while fair share
+        # covers the next total, else cap
+        def reference(ts, budget):
+            ts = sorted(ts)
+            rem, out = float(budget), {}
+            for i, t in enumerate(ts):
+                share = rem / (len(ts) - i)
+                take = min(float(t), share)
+                out[i] = take
+                rem -= take
+            return sorted(out.values())
+
+        # closed form replicated from corpus_budget_waterfill
+        rows = [(f"s{i}", t) for i, t in enumerate(totals)]
+        df = spark.createDataFrame(rows, "source string, total_chars long")
+        from pyspark.sql import Window
+
+        w = Window.orderBy("total_chars", "source")
+        ranked = (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+            .withColumn(
+                "s_before",
+                F.coalesce(
+                    F.sum("total_chars").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+        cand = (F.lit(float(B)) - F.col("s_before")) / (
+            F.col("n") - F.col("rn") + F.lit(1)
+        )
+        cap_df = (
+            ranked.withColumn("c", cand)
+            .filter(F.col("total_chars").cast("double") > F.col("c"))
+            .agg(F.min_by("c", "rn").alias("c"))
+        )
+        got = sorted(
+            r[0]
+            for r in ranked.crossJoin(F.broadcast(cap_df))
+            .select(
+                F.least(
+                    F.col("total_chars").cast("double"),
+                    F.coalesce(F.col("c"), F.col("total_chars").cast("double")),
+                )
+            )
+            .collect()
+        )
+        want = reference(totals, B)
+        assert all(abs(g - w_) < 1e-6 for g, w_ in zip(got, want)), (
+            trial, totals, B, got, want,
+        )
+        assert abs(sum(got) - min(float(B), float(sum(totals)))) < 1e-6
+
+
+def test_fingerprint_is_order_and_partitioning_invariant(spark):
+    """The table fingerprint must not move under row shuffling or
+    repartitioning, and must move when any value changes."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    from conftest import SF_SMALL
+
+    fn = REGISTRY["lineitem_fingerprint"].fn
+    a = fn(spark, SF_SMALL).collect()[0]
+    b = fn(spark, SF_SMALL).collect()[0]  # replan/re-read
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+
+    # permutation + repartition invariance on a synthetic copy of the
+    # same arithmetic
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 7, float(i % 50), chr(65 + i % 3)) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_returnflag string"
+    )
+
+    def checksum(d):
+        hx = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("fp"),
+                F.coalesce(F.col("l_orderkey").cast("string"), F.lit("\x01")),
+                F.coalesce(F.col("l_linenumber").cast("string"), F.lit("\x01")),
+                F.coalesce(F.col("l_quantity").cast("string"), F.lit("\x01")),
+                F.coalesce(F.col("l_returnflag"), F.lit("\x01")),
+            )
+        )
+        rh = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+        return d.select(rh.alias("rh")).agg(
+            F.pmod(
+                F.sum(F.col("rh").cast("decimal(20,0)")),
+                F.lit(281474976710656),
+            ).cast("long")
+        ).collect()[0][0]
+
+    base = checksum(df)
+    assert checksum(df.orderBy(F.rand(7))) == base
+    assert checksum(df.repartition(13)) == base
+    changed = df.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == 123, F.lit(999.0)).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    assert checksum(changed) != base
+
+
+def test_negative_samples_invariants(spark):
+    """Every negative has a different label, no anchor exceeds k, the
+    draw is deterministic across runs, and anchors with enough
+    eligible candidates in their bucket get exactly k."""
+    from demo_apache_beam_spark.operators.selection import negative_samples
+
+    rows = [(i, i % 4) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out1 = sorted(
+        tuple(r) for r in negative_samples(df, "vec_id", "label", k=3).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in negative_samples(df, "vec_id", "label", k=3).collect()
+    )
+    assert out1 == out2 and out1
+    per_anchor: dict = {}
+    for anchor_id, anchor_label, neg_id, neg_label, rn in out1:
+        assert neg_label != anchor_label
+        assert neg_id != anchor_id
+        assert 1 <= rn <= 3
+        per_anchor[anchor_id] = per_anchor.get(anchor_id, 0) + 1
+    assert max(per_anchor.values()) == 3
+    # with 400 vecs in 8 buckets and 4 labels, every bucket holds ~50
+    # candidates (~37 eligible) -> every anchor should reach k
+    assert min(per_anchor.values()) == 3
+    assert len(per_anchor) == 400
