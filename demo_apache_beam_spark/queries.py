@@ -9446,6 +9446,77 @@ def doc_length_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_erasure_audit",
+    """
+    WITH ids AS (
+      SELECT user_id FROM events
+      WHERE ((user_id % 1000) * 2654435761) % 1000 < 12
+      GROUP BY user_id
+    )
+    SELECT 'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS subjects
+    FROM events e JOIN ids ON e.user_id = ids.user_id
+    UNION ALL
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS subjects
+    FROM customer c JOIN ids ON c.c_custkey = ids.user_id
+    UNION ALL
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS subjects
+    FROM orders o JOIN ids ON o.o_custkey = ids.user_id
+    """,
+    doc="Right-to-erasure impact audit: given a deletion request set "
+        "(here a deterministic ~1.2% hash slice of users standing in "
+        "for the literal id list a DSR queue would supply), report per "
+        "table how many rows and distinct subjects a compliance delete "
+        "would touch — the dry-run every GDPR/CCPA erasure pipeline "
+        "runs before rewriting files (then operators/layout.py:"
+        "compact_files is the rewrite mechanism). The id set is "
+        "dimension-sized so each probe is a broadcast semi-join "
+        "against one fact scan; counts are single partial-aggregated "
+        "states per table. Different tables key the same subject "
+        "differently (events.user_id, customer.c_custkey, "
+        "orders.o_custkey) — the cross-table identity mapping is the "
+        "audit's point.",
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ids = (
+        ev.filter(
+            ((F.col("user_id") % F.lit(1000)) * F.lit(2654435761))
+            % F.lit(1000)
+            < F.lit(12)
+        )
+        .select(F.col("user_id").alias("__erase_id"))
+        .distinct()
+        # freeze the request set: the events audit self-joins events, and
+        # a frozen plan also mirrors how a real DSR queue arrives as a
+        # static literal table
+        .localCheckpoint()
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(df, key, name):
+        j = df.join(F.broadcast(ids), df[key] == ids["__erase_id"])
+        return j.agg(
+            F.count(F.lit(1)).alias("rows_affected"),
+            F.count_distinct(df[key]).alias("subjects"),
+        ).select(
+            F.lit(name).alias("table_name"), "rows_affected", "subjects"
+        )
+
+    return (
+        audit(ev, "user_id", "events")
+        .unionAll(audit(cust, "c_custkey", "customer"))
+        .unionAll(audit(orders, "o_custkey", "orders"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
