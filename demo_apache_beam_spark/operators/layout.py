@@ -134,6 +134,80 @@ def compact_files(
     return n
 
 
+def erase_rows(
+    spark,
+    path: str,
+    ids: DataFrame,
+    key_col: str,
+    id_col: str | None = None,
+) -> dict:
+    """Right-to-erasure rewrite — the execution half of the
+    ``user_erasure_audit`` dry run: rewrite the parquet dataset at
+    ``path`` without any row whose ``key_col`` appears in ``ids``
+    (column ``id_col``, default ``key_col``), atomically swapped into
+    place with the same write-aside → delete → rename discipline as
+    :func:`compact_files` (the original survives any failure before
+    the delete). Returns ``{"rows_before", "rows_erased",
+    "rows_after"}``.
+
+    The request set is checkpointed FIRST — it may derive from the very
+    dataset being rewritten, and a lazy plan would re-read the
+    post-delete files mid-swap. Deletion-request sets are
+    dimension-sized (a DSR queue), so the anti-join broadcasts; a
+    Hive-partitioned dataset rewrites per partition, preserving the
+    directory layout exactly like compaction. At 100 TB this is the
+    standard erasure shape: one scan + broadcast anti-join per
+    partition, touched partitions rewritten, untouched bytes never
+    read twice."""
+    id_col = id_col or key_col
+    req = (
+        ids.select(F.col(id_col).alias("__erase_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _erase(p: str) -> dict:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        src = jvm.org.apache.hadoop.fs.Path(p)
+        fs = src.getFileSystem(hconf)
+        entries = list(fs.listStatus(src))
+        part_dirs = [
+            e for e in entries
+            if e.isDirectory() and "=" in e.getPath().getName()
+        ]
+        if part_dirs:
+            out = {"rows_before": 0, "rows_erased": 0, "rows_after": 0}
+            for e in part_dirs:
+                sub = _erase(e.getPath().toString())
+                for k in out:
+                    out[k] += sub[k]
+            return out
+        n_files = sum(
+            1 for f in entries if f.getPath().getName().startswith("part-")
+        )
+        df = spark.read.parquet(p)
+        before = df.count()
+        keep = df.join(
+            F.broadcast(req),
+            F.col(key_col) == F.col("__erase_id"),
+            "left_anti",
+        ).repartition(max(1, n_files))
+        aside = jvm.org.apache.hadoop.fs.Path(p.rstrip("/") + "__erasing")
+        keep.write.mode("overwrite").parquet(aside.toString())
+        fs.delete(src, True)
+        fs.rename(aside, src)
+        spark.catalog.refreshByPath(p)
+        after = spark.read.parquet(p).count()
+        return {
+            "rows_before": before,
+            "rows_erased": before - after,
+            "rows_after": after,
+        }
+
+    return _erase(path)
+
+
 def training_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

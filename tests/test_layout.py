@@ -225,3 +225,46 @@ def test_temperature_mixture_rebalances_languages(spark):
     # expectation; allow generous slack at this tiny SF)
     total = sum(n_by_lang.values())
     assert 0.3 * total <= len(out) <= 0.75 * total
+
+
+def test_erase_rows_flat_and_partitioned(spark, tmp_path):
+    """The erasure rewrite must drop exactly the requested subjects'
+    rows, keep every other row's values intact, preserve a Hive
+    partition layout, and survive a request set derived from the
+    dataset being rewritten (checkpoint-before-delete)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.layout import erase_rows
+
+    rows = [(i, i % 10, f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id long, part int, payload string")
+
+    # flat dataset; request ids DERIVED FROM THE DATASET ITSELF
+    flat = str(tmp_path / "flat")
+    df.coalesce(2).write.parquet(flat)
+    src = spark.read.parquet(flat)
+    req = src.filter(F.col("user_id") % 7 == 0).select("user_id")
+    res = erase_rows(spark, flat, req, "user_id")
+    expect_gone = {i for i in range(500) if i % 7 == 0}
+    assert res == {
+        "rows_before": 500,
+        "rows_erased": len(expect_gone),
+        "rows_after": 500 - len(expect_gone),
+    }
+    kept = {r["user_id"]: r["payload"] for r in spark.read.parquet(flat).collect()}
+    assert set(kept) == set(range(500)) - expect_gone
+    assert all(kept[i] == f"v{i}" for i in kept)
+
+    # Hive-partitioned dataset: layout must survive
+    part = str(tmp_path / "part")
+    df.write.partitionBy("part").parquet(part)
+    req2 = spark.createDataFrame([(3,), (488,)], "uid long")
+    res2 = erase_rows(spark, part, req2, "user_id", id_col="uid")
+    assert res2["rows_erased"] == 2 and res2["rows_after"] == 498
+    dirs = {d for d in os.listdir(part) if d.startswith("part=")}
+    assert dirs == {f"part={i}" for i in range(10)}
+    left = spark.read.parquet(part)
+    assert left.count() == 498
+    assert left.filter(F.col("user_id").isin(3, 488)).count() == 0
