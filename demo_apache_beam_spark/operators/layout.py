@@ -127,11 +127,25 @@ def compact_files(
         if sort_col
         else df.repartition(n)
     )
-    aside = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    aside = _aside_path(jvm, path, "__compacting")
     out.write.mode("overwrite").parquet(aside.toString())
     fs.delete(src, True)
     fs.rename(aside, src)
     return n
+
+
+def _aside_path(jvm, path: str, suffix: str):
+    """Write-aside sibling for the atomic-swap rewrites, named with a
+    leading underscore: Hadoop's hidden-file filter (the `_SUCCESS` /
+    `_temporary` convention) makes Spark's partition discovery skip it,
+    so a crash that leaves the aside directory behind inside a
+    Hive-partitioned dataset root cannot surface as a phantom
+    partition value (which would silently degrade the partition column
+    to string and read residue rows as live data)."""
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    return jvm.org.apache.hadoop.fs.Path(
+        p.getParent(), "_" + p.getName() + suffix
+    )
 
 
 def erase_rows(
@@ -140,25 +154,33 @@ def erase_rows(
     ids: DataFrame,
     key_col: str,
     id_col: str | None = None,
+    sort_col: str | None = None,
 ) -> dict:
     """Right-to-erasure rewrite — the execution half of the
     ``user_erasure_audit`` dry run: rewrite the parquet dataset at
     ``path`` without any row whose ``key_col`` appears in ``ids``
     (column ``id_col``, default ``key_col``), atomically swapped into
-    place with the same write-aside → delete → rename discipline as
-    :func:`compact_files` (the original survives any failure before
-    the delete). Returns ``{"rows_before", "rows_erased",
+    place with the same underscore-prefixed write-aside → delete →
+    rename discipline as :func:`compact_files` (the original survives
+    any failure before the delete; a leftover aside is invisible to
+    partition discovery). Returns ``{"rows_before", "rows_erased",
     "rows_after"}``.
 
     The request set is checkpointed FIRST — it may derive from the very
     dataset being rewritten, and a lazy plan would re-read the
     post-delete files mid-swap. Deletion-request sets are
-    dimension-sized (a DSR queue), so the anti-join broadcasts; a
-    Hive-partitioned dataset rewrites per partition, preserving the
-    directory layout exactly like compaction. At 100 TB this is the
-    standard erasure shape: one scan + broadcast anti-join per
-    partition, touched partitions rewritten, untouched bytes never
-    read twice."""
+    dimension-sized (a DSR queue), so the probe and anti-join
+    broadcast. A Hive-partitioned dataset is handled per partition,
+    preserving the directory layout, and a partition whose broadcast
+    semi-join probe matches ZERO requested ids is NOT rewritten — its
+    cost is the parquet-footer row count plus one key-column scan, so
+    a request touching 1% of partitions rewrites 1% of the bytes.
+    ``rows_after`` derives from the probe count (the anti-join is its
+    exact complement), never a post-rename re-read. ``sort_col``
+    forwards the compaction clustering option so a Z-ordered dataset
+    keeps its min-max skipping through the rewrite. ``key_col`` must
+    be a data column: erasing by the PARTITION column is directory
+    deletion, not a rewrite — rejected loudly before any mutation."""
     id_col = id_col or key_col
     req = (
         ids.select(F.col(id_col).alias("__erase_id"))
@@ -187,22 +209,45 @@ def erase_rows(
             1 for f in entries if f.getPath().getName().startswith("part-")
         )
         df = spark.read.parquet(p)
-        before = df.count()
+        if key_col not in df.columns:
+            raise ValueError(
+                f"erase_rows: {key_col!r} is not a data column of {p} — "
+                "erasing by the Hive partition column means deleting the "
+                "matching partition directories, not rewriting files"
+            )
+        before = df.count()  # parquet footer counts — no data read
+        erased = (
+            df.join(
+                F.broadcast(req),
+                F.col(key_col) == F.col("__erase_id"),
+                "left_semi",
+            ).count()
+        )
+        if erased == 0:
+            return {
+                "rows_before": before, "rows_erased": 0, "rows_after": before,
+            }
         keep = df.join(
             F.broadcast(req),
             F.col(key_col) == F.col("__erase_id"),
             "left_anti",
-        ).repartition(max(1, n_files))
-        aside = jvm.org.apache.hadoop.fs.Path(p.rstrip("/") + "__erasing")
+        )
+        keep = (
+            keep.repartitionByRange(
+                max(1, n_files), F.col(sort_col)
+            ).sortWithinPartitions(sort_col)
+            if sort_col
+            else keep.repartition(max(1, n_files))
+        )
+        aside = _aside_path(jvm, p, "__erasing")
         keep.write.mode("overwrite").parquet(aside.toString())
         fs.delete(src, True)
         fs.rename(aside, src)
         spark.catalog.refreshByPath(p)
-        after = spark.read.parquet(p).count()
         return {
             "rows_before": before,
-            "rows_erased": before - after,
-            "rows_after": after,
+            "rows_erased": erased,
+            "rows_after": before - erased,
         }
 
     return _erase(path)

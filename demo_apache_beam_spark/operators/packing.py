@@ -256,3 +256,58 @@ def keyed_exclusive_prefix_sum(
     return local.withColumn(
         out_col, F.col("__local_prior").cast("long")
     ).drop("__bucket", "__local_prior")
+
+
+def waterfill_allocations(
+    totals: DataFrame,
+    budget: float,
+    key_col: str,
+    total_col: str,
+    alloc_col: str = "alloc",
+) -> DataFrame:
+    """Closed-form waterfilling over a per-key totals table: allocate
+    ``budget`` across keys with every key capped at the water level
+    c = max{c : Σ min(total_i, c) <= budget} (unused small-key capacity
+    flows to larger keys). Sort keys ascending by total; the first key
+    whose total exceeds (budget − prefix_before)/(keys remaining) pins
+    c at that candidate — every smaller key is provably uncapped, every
+    larger one capped; no iteration. The input is key-cardinality, so
+    the windows are trivially cheap at any corpus size. Adds
+    ``alloc_col`` (double, 6-dp rounded); keeps ``key_col`` and
+    ``total_col``. The shared kernel of ``corpus_budget_waterfill``
+    and its randomized pytest reference."""
+    w = Window.orderBy(total_col, key_col)
+    ranked = (
+        totals.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "__s_before",
+            F.coalesce(
+                F.sum(total_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    cand = (F.lit(float(budget)) - F.col("__s_before")) / (
+        F.col("__n") - F.col("__rn") + F.lit(1)
+    )
+    # always exactly one row (c NULL when nothing is capped), so the
+    # broadcast cross join is total
+    cap_df = (
+        ranked.withColumn("__c", cand)
+        .filter(F.col(total_col).cast("double") > F.col("__c"))
+        .agg(F.min_by("__c", "__rn").alias("__c"))
+    )
+    return ranked.crossJoin(F.broadcast(cap_df)).select(
+        key_col,
+        total_col,
+        F.round(
+            F.least(
+                F.col(total_col).cast("double"),
+                F.coalesce(F.col("__c"), F.col(total_col).cast("double")),
+            ),
+            6,
+        ).alias(alloc_col),
+    )

@@ -9109,51 +9109,14 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row-by-row once this query has chosen it.",
 )
 def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.packing import waterfill_allocations
 
-    B = 1_000_000.0
     totals = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.sum("n_chars").cast("long").alias("total_chars"))
     )
-    w = Window.orderBy("total_chars", "source")
-    ranked = (
-        totals.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy())
-        )
-        .withColumn(
-            "s_before",
-            F.coalesce(
-                F.sum("total_chars").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).cast("long"),
-        )
-    )
-    cand = (F.lit(B) - F.col("s_before")) / (
-        F.col("n") - F.col("rn") + F.lit(1)
-    )
-    # always exactly one row (c NULL when no source is capped), so the
-    # broadcast cross join is total — no eager action, no empty-join trap
-    cap_df = (
-        ranked.withColumn("c", cand)
-        .filter(F.col("total_chars").cast("double") > F.col("c"))
-        .agg(F.min_by("c", "rn").alias("c"))
-    )
-    return ranked.crossJoin(F.broadcast(cap_df)).select(
-        "source",
-        "total_chars",
-        F.round(
-            F.least(
-                F.col("total_chars").cast("double"),
-                F.coalesce(F.col("c"), F.col("total_chars").cast("double")),
-            ),
-            6,
-        ).alias("alloc"),
-    )
+    return waterfill_allocations(totals, 1_000_000.0, "source", "total_chars")
 
 
 @register(

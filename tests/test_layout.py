@@ -257,14 +257,33 @@ def test_erase_rows_flat_and_partitioned(spark, tmp_path):
     assert set(kept) == set(range(500)) - expect_gone
     assert all(kept[i] == f"v{i}" for i in kept)
 
-    # Hive-partitioned dataset: layout must survive
+    # Hive-partitioned dataset: layout must survive, and partitions with
+    # no matching ids must NOT be rewritten (ids 3 -> part=3, 488 ->
+    # part=8; every other partition's files must be untouched)
     part = str(tmp_path / "part")
     df.write.partitionBy("part").parquet(part)
+    listing_before = {
+        d: sorted(os.listdir(f"{part}/{d}"))
+        for d in os.listdir(part)
+        if d.startswith("part=")
+    }
     req2 = spark.createDataFrame([(3,), (488,)], "uid long")
     res2 = erase_rows(spark, part, req2, "user_id", id_col="uid")
     assert res2["rows_erased"] == 2 and res2["rows_after"] == 498
     dirs = {d for d in os.listdir(part) if d.startswith("part=")}
     assert dirs == {f"part={i}" for i in range(10)}
+    for d, files in listing_before.items():
+        if d in ("part=3", "part=8"):
+            continue
+        assert sorted(os.listdir(f"{part}/{d}")) == files, d
     left = spark.read.parquet(part)
     assert left.count() == 498
     assert left.filter(F.col("user_id").isin(3, 488)).count() == 0
+
+    # erasing by the partition column is directory deletion, not a
+    # rewrite — must be rejected before any mutation
+    import pytest
+
+    with pytest.raises(ValueError, match="partition column"):
+        erase_rows(spark, part, req2, "part", id_col="uid")
+    assert spark.read.parquet(part).count() == 498
