@@ -287,3 +287,65 @@ def test_erase_rows_flat_and_partitioned(spark, tmp_path):
     with pytest.raises(ValueError, match="partition column"):
         erase_rows(spark, part, req2, "part", id_col="uid")
     assert spark.read.parquet(part).count() == 498
+
+
+def test_streaming_erasure_equals_batch_and_replays(spark, tmp_path):
+    """Tombstones applied per epoch must leave the dataset equal to one
+    batch erase of the union, and a redelivered epoch must not rewrite
+    a single file (deletion is naturally convergent)."""
+    import os
+
+    from demo_apache_beam_spark.streaming.erasure import (
+        make_erasure_ingest,
+        start_erasure_stream,
+    )
+
+    rows = [(i, i % 6, f"v{i}") for i in range(600)]
+    df = spark.createDataFrame(rows, "user_id long, part int, payload string")
+    data = str(tmp_path / "data")
+    df.write.partitionBy("part").parquet(data)
+
+    epochs = [[(1,), (7,)], [(13,), (599,)], [(1,), (200,)]]  # 1 repeats
+    gone = {1, 7, 13, 599, 200}
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_erasure_stream(
+        spark, in_dir, data, str(tmp_path / "chk"), "user_id",
+        schema="user_id long",
+    )
+    try:
+        for b, chunk in enumerate(epochs):
+            spark.createDataFrame(chunk, "user_id long").coalesce(
+                1
+            ).write.parquet(f"{tmp_path}/stage_{b}")
+            part = next(
+                f for f in os.listdir(f"{tmp_path}/stage_{b}")
+                if f.endswith(".parquet")
+            )
+            os.rename(f"{tmp_path}/stage_{b}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    left = spark.read.parquet(data)
+    assert left.count() == 600 - len(gone)
+    kept = {r["user_id"] for r in left.collect()}
+    assert kept == set(range(600)) - gone
+
+    # redelivery: same tombstones again -> zero matches -> NO rewrite;
+    # every partition's file listing must be byte-for-byte untouched
+    listing = {
+        d: sorted(os.listdir(f"{data}/{d}"))
+        for d in os.listdir(data)
+        if d.startswith("part=")
+    }
+    ingest = make_erasure_ingest(spark, data, "user_id")
+    ingest(spark.createDataFrame(epochs[1], "user_id long"), 99)
+    after = {
+        d: sorted(os.listdir(f"{data}/{d}"))
+        for d in os.listdir(data)
+        if d.startswith("part=")
+    }
+    assert after == listing
+    assert spark.read.parquet(data).count() == 600 - len(gone)
