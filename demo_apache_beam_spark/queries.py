@@ -876,18 +876,102 @@ _MH_PORT_CTES = f"""corpus AS ({_NEARDUP_CORPUS_SQL}),
         "verified tail. Same plan shape as the xxhash64 production variant "
         "(dedup_minhash, which stays rows-only: Spark's seeded xxhash64 "
         "has no DuckDB counterpart); the hash-cell precedent is "
-        "semantic_dedup_hash_cells. k=16, bands=4 keeps r=4 selectivity.",
+        "semantic_dedup_hash_cells. k=16, bands=4 keeps r=4 selectivity. "
+        "Reads through the fingerprinted shared pair store "
+        "(_neardup_pairs_store) and is its build/oracle anchor: the "
+        "deterministic build makes stored rows bit-identical to inline, "
+        "so this oracle hash-verifies the persisted artifact every "
+        "downstream consumer (clusters / best-of-cluster / split) reads.",
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _neardup_pairs_store(spark, sf_dir)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _neardup_pairs_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-MinHash pair pipeline, built inline: shingling →
+    16 md5-chain signature minima → 4 band hashes → bucket self-join
+    candidates → exact shingle-Jaccard verification ≥ 0.5. Fully
+    deterministic (md5 hash family, no seeds, no floats before the
+    final division), so a persisted copy is bit-identical to this."""
     from .operators.dedup import minhash_dedup_pairs
 
-    pairs = minhash_dedup_pairs(
+    return minhash_dedup_pairs(
         _neardup_corpus(spark, sf_dir),
         num_hashes=_MH_PORT_K,
         bands=_MH_PORT_BANDS,
         portable=True,
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _neardup_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fingerprinted shared near-dup PAIR store (VERDICT r7 item 1):
+    every curation consumer of the portable-MinHash pipeline — pair
+    listing, cluster assignment, best-of-cluster pick, leakage-safe
+    split — previously re-ran shingling → signatures → banding →
+    candidate self-join → Jaccard verify per query; at 100 TB that is N
+    full corpus shingle passes for N consumers. Same fingerprinted
+    bootstrap discipline as :func:`_knn_graph_store` (documents listing
+    + pipeline params key the store; regenerated testdata rebuilds;
+    unwritable warehouses fall back inline on the narrow store-error
+    set). The build is deterministic, so stored rows are bit-identical
+    to an inline run (pinned by pytest) and `dedup_minhash_portable`'s
+    DuckDB oracle — which replays the whole pipeline — now verifies the
+    STORE content hash-for-hash."""
+    try:
+        return _bootstrap_store(
+            spark,
+            "neardup_pairs",
+            sf_dir,
+            "documents",
+            f"minhash:portable:k={_MH_PORT_K}:bands={_MH_PORT_BANDS}:thr=0.5:v1",
+            lambda path, _t: _neardup_pairs_inline(spark, sf_dir)
+            .write.mode("overwrite")
+            .parquet(path),
+            lambda path, _t: spark.read.parquet(path).select(
+                "id_a", "id_b", "jaccard"
+            ),
+        )
+    except _store_errors():
+        return _neardup_pairs_inline(spark, sf_dir)
+
+
+def _neardup_clusters_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignments derived from the pair store: the
+    connected-components closure (pointer doubling) over the verified
+    pairs, every corpus document labeled with its component's min
+    doc-id. Persisted separately from the pairs because three consumers
+    (cluster listing, best-of-cluster, leakage-safe split) want the
+    closure, not the edges — one clustering pass serves all three. The
+    build consumes :func:`_neardup_pairs_store`, so a cold bootstrap
+    runs the corpus shingle pass exactly once for the whole family."""
+    def build(path, _t):
+        from .operators.graph import duplicate_clusters
+
+        corpus = _neardup_corpus(spark, sf_dir)
+        duplicate_clusters(
+            _neardup_pairs_store(spark, sf_dir).select("id_a", "id_b"),
+            corpus.select("doc_id"),
+        ).write.mode("overwrite").parquet(path)
+
+    try:
+        return _bootstrap_store(
+            spark,
+            "neardup_clusters",
+            sf_dir,
+            "documents",
+            f"minhash:portable:k={_MH_PORT_K}:bands={_MH_PORT_BANDS}:thr=0.5:cc:v1",
+            build,
+            lambda path, _t: spark.read.parquet(path).select("doc_id", "cluster_id"),
+        )
+    except _store_errors():
+        from .operators.graph import duplicate_clusters
+
+        corpus = _neardup_corpus(spark, sf_dir)
+        return duplicate_clusters(
+            _neardup_pairs_store(spark, sf_dir).select("id_a", "id_b"),
+            corpus.select("doc_id"),
+        )
 
 
 # Portable pair pipeline + transitive closure → per-doc cluster ids,
@@ -933,20 +1017,14 @@ _MH_CLUSTER_CTES = f"""{_MH_PORT_CTES},
         "cannot drift) and closes components with a recursive "
         "transitive-closure CTE — safe because near-dup components are "
         "tiny; the Spark side uses the same O(log n) pointer-doubling "
-        "kernel that survives corpus-scale components.",
+        "kernel that survives corpus-scale components. Reads the "
+        "fingerprinted shared cluster store (_neardup_clusters_store), "
+        "so the corpus is shingled ONCE for the whole near-dup family "
+        "instead of once per consumer — the oracle now verifies the "
+        "persisted closure hash-for-hash.",
 )
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_dedup_pairs
-    from .operators.graph import duplicate_clusters
-
-    corpus = _neardup_corpus(spark, sf_dir)
-    pairs = minhash_dedup_pairs(
-        corpus,
-        num_hashes=_MH_PORT_K,
-        bands=_MH_PORT_BANDS,
-        portable=True,
-    )
-    return duplicate_clusters(pairs.select("id_a", "id_b"), corpus.select("doc_id"))
+    return _neardup_clusters_store(spark, sf_dir)
 
 
 @register(
@@ -8162,20 +8240,14 @@ def team_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seeded-hash uniform draw keyed on the cluster id (same split "
         "for every member by construction; deterministic, so re-running "
         "the split on a grown corpus moves no existing singleton). One "
-        "md5 per doc on top of the clustering cost; no new shuffles.",
+        "md5 per doc on top of the clustering cost; no new shuffles. "
+        "Clusters come from the fingerprinted shared store "
+        "(_neardup_clusters_store) — no MinHash recompute per consumer.",
 )
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_dedup_pairs
-    from .operators.graph import duplicate_clusters
     from .operators.privacy import seeded_uniform
 
-    corpus = _neardup_corpus(spark, sf_dir)
-    pairs = minhash_dedup_pairs(
-        corpus, num_hashes=_MH_PORT_K, bands=_MH_PORT_BANDS, portable=True
-    )
-    clusters = duplicate_clusters(
-        pairs.select("id_a", "id_b"), corpus.select("doc_id")
-    )
+    clusters = _neardup_clusters_store(spark, sf_dir)
     u = seeded_uniform(F.col("cluster_id").cast("string"), "split1")
     split = (
         F.when(u < F.lit(0.8), F.lit("train"))
@@ -8224,21 +8296,15 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_quality_gate, cannot drift), and a per-cluster argmax "
         "window with doc_id tie-break. Clusters are tiny (near-dup "
         "components), so the argmax window partitions are bounded; one "
-        "exchange on cluster_id beyond the clustering cost.",
+        "exchange on cluster_id beyond the clustering cost. Clusters "
+        "come from the fingerprinted shared store "
+        "(_neardup_clusters_store) — no MinHash recompute per consumer.",
 )
 def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .operators.dedup import minhash_dedup_pairs
-    from .operators.graph import duplicate_clusters
-
     corpus = _neardup_corpus(spark, sf_dir)
-    pairs = minhash_dedup_pairs(
-        corpus, num_hashes=_MH_PORT_K, bands=_MH_PORT_BANDS, portable=True
-    )
-    clusters = duplicate_clusters(
-        pairs.select("id_a", "id_b"), corpus.select("doc_id")
-    )
+    clusters = _neardup_clusters_store(spark, sf_dir)
     score, _ = _quality_logit()
     scored = clusters.join(
         corpus.select("doc_id", score.alias("_score")), "doc_id"

@@ -1110,3 +1110,110 @@ def test_containment_prefix_path_matches_reference(spark):
         assert got == expect, f"{strategy} mismatch"
     # the planted supersets guarantee a non-degenerate assertion
     assert any(v == 1.0 for v in expect.values())
+
+
+# ---------------------------------------------------------------------------
+# Shared fingerprinted near-dup stores (VERDICT r7 item 1)
+# ---------------------------------------------------------------------------
+
+def _store_paths(name):
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    data = os.path.abspath(os.path.join(root, f"{name}_sf0_001"))
+    return data, data + "_meta"
+
+
+def test_neardup_pairs_store_equals_inline(spark):
+    """The persisted portable-MinHash pair store must be bit-identical
+    to an inline pipeline run — md5 hash family, no seeds, integer
+    arithmetic until the final Jaccard division, so determinism is
+    exact and dedup_minhash_portable's DuckDB oracle verifies the
+    STORE content. Cold build, then a warm re-read, both pinned."""
+    import shutil
+
+    from demo_apache_beam_spark.queries import (
+        _neardup_pairs_inline,
+        _neardup_pairs_store,
+    )
+
+    data, _meta = _store_paths("neardup_pairs")
+    shutil.rmtree(data, ignore_errors=True)
+    inline = sorted(map(tuple, _neardup_pairs_inline(spark, SF_SMALL).collect()))
+    assert inline  # fixture plants near-dups; an empty compare is vacuous
+    cold = sorted(map(tuple, _neardup_pairs_store(spark, SF_SMALL).collect()))
+    assert cold == inline
+    warm = sorted(map(tuple, _neardup_pairs_store(spark, SF_SMALL).collect()))
+    assert warm == inline
+
+
+def test_neardup_clusters_store_equals_inline(spark):
+    """The persisted cluster closure must equal duplicate_clusters over
+    the same pairs — and a cold bootstrap of the clusters store must
+    leave the PAIR store on disk too (the single-shingle-pass design:
+    the cluster build consumes the pair store, not a fresh pipeline)."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.operators.graph import duplicate_clusters
+    from demo_apache_beam_spark.queries import (
+        _neardup_clusters_store,
+        _neardup_corpus,
+        _neardup_pairs_inline,
+    )
+
+    pairs_data, _ = _store_paths("neardup_pairs")
+    clusters_data, _ = _store_paths("neardup_clusters")
+    shutil.rmtree(pairs_data, ignore_errors=True)
+    shutil.rmtree(clusters_data, ignore_errors=True)
+    corpus = _neardup_corpus(spark, SF_SMALL)
+    expect = sorted(
+        map(
+            tuple,
+            duplicate_clusters(
+                _neardup_pairs_inline(spark, SF_SMALL).select("id_a", "id_b"),
+                corpus.select("doc_id"),
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, _neardup_clusters_store(spark, SF_SMALL).collect()))
+    assert got == expect
+    assert os.path.isdir(pairs_data)  # pair store bootstrapped as a side effect
+    # at least one non-singleton cluster or the closure compare is vacuous
+    assert any(r[0] != r[1] for r in got)
+    warm = sorted(map(tuple, _neardup_clusters_store(spark, SF_SMALL).collect()))
+    assert warm == expect
+
+
+def test_neardup_pairs_store_rebuilds_on_stale_fingerprint(spark):
+    """A pair store whose meta fingerprint mismatches the source listing
+    + params must rebuild, not serve stale pairs (fresh-session view:
+    memo cleared)."""
+    from demo_apache_beam_spark.queries import _STORE_MEMO, _neardup_pairs_store
+
+    _neardup_pairs_store(spark, SF_SMALL).count()  # bootstrapped
+    _data, meta = _store_paths("neardup_pairs")
+    spark.createDataFrame([("stale",)], "fingerprint string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(meta)
+    _STORE_MEMO.clear()
+    assert _neardup_pairs_store(spark, SF_SMALL).count() > 0
+    fp = spark.read.parquet(meta).collect()[0]["fingerprint"]
+    assert fp != "stale"
+
+
+def test_neardup_clusters_store_self_heals_after_data_loss(spark):
+    """Out-of-band deletion of the clusters store while the session memo
+    is warm must rebuild through the memo's _SUCCESS fall-through (the
+    r7 store-poisoning class), and the rebuilt rows must match."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import _neardup_clusters_store
+
+    before = sorted(map(tuple, _neardup_clusters_store(spark, SF_SMALL).collect()))
+    data, _ = _store_paths("neardup_clusters")
+    shutil.rmtree(data)  # NO memo clear — live session must recover
+    after = sorted(map(tuple, _neardup_clusters_store(spark, SF_SMALL).collect()))
+    assert after == before
+    assert os.path.isdir(data)
