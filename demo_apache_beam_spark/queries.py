@@ -3702,6 +3702,35 @@ def _user_series_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _series_profiles_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted centered hour-of-week profile table (VERDICT r7
+    item 7): both series-similarity queries previously recomputed the
+    events groupBy + Arrow scatter per query (each behind its own
+    localCheckpoint); the same fingerprinted bootstrap that de-duplicated
+    the kNN/LSH/near-dup builds applies — the profile pass runs once per
+    events generation, consumers read 168-double rows from parquet.
+    Falls back to the inline build (localCheckpointed, since the ANN
+    consumer reads its corpus three times) on the narrow store-error
+    set. Profile values are IEEE partial-sum aggregates whose shuffle
+    merge order Spark does not pin, so store≡inline is asserted to
+    1e-12 in pytest (not bitwise); both consumers round to 6 dp, far
+    above any such wobble, so their oracles/overlap pins are unaffected."""
+    try:
+        return _bootstrap_store(
+            spark,
+            "series_profiles",
+            sf_dir,
+            "events",
+            "series_profiles:buckets=168:centered:v1",
+            lambda path, _t: _user_series_profiles(spark, sf_dir)
+            .write.mode("overwrite")
+            .parquet(path),
+            lambda path, _t: spark.read.parquet(path).select("user_id", "series"),
+        )
+    except _store_errors():
+        return _user_series_profiles(spark, sf_dir).localCheckpoint()
+
+
 # distinct event users per scale factor (TESTDATA.md) — sizes the series
 # LSH index without a count() job, like _EMBEDDINGS_ROWS.
 _EVENT_USERS = {"0.001": 15, "0.01": 150, "0.1": 1500}
@@ -3770,10 +3799,10 @@ def _event_users(sf_dir: str) -> int | None:
 def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import brute_force_topk_blocked
 
-    # materialize the profiles once: the ranking consumes them as both
-    # corpus and query side, and re-running the groupBy+scatter per
-    # consumer would triple the dominant cost
-    centered = _user_series_profiles(spark, sf_dir).localCheckpoint()
+    # profiles come from the fingerprinted store: the ranking consumes
+    # them as both corpus and query side, and both series queries share
+    # one persisted profile pass instead of re-running groupBy+scatter
+    centered = _series_profiles_store(spark, sf_dir)
     out = brute_force_topk_blocked(
         centered.select(F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")),
         centered.select(F.col("user_id").alias("query_id"), F.col("series").alias("embedding")),
@@ -3809,10 +3838,11 @@ def user_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_series_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_knn_graph
 
-    # materialize once: the ANN graph reads its corpus THREE times
-    # (signature pass + the two refinement vector joins) — each read
-    # would otherwise re-run the profile groupBy + scatter UDF
-    centered = _user_series_profiles(spark, sf_dir).localCheckpoint()
+    # profiles come from the fingerprinted store: the ANN graph reads
+    # its corpus THREE times (signature pass + two refinement vector
+    # joins) — each read is now a parquet scan of the persisted
+    # profiles, not a re-run of the groupBy + scatter UDF
+    centered = _series_profiles_store(spark, sf_dir)
     out = ann_knn_graph(
         centered.select(
             F.col("user_id").alias("vec_id"), F.col("series").alias("embedding")

@@ -1217,3 +1217,35 @@ def test_neardup_clusters_store_self_heals_after_data_loss(spark):
     after = sorted(map(tuple, _neardup_clusters_store(spark, SF_SMALL).collect()))
     assert after == before
     assert os.path.isdir(data)
+
+
+def test_series_profiles_store_equals_inline(spark):
+    """The persisted centered-profile table must match a fresh inline
+    build: same user set exactly, per-bucket values to 1e-12 (profile
+    cells are IEEE partial sums whose shuffle merge order Spark does
+    not pin, so bitwise equality is not a contract here — both
+    consumers round to 6 dp). Cold build then warm re-read."""
+    import shutil
+
+    import numpy as np
+
+    from demo_apache_beam_spark.queries import (
+        _series_profiles_store,
+        _user_series_profiles,
+    )
+
+    data, _meta = _store_paths("series_profiles")
+    shutil.rmtree(data, ignore_errors=True)
+    inline = {
+        r["user_id"]: np.asarray(r["series"])
+        for r in _user_series_profiles(spark, SF_SMALL).collect()
+    }
+    assert inline  # fixture has active users
+    for label in ("cold", "warm"):
+        stored = {
+            r["user_id"]: np.asarray(r["series"])
+            for r in _series_profiles_store(spark, SF_SMALL).collect()
+        }
+        assert stored.keys() == inline.keys(), label
+        for uid, vec in inline.items():
+            assert np.allclose(stored[uid], vec, atol=1e-12, rtol=0), (label, uid)
