@@ -62,8 +62,26 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         try:
             ids.append(int(out._jdf.queryExecution().analyzed().rdd().id()))
         except Exception:
-            pass  # tracking must never fail the query
+            # tracking must never fail the query — but a silently inert
+            # ledger reverts every batch to unbounded pinned-RDD growth
+            # (ADVICE r7), so warn ONCE per process instead of nothing:
+            # operators see the leak signal, not an eventual executor OOM
+            global _WARNED_EXTRACTION
+            if not _WARNED_EXTRACTION:
+                _WARNED_EXTRACTION = True
+                import warnings
+
+                warnings.warn(
+                    "tracked_local_checkpoint: JVM RDD-id extraction failed; "
+                    "the checkpoint ledger is inert and localCheckpoint RDDs "
+                    "will accumulate until the session ends",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return out
+
+
+_WARNED_EXTRACTION = False
 
 
 def unpersist_ids(spark: SparkSession, ids: list[int]) -> None:

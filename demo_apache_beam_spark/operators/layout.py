@@ -181,12 +181,17 @@ def erase_rows(
     keeps its min-max skipping through the rewrite. ``key_col`` must
     be a data column: erasing by the PARTITION column is directory
     deletion, not a rewrite — rejected loudly before any mutation."""
+    from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
+
     id_col = id_col or key_col
-    req = (
-        ids.select(F.col(id_col).alias("__erase_id"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # the checkpointed request set is released on exit (ADVICE r7): the
+    # streaming erasure path calls this once per micro-batch, and without
+    # the release a long-running stream pins one RDD per epoch — the leak
+    # class the ledger already closed for the dedup/top-k streams
+    with track_checkpoints() as _cp_ids:
+        req = tracked_local_checkpoint(
+            ids.select(F.col(id_col).alias("__erase_id")).distinct()
+        )
 
     def _erase(p: str) -> dict:
         jvm = spark._jvm
@@ -250,7 +255,56 @@ def erase_rows(
             "rows_after": before - erased,
         }
 
-    return _erase(path)
+    try:
+        return _erase(path)
+    finally:
+        unpersist_ids(spark, _cp_ids)
+
+
+def erase_rows_multi(
+    spark,
+    ids: DataFrame,
+    targets: dict[str, tuple[str, str]],
+    id_col: str,
+    sort_cols: dict[str, str] | None = None,
+) -> dict[str, dict]:
+    """Identity-mapped MULTI-TABLE erasure execute — the execution half
+    of the ``user_erasure_audit`` dry run across every table that keys
+    the same subject differently: ``targets`` maps table name →
+    ``(dataset path, key column)`` (events.user_id, customer.c_custkey,
+    orders.o_custkey in the audit), and each dataset is rewritten via
+    :func:`erase_rows` with the shared request set. Returns per-table
+    ``{"rows_before", "rows_erased", "rows_after"}`` — by construction
+    the rows the audit counted per table are exactly the rows removed
+    (pinned audit==execute by pytest).
+
+    The request set is frozen ONCE, before the first delete: a DSR set
+    derived from one of the target tables (the audit's events slice)
+    must not re-resolve against half-rewritten data mid-loop — the
+    per-table :func:`erase_rows` calls then distinct an already-frozen
+    plan, never the mutating source. One pass per table, each a
+    broadcast probe + anti-join rewrite; tables not matching any
+    request id are probed but not rewritten."""
+    from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
+
+    with track_checkpoints() as _cp_ids:
+        req = tracked_local_checkpoint(
+            ids.select(F.col(id_col).alias("__erase_id")).distinct()
+        )
+    try:
+        return {
+            name: erase_rows(
+                spark,
+                path,
+                req,
+                key_col,
+                id_col="__erase_id",
+                sort_col=(sort_cols or {}).get(name),
+            )
+            for name, (path, key_col) in targets.items()
+        }
+    finally:
+        unpersist_ids(spark, _cp_ids)
 
 
 def training_shuffle(

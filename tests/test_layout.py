@@ -349,3 +349,78 @@ def test_streaming_erasure_equals_batch_and_replays(spark, tmp_path):
     }
     assert after == listing
     assert spark.read.parquet(data).count() == 600 - len(gone)
+
+
+def test_erase_rows_multi_matches_audit(spark, tmp_path):
+    """Multi-table erasure execute == the user_erasure_audit dry run
+    (VERDICT r7 item 3): per table, rows_erased must equal exactly the
+    rows_affected the audit counted (identity keys user_id / c_custkey /
+    o_custkey), a re-run audit over the rewritten tables must count
+    zero, and no requested subject may survive anywhere — on flat
+    copies AND with the events table Hive-partitioned."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.operators.layout import erase_rows_multi
+
+    def copy_sf(dst, partitioned_events):
+        os.makedirs(dst)
+        for t in ("events", "customer", "orders"):
+            src = f"{SF_SMALL}/{t}.parquet"
+            out = f"{dst}/{t}.parquet"
+            if t == "events" and partitioned_events:
+                load_table(spark, SF_SMALL, t).write.partitionBy(
+                    "event_type"
+                ).parquet(out)
+            elif os.path.isdir(src):
+                shutil.copytree(src, out)
+            else:
+                shutil.copy(src, out)
+
+    for partitioned in (False, True):
+        sf = str(tmp_path / ("sf_part" if partitioned else "sf_flat"))
+        copy_sf(sf, partitioned)
+        audit = {
+            r["table_name"]: (r["rows_affected"], r["subjects"])
+            for r in REGISTRY["user_erasure_audit"].fn(spark, sf).collect()
+        }
+        assert audit["events"][0] > 0  # non-degenerate at this SF
+        ids = (
+            load_table(spark, sf, "events")
+            .filter(
+                ((F.col("user_id") % F.lit(1000)) * F.lit(2654435761))
+                % F.lit(1000)
+                < F.lit(12)
+            )
+            .select("user_id")
+        )
+        res = erase_rows_multi(
+            spark,
+            ids,
+            {
+                "events": (f"{sf}/events.parquet", "user_id"),
+                "customer": (f"{sf}/customer.parquet", "c_custkey"),
+                "orders": (f"{sf}/orders.parquet", "o_custkey"),
+            },
+            id_col="user_id",
+        )
+        for t in ("events", "customer", "orders"):
+            assert res[t]["rows_erased"] == audit[t][0], (partitioned, t)
+            assert (
+                res[t]["rows_after"] == res[t]["rows_before"] - audit[t][0]
+            ), (partitioned, t)
+        # the audit over the rewritten tables finds nothing left to erase
+        spark.catalog.clearCache()
+        audit_after = {
+            r["table_name"]: r["rows_affected"]
+            for r in REGISTRY["user_erasure_audit"].fn(spark, sf).collect()
+        }
+        assert audit_after == {"events": 0, "customer": 0, "orders": 0}, partitioned
+        if partitioned:
+            # the Hive layout survived the per-partition rewrite
+            dirs = {
+                d
+                for d in os.listdir(f"{sf}/events.parquet")
+                if d.startswith("event_type=")
+            }
+            assert dirs, "partition layout lost"
