@@ -47,6 +47,15 @@ import zlib
 
 import numpy as np
 
+class UnsupportedContainerError(ValueError):
+    """Raised when a payload's container format has no codec here (MP4
+    etc. — no stdlib container/DCT support). A ``ValueError`` subclass
+    so the fail-closed decoder contract is unchanged for callers that
+    treat any decode failure as a rejected record, while callers that
+    route 'codec absent' differently from 'corrupt record' (the old
+    ``NotImplementedError`` stub's distinction) can catch this type."""
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
 
 #: PNG color type → samples per pixel (bit depth 8 only)
@@ -499,11 +508,21 @@ def gif_decode(data: bytes) -> np.ndarray:
     """Decode a GIF to composited frames: (n_frames, H, W, 3) uint8 RGB
     over the logical screen, honoring sub-rectangle placement, local
     palettes, interlacing, transparency, and disposal methods 0-3.
-    Raises ``ValueError`` for non-GIF bytes (MP4 and friends — no
-    stdlib container/DCT support; that boundary is documented at the
-    decoder seam) and for truncated/corrupt streams."""
-    if len(data) < 13 or data[:6] not in _GIF_SIGS:
-        raise ValueError("not a GIF file")
+    Non-GIF magic (MP4 and friends — no stdlib container/DCT support;
+    that boundary is documented at the decoder seam) raises
+    :class:`UnsupportedContainerError`, a ``ValueError`` subclass, so
+    callers can tell 'codec absent for this container' from 'corrupt
+    GIF record' (plain ``ValueError``, raised for truncated/corrupt
+    streams) while fail-closed ``except ValueError`` handlers keep
+    catching both (ADVICE r7 — the old stub raised
+    ``NotImplementedError`` here)."""
+    if len(data) < 6 or data[:6] not in _GIF_SIGS:
+        raise UnsupportedContainerError(
+            "not a GIF file (only container stdlib can decode); wire "
+            "pyav/ffmpeg at the decoder seam for MP4 and friends"
+        )
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     w, h = struct.unpack_from("<HH", data, 6)
     packed = data[10]
     bg_idx = data[11]

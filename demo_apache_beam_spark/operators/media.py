@@ -148,8 +148,9 @@ def decode_payload(kind: str, payload: bytes, meta: dict | None = None):
         samples, _rate = codecs.wav_decode(bytes(payload))
         return samples
     if kind == "video":
-        # gif_decode raises ValueError for non-GIF bytes (MP4 etc. —
-        # the documented stdlib boundary)
+        # non-GIF containers (MP4 etc. — the documented stdlib
+        # boundary) raise codecs.UnsupportedContainerError, a
+        # ValueError subclass distinct from corrupt-GIF ValueError
         return codecs.gif_decode(bytes(payload))
     raise ValueError(f"unknown media kind {kind!r}")
 

@@ -180,11 +180,23 @@ def keyed_exclusive_prefix_sum(
     (users, docs) fail loudly with a pointer to the plain
     ``Window.partitionBy(key)`` that regime actually wants. Adds
     ``out_col`` (long); keeps all input columns.
+
+    Persistence: the input is cached only for the two driver jobs this
+    function itself runs (the range-bound sample and the totals
+    collect) and released non-blocking before returning — the returned
+    plan joins the already-collected offsets lazily and re-scans the
+    input when executed, so callers hold no hidden cache (ADVICE r7:
+    batch registry consumers were leaking one cached dataset per
+    invocation). Deterministic input is already a requirement (the
+    range bounds freeze from a sample job), so the re-scan cannot
+    diverge from the collected totals.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
+    cached = False
     try:
         df = df.persist()
+        cached = True
     except Exception:
         pass
     bounds = _range_bounds(df, order_col, nparts)
@@ -213,6 +225,14 @@ def keyed_exclusive_prefix_sum(
         .limit(cap + 1)
         .collect()
     )
+    if cached:
+        # both driver jobs (bounds sample + totals collect) are done;
+        # the returned lazy plan re-scans the input instead of pinning
+        # a cache the caller would have to know to release
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
     if len(totals) > cap:
         raise ValueError(
             f"keyed_exclusive_prefix_sum: more than {cap} (key, bucket) "
@@ -275,7 +295,14 @@ def waterfill_allocations(
     the windows are trivially cheap at any corpus size. Adds
     ``alloc_col`` (double, 6-dp rounded); keeps ``key_col`` and
     ``total_col``. The shared kernel of ``corpus_budget_waterfill``
-    and its randomized pytest reference."""
+    and its randomized pytest reference. ``budget`` must be
+    non-negative — a negative budget would silently emit negative
+    per-key allocations (loud-failure discipline, matching
+    make_budget_ingest's validation; ADVICE r7)."""
+    if not budget >= 0:  # also rejects NaN
+        raise ValueError(
+            f"waterfill_allocations: budget must be >= 0, got {budget!r}"
+        )
     w = Window.orderBy(total_col, key_col)
     ranked = (
         totals.withColumn("__rn", F.row_number().over(w))

@@ -137,8 +137,17 @@ def test_decode_payload_video_decodes_gif_mp4_stays_out_of_scope():
     out = decode_payload("video", gif_encode(frames))
     assert out.shape == (2, 4, 6, 3)
     assert np.array_equal(out[..., 0], frames)
-    with pytest.raises(ValueError, match="GIF"):
+    # MP4: the DISTINCT unsupported-container type (still a ValueError,
+    # so fail-closed handlers are unaffected), separable from a corrupt
+    # GIF record — the old stub's NotImplementedError distinction
+    from demo_apache_beam_spark.operators.codecs import UnsupportedContainerError
+
+    with pytest.raises(UnsupportedContainerError, match="GIF"):
         decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
+    # a TRUNCATED GIF is a corrupt record, not an unsupported container
+    with pytest.raises(ValueError) as exc:
+        decode_payload("video", b"GIF89a\x04\x00")
+    assert not isinstance(exc.value, UnsupportedContainerError)
 
 
 # ---------------------------------------------------------------------------
