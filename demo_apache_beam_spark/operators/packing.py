@@ -75,6 +75,30 @@ def _range_bounds(df: DataFrame, order_col: str, nparts: int) -> list:
     )
 
 
+def _bucket_expr(bounds: list, order_col: str):
+    """Frozen-boundary range bucket: count of ``bounds`` ≤ the row's
+    ``order_col`` — a flat sum of comparison casts, deliberately NOT the
+    equivalent ``size(filter(array(...), b -> col >= b))`` higher-order
+    function. The HOF form hits a cold-session Catalyst binding bug
+    (Spark 4.1.2): when the lambda expression is the FIRST query a JVM
+    analyzes and its alias is later inlined into a broadcast-join
+    condition, task-side binding re-creates the lambda variable with a
+    near-zero exprId that collides with the input's own attributes —
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND ("Could not find k#1L …") on the
+    build side. Any prior query in the session masks it by bumping the
+    exprId counter, which is why only first-query callers (a fresh
+    foreachBatch driver) ever saw it. The flat form is the same O(len)
+    per row, pure comparisons inside whole-stage codegen, and carries
+    no lambda to mis-bind; bounds are partition-count-sized, so the
+    expression tree stays small."""
+    if not bounds:
+        return F.lit(0)
+    total = F.lit(0)
+    for b in bounds:
+        total = total + (F.col(order_col) >= F.lit(b)).cast("int")
+    return total
+
+
 def sequential_pack(
     df: DataFrame,
     order_col: str,
@@ -111,12 +135,7 @@ def sequential_pack(
     # every row's bucket across recomputations (repartitionByRange would
     # re-sample per execution — see module docstring).
     bounds = _range_bounds(df, order_col, nparts)
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col(order_col) >= b))
-    else:
-        bucket = F.lit(0)
-    ranged = df.withColumn("__bucket", bucket)
+    ranged = df.withColumn("__bucket", _bucket_expr(bounds, order_col))
     in_bucket = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -181,30 +200,30 @@ def keyed_exclusive_prefix_sum(
     ``Window.partitionBy(key)`` that regime actually wants. Adds
     ``out_col`` (long); keeps all input columns.
 
-    Persistence: the input is cached only for the two driver jobs this
-    function itself runs (the range-bound sample and the totals
-    collect) and released non-blocking before returning — the returned
-    plan joins the already-collected offsets lazily and re-scans the
-    input when executed, so callers hold no hidden cache (ADVICE r7:
-    batch registry consumers were leaking one cached dataset per
-    invocation). Deterministic input is already a requirement (the
-    range bounds freeze from a sample job), so the re-scan cannot
-    diverge from the collected totals.
+    Persistence: only a (key, order, weight) PROJECTION is cached, and
+    only for the two driver jobs this function itself runs (the
+    range-bound sample and the totals collect); it is released
+    non-blocking before returning. The projection is a side plan the
+    returned DataFrame never embeds — so callers hold no hidden cache
+    (ADVICE r7: batch registry consumers were leaking one cached
+    dataset per invocation), and the release cannot invalidate the
+    returned plan (unpersisting a subtree the result embeds re-binds
+    its analyzed attributes and broke under foreachBatch).
+    Deterministic input is already a requirement (the range bounds
+    freeze from a sample job), so the result's re-scan cannot diverge
+    from the collected totals.
     """
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
+    stats = df.select(key_col, order_col, weight_col)
     cached = False
     try:
-        df = df.persist()
+        stats = stats.persist()
         cached = True
     except Exception:
         pass
-    bounds = _range_bounds(df, order_col, nparts)
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col(order_col) >= b))
-    else:
-        bucket = F.lit(0)
+    bounds = _range_bounds(stats, order_col, nparts)
+    bucket = _bucket_expr(bounds, order_col)
     ranged = df.withColumn("__bucket", bucket)
     in_bucket = Window.partitionBy(key_col, "__bucket").orderBy(
         order_col
@@ -220,17 +239,19 @@ def keyed_exclusive_prefix_sum(
     # serves.
     cap = 1 << 20
     totals = (
-        ranged.groupBy(key_col, "__bucket")
+        stats.withColumn("__bucket", bucket)
+        .groupBy(key_col, "__bucket")
         .agg(F.sum(weight_col).cast("long").alias("__total"))
         .limit(cap + 1)
         .collect()
     )
     if cached:
         # both driver jobs (bounds sample + totals collect) are done;
-        # the returned lazy plan re-scans the input instead of pinning
-        # a cache the caller would have to know to release
+        # the cached projection is a side plan the returned DataFrame
+        # never references, so releasing it here is safe and leaves no
+        # cache for the caller to know about
         try:
-            df.unpersist(False)
+            stats.unpersist(False)
         except Exception:
             pass
     if len(totals) > cap:

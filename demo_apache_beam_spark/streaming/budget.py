@@ -54,17 +54,10 @@ def make_budget_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            _ingest(batch_df, batch_id)
-        finally:
-            # keyed_exclusive_prefix_sum persists its input for the
-            # boundary/totals/window passes; without an explicit release
-            # a long-running stream accumulates one cached micro-batch
-            # per epoch until the JVM GCs the references
-            try:
-                batch_df.unpersist()
-            except Exception:
-                pass
+        # keyed_exclusive_prefix_sum caches only its own (key, order,
+        # weight) projection and releases it before returning (ADVICE
+        # r7), so there is no per-epoch cache left to free here
+        _ingest(batch_df, batch_id)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         local = keyed_exclusive_prefix_sum(
