@@ -24,6 +24,9 @@ if REPO_ROOT not in sys.path:
 
 
 def main() -> None:
+    if "--streaming-only" in sys.argv:
+        _streaming_only()
+        return
     # 1-min load BEFORE we spin anything up: >~2 on this box means another
     # heavy process shares the CPUs and every wall below reads high
     load_start = os.getloadavg()[0]
@@ -124,6 +127,25 @@ def main() -> None:
         report = _regression_report(timings, streaming)
         report["reconfirmed"] = True
 
+    # Streaming confirm-before-flag (VERDICT r7 #2): the per-query gate
+    # reconfirmed flagged QUERIES standalone but reported the streaming
+    # ratio from the single in-session drain — r7's 0.685x read was
+    # indistinguishable from ambient load (loadavg 5.75 at bench start).
+    # When the drain ratio drops below 0.75, re-drain in a CLEAN child
+    # process (fresh JVM, no 170-query heap state) and headline the
+    # confirmed number; the in-session sample is kept alongside so both
+    # measurements stay auditable.
+    ratio = (report or {}).get("streaming_throughput_ratio")
+    if ratio is not None and ratio < 0.75:
+        confirmed = _standalone_streaming()
+        if confirmed:
+            in_session = streaming
+            streaming = dict(confirmed)
+            streaming["in_session_sample"] = in_session
+            streaming["reconfirmed_standalone"] = True
+            report = _regression_report(timings, streaming)
+            report["reconfirmed"] = True
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "total_query_wall_sec",
@@ -146,6 +168,43 @@ def main() -> None:
             json.dump(payload, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout still carries the full line
+
+
+def _streaming_only() -> None:
+    """`bench.py --streaming-only`: run JUST the leaderboard drain in
+    this process and print its JSON — the clean-session re-measure the
+    streaming confirm gate shells out to (and a hand tool for quiet-
+    machine spot checks)."""
+    from demo_apache_beam_spark.session import get_spark
+
+    load_start = os.getloadavg()[0]
+    spark = get_spark("bench-streaming", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = _streaming_throughput(spark)
+    out["loadavg_start_1m"] = round(load_start, 2)
+    print(json.dumps(out))
+
+
+def _standalone_streaming() -> dict | None:
+    """Clean-session streaming drain via a child `--streaming-only`
+    process; None when the child fails (the in-session number then
+    stands, unconfirmed)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--streaming-only"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=REPO_ROOT,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
 
 
 def _regression_report(timings: dict, streaming: dict | None) -> dict | None:
