@@ -306,7 +306,17 @@ def cms_hash_structs(col, d: int = 4, w: int = 64):
             F.struct(
                 F.lit(i).alias("i"),
                 F.shiftright(
-                    _knuth32(col * F.lit(CMS_MULTIPLIERS[i]) + F.lit(i)),
+                    # reduce mod 2^32 BEFORE the row multiplier: a
+                    # 64-bit key (xxhash64 of a label — the streaming
+                    # curation capstone's source keys) would overflow
+                    # the ANSI long multiply; for keys already in
+                    # [0, 2^32) the reduction is the identity, so every
+                    # existing sketch/oracle is bit-unchanged
+                    _knuth32(
+                        F.pmod(col, F.lit(4294967296))
+                        * F.lit(CMS_MULTIPLIERS[i])
+                        + F.lit(i)
+                    ),
                     shift,
                 ).alias("h"),
             )

@@ -505,3 +505,23 @@ def test_streaming_kmv_store_equals_batch_sketch(spark, tmp_path):
         for r in read_kmv_store(spark, store2, "key", k=k).collect()
     )
     assert after == before
+
+
+def test_cms_full_range_keys_no_overflow(spark):
+    """64-bit keys (xxhash64-scale, negative included) must sketch
+    without tripping the ANSI long-overflow on the cell hash's row
+    multiplier — the pmod-2^32 reduction is the identity for in-range
+    keys (existing oracles bit-unchanged) and the overflow fix for the
+    rest. Estimates keep the no-underestimate contract."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.sketches import cms_estimates
+
+    df = (
+        spark.range(200)
+        .select(F.xxhash64(F.col("id") % 7).alias("k"))
+    )
+    est = cms_estimates(df, "k")
+    rows = est.collect()
+    assert len(rows) == 7
+    assert all(r["n_cms"] >= r["n_true"] for r in rows)
