@@ -137,6 +137,10 @@ def main() -> None:
     # measurements stay auditable.
     ratio = (report or {}).get("streaming_throughput_ratio")
     if ratio is not None and ratio < 0.75:
+        # 'reconfirmed' means the flagged QUERIES were re-measured; the
+        # streaming confirm carries its own marker — preserve, don't
+        # conflate (review r8)
+        queries_reconfirmed = bool(report and report.get("reconfirmed"))
         confirmed = _standalone_streaming()
         if confirmed:
             in_session = streaming
@@ -144,7 +148,8 @@ def main() -> None:
             streaming["in_session_sample"] = in_session
             streaming["reconfirmed_standalone"] = True
             report = _regression_report(timings, streaming)
-            report["reconfirmed"] = True
+            if queries_reconfirmed:
+                report["reconfirmed"] = True
 
     total = round(sum(timings.values()), 4)
     payload = {

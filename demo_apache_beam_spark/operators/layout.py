@@ -155,6 +155,7 @@ def erase_rows(
     key_col: str,
     id_col: str | None = None,
     sort_col: str | None = None,
+    _frozen: bool = False,
 ) -> dict:
     """Right-to-erasure rewrite — the execution half of the
     ``user_erasure_audit`` dry run: rewrite the parquet dataset at
@@ -187,11 +188,19 @@ def erase_rows(
     # the checkpointed request set is released on exit (ADVICE r7): the
     # streaming erasure path calls this once per micro-batch, and without
     # the release a long-running stream pins one RDD per epoch — the leak
-    # class the ledger already closed for the dedup/top-k streams
-    with track_checkpoints() as _cp_ids:
-        req = tracked_local_checkpoint(
-            ids.select(F.col(id_col).alias("__erase_id")).distinct()
-        )
+    # class the ledger already closed for the dedup/top-k streams.
+    # ``_frozen`` (internal, erase_rows_multi): the caller already
+    # distinct-checkpointed a __erase_id set and owns its release — a
+    # per-table re-freeze would run one extra eager job and pin one
+    # extra RDD per target table (review r8)
+    _cp_ids: list = []
+    if _frozen:
+        req = ids
+    else:
+        with track_checkpoints() as _cp_ids:
+            req = tracked_local_checkpoint(
+                ids.select(F.col(id_col).alias("__erase_id")).distinct()
+            )
 
     def _erase(p: str) -> dict:
         jvm = spark._jvm
@@ -300,6 +309,8 @@ def erase_rows_multi(
                 key_col,
                 id_col="__erase_id",
                 sort_col=(sort_cols or {}).get(name),
+                _frozen=True,  # req is already a distinct-checkpointed
+                # __erase_id set; no per-table re-freeze
             )
             for name, (path, key_col) in targets.items()
         }

@@ -222,8 +222,35 @@ def keyed_exclusive_prefix_sum(
         cached = True
     except Exception:
         pass
-    bounds = _range_bounds(stats, order_col, nparts)
-    bucket = _bucket_expr(bounds, order_col)
+    # Driver payload cap: the totals collect is O(keys x buckets) rows.
+    # 2^20 skinny rows is tens of MB — comfortably bounded — while still
+    # admitting e.g. 64 keys x 8192-way parallelism; anything beyond it
+    # means the keys are not the low-cardinality regime this operator
+    # serves.
+    cap = 1 << 20
+    try:
+        bounds = _range_bounds(stats, order_col, nparts)
+        bucket = _bucket_expr(bounds, order_col)
+        totals = (
+            stats.withColumn("__bucket", bucket)
+            .groupBy(key_col, "__bucket")
+            .agg(F.sum(weight_col).cast("long").alias("__total"))
+            .limit(cap + 1)
+            .collect()
+        )
+    finally:
+        # both driver jobs (bounds sample + totals collect) are done or
+        # failed; the cached projection is a side plan the returned
+        # DataFrame never references, so releasing it here is safe,
+        # leaves no cache for the caller to know about, and — because
+        # this is a finally — a failing sample/collect job (retried
+        # per epoch by a streaming caller) cannot pin one projection
+        # per attempt (review r8)
+        if cached:
+            try:
+                stats.unpersist(False)
+            except Exception:
+                pass
     ranged = df.withColumn("__bucket", bucket)
     in_bucket = Window.partitionBy(key_col, "__bucket").orderBy(
         order_col
@@ -232,28 +259,6 @@ def keyed_exclusive_prefix_sum(
         "__local_prior",
         F.coalesce(F.sum(weight_col).over(in_bucket), F.lit(0)).cast("long"),
     )
-    # Driver payload cap: the totals collect is O(keys x buckets) rows.
-    # 2^20 skinny rows is tens of MB — comfortably bounded — while still
-    # admitting e.g. 64 keys x 8192-way parallelism; anything beyond it
-    # means the keys are not the low-cardinality regime this operator
-    # serves.
-    cap = 1 << 20
-    totals = (
-        stats.withColumn("__bucket", bucket)
-        .groupBy(key_col, "__bucket")
-        .agg(F.sum(weight_col).cast("long").alias("__total"))
-        .limit(cap + 1)
-        .collect()
-    )
-    if cached:
-        # both driver jobs (bounds sample + totals collect) are done;
-        # the cached projection is a side plan the returned DataFrame
-        # never references, so releasing it here is safe and leaves no
-        # cache for the caller to know about
-        try:
-            stats.unpersist(False)
-        except Exception:
-            pass
     if len(totals) > cap:
         raise ValueError(
             f"keyed_exclusive_prefix_sum: more than {cap} (key, bucket) "

@@ -309,9 +309,15 @@ def cms_hash_structs(col, d: int = 4, w: int = 64):
                     # reduce mod 2^32 BEFORE the row multiplier: a
                     # 64-bit key (xxhash64 of a label — the streaming
                     # curation capstone's source keys) would overflow
-                    # the ANSI long multiply; for keys already in
-                    # [0, 2^32) the reduction is the identity, so every
-                    # existing sketch/oracle is bit-unchanged
+                    # the ANSI long multiply. For keys in [0, 2^32)
+                    # the reduction is the identity — every existing
+                    # sketch/oracle is bit-unchanged. NEGATIVE keys
+                    # previously reached _knuth32 through Spark's
+                    # sign-preserving % (negative cells); pmod maps
+                    # them to different cells, so a persisted CMS
+                    # store built with negative keys BEFORE this
+                    # change must be rebuilt before probing (probe
+                    # and store always share one map within a version)
                     _knuth32(
                         F.pmod(col, F.lit(4294967296))
                         * F.lit(CMS_MULTIPLIERS[i])

@@ -945,14 +945,13 @@ def _neardup_clusters_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure, not the edges — one clustering pass serves all three. The
     build consumes :func:`_neardup_pairs_store`, so a cold bootstrap
     runs the corpus shingle pass exactly once for the whole family."""
-    def build(path, _t):
+    def inline():
         from .operators.graph import duplicate_clusters
 
-        corpus = _neardup_corpus(spark, sf_dir)
-        duplicate_clusters(
+        return duplicate_clusters(
             _neardup_pairs_store(spark, sf_dir).select("id_a", "id_b"),
-            corpus.select("doc_id"),
-        ).write.mode("overwrite").parquet(path)
+            _neardup_corpus(spark, sf_dir).select("doc_id"),
+        )
 
     try:
         return _bootstrap_store(
@@ -961,17 +960,11 @@ def _neardup_clusters_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             "documents",
             f"minhash:portable:k={_MH_PORT_K}:bands={_MH_PORT_BANDS}:thr=0.5:cc:v1",
-            build,
+            lambda path, _t: inline().write.mode("overwrite").parquet(path),
             lambda path, _t: spark.read.parquet(path).select("doc_id", "cluster_id"),
         )
     except _store_errors():
-        from .operators.graph import duplicate_clusters
-
-        corpus = _neardup_corpus(spark, sf_dir)
-        return duplicate_clusters(
-            _neardup_pairs_store(spark, sf_dir).select("id_a", "id_b"),
-            corpus.select("doc_id"),
-        )
+        return inline()
 
 
 # Portable pair pipeline + transitive closure → per-doc cluster ids,

@@ -54,10 +54,28 @@ def make_budget_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # keyed_exclusive_prefix_sum caches only its own (key, order,
-        # weight) projection and releases it before returning (ADVICE
-        # r7), so there is no per-epoch cache left to free here
-        _ingest(batch_df, batch_id)
+        # One materialization serves the epoch's four consumers of the
+        # batch input (the prefix-sum's bounds sample + totals collect
+        # via its own projection cache, the admitted-rows write, the
+        # per-source totals write). All of them complete eagerly inside
+        # _ingest, so the release-invalidates-returned-plan hazard
+        # documented in packing.py does not apply — the finally frees
+        # the cache even on a failed epoch (streaming retries would
+        # otherwise pin one copy per attempt).
+        cached = False
+        try:
+            batch_df = batch_df.persist()
+            cached = True
+        except Exception:
+            pass
+        try:
+            _ingest(batch_df, batch_id)
+        finally:
+            if cached:
+                try:
+                    batch_df.unpersist(False)
+                except Exception:
+                    pass
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         local = keyed_exclusive_prefix_sum(

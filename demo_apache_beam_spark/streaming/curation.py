@@ -75,9 +75,9 @@ def make_curation_ingest(
     drift = make_drift_ingest(
         spark, reference_hist_path, f"{root}/drift", id_col=id_col, text_col=text_col
     )
-    # CMS keys are integers (cms_hash_structs mixes the HIGH bits of a
-    # multiplicative hash); the source label maps through xxhash64, so
-    # the store monitors per-source admitted-row frequencies
+    # CMS keys are integers; the source label maps through xxhash64
+    # (cms_hash_structs reduces any 64-bit key safely), so the store
+    # monitors per-source admitted-row frequencies
     cms = make_cms_ingest(spark, f"{root}/cms_store", "__cms_key", w=cms_w)
     hist = make_histogram_ingest(
         spark, f"{root}/len_hist_store", source_col, "__w", bin_width=hist_bin_width
@@ -113,13 +113,8 @@ def make_curation_ingest(
         if admitted is None:
             return
         drift(admitted, batch_id)
-        # fold the 64-bit label hash into [0, 2^20): the CMS cell hash
-        # multiplies by a 32-bit odd constant, and a full xxhash64 key
-        # would overflow the ANSI long multiply (2^20 · 2^32 < 2^63)
         cms(
-            admitted.withColumn(
-                "__cms_key", F.pmod(F.xxhash64(F.col(source_col)), F.lit(1 << 20))
-            ),
+            admitted.withColumn("__cms_key", F.xxhash64(F.col(source_col))),
             batch_id,
         )
         hist(admitted, batch_id)
