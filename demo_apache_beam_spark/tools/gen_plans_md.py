@@ -53,6 +53,10 @@ HEADLINE = [
     # broadcast-model data selection and k-row-sketch set ops
     "doc_dsir_selection",
     "team_overlap_kmv",
+    # round-8 additions (VERDICT r7 #5): the erasure dry-run's broadcast
+    # semi-probes and one budget-family keyed prefix-scan plan
+    "user_erasure_audit",
+    "corpus_budget_fill",
 ]
 
 _SCRUB = re.compile(
