@@ -1801,3 +1801,94 @@ def topk_incremental_update(
     )
     out = _topk_two_phase(cand, k, query_id_col)
     return out.select(query_id_col, "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means — partition-parallel clustering over the full
+# corpus (the driver-side `_spherical_kmeans` / `_lloyd_kmeans` above are
+# SAMPLED codebook trainers for IVF/PQ; this one assigns EVERY row and is
+# the kernel for cluster-based curation — Sorscher et al. 2022, "Beyond
+# neural scaling laws: beating power law scaling via data pruning").
+# ---------------------------------------------------------------------------
+
+def distributed_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Partition-parallel Lloyd k-means over the whole table.
+
+    Deterministic seeding: the ``k`` rows with the smallest ids become
+    centroids 0..k-1 (no RNG — reproducible across engines, which is
+    what lets a SQL oracle replay the run). Each iteration is
+
+    - **assign** — a shuffle-free projection: per centroid, a Euclidean
+      distance fold over the double-cast vector; argmin via
+      ``least`` + first-match ``when`` chain, so exact distance ties
+      break to the LOWEST cluster id (mirrors the oracle's
+      ``ORDER BY dist, cluster``).
+    - **update** — ONE partial-aggregated shuffle: ``groupBy(cluster)``
+      with ``dim`` element ``avg``\\ s; the ≤ k result rows come back to
+      the driver (k·dim doubles — bounded regardless of corpus size).
+      A cluster that captured no rows keeps its previous centroid.
+
+    ``iters`` counts ASSIGNMENT passes: ``iters=2`` is assign → update
+    → assign, and the returned DataFrame is the final assignment
+    ``(id, cluster, dist)``. Also returns the centroid list that
+    produced it (for tests and downstream scoring).
+
+    100 TB shape: assignment is map-only over the scan (broadcast-free —
+    centroids are plan literals), the update shuffle moves only k·dim
+    partial sums per task, and driver state is k·dim floats. Total jobs:
+    1 bounded seed collect + (iters-1) bounded update collects.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    pts = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    seed_rows = pts.orderBy(id_col).limit(k).collect()  # bounded: k rows
+    if not seed_rows:
+        raise ValueError("distributed_kmeans: empty input")
+    k = min(k, len(seed_rows))
+    centroids = [[float(x) for x in r["_v"]] for r in seed_rows[:k]]
+    dim = len(centroids[0])
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        dists = [
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(c) for c in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias(f"_d{j}")
+            for j, cent in enumerate(cents)
+        ]
+        scored = pts.select(id_col, "_v", *dists)
+        dmin = F.least(*[F.col(f"_d{j}") for j in range(k)]) if k > 1 else F.col("_d0")
+        cluster = F.when(F.col("_d0") == dmin, F.lit(0))
+        for j in range(1, k):
+            cluster = cluster.when(F.col(f"_d{j}") == dmin, F.lit(j))
+        return scored.select(
+            id_col,
+            "_v",
+            cluster.cast("long").alias("cluster"),
+            dmin.alias("dist"),
+        )
+
+    assigned = assign(centroids)
+    for _ in range(iters - 1):
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"_c{i}") for i in range(dim)])
+            .collect()  # bounded: <= k rows of dim doubles
+        )
+        new = {int(r["cluster"]): [float(r[f"_c{i}"]) for i in range(dim)] for r in upd}
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+        assigned = assign(centroids)
+    return assigned.select(id_col, "cluster", "dist"), centroids

@@ -9579,6 +9579,127 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extensions — distributed clustering + cluster-based data pruning
+# ---------------------------------------------------------------------------
+
+# Shared oracle prefix replaying the distributed Lloyd run exactly:
+# deterministic seeds (8 smallest vec_ids), one assign → update → assign.
+# Per-dim centroid means via v[i] over range(1,65) (DuckDB lists are
+# 1-based; Spark's avg(_v[i]) runs 0-based over the same 64 dims); empty
+# clusters keep their seed centroid on BOTH sides (coalesce / dict fill).
+_KMEANS_CTES = """
+    pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+      FROM pts ORDER BY vec_id LIMIT 8
+    ),
+    a0 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, s.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_distance(p.v, s.cv) ASC,
+                                           s.cluster ASC) AS rn
+        FROM pts p CROSS JOIN seeds s) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT a.cluster, t.i, avg(p.v[t.i]) AS m
+      FROM a0 a JOIN pts p USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.cluster, t.i
+    ),
+    c1 AS (
+      SELECT s.cluster, coalesce(u.cv, s.cv) AS cv
+      FROM seeds s LEFT JOIN (
+        SELECT cluster, list(m ORDER BY i) AS cv FROM upd GROUP BY cluster
+      ) u USING (cluster)
+    ),
+    a1 AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT p.vec_id, c.cluster, list_distance(p.v, c.cv) AS dist,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_distance(p.v, c.cv) ASC,
+                                           c.cluster ASC) AS rn
+        FROM pts p CROSS JOIN c1 c) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_kmeans",
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, cluster, dist FROM a1
+    """,
+    doc="Distributed Lloyd k-means (k=8, 2 assignment passes) over the "
+        "full embeddings table — the clustering kernel for cluster-based "
+        "curation. Unlike the sampled driver-side codebook trainers the "
+        "IVF/PQ indexes use, every row is assigned in parallel: the "
+        "assign step is a shuffle-free projection (per-centroid distance "
+        "folds, argmin via least + first-match when, ties to the lowest "
+        "cluster id), and the update step is one partial-aggregated "
+        "groupBy shuffle of k·dim element means with a bounded ≤k-row "
+        "driver collect. Deterministic seeding (8 smallest vec_ids) is "
+        "what makes the run SQL-replayable: the oracle unrolls the same "
+        "assign → update → assign chain in DuckDB CTEs. At 100 TB the "
+        "scan is map-only per iteration and driver state is k·dim "
+        "floats; no engine materializes N·k scored rows (the oracle's "
+        "cross join is the replay, not the plan).",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import distributed_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = distributed_kmeans(emb, k=8, iters=2)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+@register(
+    "embedding_prototypes_prune",
+    f"""
+    WITH {_KMEANS_CTES},
+    ranked AS (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY dist DESC, vec_id ASC) AS prune_rank,
+             count(*) OVER (PARTITION BY cluster) AS cluster_n
+      FROM a1
+    )
+    SELECT vec_id, cluster, dist, prune_rank, cluster_n
+    FROM ranked
+    WHERE prune_rank <= cast(ceil(0.4 * cluster_n) AS BIGINT)
+    """,
+    doc="Cluster-based data pruning (Sorscher et al. 2022, 'Beyond "
+        "neural scaling laws'): k-means the corpus, rank points within "
+        "each cluster by distance to their centroid, and keep the "
+        "hardest 40% per cluster (farthest = least prototypical — the "
+        "regime that beats random pruning when data is abundant). Built "
+        "on the embedding_kmeans assignment; the per-cluster rank is one "
+        "window over the assignment rows (k partitions), and the keep "
+        "threshold ceil(0.4·n) is computed per cluster so small clusters "
+        "are never emptied. The oracle replays the full kmeans chain "
+        "plus the ranked filter.",
+)
+def embedding_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import distributed_kmeans
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = distributed_kmeans(emb, k=8, iters=2)
+    w = Window.partitionBy("cluster").orderBy(F.desc("dist"), F.asc("vec_id"))
+    wn = Window.partitionBy("cluster")
+    ranked = assigned.select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.row_number().over(w).cast("long").alias("prune_rank"),
+        F.count(F.lit(1)).over(wn).alias("cluster_n"),
+    )
+    return ranked.filter(
+        F.col("prune_rank") <= F.ceil(F.lit(0.4) * F.col("cluster_n")).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from conftest import SF_SMALL
+from conftest import SF_MEDIUM, SF_SMALL
 from demo_apache_beam_spark.queries import REGISTRY, _neardup_corpus
 from demo_apache_beam_spark.sources.tables import load_table
 
@@ -1249,3 +1249,107 @@ def test_series_profiles_store_equals_inline(spark):
         assert stored.keys() == inline.keys(), label
         for uid, vec in inline.items():
             assert np.allclose(stored[uid], vec, atol=1e-12, rtol=0), (label, uid)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means (cluster-based curation kernel)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_lloyd_reference(x, ids, k, iters):
+    """Sequential reference mirroring distributed_kmeans' contract:
+    seeds = k smallest ids, assign via Euclidean argmin (ties to lowest
+    cluster), iters assignment passes with mean updates between them,
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    cents = x[order[:k]].astype(np.float64).copy()
+    assign = None
+    for it in range(iters):
+        d = np.sqrt(((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+        assign = d.argmin(axis=1)  # numpy argmin ties to lowest index
+        dist = d[np.arange(len(x)), assign]
+        if it < iters - 1:
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    cents[j] = x[m].mean(axis=0)
+    return assign, dist, cents
+
+
+def test_distributed_kmeans_matches_numpy_reference(spark):
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import distributed_kmeans
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    out, cents = distributed_kmeans(emb, k=8, iters=2)
+    got = {int(r["vec_id"]): (int(r["cluster"]), float(r["dist"])) for r in out.collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    assign, dist, ref_cents = _numpy_lloyd_reference(x, ids, k=8, iters=2)
+
+    assert len(got) == len(ids)
+    n_diff = 0
+    for i, vid in enumerate(ids):
+        c, dd = got[int(vid)]
+        if c != assign[i]:
+            n_diff += 1
+        else:
+            assert abs(dd - dist[i]) < 1e-9
+    # FP argmin near-ties between engines are theoretically possible but
+    # must not happen on this corpus — any drift means a contract bug.
+    assert n_diff == 0
+    assert np.allclose(np.array(cents), ref_cents, atol=1e-9)
+
+
+def test_distributed_kmeans_empty_cluster_keeps_seed(spark):
+    """Duplicate seed vectors force an empty cluster: ids 0 and 1 share a
+    vector, so every tie breaks to cluster 0 and cluster 1 captures no
+    rows. The update must keep cluster 1's seed centroid (not NaN / drop),
+    and the final assignment must still be tie-stable."""
+    import pytest
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # duplicate of seed 0 -> cluster 1 goes empty
+        (2, [10.0, 0.0]),
+        (3, [10.1, 0.0]),
+        (4, [0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from demo_apache_beam_spark.operators.similarity import distributed_kmeans
+
+    out, cents = distributed_kmeans(df, k=3, iters=2)
+    got = {int(r["vec_id"]): int(r["cluster"]) for r in out.collect()}
+    # cluster 1 kept its (duplicate) seed centroid verbatim
+    assert cents[1] == [0.0, 0.0]
+    # cluster 0's centroid moved to the mean of rows {0, 1, 4} = (0.0667, 0),
+    # so rows 0/1 are now NEAREST the kept seed at the origin — the final
+    # assignment flips them to cluster 1 while row 4 stays with cluster 0.
+    assert got[0] == 1 and got[1] == 1 and got[4] == 0
+    assert got[2] == 2 and got[3] == 2
+    assert cents[0] == [pytest.approx((0.0 + 0.0 + 0.2) / 3), 0.0]
+
+
+def test_distributed_kmeans_determinism_and_validation(spark):
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import distributed_kmeans
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings").limit(100)
+    a1, c1 = distributed_kmeans(emb, k=4, iters=3)
+    a2, c2 = distributed_kmeans(emb, k=4, iters=3)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    with _pytest.raises(ValueError):
+        distributed_kmeans(emb, k=0)
+    with _pytest.raises(ValueError):
+        distributed_kmeans(emb, iters=0)
+    with _pytest.raises(ValueError):
+        distributed_kmeans(emb.filter("vec_id < 0"))
