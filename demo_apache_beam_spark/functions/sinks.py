@@ -128,6 +128,37 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def register_bucketed_table(
+    spark,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Re-attach a :func:`write_bucketed` table in a session whose
+    in-memory catalog doesn't know it (a fresh process): one metadata-only
+    ``CREATE TABLE ... USING parquet CLUSTERED BY ... LOCATION`` — bucket
+    ids recover from the part-file names, no data pass — after which
+    equi-joins/aggregations on the bucket key read it exchange-free.
+    The column list comes from the store's own parquet footers, so the
+    DDL never drifts from what was written."""
+    if not spark.catalog.tableExists(table_name):
+        ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+        sorted_by = (
+            "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ") "
+            if sort_cols
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {table_name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({bcols}) {sorted_by}"
+            f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(table_name)
+
+
 def schema_from_spec(spec: dict[str, str]) -> T.StructType:
     """K5: synthesize a StructType from a {name: sql_type} dict — the
     engine's analogue of the reference's field-map → TableSchema
