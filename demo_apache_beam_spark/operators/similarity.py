@@ -1811,6 +1811,67 @@ def topk_incremental_update(
 # neural scaling laws: beating power law scaling via data pruning").
 # ---------------------------------------------------------------------------
 
+def _kmeans_assign_pts(pts: DataFrame, centroids: list[list[float]],
+                       id_col: str) -> DataFrame:
+    """The Lloyd assign step over a pre-cast ``(id, _v)`` frame: a
+    shuffle-free projection — per centroid, a Euclidean distance fold
+    over the double vector; argmin via ``least`` + first-match ``when``
+    so exact distance ties break to the LOWEST cluster id (mirrors the
+    SQL oracle's ``ORDER BY dist, cluster``). Centroids are inlined as
+    plan literals — no broadcast, no shuffle; the expression is
+    O(k·dim) per row inside whole-stage codegen."""
+    k = len(centroids)
+    dists = [
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(c) for c in cent]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias(f"_d{j}")
+        for j, cent in enumerate(centroids)
+    ]
+    scored = pts.select(id_col, "_v", *dists)
+    dmin = F.least(*[F.col(f"_d{j}") for j in range(k)]) if k > 1 else F.col("_d0")
+    cluster = F.when(F.col("_d0") == dmin, F.lit(0))
+    for j in range(1, k):
+        cluster = cluster.when(F.col(f"_d{j}") == dmin, F.lit(j))
+    return scored.select(
+        id_col,
+        "_v",
+        cluster.cast("long").alias("cluster"),
+        dmin.alias("dist"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign-only pass at FIXED centroids — the incremental face of
+    :func:`distributed_kmeans` (no update step, no driver collect, no
+    shuffle at all): new corpus rows are scored against an already-
+    trained centroid list exactly as the training run's final assign
+    scored its own rows, so a delta assigned here is bit-identical to
+    what a full recompute at the same centroids would produce (pinned
+    by pytest). Returns ``(id, cluster, dist)``. This is what makes the
+    clustering usable for corpus deltas: at 100 TB a refresh assigns
+    only the new rows (map-only over the delta scan) instead of
+    re-running Lloyd over the whole history."""
+    if not centroids:
+        raise ValueError("kmeans_assign: empty centroid list")
+    pts = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    return _kmeans_assign_pts(pts, centroids, id_col).select(
+        id_col, "cluster", "dist"
+    )
+
+
 def distributed_kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -1843,6 +1904,13 @@ def distributed_kmeans(
     centroids are plan literals), the update shuffle moves only k·dim
     partial sums per task, and driver state is k·dim floats. Total jobs:
     1 bounded seed collect + (iters-1) bounded update collects.
+
+    Contract note (ADVICE r8): when the table holds fewer than ``k``
+    rows, ``k`` is CLAMPED to the row count — the caller gets every row
+    as its own cluster rather than an error, matching the sequential
+    reference (you cannot seat 8 centroids on 5 points). The clamp
+    emits a ``UserWarning`` so a silently-small corpus is visible;
+    empty input still raises.
     """
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
@@ -1850,36 +1918,21 @@ def distributed_kmeans(
     seed_rows = pts.orderBy(id_col).limit(k).collect()  # bounded: k rows
     if not seed_rows:
         raise ValueError("distributed_kmeans: empty input")
+    if len(seed_rows) < k:
+        import warnings
+
+        warnings.warn(
+            f"distributed_kmeans: requested k={k} but the table holds "
+            f"only {len(seed_rows)} rows — clamping k to the row count",
+            UserWarning,
+            stacklevel=2,
+        )
     k = min(k, len(seed_rows))
     centroids = [[float(x) for x in r["_v"]] for r in seed_rows[:k]]
     dim = len(centroids[0])
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        dists = [
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"),
-                        F.array(*[F.lit(c) for c in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias(f"_d{j}")
-            for j, cent in enumerate(cents)
-        ]
-        scored = pts.select(id_col, "_v", *dists)
-        dmin = F.least(*[F.col(f"_d{j}") for j in range(k)]) if k > 1 else F.col("_d0")
-        cluster = F.when(F.col("_d0") == dmin, F.lit(0))
-        for j in range(1, k):
-            cluster = cluster.when(F.col(f"_d{j}") == dmin, F.lit(j))
-        return scored.select(
-            id_col,
-            "_v",
-            cluster.cast("long").alias("cluster"),
-            dmin.alias("dist"),
-        )
+        return _kmeans_assign_pts(pts, cents, id_col)
 
     assigned = assign(centroids)
     for _ in range(iters - 1):
@@ -1892,3 +1945,81 @@ def distributed_kmeans(
         centroids = [new.get(j, centroids[j]) for j in range(k)]
         assigned = assign(centroids)
     return assigned.select(id_col, "cluster", "dist"), centroids
+
+
+def incremental_kmeans_assign(
+    new_df: DataFrame,
+    store_path: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means for incremental corpus refreshes — the clustering mirror
+    of :func:`operators.dedup.incremental_exact_dedup`: the FIRST
+    increment trains :func:`distributed_kmeans` and persists both the
+    assignment (``{store}/assignment``: id, cluster, dist) and the
+    centroid list (``{store}/centroids``: cluster, centroid); every
+    later increment runs an ASSIGN-ONLY pass (:func:`kmeans_assign`) of
+    the genuinely-new rows against the persisted centroids — no update
+    step, no history re-scan — and appends them. Returns this
+    increment's accepted assignment rows; :func:`read_kmeans_store`
+    serves the full live assignment.
+
+    Semantics are FIRST-SEEN-WINS on ids (an id already assigned never
+    re-assigns — accepted rows are immutable, the same contract as the
+    dedup stores) and FIXED-CENTROIDS after the bootstrap increment:
+    delta assignment at frozen centroids is bit-identical to what a
+    full recompute at those centroids would emit (pinned by pytest), so
+    stream-accumulated state equals the batch run. Re-train cadence is
+    the caller's knob — when drift demands it, rebuild the store from
+    the accumulated corpus (a new bootstrap), exactly how the DSIR
+    scoring stream pins a model version between refreshes.
+
+    Scale shape: per increment one map-only delta scan + one digest-thin
+    anti-join against stored (id) rows; the bootstrap is the one-time
+    Lloyd cost. Appends accumulate small files — compact with
+    ``operators.layout.compact_files``. The append is not atomic with
+    the read; run increments serially (the ingest scheduler contract).
+    """
+    from .dedup import _hadoop_path_exists
+    from .checkpoints import tracked_local_checkpoint
+
+    spark = new_df.sparkSession
+    assign_path = f"{store_path}/assignment"
+    cent_path = f"{store_path}/centroids"
+    if not _hadoop_path_exists(spark, cent_path):
+        assigned, cents = distributed_kmeans(
+            new_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = tracked_local_checkpoint(assigned)
+        assigned.write.mode("overwrite").parquet(assign_path)
+        spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "cluster long, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        return assigned
+    cent_rows = spark.read.parquet(cent_path).orderBy("cluster").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
+    seen = spark.read.parquet(assign_path).select(id_col)
+    fresh = new_df.join(seen, id_col, "left_anti")
+    assigned = kmeans_assign(fresh, centroids, id_col=id_col, vec_col=vec_col)
+    # freeze before the store mutates (the plan reads the store's id set)
+    assigned = tracked_local_checkpoint(assigned)
+    assigned.write.mode("append").parquet(assign_path)
+    return assigned
+
+
+def read_kmeans_store(
+    spark, store_path: str
+) -> tuple[DataFrame, list[list[float]]]:
+    """The live view of an :func:`incremental_kmeans_assign` store: the
+    accumulated assignment rows plus the pinned centroid list (bounded
+    k-row collect)."""
+    cent_rows = (
+        spark.read.parquet(f"{store_path}/centroids").orderBy("cluster").collect()
+    )
+    return (
+        spark.read.parquet(f"{store_path}/assignment"),
+        [[float(x) for x in r["centroid"]] for r in cent_rows],
+    )

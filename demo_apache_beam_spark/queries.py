@@ -9623,6 +9623,64 @@ _KMEANS_CTES = """
 """
 
 
+def _kmeans_store(spark: SparkSession, sf_dir: str):
+    """The persisted distributed-k-means artifact for ``sf_dir``'s
+    embeddings — assignment rows at the store path, the k centroid
+    vectors in a ``{path}_centroids`` sidecar — behind the same
+    fingerprinted :func:`_bootstrap_store` discipline as the near-dup
+    pair/cluster stores (VERDICT r8 item 1: ``embedding_kmeans`` and
+    ``embedding_prototypes_prune`` each re-ran Lloyd — 2 full corpus
+    assignment scans per consumer; at 100 TB that is N·iters corpus
+    scans for N consumers). Lloyd here is fully deterministic (ordered
+    seeds, literal-centroid assign, tie-break to lowest cluster), so
+    the stored rows are bit-identical to an inline run (pinned by
+    pytest) and every consumer's replay oracle still hash-matches.
+    Returns ``(assignment DataFrame, centroid list)``; raises the
+    store-unavailable set for the caller's inline fallback."""
+    from .operators.similarity import distributed_kmeans
+
+    def build(path, _table):
+        assigned, cents = distributed_kmeans(
+            load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+        )
+        assigned.write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            [(j, c) for j, c in enumerate(cents)],
+            "cluster long, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
+        spark.catalog.refreshByPath(f"{path}_centroids")
+
+    def load(path, _table):
+        adf = spark.read.parquet(path).select("vec_id", "cluster", "dist")
+        crows = spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+        return adf, [[float(x) for x in r["centroid"]] for r in crows]
+
+    return _bootstrap_store(
+        spark,
+        "kmeans_assign",
+        sf_dir,
+        "embeddings",
+        "kmeans:k=8:iters=2:seed=ordered:v1",
+        build,
+        load,
+    )
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str):
+    """Store-first access to the (assignment, centroids) pair with the
+    inline fallback every store consumer carries (read-only checkout /
+    unwritable warehouse — narrow store-error set only)."""
+    from .operators.similarity import distributed_kmeans
+
+    try:
+        return _kmeans_store(spark, sf_dir)
+    except _store_errors():
+        assigned, cents = distributed_kmeans(
+            load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+        )
+        return assigned.select("vec_id", "cluster", "dist"), cents
+
+
 @register(
     "embedding_kmeans",
     f"""
@@ -9642,14 +9700,17 @@ _KMEANS_CTES = """
         "assign → update → assign chain in DuckDB CTEs. At 100 TB the "
         "scan is map-only per iteration and driver state is k·dim "
         "floats; no engine materializes N·k scored rows (the oracle's "
-        "cross join is the replay, not the plan).",
+        "cross join is the replay, not the plan). The assignment comes "
+        "from the PERSISTED kmeans store (_kmeans_store — fingerprinted "
+        "on the embeddings listing + k/iters params, bit-identical to "
+        "an inline Lloyd run by pytest), so the clustering family "
+        "trains ONCE per corpus generation instead of once per "
+        "consumer; the oracle replays the whole run and verifies the "
+        "store content hash-for-hash.",
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import distributed_kmeans
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = distributed_kmeans(emb, k=8, iters=2)
-    return assigned.select("vec_id", "cluster", "dist")
+    assigned, _ = _kmeans_assignment(spark, sf_dir)
+    return assigned
 
 
 @register(
@@ -9676,15 +9737,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window over the assignment rows (k partitions), and the keep "
         "threshold ceil(0.4·n) is computed per cluster so small clusters "
         "are never emptied. The oracle replays the full kmeans chain "
-        "plus the ranked filter.",
+        "plus the ranked filter. Reads the assignment from the shared "
+        "kmeans store (see embedding_kmeans) — the prune itself is "
+        "window-only over the stored rows; Lloyd never re-runs here.",
 )
 def embedding_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import distributed_kmeans
-
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = distributed_kmeans(emb, k=8, iters=2)
+    assigned, _ = _kmeans_assignment(spark, sf_dir)
     w = Window.partitionBy("cluster").orderBy(F.desc("dist"), F.asc("vec_id"))
     wn = Window.partitionBy("cluster")
     ranked = assigned.select(
@@ -9697,6 +9757,36 @@ def embedding_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("prune_rank") <= F.ceil(F.lit(0.4) * F.col("cluster_n")).cast("long")
     )
+
+
+@register(
+    "embedding_kmeans_delta_assign",
+    f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, cluster, dist FROM a1 WHERE vec_id % 10 >= 8
+    """,
+    doc="Incremental clustering for corpus deltas: the 20% of vectors "
+        "with vec_id % 10 >= 8 stand in for a refresh batch and are "
+        "assigned by an ASSIGN-ONLY pass (kmeans_assign — no update "
+        "step, no driver collect, map-only over the delta scan) against "
+        "the centroids pinned in the shared kmeans store. Delta "
+        "assignment at fixed centroids is bit-identical to a full "
+        "recompute at those centroids — the oracle replays the whole "
+        "Lloyd run and filters to the delta rows, so the hash match IS "
+        "the incremental==batch proof at driver level (the multi-"
+        "increment flow over incremental_kmeans_assign's persisted "
+        "store is pinned in pytest). At 100 TB a refresh pays one "
+        "map-only scan of the new rows instead of N·iters corpus "
+        "scans of the whole history.",
+)
+def embedding_kmeans_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_assign
+
+    _, cents = _kmeans_assignment(spark, sf_dir)
+    delta = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 >= 8
+    )
+    return kmeans_assign(delta, cents)
 
 
 # ---------------------------------------------------------------------------

@@ -1353,3 +1353,156 @@ def test_distributed_kmeans_determinism_and_validation(spark):
         distributed_kmeans(emb, iters=0)
     with _pytest.raises(ValueError):
         distributed_kmeans(emb.filter("vec_id < 0"))
+
+
+def test_distributed_kmeans_clamp_warns(spark):
+    """Requesting more clusters than rows clamps k to the row count —
+    with a UserWarning so a silently-small corpus is visible (ADVICE
+    r8); the clamped run still satisfies the sequential contract."""
+    import warnings
+
+    from demo_apache_beam_spark.operators.similarity import distributed_kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0]), (2, [9.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out, cents = distributed_kmeans(df, k=8, iters=2)
+    assert any(
+        issubclass(w.category, UserWarning) and "clamping k" in str(w.message)
+        for w in caught
+    )
+    assert len(cents) == 3
+    assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Shared fingerprinted k-means store (VERDICT r8 item 1) + incremental
+# assign-only deltas (VERDICT r8 item 3)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_store_equals_inline(spark):
+    """The persisted assignment + centroids must be bit-identical to an
+    inline distributed_kmeans run — Lloyd here is fully deterministic
+    (ordered seeds, literal-centroid assign, lowest-cluster tie-break)
+    and doubles round-trip parquet exactly. Cold build, warm re-read."""
+    import shutil
+
+    from demo_apache_beam_spark.operators.similarity import distributed_kmeans
+    from demo_apache_beam_spark.queries import _kmeans_store
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    data, _meta = _store_paths("kmeans_assign")
+    shutil.rmtree(data, ignore_errors=True)
+    shutil.rmtree(data + "_centroids", ignore_errors=True)
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    inline_df, inline_cents = distributed_kmeans(emb, k=8, iters=2)
+    inline = sorted(map(tuple, inline_df.collect()))
+    assert inline
+    for label in ("cold", "warm"):
+        adf, cents = _kmeans_store(spark, SF_SMALL)
+        assert sorted(map(tuple, adf.collect())) == inline, label
+        assert cents == inline_cents, label
+
+
+def test_kmeans_store_rebuilds_on_stale_fingerprint(spark):
+    """A store whose meta fingerprint mismatches the source listing +
+    params must rebuild, not serve stale assignments (fresh-session
+    view: memo cleared)."""
+    from demo_apache_beam_spark.queries import _STORE_MEMO, _kmeans_store
+
+    _kmeans_store(spark, SF_SMALL)[0].count()  # bootstrapped
+    _data, meta = _store_paths("kmeans_assign")
+    spark.createDataFrame([("stale",)], "fingerprint string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(meta)
+    _STORE_MEMO.clear()
+    assert _kmeans_store(spark, SF_SMALL)[0].count() > 0
+    fp = spark.read.parquet(meta).collect()[0]["fingerprint"]
+    assert fp != "stale"
+
+
+def test_kmeans_store_self_heals_after_data_loss(spark):
+    """Out-of-band deletion of the assignment store while the session
+    memo is warm must rebuild through the memo's _SUCCESS fall-through
+    (the r7 store-poisoning class), and the rebuilt rows must match."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import _kmeans_store
+
+    before_df, before_cents = _kmeans_store(spark, SF_SMALL)
+    before = sorted(map(tuple, before_df.collect()))
+    data, _ = _store_paths("kmeans_assign")
+    shutil.rmtree(data)  # NO memo clear — live session must recover
+    after_df, after_cents = _kmeans_store(spark, SF_SMALL)
+    assert sorted(map(tuple, after_df.collect())) == before
+    assert after_cents == before_cents
+    assert os.path.isdir(data)
+
+
+def test_kmeans_assign_fixed_centroids_matches_full(spark):
+    """Assign-only over a delta at fixed centroids must be bit-identical
+    to the full-corpus assignment at those centroids restricted to the
+    delta ids — the contract that makes incremental refreshes safe."""
+    from demo_apache_beam_spark.operators.similarity import (
+        distributed_kmeans,
+        kmeans_assign,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    _, cents = distributed_kmeans(emb, k=8, iters=2)
+    full = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    delta = emb.filter("vec_id % 10 >= 8")
+    got = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign(delta, cents).collect()
+    }
+    assert got
+    assert got == {vid: full[vid] for vid in got}
+
+
+def test_incremental_kmeans_assign_bit_parity(spark, tmp_path):
+    """The multi-increment flow: bootstrap trains Lloyd and persists
+    assignment + centroids; two later increments assign ONLY their new
+    rows at the frozen centroids. The accumulated store must equal a
+    full recompute of every row at those same centroids BIT-FOR-BIT,
+    re-sent ids must never re-assign (first-seen-wins), and the pinned
+    centroids must be exactly the bootstrap's."""
+    from demo_apache_beam_spark.operators.similarity import (
+        incremental_kmeans_assign,
+        kmeans_assign,
+        read_kmeans_store,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    store = str(tmp_path / "kmeans_store")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    inc_a = emb.filter("vec_id % 3 = 0")
+    inc_b = emb.filter("vec_id % 3 = 1")
+    inc_c = emb.filter("vec_id % 3 = 2")
+
+    boot = incremental_kmeans_assign(inc_a, store, k=6, iters=2)
+    assert boot.count() == inc_a.count()
+    _, cents = read_kmeans_store(spark, store)
+    assert len(cents) == 6
+
+    got_b = incremental_kmeans_assign(inc_b, store, k=6, iters=2)
+    assert got_b.count() == inc_b.count()
+    # redelivery: ids already accepted never re-assign or duplicate
+    replay = incremental_kmeans_assign(inc_b, store, k=6, iters=2)
+    assert replay.count() == 0
+    got_c = incremental_kmeans_assign(inc_c, store, k=6, iters=2)
+    assert got_c.count() == inc_c.count()
+
+    live, cents_after = read_kmeans_store(spark, store)
+    assert cents_after == cents  # centroids frozen across increments
+    expect = sorted(map(tuple, kmeans_assign(emb, cents).collect()))
+    assert sorted(map(tuple, live.collect())) == expect
+    assert live.count() == emb.count()

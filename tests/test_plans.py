@@ -588,3 +588,32 @@ def test_containment_join_is_hash_not_nested_loop(spark):
         )
         assert "BroadcastNestedLoopJoin" not in plan, strategy
         assert "CartesianProduct" not in plan, strategy
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """The Lloyd assign step must plan as a pure projection over the
+    scan — centroids are inlined literals, so there is no broadcast, no
+    join, and NO Exchange anywhere (the property that makes assignment
+    scan-bound at 100 TB); the update step is pinned separately as one
+    partial-aggregated shuffle of k·dim partial means."""
+    from demo_apache_beam_spark.operators.similarity import (
+        distributed_kmeans,
+        kmeans_assign,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    _, cents = distributed_kmeans(emb, k=8, iters=2)
+    plan = explain_str(kmeans_assign(emb, cents), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+    # the update shuffle: exactly one Exchange, partial+final aggregate
+    upd_plan = explain_str(
+        kmeans_assign(emb, cents)
+        .groupBy("cluster")
+        .agg({"dist": "avg"}),
+        "simple",
+    )
+    assert upd_plan.count("Exchange") == 1
+    assert upd_plan.count("HashAggregate") == 2
