@@ -738,12 +738,50 @@ def simhash_near_pairs(
     exact (every pair with Hamming ≤ max_hamming, not just probed ones).
     ``"auto"`` counts the corpus (one metadata-light job over 8-byte
     rows) and picks.
+
+    The probe/pairwise machinery itself is signature-agnostic
+    (:func:`hamming_near_pairs`) — the image dHash near-dup reuses it
+    over decoded-pixel fingerprints.
     """
+    sigs = simhash_signatures(df, id_col, text_col, portable).localCheckpoint()
+    return hamming_near_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        num_blocks=num_blocks,
+        rotations=rotations,
+        strategy=strategy,
+        pairwise_max_docs=pairwise_max_docs,
+        salt_buckets=salt_buckets,
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 12,
+    num_blocks: int = 8,
+    rotations: tuple[int, ...] = (0, 3, 6),
+    strategy: str = "auto",
+    pairwise_max_docs: int = 20000,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Near pairs by Hamming distance over ANY precomputed 64-bit
+    signature column — the probe machinery of :func:`simhash_near_pairs`
+    factored out so other fingerprint modalities (image dHash over
+    decoded pixels, any future audio fingerprint) get the same
+    sub-quadratic Manku-style block-permutation probing without
+    reimplementing it. ``sigs`` must hold one ``(id, sig)`` row per
+    item; see :func:`simhash_near_pairs` for the probe/pairwise
+    strategy semantics and the recall contract. Output:
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
     block_bits = 64 // num_blocks
     mask = (1 << block_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col, portable).localCheckpoint()
     if strategy == "auto":
         strategy = "pairwise" if sigs.count() <= pairwise_max_docs else "probe"
+    ham = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
     if strategy == "pairwise":
         a = sigs.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
         b = sigs.withColumn(
@@ -755,22 +793,23 @@ def simhash_near_pairs(
                 b.alias("b"),
                 (F.col("a._salt") == F.col("b._salt"))
                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                & (
-                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                    <= F.lit(max_hamming)
-                ),
+                & (ham <= F.lit(max_hamming)),
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+                ham.alias("hamming"),
             )
         )
     probes = []
     for r in rotations:
         # cyclic left-rotation via two logical shifts (>>> is Spark's
         # unsigned right shift)
-        rotated = f"(shiftleft(simhash, {r}) | shiftrightunsigned(simhash, {64 - r}))" if r else "simhash"
+        rotated = (
+            f"(shiftleft({sig_col}, {r}) | shiftrightunsigned({sig_col}, {64 - r}))"
+            if r
+            else sig_col
+        )
         blocks = [f"((shiftrightunsigned({rotated}, {block_bits * i})) & {mask})" for i in range(num_blocks)]
         for i in range(num_blocks):
             for j in range(i + 1, num_blocks):
@@ -781,8 +820,8 @@ def simhash_near_pairs(
                     )
                 )
     banded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*probes)).alias("band")
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*probes)).alias("band")
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     # Hamming check lives IN the join condition: probe-bucket collisions
     # that aren't real near-dups die during the join instead of flowing
@@ -794,15 +833,12 @@ def simhash_near_pairs(
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                <= F.lit(max_hamming)
-            ),
+            & (ham <= F.lit(max_hamming)),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            ham.alias("hamming"),
         )
         .distinct()
     )

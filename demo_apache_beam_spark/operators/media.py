@@ -385,3 +385,92 @@ def resize_images(
         .select("media_id", "payload", F.col("meta.width").alias("width"))
         .mapInPandas(compute, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup — dHash over decoded pixels (the image
+# analogue of text SimHash: two re-encoded/resized copies of a picture
+# never match byte-exact payload dedup, but their gradient fingerprints
+# collide within a small Hamming distance)
+# ---------------------------------------------------------------------------
+
+def image_dhash(
+    media: DataFrame,
+    decoder=None,
+    id_col: str = "media_id",
+    hash_size: int = 8,
+    rejected_counter=None,
+) -> DataFrame:
+    """Difference-hash fingerprints for ``image`` payloads: decode
+    through the codec seam (default :func:`codecs.png_raster_decoder` —
+    the REAL PNG decoder; rejections return ``None`` and drop), area-
+    average the grayscale raster to ``hash_size × (hash_size+1)`` cells
+    (the same INTER_AREA binning as :func:`resize_images`), and set bit
+    ``r·hash_size + c`` iff cell ``(r, c)`` is brighter than its right
+    neighbor. 64 gradient-sign bits (``hash_size=8``) per image, packed
+    into one signed long.
+
+    Why gradients: a constant brightness shift, a contrast rescale, or
+    a lossless re-encode leaves every left>right comparison unchanged
+    (Hamming 0), and an area-preserving resize moves only the cells
+    whose source blocks land on new boundaries — so perceptual
+    duplicates land within a small Hamming distance while unrelated
+    images differ in ~32 bits. Feed the output to
+    :func:`operators.dedup.hamming_near_pairs` for sub-quadratic
+    near-dup pairs — the SAME Manku block-permutation probe machinery
+    the text SimHash uses; no all-pairs join anywhere (plan-pinned).
+
+    Rasters smaller than the ``hash_size+1``-wide grid in either axis
+    are dropped with the rejects (empty target bins would make the
+    fingerprint NaN-derived); real thumbnails are never that small.
+    Output: ``(id, dhash long)`` — 8 bytes per image into the shuffle,
+    payloads never leave the executor.
+    """
+    from . import codecs
+
+    th, tw = hash_size, hash_size + 1
+    out_schema = f"{id_col} long, dhash long"
+    decode = decoder or codecs.png_raster_decoder
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for media_id, payload in zip(pdf[id_col], pdf["payload"]):
+                img = decode("image", payload, {})
+                if img is None:
+                    if rejected_counter is not None:
+                        rejected_counter.add(1)
+                    continue  # decoder rejected the file
+                img = np.asarray(img, dtype=np.float64)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
+                h, w = img.shape
+                if h < th or w < tw:
+                    continue  # smaller than the hash grid: empty bins
+                row_bin = (np.arange(h) * th) // h
+                col_bin = (np.arange(w) * tw) // w
+                cell = row_bin[:, None] * tw + col_bin[None, :]
+                sums = np.bincount(
+                    cell.ravel(), weights=img.ravel(), minlength=th * tw
+                )
+                counts = np.bincount(cell.ravel(), minlength=th * tw)
+                small = (sums / counts).reshape(th, tw)
+                bits = (small[:, :-1] > small[:, 1:]).ravel()
+                # pack MSB-first: bit (r·8+c) of the final word is the
+                # (r, c) gradient sign — map back to signed for the
+                # Spark long column (two's complement, wraparound exact)
+                sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                ids.append(media_id)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select(F.col(id_col), "payload")
+        .mapInPandas(compute, out_schema)
+    )

@@ -4415,6 +4415,90 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(compute, out_schema)
 
 
+@register(
+    "media_image_near_dup",
+    None,  # rows-only by necessity: the fingerprint is computed from
+           # DECODED PNG pixels (real zlib/filter decode in executors);
+           # DuckDB has no image codec, so no SQL oracle can replay it.
+           # Pinned instead by pytest: planted re-encoded/brightened/
+           # resized variants must all pair with their originals
+           # (recall), distinct images must not, and the plan carries
+           # no cartesian product.
+    doc="Perceptual image near-dup — the image analogue of SimHash "
+        "(VERDICT r8 item 5): byte-exact payload dedup can never match "
+        "two re-encoded or resized copies of the same picture, so each "
+        "image-kind payload is shaped into a raster, ENCODED to a real "
+        "PNG, and fingerprinted by dHash over the DECODED pixels "
+        "(operators/media.py:image_dhash — area-average to 8×9 cells, "
+        "64 gradient-sign bits; brightness shifts, contrast rescales "
+        "and lossless re-encodes leave the fingerprint bit-identical). "
+        "Planted perceptual duplicates (every 5th image re-encoded "
+        "brightened +8, every 7th upscaled 2× and re-encoded) make the "
+        "pair set non-degenerate. Pairs come from the SAME Manku "
+        "block-permutation Hamming machinery as text SimHash "
+        "(hamming_near_pairs) — sub-quadratic by construction, no "
+        "all-pairs join (plan-pinned in pytest). Output (id_a, id_b, "
+        "hamming) with variant ids offset by 1e9/2e9.",
+)
+def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd_mod
+
+    from .operators.dedup import hamming_near_pairs
+    from .operators.media import image_dhash, media_from_documents
+
+    m = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "image").select("media_id", "payload")
+
+    def encode(batches):
+        import numpy as np_mod
+
+        from .operators import codecs
+
+        for pdf in batches:
+            ids, payloads = [], []
+
+            def emit(mid, img):
+                ids.append(mid)
+                payloads.append(codecs.png_encode(img))
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np_mod.frombuffer(payload, dtype=np_mod.uint8)
+                w = 16
+                h = len(arr) // w
+                if h < 9:
+                    continue  # below the 8x9 hash grid
+                img = arr[: h * w].reshape(h, w)
+                emit(mid, img)
+                if mid % 5 == 0:
+                    # re-encoded + brightened: text bytes are ASCII
+                    # (< 248), so +8 never clips — every gradient sign
+                    # survives and the planted pair sits at Hamming 0
+                    emit(mid + 1_000_000_000, img + np_mod.uint8(8))
+                if mid % 7 == 0:
+                    # 2x upscale (row/col repeat) + re-encode: area
+                    # pooling sees near-identical cell means — small
+                    # nonzero Hamming, the classic resized-copy case
+                    emit(
+                        mid + 2_000_000_000,
+                        np_mod.repeat(np_mod.repeat(img, 2, axis=0), 2, axis=1),
+                    )
+            yield pd_mod.DataFrame(
+                {
+                    "media_id": pd_mod.Series(ids, dtype="int64"),
+                    "payload": pd_mod.Series(payloads, dtype=object),
+                }
+            )
+
+    pngs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
+        "kind", F.lit("image")
+    )
+    sigs = image_dhash(pngs)
+    return hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="dhash", max_hamming=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -843,3 +843,108 @@ def test_decoder_rejections_are_countable(spark):
     ).collect()
     assert {r["media_id"] for r in vout} == {10}
     assert vcounter.value == 1
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup — dHash over decoded PNG pixels (VERDICT r8
+# item 5)
+# ---------------------------------------------------------------------------
+
+def _dhash_of(spark, rows):
+    """(id, raster) pairs -> {id: dhash} through REAL PNG encode+decode."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import image_dhash
+
+    data = [(i, codecs.png_encode(img), "image") for i, img in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    return {
+        int(r["media_id"]): int(r["dhash"])
+        for r in image_dhash(df).collect()
+    }
+
+
+def _rng_raster(seed, h=40, w=32):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 200, size=(h, w)).astype(np.uint8)
+
+
+def test_image_dhash_invariances(spark):
+    """Re-encode and brightness shift must leave the fingerprint
+    bit-identical (gradient signs are unchanged); a 2x pixel-repeat
+    upscale must stay within a small Hamming distance; genuinely
+    different images must not collide."""
+    base = _rng_raster(1)
+    variants = [
+        (0, base),
+        (1, base.copy()),                      # lossless re-encode
+        (2, base + np.uint8(8)),               # brightness (no clip: <208)
+        (3, np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)),  # 2x resize
+        (4, _rng_raster(2)),                   # unrelated image
+    ]
+    sigs = _dhash_of(spark, variants)
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) == 0
+    assert ham(0, 2) == 0
+    assert ham(0, 3) <= 6
+    assert ham(0, 4) >= 16
+
+
+def test_image_near_dup_planted_recall(spark):
+    """Every planted perceptual duplicate (re-encode, brightness,
+    resize) must pair with its original under BOTH Hamming strategies,
+    and no unrelated pair may appear."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import hamming_near_pairs
+    from demo_apache_beam_spark.operators.media import image_dhash
+
+    rows, expect = [], set()
+    for i in range(40):
+        base = _rng_raster(100 + i)
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((1000 + i, base + np.uint8(5)))
+            expect.add((i, 1000 + i))
+        if i % 5 == 0:
+            rows.append(
+                (2000 + i, np.repeat(np.repeat(base, 2, axis=0), 2, axis=1))
+            )
+            expect.add((i, 2000 + i))
+    data = [(i, codecs.png_encode(img), "image") for i, img in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    sigs = image_dhash(df).localCheckpoint()
+    for strategy in ("pairwise", "probe"):
+        got = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in hamming_near_pairs(
+                sigs, id_col="media_id", sig_col="dhash",
+                max_hamming=10, strategy=strategy,
+            ).collect()
+        }
+        missed = expect - got
+        assert not missed, f"{strategy}: planted pairs missed: {missed}"
+        # anything beyond the planted set must be variant-variant pairs
+        # of the SAME base image (i%20==0 plants both variants)
+        for a, b in got - expect:
+            assert a % 1000 == b % 1000, (strategy, a, b)
+
+
+def test_image_dhash_rejects_undecodable_and_counts(spark):
+    """Corrupt PNG bytes drop through the decoder seam's rejection path
+    and are countable — fingerprints only for decodable images."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import image_dhash
+
+    good = codecs.png_encode(_rng_raster(3))
+    df = spark.createDataFrame(
+        [(1, good, "image"), (2, b"\x89PNG + garbage", "image"),
+         (3, good, "audio")],
+        "media_id long, payload binary, kind string",
+    )
+    counter = spark.sparkContext.accumulator(0)
+    out = image_dhash(df, rejected_counter=counter).collect()
+    assert [int(r["media_id"]) for r in out] == [1]
+    assert counter.value == 1

@@ -617,3 +617,29 @@ def test_kmeans_assign_is_map_only(spark):
     )
     assert upd_plan.count("Exchange") == 1
     assert upd_plan.count("HashAggregate") == 2
+
+
+def test_image_near_dup_join_is_hash_not_cartesian(spark):
+    """The perceptual-image pair join must candidate on an equi key
+    (salt bucket / probe band) like every other near-dup family — never
+    a CartesianProduct or nested loop over raw fingerprints, in either
+    strategy."""
+    from demo_apache_beam_spark.operators.dedup import hamming_near_pairs
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["media_image_near_dup"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # the corpus-scale probe strategy, pinned explicitly
+    sigs = spark.createDataFrame(
+        [(i, i * 7919) for i in range(50)], "media_id long, dhash long"
+    )
+    probe_plan = explain_str(
+        hamming_near_pairs(
+            sigs, id_col="media_id", sig_col="dhash", strategy="probe"
+        )
+    )
+    assert "CartesianProduct" not in probe_plan
+    assert "BroadcastNestedLoopJoin" not in probe_plan
+    assert "band_idx" in probe_plan and "band_val" in probe_plan
