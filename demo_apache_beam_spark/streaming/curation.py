@@ -3,12 +3,13 @@ chains the per-operator epoch stores behind ONE stream (VERDICT r7
 item 4).
 
 Each of the engine's streaming stores (near-dup band store, budget
-enforcement, drift monitor, CMS frequencies, quantile histograms) is
-individually stream==batch-pinned; a real ingestion pipeline runs them
-as ONE foreachBatch per epoch:
+enforcement, drift monitor, CMS frequencies, quantile histograms, KMV
+distinct sketches, DSIR scoring) is individually stream==batch-pinned;
+a real ingestion pipeline runs them as ONE foreachBatch per epoch:
 
     documents ──▶ near-dedup ──▶ budget gate ──▶ drift / CMS / length
-                  (band store)   (offset store)   monitors (3 stores)
+                  (band store)   (offset store)   / KMV / DSIR
+                                                  monitors (5 stores)
 
 Stage chaining is DURABLE, not in-plan: each stage reads the previous
 stage's just-written ``_batch_id`` partition back from parquet, exactly
@@ -44,21 +45,29 @@ def make_curation_ingest(
     source_col: str = "source",
     cms_w: int = 64,
     hist_bin_width: float = 10.0,
+    dsir_model_path: str | None = None,
+    kmv_k: int = 32,
 ):
     """The composed foreachBatch callable. Store layout under ``root``:
     ``survivors``/``band_store`` (near-dedup), ``admitted``/
     ``budget_store`` (budget gate, weight = ``length(text)``),
     ``drift`` (per-epoch JSD vs the pinned reference histogram),
     ``cms_store`` (source frequencies), ``len_hist_store`` (per-source
-    length quantile histograms). Exposed separately from
-    :func:`start_curation_stream` so replay (same batch, same epoch id)
-    is directly testable across every store at once."""
+    length quantile histograms), ``kmv_store`` (per-source distinct-
+    document bottom-k sketches — the live audience-overlap monitor),
+    and, when ``dsir_model_path`` pins a persisted DSIR count model,
+    ``dsir_scores`` (per-epoch importance scores against that frozen
+    model version — the model never recomputes per batch). Exposed
+    separately from :func:`start_curation_stream` so replay (same
+    batch, same epoch id) is directly testable across every store at
+    once."""
     from ..operators.dedup import _hadoop_path_exists
     from .budget import make_budget_ingest
     from .cms import make_cms_ingest
     from .dedup import make_near_dedup_ingest
     from .drift import make_drift_ingest
     from .histograms import make_histogram_ingest
+    from .kmv import make_kmv_ingest
 
     dedup = make_near_dedup_ingest(
         spark, f"{root}/survivors", f"{root}/band_store", id_col, text_col
@@ -82,6 +91,20 @@ def make_curation_ingest(
     hist = make_histogram_ingest(
         spark, f"{root}/len_hist_store", source_col, "__w", bin_width=hist_bin_width
     )
+    kmv = make_kmv_ingest(
+        spark, f"{root}/kmv_store", source_col, id_col, k=kmv_k
+    )
+    dsir = None
+    if dsir_model_path is not None:
+        from .selection import make_dsir_scoring_ingest
+
+        dsir = make_dsir_scoring_ingest(
+            spark,
+            dsir_model_path,
+            f"{root}/dsir_scores",
+            id_col=id_col,
+            text_col=text_col,
+        )
 
     def _epoch_rows(path: str, batch_id: int) -> DataFrame | None:
         """This epoch's rows of a stage output, read back durably; None
@@ -118,6 +141,9 @@ def make_curation_ingest(
             batch_id,
         )
         hist(admitted, batch_id)
+        kmv(admitted, batch_id)
+        if dsir is not None:
+            dsir(admitted, batch_id)
 
     return ingest
 
@@ -133,6 +159,7 @@ def start_curation_stream(
     text_col: str = "text",
     source_col: str = "source",
     schema: str | None = None,
+    dsir_model_path: str | None = None,
 ):
     """Run the composed curation pipeline over a parquet document
     stream; every member store lands under ``root``."""
@@ -147,6 +174,7 @@ def start_curation_stream(
         id_col=id_col,
         text_col=text_col,
         source_col=source_col,
+        dsir_model_path=dsir_model_path,
     )
     return (
         stream.writeStream.foreachBatch(ingest)

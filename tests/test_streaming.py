@@ -1271,6 +1271,8 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
 
     from demo_apache_beam_spark.operators.selection import (
         corpus_histogram,
+        dsir_histograms,
+        dsir_save_model,
         save_histogram,
     )
     from demo_apache_beam_spark.streaming.curation import (
@@ -1295,6 +1297,14 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
         [(i, text_for(i)) for i in range(40)], "doc_id long, text string"
     )
     save_histogram(corpus_histogram(ref), ref_hist)
+    # the DSIR scoring stage serves a PINNED persisted model version —
+    # target = the first 20 reference docs, pool = the rest
+    dsir_model = str(tmp_path / "dsir_model")
+    from pyspark.sql import functions as SF
+
+    dsir_save_model(
+        dsir_histograms(ref, is_target=SF.col("doc_id") < 20), dsir_model
+    )
 
     # three epochs with planted duplicates: within-epoch exact dup
     # (doc 10 repeats doc 9's text) and cross-epoch near-dups (epoch>0
@@ -1321,7 +1331,8 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
     q = start_curation_stream(
-        spark, in_dir, root_s, ref_hist, str(tmp_path / "chk"), budget
+        spark, in_dir, root_s, ref_hist, str(tmp_path / "chk"), budget,
+        dsir_model_path=dsir_model,
     )
     try:
         for b, chunk in enumerate(epochs):
@@ -1335,13 +1346,15 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
 
     # ---- sequential batch composition of the same epochs
     root_b = str(tmp_path / "root_batch")
-    ingest_b = make_curation_ingest(spark, root_b, ref_hist, budget)
+    ingest_b = make_curation_ingest(
+        spark, root_b, ref_hist, budget, dsir_model_path=dsir_model
+    )
     for b, chunk in enumerate(epochs):
         ingest_b(spark.createDataFrame(chunk, schema), b)
 
     stores = (
         "survivors", "band_store", "admitted", "budget_store",
-        "drift", "cms_store", "len_hist_store",
+        "drift", "cms_store", "len_hist_store", "kmv_store", "dsir_scores",
     )
 
     def snap(root):
@@ -1369,9 +1382,17 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
     assert 0 < n_admitted < len(surv_ids)  # gate passed some, stopped some
     assert len(snap_s["drift"]) == 3  # one JSD row per epoch
     assert snap_s["cms_store"] and snap_s["len_hist_store"]
+    # KMV sketched every admitted source; DSIR scored every admitted doc
+    assert {r[0] for r in snap_s["kmv_store"]} <= set(sources)
+    assert len({r[0] for r in snap_s["kmv_store"]}) >= 2
+    assert {r[0] for r in snap_s["dsir_scores"]} == {
+        r[0] for r in snap_s["admitted"]
+    }
 
     # ---- replay: redeliver epoch 1 against the STREAM's stores via the
     # exposed callable — every store must be byte-identical after
-    ingest_s = make_curation_ingest(spark, root_s, ref_hist, budget)
+    ingest_s = make_curation_ingest(
+        spark, root_s, ref_hist, budget, dsir_model_path=dsir_model
+    )
     ingest_s(spark.createDataFrame(epochs[1], schema), 1)
     assert snap(root_s) == snap_s
