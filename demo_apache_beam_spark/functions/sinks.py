@@ -142,20 +142,65 @@ def register_bucketed_table(
     ids recover from the part-file names, no data pass — after which
     equi-joins/aggregations on the bucket key read it exchange-free.
     The column list comes from the store's own parquet footers, so the
-    DDL never drifts from what was written."""
-    if not spark.catalog.tableExists(table_name):
-        ddl = spark.read.parquet(path)._jdf.schema().toDDL()
-        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
-        sorted_by = (
-            "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ") "
-            if sort_cols
-            else ""
-        )
-        spark.sql(
-            f"CREATE TABLE {table_name} ({ddl}) USING parquet "
-            f"CLUSTERED BY ({bcols}) {sorted_by}"
-            f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
-        )
+    DDL never drifts from what was written.
+
+    When the name already exists in the catalog, its location, bucket
+    columns, and bucket count are VALIDATED against the arguments and a
+    ``ValueError`` raised on mismatch (ADVICE r8): silently serving a
+    stale or differently-specced table is how a wrong bucket spec turns
+    an "exchange-free" join into wrong results — bucket pruning trusts
+    the DDL, not the files."""
+    if spark.catalog.tableExists(table_name):
+        import os
+        import re
+
+        info = {
+            r["col_name"]: (r["data_type"] or "")
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table_name}"
+            ).collect()
+        }
+
+        def _norm_loc(loc: str) -> str:
+            return os.path.normpath(re.sub(r"^[a-z]+:(//)?", "", loc))
+
+        got_loc = _norm_loc(info.get("Location", ""))
+        want_loc = _norm_loc(os.path.abspath(path))
+        got_bcols = re.findall(r"`([^`]+)`", info.get("Bucket Columns", ""))
+        got_n = info.get("Num Buckets", "").strip()
+        want_scols = list(sort_cols or [])
+        got_scols = re.findall(r"`([^`]+)`", info.get("Sort Columns", ""))
+        mismatches = []
+        if got_loc != want_loc:
+            mismatches.append(f"location {got_loc!r} != {want_loc!r}")
+        if got_bcols != list(bucket_cols):
+            mismatches.append(
+                f"bucket columns {got_bcols} != {list(bucket_cols)}"
+            )
+        if got_n != str(int(num_buckets)):
+            mismatches.append(f"num buckets {got_n!r} != {num_buckets}")
+        if sort_cols is not None and got_scols != want_scols:
+            mismatches.append(f"sort columns {got_scols} != {want_scols}")
+        if mismatches:
+            raise ValueError(
+                f"register_bucketed_table: catalog table {table_name!r} "
+                "exists with a different spec — " + "; ".join(mismatches)
+                + " (drop or rename the stale table; serving it would "
+                "produce wrong exchange-free join results)"
+            )
+        return spark.table(table_name)
+    ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+    bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+    sorted_by = (
+        "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_cols) + ") "
+        if sort_cols
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {table_name} ({ddl}) USING parquet "
+        f"CLUSTERED BY ({bcols}) {sorted_by}"
+        f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
+    )
     return spark.table(table_name)
 
 

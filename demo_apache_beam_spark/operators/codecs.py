@@ -516,7 +516,19 @@ def gif_decode(data: bytes) -> np.ndarray:
     streams) while fail-closed ``except ValueError`` handlers keep
     catching both (ADVICE r7 — the old stub raised
     ``NotImplementedError`` here)."""
-    if len(data) < 6 or data[:6] not in _GIF_SIGS:
+    if len(data) < 6:
+        # a short payload whose bytes prefix-match a GIF signature is a
+        # TRUNCATED GIF (corrupt record — plain ValueError), not an
+        # unsupported container: callers route the two differently
+        # (ADVICE r8). Empty payloads carry no signature evidence and
+        # stay unsupported-container.
+        if data and any(sig.startswith(data) for sig in _GIF_SIGS):
+            raise ValueError("truncated GIF header")
+        raise UnsupportedContainerError(
+            "not a GIF file (only container stdlib can decode); wire "
+            "pyav/ffmpeg at the decoder seam for MP4 and friends"
+        )
+    if data[:6] not in _GIF_SIGS:
         raise UnsupportedContainerError(
             "not a GIF file (only container stdlib can decode); wire "
             "pyav/ffmpeg at the decoder seam for MP4 and friends"

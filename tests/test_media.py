@@ -755,6 +755,22 @@ def test_gif_rejects_non_gif_truncated_and_corrupt():
     assert c.gif_frames_decoder("video", good, {}) is not None
 
 
+def test_gif_container_vs_truncated_classification():
+    """UnsupportedContainerError means 'codec absent for this container';
+    plain ValueError means 'corrupt/truncated GIF record' — callers route
+    the two differently. A short payload that prefix-matches a GIF
+    signature is a TRUNCATED GIF, not an unknown container (ADVICE r8);
+    empty bytes carry no signature evidence and stay unsupported."""
+    c = _gif()
+    for truncated in (b"G", b"GIF", b"GIF89", b"GIF87"):
+        with pytest.raises(ValueError) as ei:
+            c.gif_decode(truncated)
+        assert not isinstance(ei.value, c.UnsupportedContainerError), truncated
+    for alien in (b"", b"\x00\x00", b"ftyp", b"\x00\x00\x00\x20ftypmp42"):
+        with pytest.raises(c.UnsupportedContainerError):
+            c.gif_decode(alien)
+
+
 def test_sample_frames_over_real_gif_payloads(spark):
     """End-to-end through Spark: real animated-GIF payloads in a
     media-shaped table, decoded by the gif_frames_decoder seam adapter,

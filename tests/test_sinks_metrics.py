@@ -168,6 +168,52 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right")
 
 
+def test_register_bucketed_table_validates_existing_spec(spark, tmp_path):
+    """Re-attaching a bucketed store must serve an EXISTING catalog table
+    only when its location, bucket columns, and bucket count match the
+    arguments — a stale or differently-specced table served silently
+    would make 'exchange-free' joins produce wrong results (ADVICE r8).
+    Matching spec: served; any mismatch: ValueError naming the drift."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.functions.sinks import (
+        register_bucketed_table,
+        write_bucketed,
+    )
+
+    path = str(tmp_path / "rbt_store")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    try:
+        write_bucketed(df, "rbt_tbl", ["k"], 8, sort_cols=["k"], path=path)
+        # matching spec on the already-registered name: served, no error
+        t = register_bucketed_table(
+            spark, "rbt_tbl", path, ["k"], 8, sort_cols=["k"]
+        )
+        assert t.count() == 100
+        # each drifted argument raises and names the mismatch
+        with _pytest.raises(ValueError, match="num buckets"):
+            register_bucketed_table(spark, "rbt_tbl", path, ["k"], 16)
+        with _pytest.raises(ValueError, match="bucket columns"):
+            register_bucketed_table(spark, "rbt_tbl", path, ["v"], 8)
+        with _pytest.raises(ValueError, match="location"):
+            register_bucketed_table(
+                spark, "rbt_tbl", str(tmp_path / "elsewhere"), ["k"], 8
+            )
+        with _pytest.raises(ValueError, match="sort columns"):
+            register_bucketed_table(
+                spark, "rbt_tbl", path, ["k"], 8, sort_cols=["v"]
+            )
+        # omitting sort_cols skips sort validation (caller didn't claim one)
+        assert register_bucketed_table(
+            spark, "rbt_tbl", path, ["k"], 8
+        ).count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rbt_tbl")
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     """write_partitioned: a filter on the partition column shows up as
     PartitionFilters on the scan and reads only the matching directory."""
