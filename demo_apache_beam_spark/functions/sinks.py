@@ -161,11 +161,26 @@ def register_bucketed_table(
             ).collect()
         }
 
-        def _norm_loc(loc: str) -> str:
-            return os.path.normpath(re.sub(r"^[a-z]+:(//)?", "", loc))
+        def _norm_loc(loc: str) -> tuple[str, str, str]:
+            # compare as (scheme, authority, normalized path) — erasing
+            # the scheme would let a local path validate against an
+            # hdfs:/s3a: location (different filesystem, same suffix),
+            # and a naive [a-z]+ scheme regex rejects digit-bearing
+            # schemes like s3a (review r9). A scheme-less location is
+            # the default filesystem — 'file' here, matching how the
+            # session's catalog qualifies local paths.
+            from urllib.parse import urlparse
 
+            u = urlparse(loc)
+            scheme = u.scheme or "file"
+            p = u.path if u.scheme else loc
+            return scheme, u.netloc, os.path.normpath(p or "/")
+
+        from urllib.parse import urlparse as _up
+
+        want_raw = path if _up(path).scheme else os.path.abspath(path)
         got_loc = _norm_loc(info.get("Location", ""))
-        want_loc = _norm_loc(os.path.abspath(path))
+        want_loc = _norm_loc(want_raw)
         got_bcols = re.findall(r"`([^`]+)`", info.get("Bucket Columns", ""))
         got_n = info.get("Num Buckets", "").strip()
         want_scols = list(sort_cols or [])

@@ -296,6 +296,23 @@ def sample_frames(
         .mapInPandas(compute, out_schema)
     )
 
+def _area_pool(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Area-average (INTER_AREA) pooling of a 2-D raster to a ``th×tw``
+    grid: each target cell is the mean of its source block under the
+    index mapping ``src_row → floor(row · th / H)`` — vectorized
+    bincount sums, never a per-pixel Python loop. Shared by
+    :func:`resize_images` and :func:`image_dhash` so the two paths can
+    never silently diverge (review r9). Caller guarantees
+    ``img.shape >= (th, tw)`` (smaller rasters would leave empty bins)."""
+    h, w = img.shape
+    row_bin = (np.arange(h) * th) // h
+    col_bin = (np.arange(w) * tw) // w
+    cell = row_bin[:, None] * tw + col_bin[None, :]
+    sums = np.bincount(cell.ravel(), weights=img.ravel(), minlength=th * tw)
+    counts = np.bincount(cell.ravel(), minlength=th * tw)
+    return (sums / counts).reshape(th, tw)
+
+
 def resize_images(
     media: DataFrame,
     target_h: int = 8,
@@ -351,17 +368,7 @@ def resize_images(
                 h, w = img.shape
                 if h < target_h or w < target_w:
                     continue  # smaller than target: would leave empty bins
-                row_bin = (np.arange(h) * target_h) // h
-                col_bin = (np.arange(w) * target_w) // w
-                cell = row_bin[:, None] * target_w + col_bin[None, :]
-                sums = np.bincount(
-                    cell.ravel(), weights=img.ravel(),
-                    minlength=target_h * target_w,
-                )
-                counts = np.bincount(
-                    cell.ravel(), minlength=target_h * target_w
-                )
-                pooled = sums / counts
+                pooled = _area_pool(img, target_h, target_w).ravel()
                 for idx in range(target_h * target_w):
                     ids.append(media_id)
                     hs.append(h)
@@ -424,10 +431,18 @@ def image_dhash(
     are dropped with the rejects (empty target bins would make the
     fingerprint NaN-derived); real thumbnails are never that small.
     Output: ``(id, dhash long)`` — 8 bytes per image into the shuffle,
-    payloads never leave the executor.
+    payloads never leave the executor. ``hash_size`` is bounded to
+    [2, 8]: the signature column is one signed 64-bit long and
+    :func:`operators.dedup.hamming_near_pairs` probes 64-bit words, so
+    hash_size² must fit 64 bits (9 would need 81).
     """
     from . import codecs
 
+    if not 2 <= hash_size <= 8:
+        raise ValueError(
+            f"image_dhash: hash_size must be in [2, 8] (hash_size² bits "
+            f"must fit one 64-bit word), got {hash_size}"
+        )
     th, tw = hash_size, hash_size + 1
     out_schema = f"{id_col} long, dhash long"
     decode = decoder or codecs.png_raster_decoder
@@ -447,14 +462,7 @@ def image_dhash(
                 h, w = img.shape
                 if h < th or w < tw:
                     continue  # smaller than the hash grid: empty bins
-                row_bin = (np.arange(h) * th) // h
-                col_bin = (np.arange(w) * tw) // w
-                cell = row_bin[:, None] * tw + col_bin[None, :]
-                sums = np.bincount(
-                    cell.ravel(), weights=img.ravel(), minlength=th * tw
-                )
-                counts = np.bincount(cell.ravel(), minlength=th * tw)
-                small = (sums / counts).reshape(th, tw)
+                small = _area_pool(img, th, tw)
                 bits = (small[:, :-1] > small[:, 1:]).ravel()
                 # pack MSB-first: bit (r·8+c) of the final word is the
                 # (r, c) gradient sign — map back to signed for the

@@ -1863,12 +1863,35 @@ def kmeans_assign(
     by pytest). Returns ``(id, cluster, dist)``. This is what makes the
     clustering usable for corpus deltas: at 100 TB a refresh assigns
     only the new rows (map-only over the delta scan) instead of
-    re-running Lloyd over the whole history."""
+    re-running Lloyd over the whole history.
+
+    Guards: a null embedding or a vector whose dimension differs from
+    the centroids' (a re-embedded corpus against a stale centroid
+    store) would make every distance null and SILENTLY assign null
+    clusters — poisonous when the output is persisted — so the
+    assignment raises at runtime instead (``raise_error`` when the
+    argmin comes back null; review r9). Centroids must be non-empty
+    and dimension-uniform."""
     if not centroids:
         raise ValueError("kmeans_assign: empty centroid list")
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError(
+            f"kmeans_assign: centroid dimensions differ: {sorted(dims)}"
+        )
     pts = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    return _kmeans_assign_pts(pts, centroids, id_col).select(
-        id_col, "cluster", "dist"
+    out = _kmeans_assign_pts(pts, centroids, id_col)
+    guarded = F.when(
+        F.col("cluster").isNull(),
+        F.raise_error(
+            F.lit(
+                "kmeans_assign: null assignment — embedding is null or "
+                f"its dimension != centroid dimension {len(centroids[0])}"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("cluster"))
+    return out.select(
+        F.col(id_col), guarded.alias("cluster"), F.col("dist")
     )
 
 
@@ -1994,6 +2017,25 @@ def incremental_kmeans_assign(
     from .checkpoints import tracked_local_checkpoint
 
     spark = new_df.sparkSession
+    # ids must be unique WITHIN the increment too — the store holds one
+    # immutable row per id forever, and an increment carrying the same
+    # id twice (merged redelivery, upstream join fan-out) would persist
+    # an arbitrary-multiplicity assignment; fail loudly instead (review
+    # r9 — the mirror contract of the unique-order requirement in
+    # packing). One metadata-light agg over the 8-byte id projection.
+    dup = (
+        new_df.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"incremental_kmeans_assign: duplicate {id_col} within the "
+            f"increment (e.g. {dup[0][id_col]!r}) — ids must be unique; "
+            "dedupe upstream before assignment"
+        )
     assign_path = f"{store_path}/assignment"
     cent_path = f"{store_path}/centroids"
     if not _hadoop_path_exists(spark, cent_path):

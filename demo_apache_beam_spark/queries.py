@@ -4493,7 +4493,11 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
         "kind", F.lit("image")
     )
-    sigs = image_dhash(pngs)
+    # pin the fingerprints: hamming_near_pairs' auto-count plus the two
+    # sides of its self-join would otherwise re-run the whole PNG
+    # encode+decode+dHash pipeline three times (review r9 — the same
+    # reason simhash_near_pairs checkpoints its signatures)
+    sigs = image_dhash(pngs).localCheckpoint()
     return hamming_near_pairs(
         sigs, id_col="media_id", sig_col="dhash", max_hamming=10
     )
@@ -9709,34 +9713,53 @@ _KMEANS_CTES = """
 
 def _kmeans_store(spark: SparkSession, sf_dir: str):
     """The persisted distributed-k-means artifact for ``sf_dir``'s
-    embeddings — assignment rows at the store path, the k centroid
-    vectors in a ``{path}_centroids`` sidecar — behind the same
-    fingerprinted :func:`_bootstrap_store` discipline as the near-dup
-    pair/cluster stores (VERDICT r8 item 1: ``embedding_kmeans`` and
-    ``embedding_prototypes_prune`` each re-ran Lloyd — 2 full corpus
+    embeddings — assignment rows AND the k centroid vectors in ONE
+    parquet dataset (centroid rows carry ``is_centroid=true`` and a
+    ``centroid`` array; assignment rows carry null there), behind the
+    same fingerprinted :func:`_bootstrap_store` discipline as the
+    near-dup pair/cluster stores (VERDICT r8 item 1: ``embedding_kmeans``
+    and ``embedding_prototypes_prune`` each re-ran Lloyd — 2 full corpus
     assignment scans per consumer; at 100 TB that is N·iters corpus
-    scans for N consumers). Lloyd here is fully deterministic (ordered
-    seeds, literal-centroid assign, tie-break to lowest cluster), so
-    the stored rows are bit-identical to an inline run (pinned by
-    pytest) and every consumer's replay oracle still hash-matches.
-    Returns ``(assignment DataFrame, centroid list)``; raises the
-    store-unavailable set for the caller's inline fallback."""
+    scans for N consumers). A single dataset keeps BOTH halves under the
+    one ``_SUCCESS``/fingerprint freshness check — a sidecar file can be
+    deleted out-of-band while the main dir still probes fresh, which
+    would turn every later call into a silent permanent inline fallback
+    (review r9). Lloyd here is fully deterministic (ordered seeds,
+    literal-centroid assign, tie-break to lowest cluster), so the stored
+    rows are bit-identical to an inline run (pinned by pytest) and every
+    consumer's replay oracle still hash-matches. Returns ``(assignment
+    DataFrame, centroid list)``; raises the store-unavailable set for
+    the caller's inline fallback."""
     from .operators.similarity import distributed_kmeans
 
     def build(path, _table):
         assigned, cents = distributed_kmeans(
             load_table(spark, sf_dir, "embeddings"), k=8, iters=2
         )
-        assigned.write.mode("overwrite").parquet(path)
-        spark.createDataFrame(
-            [(j, c) for j, c in enumerate(cents)],
-            "cluster long, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}_centroids")
-        spark.catalog.refreshByPath(f"{path}_centroids")
+        cent_df = spark.createDataFrame(
+            [(None, j, None, c, True) for j, c in enumerate(cents)],
+            "vec_id long, cluster long, dist double, "
+            "centroid array<double>, is_centroid boolean",
+        )
+        assigned.select(
+            "vec_id",
+            "cluster",
+            "dist",
+            F.lit(None).cast("array<double>").alias("centroid"),
+            F.lit(False).alias("is_centroid"),
+        ).unionByName(cent_df).write.mode("overwrite").parquet(path)
 
     def load(path, _table):
-        adf = spark.read.parquet(path).select("vec_id", "cluster", "dist")
-        crows = spark.read.parquet(f"{path}_centroids").orderBy("cluster").collect()
+        rows = spark.read.parquet(path)
+        adf = rows.filter(~F.col("is_centroid")).select(
+            "vec_id", "cluster", "dist"
+        )
+        crows = (
+            rows.filter(F.col("is_centroid"))
+            .select("cluster", "centroid")
+            .orderBy("cluster")
+            .collect()  # bounded: k rows
+        )
         return adf, [[float(x) for x in r["centroid"]] for r in crows]
 
     return _bootstrap_store(
@@ -9744,7 +9767,7 @@ def _kmeans_store(spark: SparkSession, sf_dir: str):
         "kmeans_assign",
         sf_dir,
         "embeddings",
-        "kmeans:k=8:iters=2:seed=ordered:v1",
+        "kmeans:k=8:iters=2:seed=ordered:v2",
         build,
         load,
     )

@@ -1395,8 +1395,7 @@ def test_kmeans_store_equals_inline(spark):
     from demo_apache_beam_spark.sources.tables import load_table
 
     data, _meta = _store_paths("kmeans_assign")
-    shutil.rmtree(data, ignore_errors=True)
-    shutil.rmtree(data + "_centroids", ignore_errors=True)
+    shutil.rmtree(data, ignore_errors=True)  # one dataset holds both halves
     emb = load_table(spark, SF_SMALL, "embeddings")
     inline_df, inline_cents = distributed_kmeans(emb, k=8, iters=2)
     inline = sorted(map(tuple, inline_df.collect()))
@@ -1506,3 +1505,49 @@ def test_incremental_kmeans_assign_bit_parity(spark, tmp_path):
     expect = sorted(map(tuple, kmeans_assign(emb, cents).collect()))
     assert sorted(map(tuple, live.collect())) == expect
     assert live.count() == emb.count()
+
+
+def test_incremental_kmeans_assign_rejects_duplicate_ids(spark, tmp_path):
+    """An increment carrying the same id twice must raise, not persist
+    an arbitrary-multiplicity assignment (the store holds one immutable
+    row per id forever — review r9)."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import (
+        incremental_kmeans_assign,
+    )
+
+    store = str(tmp_path / "dup_store")
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 0.0]), (1, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        incremental_kmeans_assign(df, store, k=2, iters=1)
+
+
+def test_kmeans_assign_guards_dim_mismatch_and_nulls(spark):
+    """A re-embedded corpus assigned against stale centroids (dimension
+    drift) or a null embedding must FAIL, never silently emit null
+    clusters into a persisted store (review r9). Uniform good input
+    still assigns; non-uniform centroid dims raise up front."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import kmeans_assign
+
+    good = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert kmeans_assign(good, [[0.0, 0.0], [2.0, 0.0]]).count() == 2
+    with _pytest.raises(ValueError, match="centroid dimensions differ"):
+        kmeans_assign(good, [[0.0, 0.0], [1.0]])
+    wrong_dim = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="null assignment"):
+        kmeans_assign(wrong_dim, [[0.0, 0.0]]).collect()
+    with_null = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="null assignment"):
+        kmeans_assign(with_null, [[0.0, 0.0]]).collect()

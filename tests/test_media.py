@@ -964,3 +964,20 @@ def test_image_dhash_rejects_undecodable_and_counts(spark):
     out = image_dhash(df, rejected_counter=counter).collect()
     assert [int(r["media_id"]) for r in out] == [1]
     assert counter.value == 1
+
+
+def test_image_dhash_hash_size_bounds(spark):
+    """hash_size² must fit the signed-64-bit signature column; out-of-
+    range values raise up front instead of overflowing in the executor
+    (review r9)."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, codecs.png_encode(_rng_raster(4)), "image")],
+        "media_id long, payload binary, kind string",
+    )
+    for bad in (0, 1, 9, 16):
+        with pytest.raises(ValueError, match="hash_size"):
+            image_dhash(df, hash_size=bad)
+    assert image_dhash(df, hash_size=4).count() == 1  # smaller grids OK
