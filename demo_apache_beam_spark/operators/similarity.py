@@ -1978,6 +1978,71 @@ def distributed_kmeans(
     return assigned.select(id_col, "cluster", "dist"), centroids
 
 
+def kmeans_assign_vectorized(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LARGE-k assign path: one numpy Gram-trick distance matrix per
+    Arrow batch (``|x|² + |c|² − 2·X·Cᵀ`` — an n×k matmul, never the
+    n×k×dim difference tensor) inside ``mapInPandas``. The literal-
+    centroid :func:`kmeans_assign` is the right plan through k≈32, but
+    its k·dim literal expression tree makes driver-side Catalyst
+    analysis the bottleneck past k≈100 (measured: k=256 at 20k×64-d is
+    14.5 s analyze + 4.7 s execute vs ~1 s total here — SURVEY §6); this
+    variant's plan is one compact Python stage whatever k is, at the
+    cost of Arrow-exporting the vectors once.
+
+    Same contract as :func:`kmeans_assign` — argmin ties break to the
+    LOWEST cluster id (numpy argmin), null embeddings and dimension
+    drift raise — but the distances come from a different (pairwise-
+    summed) floating-point evaluation order, so an exact-tie or
+    1e-15-near-tie row can assign differently from the sequential-fold
+    kernel: use ONE variant per pipeline (the store discipline already
+    pins one), and treat cross-variant agreement as approximate
+    (well-separated data agrees exactly — pinned by pytest).
+    Still map-only: no shuffle, no broadcast join, bounded n×k batch
+    memory."""
+    import pandas as pd_mod
+
+    if not centroids:
+        raise ValueError("kmeans_assign_vectorized: empty centroid list")
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1:
+        raise ValueError(
+            f"kmeans_assign_vectorized: centroid dimensions differ: {sorted(dims)}"
+        )
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    dim = cents.shape[1]
+    out_schema = f"{id_col} long, cluster long, dist double"
+
+    def compute(batches):
+        c_sq = (cents * cents).sum(axis=1)  # (k,)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = list(pdf[vec_col])
+            if any(v is None or len(v) != dim for v in vecs):
+                raise ValueError(
+                    "kmeans_assign_vectorized: null embedding or dimension "
+                    f"!= centroid dimension {dim}"
+                )
+            x = np.asarray(vecs, dtype=np.float64)  # (n, dim)
+            d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cents.T)
+            cl = d2.argmin(axis=1)  # ties to lowest index
+            dist = np.sqrt(np.maximum(d2[np.arange(len(x)), cl], 0.0))
+            yield pd_mod.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster": cl.astype("int64"),
+                    "dist": dist,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(compute, out_schema)
+
+
 def incremental_kmeans_assign(
     new_df: DataFrame,
     store_path: str,

@@ -1551,3 +1551,121 @@ def test_kmeans_assign_guards_dim_mismatch_and_nulls(spark):
     )
     with _pytest.raises(Exception, match="null assignment"):
         kmeans_assign(with_null, [[0.0, 0.0]]).collect()
+
+
+def test_streaming_kmeans_assign_equals_batch_and_replays(spark, tmp_path):
+    """Assignments streamed epoch-by-epoch against a pinned centroid
+    store must equal the batch kmeans_assign of everything streamed
+    BIT-FOR-BIT (assignment is a pure per-row function of embedding and
+    the frozen centroids), and a redelivered epoch must rewrite its own
+    partition to identical bytes — the replay no-op contract every
+    engine store carries."""
+    import os
+
+    from demo_apache_beam_spark.operators.similarity import (
+        incremental_kmeans_assign,
+        kmeans_assign,
+        read_kmeans_store,
+    )
+    from demo_apache_beam_spark.streaming.kmeans import (
+        make_kmeans_assign_ingest,
+        start_kmeans_assign_stream,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    # train once and persist — the store the stream pins
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        )
+    )
+    store = str(tmp_path / "train_store")
+    incremental_kmeans_assign(emb.filter("vec_id < 100"), store, k=5, iters=2)
+    _, cents = read_kmeans_store(spark, store)
+
+    rows = [(int(r["vec_id"]), list(r["embedding"])) for r in
+            emb.filter("vec_id >= 100 and vec_id < 160").collect()]
+    epochs = [rows[:20], rows[20:40], rows[40:]]
+    in_dir = str(tmp_path / "in")
+    out_path = str(tmp_path / "assigned")
+    os.makedirs(in_dir)
+    q = start_kmeans_assign_stream(
+        spark, in_dir, f"{store}/centroids", out_path, str(tmp_path / "chk")
+    )
+    try:
+        for b, chunk in enumerate(epochs):
+            stage = str(tmp_path / f"stage_{b}")
+            spark.createDataFrame(
+                chunk, "vec_id long, embedding array<double>"
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            os.rename(f"{stage}/{part}", f"{in_dir}/b{b}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["dist"]))
+        for r in spark.read.parquet(out_path).collect()
+    )
+    every = spark.createDataFrame(
+        [r for c in epochs for r in c], "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign(every, cents).collect()
+    )
+    assert got == want and got
+
+    # replay epoch 1 via the exposed callable: byte-identical store after
+    before = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    ingest = make_kmeans_assign_ingest(spark, f"{store}/centroids", out_path)
+    ingest(
+        spark.createDataFrame(
+            epochs[1], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    spark.catalog.refreshByPath(out_path)
+    after = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    assert after == before
+
+
+def test_kmeans_assign_vectorized_matches_literal_kernel(spark):
+    """On well-separated data (no fp near-ties) the Gram-trick numpy
+    assign must agree with the literal-centroid kernel exactly on
+    clusters and to 1e-9 on distances; guards mirror kmeans_assign."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import (
+        distributed_kmeans,
+        kmeans_assign,
+        kmeans_assign_vectorized,
+    )
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    _, cents = distributed_kmeans(emb, k=8, iters=2)
+    lit = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    vec = {
+        int(r["vec_id"]): (int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign_vectorized(emb, cents).collect()
+    }
+    assert vec.keys() == lit.keys() and vec
+    for vid, (c, d) in lit.items():
+        vc, vd = vec[vid]
+        assert vc == c, vid
+        assert abs(vd - d) < 1e-9, vid
+
+    with _pytest.raises(ValueError, match="centroid dimensions differ"):
+        kmeans_assign_vectorized(emb, [[0.0, 1.0], [2.0]])
+    wrong_dim = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="dimension"):
+        kmeans_assign_vectorized(wrong_dim, [[0.0, 0.0]]).collect()
