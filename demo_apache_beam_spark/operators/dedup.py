@@ -757,6 +757,44 @@ def simhash_near_pairs(
     )
 
 
+def hamming_probe_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    num_blocks: int = 8,
+    rotations: tuple[int, ...] = (0, 3, 6),
+) -> DataFrame:
+    """The Manku probe keys for a 64-bit signature table: for each cyclic
+    rotation, the fingerprint splits into ``num_blocks`` blocks and every
+    block PAIR concatenates into one 2·block-bit key — rotations·C(n,2)
+    ``(id, sig, band_idx, band_val)`` rows per item. Shared by
+    :func:`hamming_near_pairs` (self-join) and the incremental/streaming
+    image dedup (probe-join against the accepted-history store)."""
+    block_bits = 64 // num_blocks
+    mask = (1 << block_bits) - 1
+    probes = []
+    for r in rotations:
+        # cyclic left-rotation via two logical shifts (>>> is Spark's
+        # unsigned right shift)
+        rotated = (
+            f"(shiftleft({sig_col}, {r}) | shiftrightunsigned({sig_col}, {64 - r}))"
+            if r
+            else sig_col
+        )
+        blocks = [f"((shiftrightunsigned({rotated}, {block_bits * i})) & {mask})" for i in range(num_blocks)]
+        for i in range(num_blocks):
+            for j in range(i + 1, num_blocks):
+                probes.append(
+                    F.struct(
+                        F.lit(len(probes)).alias("band_idx"),
+                        F.expr(f"{blocks[i]} * {mask + 1} + {blocks[j]}").alias("band_val"),
+                    )
+                )
+    return sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*probes)).alias("band")
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
+
+
 def hamming_near_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -777,8 +815,6 @@ def hamming_near_pairs(
     item; see :func:`simhash_near_pairs` for the probe/pairwise
     strategy semantics and the recall contract. Output:
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
-    block_bits = 64 // num_blocks
-    mask = (1 << block_bits) - 1
     if strategy == "auto":
         strategy = "pairwise" if sigs.count() <= pairwise_max_docs else "probe"
     ham = F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}")))
@@ -801,27 +837,7 @@ def hamming_near_pairs(
                 ham.alias("hamming"),
             )
         )
-    probes = []
-    for r in rotations:
-        # cyclic left-rotation via two logical shifts (>>> is Spark's
-        # unsigned right shift)
-        rotated = (
-            f"(shiftleft({sig_col}, {r}) | shiftrightunsigned({sig_col}, {64 - r}))"
-            if r
-            else sig_col
-        )
-        blocks = [f"((shiftrightunsigned({rotated}, {block_bits * i})) & {mask})" for i in range(num_blocks)]
-        for i in range(num_blocks):
-            for j in range(i + 1, num_blocks):
-                probes.append(
-                    F.struct(
-                        F.lit(len(probes)).alias("band_idx"),
-                        F.expr(f"{blocks[i]} * {mask + 1} + {blocks[j]}").alias("band_val"),
-                    )
-                )
-    banded = sigs.select(
-        F.col(id_col), F.col(sig_col), F.explode(F.array(*probes)).alias("band")
-    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
+    banded = hamming_probe_rows(sigs, id_col, sig_col, num_blocks, rotations)
     a, b = banded.alias("a"), banded.alias("b")
     # Hamming check lives IN the join condition: probe-bucket collisions
     # that aren't real near-dups die during the join instead of flowing
@@ -1259,4 +1275,88 @@ def minhash_near_dedup_core(
         .select(id_col)
     )
     survivors = tracked_local_checkpoint(survivors)  # freeze before the store mutates
+    return survivors, banded
+
+
+def incremental_hamming_dedup_core(
+    sigs: DataFrame,
+    hist_bands: DataFrame | None,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 10,
+    num_blocks: int = 8,
+    rotations: tuple[int, ...] = (0, 3, 6),
+) -> tuple[DataFrame, DataFrame]:
+    """The Hamming-fingerprint mirror of :func:`minhash_near_dedup_core`
+    — the decision kernel for incremental/streaming perceptual image
+    dedup: given this increment's ``(id, sig)`` fingerprints and the
+    accepted-history probe rows (``(sig, band_idx, band_val)``, or
+    ``None`` for a bootstrap), return ``(survivor_ids,
+    increment_probe_rows)``, both localCheckpointed so callers can
+    mutate the store afterwards without re-running the plan.
+
+    One structural difference from the MinHash core: a shared band key
+    is NOT membership evidence here (probe buckets collide without a
+    real near-dup), so both the within-batch pairs and the history
+    probe VERIFY ``bit_count(xor) <= max_hamming`` — which is why the
+    history store carries the signature on every probe row. Within-
+    batch clusters collapse to their min-id winner via connected
+    components over the VERIFIED pairs; clusters containing any
+    history match are dropped whole (the accepted copy already
+    represents them). Sub-quadratic throughout: probe-key equi-joins
+    only, no all-pairs."""
+    from .checkpoints import tracked_local_checkpoint
+    from .graph import connected_components
+
+    banded = tracked_local_checkpoint(
+        hamming_probe_rows(sigs, id_col, sig_col, num_blocks, rotations)
+    )
+    if hist_bands is not None:
+        hist_hits = (
+            banded.alias("a")
+            .join(
+                hist_bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (
+                    F.bit_count(
+                        F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+                    )
+                    <= F.lit(max_hamming)
+                ),
+            )
+            .select(F.col(f"a.{id_col}"))
+            .distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+    else:
+        hist_hits = None
+
+    pairs = hamming_near_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col=sig_col,
+        max_hamming=max_hamming,
+        num_blocks=num_blocks,
+        rotations=rotations,
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, vertices=sigs.select(id_col), src="id_a", dst="id_b"
+    )
+    if hist_hits is not None:
+        comp = comp.join(hist_hits, comp.id == hist_hits[id_col], "left").select(
+            comp.id, "cluster_id", F.coalesce("_hist", F.lit(False)).alias("_hist")
+        )
+    else:
+        comp = comp.select("id", "cluster_id", F.lit(False).alias("_hist"))
+    survivors = (
+        comp.groupBy("cluster_id")
+        .agg(
+            F.min("id").alias(id_col),
+            F.max(F.col("_hist").cast("int")).alias("_any_hist"),
+        )
+        .filter(F.col("_any_hist") == 0)
+        .select(id_col)
+    )
+    survivors = tracked_local_checkpoint(survivors)  # freeze before store writes
     return survivors, banded
