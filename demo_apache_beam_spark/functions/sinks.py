@@ -188,13 +188,21 @@ def register_bucketed_table(
         mismatches = []
         if got_loc != want_loc:
             mismatches.append(f"location {got_loc!r} != {want_loc!r}")
-        if got_bcols != list(bucket_cols):
+        # Spark resolves columns case-insensitively (spark.sql.caseSensitive
+        # defaults false), so a table bucketed on `K` must validate against
+        # a request for ['k'] — casefold both sides before comparing
+        # (ADVICE r9); order still matters (bucket id hashes columns in
+        # DDL order).
+        def _fold(cols):
+            return [c.casefold() for c in cols]
+
+        if _fold(got_bcols) != _fold(bucket_cols):
             mismatches.append(
                 f"bucket columns {got_bcols} != {list(bucket_cols)}"
             )
         if got_n != str(int(num_buckets)):
             mismatches.append(f"num buckets {got_n!r} != {num_buckets}")
-        if sort_cols is not None and got_scols != want_scols:
+        if sort_cols is not None and _fold(got_scols) != _fold(want_scols):
             mismatches.append(f"sort columns {got_scols} != {want_scols}")
         if mismatches:
             raise ValueError(

@@ -1848,11 +1848,22 @@ def _kmeans_assign_pts(pts: DataFrame, centroids: list[list[float]],
     )
 
 
+#: ``kernel="auto"`` switches :func:`kmeans_assign` from the literal-
+#: centroid codegen kernel to the numpy Gram-trick kernel at this k.
+#: The measured crossover (SURVEY §6: Catalyst analysis of the k·dim
+#: literal tree dominates past k≈100; 14.5 s analyze at k=256) sits
+#: near 100 — 64 is the conservative side of it. Part of any persisted
+#: store's fingerprint params: changing it re-pins which kernel built
+#: the artifact (the two kernels can differ on exact-tie rows).
+VECTORIZED_ASSIGN_MIN_K = 64
+
+
 def kmeans_assign(
     emb: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Assign-only pass at FIXED centroids — the incremental face of
     :func:`distributed_kmeans` (no update step, no driver collect, no
@@ -1865,19 +1876,50 @@ def kmeans_assign(
     only the new rows (map-only over the delta scan) instead of
     re-running Lloyd over the whole history.
 
+    ``kernel`` picks the assign implementation (VERDICT r9 item 3 —
+    the measured large-k lever needs a production consumer, not just
+    its own pytest):
+
+    - ``"literal"`` — per-centroid distance folds inlined as plan
+      literals inside whole-stage codegen; the right plan through
+      k≈32 but Catalyst ANALYSIS of the k·dim literal tree dominates
+      past k≈100 (measured, SURVEY §6).
+    - ``"vectorized"`` — :func:`kmeans_assign_vectorized`'s numpy
+      Gram-trick ``mapInPandas``; wall-flat in k.
+    - ``"auto"`` (default) — literal below
+      :data:`VECTORIZED_ASSIGN_MIN_K` (=64), vectorized at or above.
+      Every existing k=8 pipeline (stores, delta, streaming) stays on
+      the literal kernel, so persisted artifacts and oracles are
+      untouched.
+
+    Determinism note: the two kernels agree everywhere except exact
+    floating-point distance ties (different summation order), so a
+    pipeline persisting assignments must pin ONE kernel — the store
+    fingerprints record the dispatch parameters for exactly that
+    reason.
+
     Guards: a null embedding or a vector whose dimension differs from
     the centroids' (a re-embedded corpus against a stale centroid
     store) would make every distance null and SILENTLY assign null
     clusters — poisonous when the output is persisted — so the
     assignment raises at runtime instead (``raise_error`` when the
-    argmin comes back null; review r9). Centroids must be non-empty
-    and dimension-uniform."""
+    argmin comes back null; review r9; the vectorized kernel raises on
+    the same inputs, plus non-finite elements). Centroids must be
+    non-empty and dimension-uniform."""
     if not centroids:
         raise ValueError("kmeans_assign: empty centroid list")
     dims = {len(c) for c in centroids}
     if len(dims) != 1:
         raise ValueError(
             f"kmeans_assign: centroid dimensions differ: {sorted(dims)}"
+        )
+    if kernel not in ("auto", "literal", "vectorized"):
+        raise ValueError(f"kmeans_assign: unknown kernel {kernel!r}")
+    if kernel == "vectorized" or (
+        kernel == "auto" and len(centroids) >= VECTORIZED_ASSIGN_MIN_K
+    ):
+        return kmeans_assign_vectorized(
+            emb, centroids, id_col=id_col, vec_col=vec_col
         )
     pts = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     out = _kmeans_assign_pts(pts, centroids, id_col)
@@ -1995,16 +2037,22 @@ def kmeans_assign_vectorized(
     cost of Arrow-exporting the vectors once.
 
     Same contract as :func:`kmeans_assign` — argmin ties break to the
-    LOWEST cluster id (numpy argmin), null embeddings and dimension
-    drift raise — but the distances come from a different (pairwise-
-    summed) floating-point evaluation order, so an exact-tie or
-    1e-15-near-tie row can assign differently from the sequential-fold
-    kernel: use ONE variant per pipeline (the store discipline already
-    pins one), and treat cross-variant agreement as approximate
-    (well-separated data agrees exactly — pinned by pytest).
-    Still map-only: no shuffle, no broadcast join, bounded n×k batch
-    memory."""
+    LOWEST cluster id (numpy argmin), the id column passes through with
+    its ORIGINAL type (string/decimal ids work in both kernels —
+    ADVICE r9), and null embeddings, NaN/Inf ELEMENTS (Arrow surfaces
+    null array elements as NaN in pandas — a NaN row would otherwise
+    make every distance NaN and silently emit cluster 0; ADVICE r9)
+    and dimension drift all raise — but the distances come from a
+    different (pairwise-summed) floating-point evaluation order, so an
+    exact-tie or 1e-15-near-tie row can assign differently from the
+    sequential-fold kernel: use ONE variant per pipeline (the store
+    discipline already pins one), and treat cross-variant agreement as
+    approximate (well-separated data agrees exactly — pinned by
+    pytest). Still map-only: no shuffle, no broadcast join, bounded
+    n×k batch memory."""
     import pandas as pd_mod
+
+    from pyspark.sql import types as T
 
     if not centroids:
         raise ValueError("kmeans_assign_vectorized: empty centroid list")
@@ -2015,7 +2063,13 @@ def kmeans_assign_vectorized(
         )
     cents = np.asarray(centroids, dtype=np.float64)  # (k, dim)
     dim = cents.shape[1]
-    out_schema = f"{id_col} long, cluster long, dist double"
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            T.StructField("cluster", T.LongType(), False),
+            T.StructField("dist", T.DoubleType(), False),
+        ]
+    )
 
     def compute(batches):
         c_sq = (cents * cents).sum(axis=1)  # (k,)
@@ -2029,12 +2083,18 @@ def kmeans_assign_vectorized(
                     f"!= centroid dimension {dim}"
                 )
             x = np.asarray(vecs, dtype=np.float64)  # (n, dim)
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "kmeans_assign_vectorized: non-finite embedding element "
+                    "(null/NaN/Inf inside a vector) — every distance would "
+                    "be NaN and the row would silently assign cluster 0"
+                )
             d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cents.T)
             cl = d2.argmin(axis=1)  # ties to lowest index
             dist = np.sqrt(np.maximum(d2[np.arange(len(x)), cl], 0.0))
             yield pd_mod.DataFrame(
                 {
-                    id_col: pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "cluster": cl.astype("int64"),
                     "dist": dist,
                 }
@@ -2108,11 +2168,7 @@ def incremental_kmeans_assign(
             new_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
         )
         assigned = tracked_local_checkpoint(assigned)
-        assigned.write.mode("overwrite").parquet(assign_path)
-        spark.createDataFrame(
-            [(j, c) for j, c in enumerate(cents)],
-            "cluster long, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        write_kmeans_store(spark, store_path, assigned, cents)
         return assigned
     cent_rows = spark.read.parquet(cent_path).orderBy("cluster").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
@@ -2125,12 +2181,39 @@ def incremental_kmeans_assign(
     return assigned
 
 
+def write_kmeans_store(
+    spark,
+    store_path: str,
+    assigned: DataFrame,
+    centroids: list[list[float]],
+) -> None:
+    """Write THE canonical k-means store layout — ``{store}/assignment``
+    (id, cluster, dist; append-able) + ``{store}/centroids`` (cluster
+    long, centroid array<double>; one coalesced file, k rows). Round 9
+    shipped TWO layouts (the registry's single dataset with
+    ``is_centroid`` marker rows vs this split one) that could not serve
+    each other's consumers — ``streaming/kmeans.py:load_centroids``
+    only read the split form (VERDICT r9 item 4). This writer +
+    :func:`read_kmeans_store` are now the ONE read/write API: the
+    fingerprinted registry store, :func:`incremental_kmeans_assign`'s
+    bootstrap, and the assignment stream all serve the same artifact.
+    The split layout wins because the assignment half must take
+    ``mode("append")`` increments while the k centroid rows stay
+    immutable — a single mixed dataset cannot append one half."""
+    assigned.write.mode("overwrite").parquet(f"{store_path}/assignment")
+    spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "cluster long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_path}/centroids")
+
+
 def read_kmeans_store(
     spark, store_path: str
 ) -> tuple[DataFrame, list[list[float]]]:
-    """The live view of an :func:`incremental_kmeans_assign` store: the
-    accumulated assignment rows plus the pinned centroid list (bounded
-    k-row collect)."""
+    """The live view of a k-means store (:func:`write_kmeans_store`
+    layout — registry store, incremental store, and stream output all
+    share it): the accumulated assignment rows plus the pinned centroid
+    list (bounded k-row collect)."""
     cent_rows = (
         spark.read.parquet(f"{store_path}/centroids").orderBy("cluster").collect()
     )

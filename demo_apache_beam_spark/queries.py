@@ -5715,7 +5715,8 @@ def _source_fingerprint(spark: SparkSession, sf_dir: str, table: str, extra: str
 
 
 def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
-                     source_table: str, params_desc: str, build, load):
+                     source_table: str, params_desc: str, build, load,
+                     success_probes: tuple[str, ...] = ("",)):
     """Shared store-bootstrap shape for the persisted shared artifacts
     (exact/ANN kNN graph, LSH signature table): key by scale tag under
     the warehouse dir ($SPARK_GRAFT_STORE_DIR overrides; default
@@ -5734,7 +5735,15 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
     processes bootstrapping the same key race last-writer-wins on the
     overwrite (both write identical bytes — builds are deterministic);
     a reader overlapping the overwrite window surfaces a store error
-    and takes the caller's inline fallback rather than wrong data."""
+    and takes the caller's inline fallback rather than wrong data.
+    ``success_probes`` names the store's dataset roots RELATIVE to the
+    store path (default ``("",)`` — the store is one dataset at the
+    path itself); a multi-dataset store (the k-means split layout's
+    ``assignment`` + ``centroids`` dirs) lists each so the freshness
+    check requires EVERY half's ``_SUCCESS`` — probing only a top-level
+    marker would let an out-of-band deletion of one half serve a
+    poisoned or permanently-fallback store (the r9 sidecar-deletion
+    class, generalized)."""
     import os
     import re
 
@@ -5746,24 +5755,27 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
     table = f"{name}_{tag}"
     fp = _source_fingerprint(spark, sf_dir, source_table, params_desc)
 
+    def _all_success() -> bool:
+        return all(
+            _hadoop_path_exists(
+                spark, f"{path}/{p}/_SUCCESS" if p else f"{path}/_SUCCESS"
+            )
+            for p in success_probes
+        )
+
     memo_key = (id(spark), path)
     cached = _STORE_MEMO.get(memo_key)
-    if (
-        cached is not None
-        and cached[0] == fp
-        and _hadoop_path_exists(spark, f"{path}/_SUCCESS")
-    ):
-        # the _SUCCESS probe (one FS call, like the source listing above)
-        # keeps a long-lived session from serving plans over a store
-        # deleted out-of-band — it falls through and self-heals instead
+    if cached is not None and cached[0] == fp and _all_success():
+        # the _SUCCESS probe (one FS call per dataset root, like the
+        # source listing above) keeps a long-lived session from serving
+        # plans over a store deleted out-of-band — it falls through and
+        # self-heals instead
         return cached[1]
     _STORE_MEMO.pop(memo_key, None)
 
     meta_path = f"{path}_meta"
     fresh = False
-    if _hadoop_path_exists(spark, meta_path) and _hadoop_path_exists(
-        spark, f"{path}/_SUCCESS"
-    ):
+    if _hadoop_path_exists(spark, meta_path) and _all_success():
         try:
             row = spark.read.parquet(meta_path).collect()
             fresh = bool(row) and row[0]["fingerprint"] == fp
@@ -5775,10 +5787,12 @@ def _bootstrap_store(spark: SparkSession, name: str, sf_dir: str,
         spark.createDataFrame([(fp,)], "fingerprint string").coalesce(1).write.mode(
             "overwrite"
         ).parquet(meta_path)
-        # purge the session-shared file-listing cache for both paths: an
-        # out-of-band delete + rebuild reuses the same directory, and a
-        # stale cached listing would hand new reads the OLD part files
-        spark.catalog.refreshByPath(path)
+        # purge the session-shared file-listing cache for every dataset
+        # root: an out-of-band delete + rebuild reuses the same
+        # directory, and a stale cached listing would hand new reads the
+        # OLD part files
+        for p in success_probes:
+            spark.catalog.refreshByPath(f"{path}/{p}" if p else path)
         spark.catalog.refreshByPath(meta_path)
     out = load(path, table)
     _STORE_MEMO[memo_key] = (fp, out)
@@ -9713,63 +9727,73 @@ _KMEANS_CTES = """
 
 def _kmeans_store(spark: SparkSession, sf_dir: str):
     """The persisted distributed-k-means artifact for ``sf_dir``'s
-    embeddings — assignment rows AND the k centroid vectors in ONE
-    parquet dataset (centroid rows carry ``is_centroid=true`` and a
-    ``centroid`` array; assignment rows carry null there), behind the
-    same fingerprinted :func:`_bootstrap_store` discipline as the
-    near-dup pair/cluster stores (VERDICT r8 item 1: ``embedding_kmeans``
-    and ``embedding_prototypes_prune`` each re-ran Lloyd — 2 full corpus
-    assignment scans per consumer; at 100 TB that is N·iters corpus
-    scans for N consumers). A single dataset keeps BOTH halves under the
-    one ``_SUCCESS``/fingerprint freshness check — a sidecar file can be
-    deleted out-of-band while the main dir still probes fresh, which
-    would turn every later call into a silent permanent inline fallback
-    (review r9). Lloyd here is fully deterministic (ordered seeds,
-    literal-centroid assign, tie-break to lowest cluster), so the stored
-    rows are bit-identical to an inline run (pinned by pytest) and every
+    embeddings, behind the same fingerprinted :func:`_bootstrap_store`
+    discipline as the near-dup pair/cluster stores (VERDICT r8 item 1:
+    ``embedding_kmeans`` and ``embedding_prototypes_prune`` each re-ran
+    Lloyd — 2 full corpus assignment scans per consumer; at 100 TB that
+    is N·iters corpus scans for N consumers).
+
+    Layout: THE canonical split layout
+    (:func:`operators.similarity.write_kmeans_store` —
+    ``{path}/assignment`` + ``{path}/centroids``), the same artifact
+    :func:`operators.similarity.incremental_kmeans_assign` appends to
+    and ``streaming/kmeans.py:load_centroids`` serves from, so every
+    k-means consumer (registry queries, delta assign, the assignment
+    stream) reads ONE store format (VERDICT r9 item 4 — round 9 had a
+    second single-dataset layout only the registry could read).
+    Freshness requires BOTH halves' ``_SUCCESS`` via
+    ``success_probes`` — deleting either subdir out-of-band self-heals
+    with a rebuild instead of serving a poisoned half or a silent
+    permanent inline fallback (the r9 sidecar-deletion class). Lloyd
+    here is fully deterministic (ordered seeds, literal-centroid
+    assign, tie-break to lowest cluster), so the stored rows are
+    bit-identical to an inline run (pinned by pytest) and every
     consumer's replay oracle still hash-matches. Returns ``(assignment
     DataFrame, centroid list)``; raises the store-unavailable set for
     the caller's inline fallback."""
-    from .operators.similarity import distributed_kmeans
+    from .operators.similarity import (
+        VECTORIZED_ASSIGN_MIN_K,
+        distributed_kmeans,
+        read_kmeans_store,
+        write_kmeans_store,
+    )
 
     def build(path, _table):
+        # clean slate: a pre-split-layout store (r9's single dataset)
+        # left part files directly under `path`; the subdir writes
+        # would not clear them and a raw read of `path` would see a
+        # layout mix — delete the root before laying down the split
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
         assigned, cents = distributed_kmeans(
             load_table(spark, sf_dir, "embeddings"), k=8, iters=2
         )
-        cent_df = spark.createDataFrame(
-            [(None, j, None, c, True) for j, c in enumerate(cents)],
-            "vec_id long, cluster long, dist double, "
-            "centroid array<double>, is_centroid boolean",
+        write_kmeans_store(
+            spark, path, assigned.select("vec_id", "cluster", "dist"), cents
         )
-        assigned.select(
-            "vec_id",
-            "cluster",
-            "dist",
-            F.lit(None).cast("array<double>").alias("centroid"),
-            F.lit(False).alias("is_centroid"),
-        ).unionByName(cent_df).write.mode("overwrite").parquet(path)
 
     def load(path, _table):
-        rows = spark.read.parquet(path)
-        adf = rows.filter(~F.col("is_centroid")).select(
-            "vec_id", "cluster", "dist"
-        )
-        crows = (
-            rows.filter(F.col("is_centroid"))
-            .select("cluster", "centroid")
-            .orderBy("cluster")
-            .collect()  # bounded: k rows
-        )
-        return adf, [[float(x) for x in r["centroid"]] for r in crows]
+        adf, cents = read_kmeans_store(spark, path)
+        return adf.select("vec_id", "cluster", "dist"), cents
 
+    # the assign-kernel dispatch threshold is part of the fingerprint:
+    # the two kernels can differ on exact-tie rows, so which kernel a
+    # given (k, threshold) resolves to pins the stored bits (VERDICT r9
+    # item 3) — k=8 resolves to the literal kernel today, and moving
+    # the threshold below 8 would correctly force a rebuild
     return _bootstrap_store(
         spark,
         "kmeans_assign",
         sf_dir,
         "embeddings",
-        "kmeans:k=8:iters=2:seed=ordered:v2",
+        f"kmeans:k=8:iters=2:seed=ordered:v4:layout=split"
+        f":assign_dispatch=auto@{VECTORIZED_ASSIGN_MIN_K}",
         build,
         load,
+        success_probes=("assignment", "centroids"),
     )
 
 

@@ -1395,7 +1395,7 @@ def test_kmeans_store_equals_inline(spark):
     from demo_apache_beam_spark.sources.tables import load_table
 
     data, _meta = _store_paths("kmeans_assign")
-    shutil.rmtree(data, ignore_errors=True)  # one dataset holds both halves
+    shutil.rmtree(data, ignore_errors=True)  # both halves live under one root
     emb = load_table(spark, SF_SMALL, "embeddings")
     inline_df, inline_cents = distributed_kmeans(emb, k=8, iters=2)
     inline = sorted(map(tuple, inline_df.collect()))
@@ -1669,3 +1669,157 @@ def test_kmeans_assign_vectorized_matches_literal_kernel(spark):
     )
     with _pytest.raises(Exception, match="dimension"):
         kmeans_assign_vectorized(wrong_dim, [[0.0, 0.0]]).collect()
+
+
+def test_kmeans_assign_kernel_dispatch(spark):
+    """kmeans_assign's kernel dispatch (VERDICT r9 item 3): "auto" must
+    stay on the literal codegen kernel below VECTORIZED_ASSIGN_MIN_K
+    (every existing k=8 pipeline is untouched) and route to the numpy
+    Gram-trick mapInPandas at or above it; explicit kernel names force
+    either side; both sides agree on well-separated data."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import (
+        VECTORIZED_ASSIGN_MIN_K,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 0.0]), (2, [0.0, 100.0])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def plan(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    small = [[0.0, 0.0], [100.0, 0.0]]
+    big = [
+        [float(1000 * j), float(j)] for j in range(VECTORIZED_ASSIGN_MIN_K)
+    ]
+    assert "MapInPandas" not in plan(kmeans_assign(df, small))  # auto -> literal
+    assert "MapInPandas" in plan(kmeans_assign(df, big))  # auto -> vectorized
+    assert "MapInPandas" in plan(kmeans_assign(df, small, kernel="vectorized"))
+    assert "MapInPandas" not in plan(kmeans_assign(df, big, kernel="literal"))
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        kmeans_assign(df, small, kernel="numpy")
+
+    got_lit = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in kmeans_assign(df, big, kernel="literal").collect()
+    )
+    got_vec = sorted(
+        (int(r["vec_id"]), int(r["cluster"]))
+        for r in kmeans_assign(df, big, kernel="vectorized").collect()
+    )
+    assert got_lit == got_vec and got_lit
+
+
+def test_kmeans_assign_vectorized_id_passthrough_and_nan_guard(spark):
+    """ADVICE r9: the vectorized kernel must carry the id column through
+    with its ORIGINAL type (string ids crashed / silently truncated
+    under the hardcoded long schema), and a NaN ELEMENT inside an
+    embedding (Arrow's rendering of a null array element) must raise
+    instead of silently assigning cluster 0."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators.similarity import (
+        kmeans_assign_vectorized,
+    )
+
+    cents = [[0.0, 0.0], [100.0, 0.0]]
+    s = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [99.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = kmeans_assign_vectorized(s, cents)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    got = {r["vec_id"]: int(r["cluster"]) for r in out.collect()}
+    assert got == {"doc-a": 0, "doc-b": 1}
+
+    with_nan = spark.createDataFrame(
+        [(0, [float("nan"), 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="non-finite"):
+        kmeans_assign_vectorized(with_nan, cents).collect()
+    # a null ELEMENT arrives as NaN through Arrow — same guard
+    with_null_elem = spark.createDataFrame(
+        [(0, [None, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="non-finite"):
+        kmeans_assign_vectorized(with_null_elem, cents).collect()
+
+
+def test_kmeans_store_self_heals_after_partial_loss(spark):
+    """The split layout's freshness check must require EVERY half's
+    _SUCCESS: deleting just the centroids subdir (the generalized r9
+    sidecar-deletion class) must rebuild the whole store through the
+    success_probes fall-through, never serve the surviving half or
+    fall back inline forever."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import _kmeans_store
+
+    before_df, before_cents = _kmeans_store(spark, SF_SMALL)
+    before = sorted(map(tuple, before_df.collect()))
+    data, _ = _store_paths("kmeans_assign")
+    shutil.rmtree(f"{data}/centroids")  # NO memo clear — live session
+    after_df, after_cents = _kmeans_store(spark, SF_SMALL)
+    assert after_cents == before_cents
+    assert sorted(map(tuple, after_df.collect())) == before
+    assert os.path.isdir(f"{data}/centroids")
+
+
+def test_streaming_kmeans_consumes_registry_store(spark, tmp_path):
+    """VERDICT r9 item 4 (unified layout), the consumer proof: the
+    assignment stream must serve centroids from a store written by the
+    REGISTRY's _kmeans_store — one artifact for registry queries, delta
+    assign, and streaming — and its assignments must equal the batch
+    kmeans_assign at those centroids bit-for-bit."""
+    import os
+
+    from demo_apache_beam_spark.operators.similarity import kmeans_assign
+    from demo_apache_beam_spark.queries import _kmeans_store
+    from demo_apache_beam_spark.sources.tables import load_table
+    from demo_apache_beam_spark.streaming.kmeans import (
+        start_kmeans_assign_stream,
+    )
+
+    _, cents = _kmeans_store(spark, SF_SMALL)
+    data, _meta = _store_paths("kmeans_assign")
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter("vec_id < 40").collect()
+    ]
+    in_dir = str(tmp_path / "in")
+    out_path = str(tmp_path / "assigned")
+    os.makedirs(in_dir)
+    q = start_kmeans_assign_stream(
+        spark, in_dir, f"{data}/centroids", out_path, str(tmp_path / "chk")
+    )
+    try:
+        stage = str(tmp_path / "stage")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(f"{stage}/{part}", f"{in_dir}/b0.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["dist"]))
+        for r in spark.read.parquet(out_path).collect()
+    )
+    every = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted(
+        (int(r["vec_id"]), int(r["cluster"]), float(r["dist"]))
+        for r in kmeans_assign(every, cents).collect()
+    )
+    assert got == want and got

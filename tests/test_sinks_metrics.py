@@ -210,6 +210,11 @@ def test_register_bucketed_table_validates_existing_spec(spark, tmp_path):
         assert register_bucketed_table(
             spark, "rbt_tbl", path, ["k"], 8
         ).count() == 100
+        # Spark resolves columns case-insensitively — a request differing
+        # only in case must be served, not rejected (ADVICE r9)
+        assert register_bucketed_table(
+            spark, "rbt_tbl", path, ["K"], 8, sort_cols=["K"]
+        ).count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS rbt_tbl")
 
