@@ -1278,6 +1278,55 @@ def minhash_near_dedup_core(
     return survivors, banded
 
 
+def incremental_hamming_dedup(
+    new_sigs: DataFrame,
+    store_path: str,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    max_hamming: int = 10,
+    num_blocks: int = 8,
+    rotations: tuple[int, ...] = (0, 3, 6),
+) -> DataFrame:
+    """**Perceptual near-dup** dedup for incremental media refreshes —
+    the Hamming-fingerprint sibling of :func:`incremental_minhash_dedup`
+    (a re-encoded, brightened, or resized copy of an accepted image is
+    never byte-identical, so the exact-digest store can't catch it; its
+    dHash lands within a small Hamming distance). ``new_sigs`` holds one
+    ``(id, sig)`` 64-bit fingerprint row per item (computing the
+    fingerprint is the caller's job — :func:`operators.media.image_dhash`
+    for images, :func:`operators.media.audio_fingerprint` for audio —
+    which is what keeps this store modality-agnostic). The persisted
+    store at ``store_path`` holds the ``(sig, band_idx, band_val)``
+    Manku probe rows of every previously ACCEPTED item; an increment is
+    processed exactly like the MinHash flow — history probe, within-
+    increment clustering, min-id winner, drop clusters touching history
+    whole, append survivors' probe rows — with the one structural
+    difference the Hamming geometry forces: a probe-key collision is
+    NOT membership evidence (see :func:`incremental_hamming_dedup_core`),
+    so both joins verify ``bit_count(xor) <= max_hamming``.
+
+    Scale shape: the store is O(accepted items × rotations·C(blocks,2))
+    rows of ~24 bytes, scanned once per increment for the verified probe
+    join — payload bytes never touch the store. Appends accumulate
+    small files (compact with ``operators.layout.compact_files``); the
+    append is not atomic with the read, so increments run serially (the
+    ingest scheduler contract). Returns the accepted rows of
+    ``new_sigs``."""
+    spark = new_sigs.sparkSession
+    hist = (
+        spark.read.parquet(store_path)
+        if _hadoop_path_exists(spark, store_path)
+        else None
+    )
+    survivors, banded = incremental_hamming_dedup_core(
+        new_sigs, hist, id_col, sig_col, max_hamming, num_blocks, rotations
+    )
+    banded.join(survivors, id_col, "left_semi").select(
+        sig_col, "band_idx", "band_val"
+    ).write.mode("append").parquet(store_path)
+    return new_sigs.join(survivors, id_col, "left_semi")
+
+
 def incremental_hamming_dedup_core(
     sigs: DataFrame,
     hist_bands: DataFrame | None,
@@ -1286,14 +1335,20 @@ def incremental_hamming_dedup_core(
     max_hamming: int = 10,
     num_blocks: int = 8,
     rotations: tuple[int, ...] = (0, 3, 6),
+    strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """The Hamming-fingerprint mirror of :func:`minhash_near_dedup_core`
-    — the decision kernel for incremental/streaming perceptual image
+    — the decision kernel for incremental/streaming perceptual media
     dedup: given this increment's ``(id, sig)`` fingerprints and the
     accepted-history probe rows (``(sig, band_idx, band_val)``, or
     ``None`` for a bootstrap), return ``(survivor_ids,
-    increment_probe_rows)``, both localCheckpointed so callers can
-    mutate the store afterwards without re-running the plan.
+    increment_probe_rows)``, both safe to read after the caller mutates
+    the store (the decision plans run over a localCheckpoint of the
+    narrow ``(id, sig)`` rows taken HERE — one pass through whatever
+    computed the fingerprints, however expensive the decode behind them
+    was; the earlier draft re-ran the signature plan through
+    ``hamming_near_pairs``'s auto-count and both self-join sides,
+    ADVICE r9).
 
     One structural difference from the MinHash core: a shared band key
     is NOT membership evidence here (probe buckets collide without a
@@ -1304,13 +1359,16 @@ def incremental_hamming_dedup_core(
     components over the VERIFIED pairs; clusters containing any
     history match are dropped whole (the accepted copy already
     represents them). Sub-quadratic throughout: probe-key equi-joins
-    only, no all-pairs."""
+    only, no all-pairs. ``strategy`` passes through to
+    :func:`hamming_near_pairs` for the within-increment pairs
+    (micro-batch-sized increments usually take its pairwise path; the
+    auto count runs over the checkpointed 8-byte rows, not the decode
+    plan)."""
     from .checkpoints import tracked_local_checkpoint
     from .graph import connected_components
 
-    banded = tracked_local_checkpoint(
-        hamming_probe_rows(sigs, id_col, sig_col, num_blocks, rotations)
-    )
+    sigs = tracked_local_checkpoint(sigs.select(id_col, sig_col))
+    banded = hamming_probe_rows(sigs, id_col, sig_col, num_blocks, rotations)
     if hist_bands is not None:
         hist_hits = (
             banded.alias("a")
@@ -1339,6 +1397,7 @@ def incremental_hamming_dedup_core(
         max_hamming=max_hamming,
         num_blocks=num_blocks,
         rotations=rotations,
+        strategy=strategy,
     ).select("id_a", "id_b")
     comp = connected_components(
         pairs, vertices=sigs.select(id_col), src="id_a", dst="id_b"

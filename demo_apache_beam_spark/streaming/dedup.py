@@ -177,3 +177,120 @@ def make_near_dedup_ingest(
                 unpersist_ids(spark, ckpt_ids)
 
     return ingest
+
+
+def start_image_near_dedup_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    hash_size: int = 8,
+):
+    """Streaming **perceptual image near-dup** ingestion — the Hamming-
+    fingerprint sibling of :func:`start_near_dedup_stream` (VERDICT r9
+    item 2): every micro-batch of images is one increment of
+    :func:`operators.dedup.incremental_hamming_dedup` — decode the PNG
+    payloads and dHash them (``operators.media.image_dhash``, real
+    pixels), probe the accepted-history store with an in-join
+    ``bit_count(xor) <= max_hamming`` verification (a probe-bucket
+    collision is not membership evidence — the one structural
+    difference from the MinHash flow), collapse within-batch clusters
+    to their min-id winner, drop clusters already represented, append
+    survivors' probe rows — so an image stream lands in the corpus
+    already perceptually deduplicated against everything previously
+    accepted (a re-encoded/brightened/upscaled copy of an accepted
+    image is dropped even though its bytes are fresh).
+
+    Replay idempotence: identical to the MinHash stream — store and
+    sink are ``_batch_id``-partitioned with dynamic partition
+    overwrite, and the history probe reads ONLY ``_batch_id <`` the
+    current epoch, so a redelivered epoch sees exactly the history it
+    saw first and rewrites exactly its own partitions.
+
+    ``input_dir`` holds parquet files of (``id_col`` long, ``payload``
+    binary) rows — PNG bytes; undecodable payloads are dropped by the
+    codec seam (fail-closed rejection, counted by the media rejected
+    counter when wired). Survivors land under ``out_dir`` partitioned
+    by ``_batch_id``.
+    """
+    stream = spark.readStream.schema(
+        f"{id_col} long, payload binary"
+    ).parquet(input_dir)
+    ingest = make_image_near_dedup_ingest(
+        spark, out_dir, store_path, id_col, max_hamming, hash_size
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_image_near_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+    hash_size: int = 8,
+):
+    """The foreachBatch callable behind
+    :func:`start_image_near_dedup_stream`, exposed so the replay
+    contract is directly testable (same shape as
+    :func:`make_near_dedup_ingest`): calling it twice with the same
+    (batch, batch_id) must leave the store and the sink bit-identical
+    to one call."""
+    from pyspark.sql import functions as F
+
+    from ..operators.checkpoints import track_checkpoints, unpersist_ids
+    from ..operators.dedup import (
+        _hadoop_path_exists,
+        incremental_hamming_dedup_core,
+    )
+    from ..operators.media import image_dhash
+    from .idempotent import write_windowed_idempotent
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = None
+        if _hadoop_path_exists(spark, store_path):
+            hist = spark.read.parquet(store_path).filter(
+                F.col("_batch_id") < F.lit(batch_id)
+            )
+        # the ledger pattern of make_near_dedup_ingest: the core
+        # checkpoints the (id, dhash) rows (freezing the survivor
+        # decision AND pinning the PNG decode to one pass); release
+        # exactly this batch's blocks once the writes are durable
+        with track_checkpoints() as ckpt_ids:
+            sigs = image_dhash(
+                batch_df.withColumn("kind", F.lit("image")),
+                id_col=id_col,
+                hash_size=hash_size,
+            )
+            survivors, banded = incremental_hamming_dedup_core(
+                sigs, hist, id_col=id_col, sig_col="dhash",
+                max_hamming=max_hamming,
+            )
+            try:
+                write_windowed_idempotent(
+                    banded.join(survivors, id_col, "left_semi")
+                    .select("dhash", "band_idx", "band_val")
+                    .withColumn("_batch_id", F.lit(batch_id)),
+                    store_path,
+                    partition_col="_batch_id",
+                )
+                write_windowed_idempotent(
+                    batch_df.join(survivors, id_col, "left_semi").withColumn(
+                        "_batch_id", F.lit(batch_id)
+                    ),
+                    out_dir,
+                    partition_col="_batch_id",
+                )
+            finally:
+                unpersist_ids(spark, ckpt_ids)
+
+    return ingest

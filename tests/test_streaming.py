@@ -1396,3 +1396,138 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
     )
     ingest_s(spark.createDataFrame(epochs[1], schema), 1)
     assert snap(root_s) == snap_s
+
+
+def _png_rows(seed_ids):
+    """(media_id, REAL PNG payload) rows; ids >= 1000 are planted
+    perceptual variants (brightness +5) of base id % 1000."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators import codecs
+
+    def raster(seed):
+        rng = np.random.RandomState(3000 + seed)
+        return rng.randint(0, 200, size=(40, 32)).astype(np.uint8)
+
+    rows = []
+    for i in seed_ids:
+        img = raster(i % 1000)
+        if i >= 1000:
+            img = img + np.uint8(5)
+        rows.append((i, bytearray(codecs.png_encode(img))))
+    return rows
+
+
+def test_streaming_image_near_dedup_equals_batch_increments(spark, tmp_path):
+    """The streaming perceptual image dedup must accept exactly the ids
+    the batch incremental operator accepts over the same increments
+    (micro-batch == increment), including a perceptual dup STRADDLING
+    batches; the store must be batch-id partitioned (replay layout)."""
+    import os
+
+    from demo_apache_beam_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+    from demo_apache_beam_spark.operators.media import image_dhash
+    from demo_apache_beam_spark.streaming.dedup import (
+        start_image_near_dedup_stream,
+    )
+    from pyspark.sql import functions as F
+
+    incs = [
+        [1, 2, 1001],        # 1001 is a brightness dup of 1 (in-batch)
+        [1002, 3],           # 1002 straddles: dup of batch-0's winner 1
+        [2003, 4],           # 2003 dup of batch-1's winner 3
+    ]
+
+    # batch reference over a separate store (same core, same semantics)
+    batch_store = str(tmp_path / "batch_store")
+    expect: list[int] = []
+    for inc in incs:
+        df = spark.createDataFrame(
+            _png_rows(inc), "media_id long, payload binary"
+        )
+        sigs = image_dhash(df.withColumn("kind", F.lit("image")))
+        expect += [
+            int(r["media_id"])
+            for r in incremental_hamming_dedup(sigs, batch_store).collect()
+        ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_image_near_dedup_stream(
+        spark,
+        in_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "chk"),
+    )
+    try:
+        for i, inc in enumerate(incs):
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(
+                _png_rows(inc), "media_id long, payload binary"
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            os.rename(f"{stage}/{part}", f"{in_dir}/inc_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        int(r["media_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert sorted(got) == sorted(expect) == [1, 2, 3, 4]
+    store_parts = {
+        d
+        for d in os.listdir(str(tmp_path / "store"))
+        if d.startswith("_batch_id=")
+    }
+    assert store_parts
+
+
+def test_image_near_dedup_replay_epoch_is_idempotent(spark, tmp_path):
+    """Replaying an epoch against the epoch-partitioned probe store must
+    leave store AND sink exactly as after the first delivery (the
+    at-least-once foreachBatch contract; a flat-append store would
+    self-collide with the replayed batch's own probe rows)."""
+    from demo_apache_beam_spark.streaming.dedup import (
+        make_image_near_dedup_ingest,
+    )
+
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_image_near_dedup_ingest(spark, out_dir, store)
+
+    b0 = spark.createDataFrame(
+        _png_rows([1, 2]), "media_id long, payload binary"
+    )
+    # epoch 1: a perceptual dup of an epoch-0 winner plus a fresh image
+    b1 = spark.createDataFrame(
+        _png_rows([1001, 3]), "media_id long, payload binary"
+    )
+
+    def snapshot():
+        sink = sorted(
+            (int(r["media_id"]), int(r["_batch_id"]))
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        st = sorted(
+            (int(r["dhash"]), int(r["band_idx"]), int(r["band_val"]),
+             int(r["_batch_id"]))
+            for r in spark.read.parquet(store).collect()
+        )
+        return sink, st
+
+    ingest(b0, 0)
+    ingest(b1, 1)
+    first = snapshot()
+    assert [m for m, _ in first[0]] == [1, 2, 3]  # 1001 dropped vs history
+
+    # replay epoch 1 (crash-recovery delivery) — must be a no-op
+    ingest(b1, 1)
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    assert snapshot() == first
