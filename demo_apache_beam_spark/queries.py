@@ -4415,35 +4415,16 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(compute, out_schema)
 
 
-@register(
-    "media_image_near_dup",
-    None,  # rows-only by necessity: the fingerprint is computed from
-           # DECODED PNG pixels (real zlib/filter decode in executors);
-           # DuckDB has no image codec, so no SQL oracle can replay it.
-           # Pinned instead by pytest: planted re-encoded/brightened/
-           # resized variants must all pair with their originals
-           # (recall), distinct images must not, and the plan carries
-           # no cartesian product.
-    doc="Perceptual image near-dup — the image analogue of SimHash "
-        "(VERDICT r8 item 5): byte-exact payload dedup can never match "
-        "two re-encoded or resized copies of the same picture, so each "
-        "image-kind payload is shaped into a raster, ENCODED to a real "
-        "PNG, and fingerprinted by dHash over the DECODED pixels "
-        "(operators/media.py:image_dhash — area-average to 8×9 cells, "
-        "64 gradient-sign bits; brightness shifts, contrast rescales "
-        "and lossless re-encodes leave the fingerprint bit-identical). "
-        "Planted perceptual duplicates (every 5th image re-encoded "
-        "brightened +8, every 7th upscaled 2× and re-encoded) make the "
-        "pair set non-degenerate. Pairs come from the SAME Manku "
-        "block-permutation Hamming machinery as text SimHash "
-        "(hamming_near_pairs) — sub-quadratic by construction, no "
-        "all-pairs join (plan-pinned in pytest). Output (id_a, id_b, "
-        "hamming) with variant ids offset by 1e9/2e9.",
-)
-def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_dhash_sigs_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (media_id, dhash) signature pipeline behind
+    ``media_image_near_dup``: shape document-derived image payloads into
+    rasters, plant perceptual variants (every 5th brightened + re-encoded
+    at +1e9 ids, every 7th upscaled 2× at +2e9 ids), ENCODE to real PNG,
+    and fingerprint by dHash over the DECODED pixels. Inline form — one
+    full encode+decode pass per call; consumers go through
+    :func:`_image_dhash_store`."""
     import pandas as pd_mod
 
-    from .operators.dedup import hamming_near_pairs
     from .operators.media import image_dhash, media_from_documents
 
     m = media_from_documents(
@@ -4493,11 +4474,86 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
         "kind", F.lit("image")
     )
-    # pin the fingerprints: hamming_near_pairs' auto-count plus the two
-    # sides of its self-join would otherwise re-run the whole PNG
-    # encode+decode+dHash pipeline three times (review r9 — the same
-    # reason simhash_near_pairs checkpoints its signatures)
-    sigs = image_dhash(pngs).localCheckpoint()
+    return image_dhash(pngs)
+
+
+def _image_dhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted dHash signature table for ``sf_dir``'s image corpus
+    (VERDICT r9 item 6): ``media_image_near_dup`` re-encoded + decoded
+    its whole PNG corpus inside the query on every call; with a second
+    image consumer now live (the streaming near-dedup history), the
+    ``(media_id, dhash)`` rows go behind the same fingerprinted
+    :func:`_bootstrap_store` discipline as every other shared artifact —
+    keyed on the documents listing + hash params, so a regenerated
+    corpus or changed variant/hash parameters rebuild. The pipeline is
+    fully deterministic (area pooling + gradient signs over decoded
+    pixels), so stored rows are bit-identical to an inline run (pinned
+    by pytest). Falls back inline (localCheckpointed — one decode pass,
+    the r9 review contract) on the narrow store-error set."""
+    from .operators.checkpoints import tracked_local_checkpoint
+
+    def build(path, _table):
+        _image_dhash_sigs_inline(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def load(path, _table):
+        return spark.read.parquet(path)
+
+    try:
+        return _bootstrap_store(
+            spark,
+            "image_dhash",
+            sf_dir,
+            "documents",
+            "dhash:hash_size=8:variants=b5@1e9,u7@2e9:v1",
+            build,
+            load,
+        )
+    except _store_errors():
+        return tracked_local_checkpoint(
+            _image_dhash_sigs_inline(spark, sf_dir)
+        )
+
+
+@register(
+    "media_image_near_dup",
+    None,  # rows-only by necessity: the fingerprint is computed from
+           # DECODED PNG pixels (real zlib/filter decode in executors);
+           # DuckDB has no image codec, so no SQL oracle can replay it.
+           # Pinned instead by pytest: planted re-encoded/brightened/
+           # resized variants must all pair with their originals
+           # (recall), distinct images must not, and the plan carries
+           # no cartesian product.
+    doc="Perceptual image near-dup — the image analogue of SimHash "
+        "(VERDICT r8 item 5): byte-exact payload dedup can never match "
+        "two re-encoded or resized copies of the same picture, so each "
+        "image-kind payload is shaped into a raster, ENCODED to a real "
+        "PNG, and fingerprinted by dHash over the DECODED pixels "
+        "(operators/media.py:image_dhash — area-average to 8×9 cells, "
+        "64 gradient-sign bits; brightness shifts, contrast rescales "
+        "and lossless re-encodes leave the fingerprint bit-identical). "
+        "Planted perceptual duplicates (every 5th image re-encoded "
+        "brightened +8, every 7th upscaled 2× and re-encoded) make the "
+        "pair set non-degenerate. Pairs come from the SAME Manku "
+        "block-permutation Hamming machinery as text SimHash "
+        "(hamming_near_pairs) — sub-quadratic by construction, no "
+        "all-pairs join (plan-pinned in pytest). The signatures come "
+        "from the shared fingerprinted dHash store (_image_dhash_store, "
+        "keyed on the documents listing + hash/variant params, "
+        "bit-identical to an inline run by pytest), so the PNG "
+        "encode+decode pipeline runs once per corpus generation and "
+        "the query itself is join-only over 8-byte rows. Output "
+        "(id_a, id_b, hamming) with variant ids offset by 1e9/2e9.",
+)
+def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import hamming_near_pairs
+
+    # signatures come from the shared fingerprinted store — the query
+    # itself is join-only (probe machinery over 8-byte rows); the PNG
+    # encode+decode pipeline runs once per corpus generation, not per
+    # call (VERDICT r9 item 6)
+    sigs = _image_dhash_store(spark, sf_dir)
     return hamming_near_pairs(
         sigs, id_col="media_id", sig_col="dhash", max_hamming=10
     )

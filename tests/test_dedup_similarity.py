@@ -1927,3 +1927,38 @@ def test_incremental_hamming_dedup_matches_sequential_reference(spark, tmp_path)
         [(100 + i, sig_of[i]) for i, _ in incs[0]], "media_id long, dhash long"
     )
     assert incremental_hamming_dedup(recrawl, store).count() == 0
+
+
+def test_image_dhash_store_equals_inline(spark):
+    """The persisted dHash signature table must be bit-identical to an
+    inline encode+decode+fingerprint run (the pipeline is deterministic:
+    area pooling + gradient signs over decoded pixels). Cold build, warm
+    re-read, and the r7 self-heal contract after out-of-band deletion."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import (
+        _image_dhash_sigs_inline,
+        _image_dhash_store,
+    )
+
+    data, _meta = _store_paths("image_dhash")
+    shutil.rmtree(data, ignore_errors=True)
+    inline = sorted(
+        (int(r["media_id"]), int(r["dhash"]))
+        for r in _image_dhash_sigs_inline(spark, SF_SMALL).collect()
+    )
+    assert inline
+    for label in ("cold", "warm"):
+        got = sorted(
+            (int(r["media_id"]), int(r["dhash"]))
+            for r in _image_dhash_store(spark, SF_SMALL).collect()
+        )
+        assert got == inline, label
+    shutil.rmtree(data)  # NO memo clear — live session must recover
+    got = sorted(
+        (int(r["media_id"]), int(r["dhash"]))
+        for r in _image_dhash_store(spark, SF_SMALL).collect()
+    )
+    assert got == inline
+    assert os.path.isdir(data)
