@@ -250,6 +250,20 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     return (s if n_ch == 1 else s.reshape(-1, n_ch)), rate
 
 
+def wav_pcm_decoder(kind: str, payload: bytes, meta: dict):
+    """Decoder-seam adapter (the audio mirror of
+    :func:`png_raster_decoder`): real PCM16 WAV decode → 1-D float64
+    mono signal (multi-channel files average their channels — the
+    downmix every fingerprint pipeline applies first). Returns ``None``
+    for undecodable payloads — the documented rejection path."""
+    try:
+        samples, _rate = wav_decode(bytes(payload))
+    except ValueError:
+        return None
+    s = samples.astype(np.float64)
+    return s if s.ndim == 1 else s.mean(axis=1)
+
+
 def png_raster_decoder(kind: str, payload: bytes, meta: dict):
     """Decoder-seam adapter (``resize_images`` contract): real PNG decode
     → 2-D float64 grayscale raster (multi-channel rasters average their

@@ -482,3 +482,118 @@ def image_dhash(
         .select(F.col(id_col), "payload")
         .mapInPandas(compute, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio near-dup — spectral band-energy fingerprint (the audio
+# analogue of image dHash: a re-encoded, gain-scaled, or slightly padded
+# copy of an accepted recording never matches byte-exact payload dedup,
+# but its band-energy gradient signs land within a small Hamming
+# distance). Chromaprint-shaped construction: per-frame FFT, band
+# energies, sign of the temporal difference per band — the public
+# AcoustID/chromaprint recipe reduced to its portable core (no external
+# audio library; numpy rfft over stdlib-decoded PCM).
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint(
+    media: DataFrame,
+    decoder=None,
+    id_col: str = "media_id",
+    n_frames: int = 9,
+    n_bands: int = 8,
+    frame_len: int = 512,
+    rejected_counter=None,
+) -> DataFrame:
+    """Spectral fingerprints for ``audio`` payloads: decode through the
+    codec seam (default :func:`codecs.wav_pcm_decoder` — the REAL PCM16
+    WAV decoder; rejections return ``None`` and drop), take the first
+    ``n_frames`` FIXED-length frames of ``frame_len`` samples (the
+    analysis window, anchored at the signal start), compute each
+    frame's FFT power spectrum (DC bin excluded — a constant offset is
+    not audio content), sum it into ``n_bands`` equal-width frequency
+    bands, and set bit ``(f·n_bands + b)`` iff band ``b``'s energy
+    RISES from frame ``f`` to frame ``f+1``. (n_frames−1)·n_bands
+    gradient-sign bits — 64 with the 9×8 default — packed into one
+    signed long, exactly the word
+    :func:`operators.dedup.hamming_near_pairs` and the incremental/
+    streaming Hamming store probe.
+
+    Why temporal band-energy signs over a fixed start-anchored window
+    (the chromaprint construction — AcoustID fingerprints fixed-length
+    frames from the clip start too): a lossless re-encode leaves PCM
+    bit-identical; a pure gain change scales every band energy by one
+    positive factor, so every rises/falls comparison is EXACTLY
+    unchanged; a DC offset lands only in the excluded bin 0; TRAILING
+    padding or truncation beyond the analysis window never enters the
+    frames at all — all four fingerprint bit-identically. A low-level
+    noise overlay (re-recording, lossy-codec artifacts) flips only the
+    bits whose adjacent band energies were near-tied — small nonzero
+    Hamming, the classic perceptual-dup case. Unrelated recordings
+    differ in ~half the bits. LEADING pads / time shifts move every
+    frame and need alignment search (chromaprint's sliding
+    sub-fingerprint matching) — documented out of scope for a single
+    64-bit word.
+
+    Signals shorter than the ``n_frames · frame_len`` window are
+    dropped with the rejects; fingerprint clips at a known offset/
+    duration (or tile short fixtures) so the window is always covered.
+    An all-silence window fingerprints to 0 (no band ever rises) —
+    byte-exact dedup already collapses those. Output: ``(id, afp
+    long)`` — 8 bytes per clip into the shuffle, payloads never leave
+    the executor. ``(n_frames−1)·n_bands`` must fit 64 bits;
+    ``frame_len`` must resolve ``n_bands`` bands (≥ 2·n_bands)."""
+    from . import codecs
+
+    if (n_frames - 1) * n_bands > 64 or n_frames < 2 or n_bands < 1:
+        raise ValueError(
+            "audio_fingerprint: (n_frames-1)*n_bands must be in [1, 64], "
+            f"got n_frames={n_frames} n_bands={n_bands}"
+        )
+    if frame_len < 2 * n_bands:
+        raise ValueError(
+            f"audio_fingerprint: frame_len {frame_len} too short to "
+            f"resolve {n_bands} bands (need >= {2 * n_bands})"
+        )
+    out_schema = f"{id_col} long, afp long"
+    decode = decoder or codecs.wav_pcm_decoder
+    min_len = n_frames * frame_len
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for media_id, payload in zip(pdf[id_col], pdf["payload"]):
+                x = decode("audio", payload, {})
+                if x is None:
+                    if rejected_counter is not None:
+                        rejected_counter.add(1)
+                    continue  # decoder rejected the file
+                x = np.asarray(x, dtype=np.float64)
+                if x.ndim != 1 or len(x) < min_len:
+                    continue  # shorter than the analysis window
+                frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                # DC excluded; the remaining bins split into n_bands
+                # contiguous equal-width bands
+                bands = np.stack(
+                    [b.sum(axis=1) for b in
+                     np.array_split(spec[:, 1:], n_bands, axis=1)],
+                    axis=1,
+                )  # (n_frames, n_bands)
+                bits = (bands[1:] > bands[:-1]).ravel()
+                word = np.zeros(64, dtype=bool)
+                word[: bits.size] = bits
+                sig = int.from_bytes(np.packbits(word).tobytes(), "big")
+                ids.append(media_id)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(F.col(id_col), "payload")
+        .mapInPandas(compute, out_schema)
+    )

@@ -4559,6 +4559,101 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_audio_near_dup",
+    None,  # rows-only by necessity: the fingerprint is computed from
+           # DECODED PCM via per-frame FFT power spectra (real stdlib
+           # WAV decode + numpy rfft in executors); DuckDB has neither
+           # an audio codec nor an FFT, so no SQL oracle can replay it.
+           # Pinned instead by pytest: planted gain-scaled/DC-shifted/
+           # padded variants must all pair with their originals
+           # (recall), distinct clips must not, and the plan carries no
+           # cartesian product.
+    doc="Perceptual audio near-dup — completing the perceptual-dedup "
+        "modality set (text SimHash, image dHash, now audio; VERDICT "
+        "r9 item 5) on the SAME shared Hamming probe machinery: each "
+        "audio-kind payload is shaped into int16 PCM tiled to the "
+        "9-frame × 512-sample analysis window, ENCODED to a real WAV, "
+        "and fingerprinted by the chromaprint-shaped spectral "
+        "construction (operators/media.py:audio_fingerprint — fixed "
+        "start-anchored frames × FFT power spectrum × 8 equal-width "
+        "bands, DC excluded, 64 band-energy-rises gradient-sign "
+        "bits). A pure gain change scales every band energy by one "
+        "positive factor and trailing padding never enters the "
+        "analysis window, so both planted variants (every 5th clip "
+        "gain ×2 at +1e9 ids, every 7th trailing-padded 10% at +2e9 "
+        "ids) fingerprint bit-identically; the nonzero-small-Hamming "
+        "case (noise overlay = re-recording stand-in) is pinned in "
+        "pytest. Pairs via hamming_near_pairs — sub-quadratic, no "
+        "all-pairs join (plan-pinned). Output (id_a, id_b, hamming).",
+)
+def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd_mod
+
+    from .operators.dedup import hamming_near_pairs
+    from .operators.media import audio_fingerprint, media_from_documents
+
+    m = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def encode(batches):
+        import numpy as np_mod
+
+        from .operators import codecs
+
+        for pdf in batches:
+            ids, payloads = [], []
+
+            def emit(mid, pcm):
+                ids.append(mid)
+                payloads.append(codecs.wav_encode(pcm))
+
+            window = 9 * 512
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np_mod.frombuffer(payload, dtype=np_mod.uint8)
+                if len(arr) < 16:
+                    continue  # degenerate payload
+                # center and scale: ±8192 leaves ×2 gain clip-free;
+                # tile to cover the fixed analysis window (document
+                # texts are shorter than 4608 samples)
+                pcm = (arr.astype(np_mod.int16) - 128) * 64
+                reps = -(-window // len(pcm))  # ceil
+                pcm = np_mod.tile(pcm, reps)[:window]
+                emit(mid, pcm)
+                if mid % 5 == 0:
+                    # re-encoded at double gain: every band energy
+                    # scales by 4, every rises/falls sign survives —
+                    # the planted pair sits at Hamming 0
+                    emit(mid + 1_000_000_000, pcm * 2)
+                if mid % 7 == 0:
+                    # trailing pad (appended silence): beyond the
+                    # start-anchored analysis window — Hamming 0
+                    emit(
+                        mid + 2_000_000_000,
+                        np_mod.concatenate(
+                            [pcm, np_mod.zeros(window // 10, dtype=np_mod.int16)]
+                        ),
+                    )
+            yield pd_mod.DataFrame(
+                {
+                    "media_id": pd_mod.Series(ids, dtype="int64"),
+                    "payload": pd_mod.Series(payloads, dtype=object),
+                }
+            )
+
+    wavs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
+        "kind", F.lit("audio")
+    )
+    # pin the fingerprints: one WAV encode+decode+FFT pass, not three
+    # (hamming_near_pairs' auto-count + both self-join sides — the same
+    # contract as the image query before its store)
+    sigs = audio_fingerprint(wavs).localCheckpoint()
+    return hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="afp", max_hamming=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -981,3 +981,144 @@ def test_image_dhash_hash_size_bounds(spark):
         with pytest.raises(ValueError, match="hash_size"):
             image_dhash(df, hash_size=bad)
     assert image_dhash(df, hash_size=4).count() == 1  # smaller grids OK
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio near-dup — spectral band-energy fingerprint (VERDICT r9
+# item 5: the audio analogue of image dHash on shared probe machinery)
+# ---------------------------------------------------------------------------
+
+def _audio_clip(seed, n=6000):
+    """Structured int16 test clip covering the 9×512 analysis window:
+    per-segment sinusoid mixture with a gaussian envelope + noise —
+    band-energy trajectories vary across frames."""
+    r = np.random.RandomState(seed)
+    t = np.arange(n)
+    x = np.zeros(n)
+    for seg in range(8):
+        f = r.uniform(0.01, 0.45)
+        a = r.uniform(0.3, 1.0)
+        x += a * np.sin(2 * np.pi * f * t + r.uniform(0, 6)) * np.exp(
+            -((t - seg * n / 8) / (n / 6)) ** 2
+        )
+    x += 0.05 * r.randn(n)
+    return np.round(x * 4000).astype(np.int16)
+
+
+def _noise_overlay(clip, seed, scale=80):
+    """Re-recording / lossy-codec stand-in: low-level additive noise
+    (~2% of amplitude) — flips only near-tied band-energy comparisons."""
+    r = np.random.RandomState(seed)
+    return (clip.astype(np.float64) + np.round(scale * r.randn(len(clip)))).astype(
+        np.int16
+    )
+
+
+def _afp_of(spark, rows):
+    """(id, int16 clip) pairs -> {id: afp} through REAL WAV encode+decode."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import audio_fingerprint
+
+    data = [(i, codecs.wav_encode(clip), "audio") for i, clip in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    return {
+        int(r["media_id"]): int(r["afp"])
+        for r in audio_fingerprint(df).collect()
+    }
+
+
+def test_audio_fingerprint_invariances(spark):
+    """Re-encode, pure gain, DC offset, and trailing pad must leave the
+    fingerprint bit-identical (rise/fall signs are scale-invariant, bin
+    0 is excluded, and the analysis window is start-anchored); a 2%
+    noise overlay must stay within a small Hamming distance; genuinely
+    different clips must not collide."""
+    base = _audio_clip(1)
+    variants = [
+        (0, base),
+        (1, base.copy()),                       # lossless re-encode
+        (2, (base.astype(np.int32) * 2).astype(np.int16)),  # gain x2 (no clip)
+        (3, base + np.int16(256)),              # DC offset
+        (4, np.concatenate(                     # 10% trailing pad
+            [base, np.zeros(len(base) // 10, dtype=np.int16)])),
+        (5, _noise_overlay(base, 42)),          # re-recording stand-in
+        (6, _audio_clip(2)),                    # unrelated clip
+    ]
+    sigs = _afp_of(spark, variants)
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) == 0
+    assert ham(0, 2) == 0
+    assert ham(0, 3) == 0
+    assert ham(0, 4) == 0  # pad beyond the window never enters a frame
+    assert ham(0, 5) <= 10  # near-tied comparisons only
+    assert ham(0, 6) >= 16
+
+
+def test_audio_near_dup_planted_recall(spark):
+    """Every planted perceptual duplicate (gain, trailing pad, noise
+    overlay) must pair with its original under BOTH Hamming strategies,
+    and no unrelated pair may appear."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import hamming_near_pairs
+    from demo_apache_beam_spark.operators.media import audio_fingerprint
+
+    rows, expect = [], set()
+    for i in range(30):
+        base = _audio_clip(100 + i)
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append(
+                (1000 + i, (base.astype(np.int32) * 2).astype(np.int16))
+            )
+            expect.add((i, 1000 + i))
+        if i % 5 == 0:
+            rows.append((2000 + i, _noise_overlay(base, 9000 + i)))
+            expect.add((i, 2000 + i))
+    data = [(i, codecs.wav_encode(clip), "audio") for i, clip in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    sigs = audio_fingerprint(df).localCheckpoint()
+    for strategy in ("pairwise", "probe"):
+        got = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in hamming_near_pairs(
+                sigs, id_col="media_id", sig_col="afp",
+                max_hamming=10, strategy=strategy,
+            ).collect()
+        }
+        missed = expect - got
+        assert not missed, f"{strategy}: planted pairs missed: {missed}"
+        # anything beyond the planted set must be variant-variant pairs
+        # of the SAME base clip (i%20==0 plants both variants)
+        for a, b in got - expect:
+            assert a % 1000 == b % 1000, (strategy, a, b)
+
+
+def test_audio_fingerprint_rejects_and_guards(spark):
+    """Corrupt WAV bytes drop through the decoder seam's rejection path
+    and are countable; signals shorter than the analysis window drop;
+    non-audio kinds are filtered; bad frame/band grids raise up front."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import audio_fingerprint
+
+    good = codecs.wav_encode(_audio_clip(3))
+    tiny = codecs.wav_encode(np.zeros(100, dtype=np.int16))
+    df = spark.createDataFrame(
+        [(1, good, "audio"), (2, b"RIFF + garbage", "audio"),
+         (3, tiny, "audio"), (4, good, "image")],
+        "media_id long, payload binary, kind string",
+    )
+    counter = spark.sparkContext.accumulator(0)
+    out = audio_fingerprint(df, rejected_counter=counter).collect()
+    assert [int(r["media_id"]) for r in out] == [1]
+    assert counter.value == 1  # the corrupt file; too-short is a drop
+    for nf, nb in ((1, 8), (10, 8), (2, 65), (2, 0)):
+        with _pytest.raises(ValueError, match="n_frames"):
+            audio_fingerprint(df, n_frames=nf, n_bands=nb)
+    with _pytest.raises(ValueError, match="frame_len"):
+        audio_fingerprint(df, frame_len=8)

@@ -643,3 +643,14 @@ def test_image_near_dup_join_is_hash_not_cartesian(spark):
     assert "CartesianProduct" not in probe_plan
     assert "BroadcastNestedLoopJoin" not in probe_plan
     assert "band_idx" in probe_plan and "band_val" in probe_plan
+
+
+def test_audio_near_dup_join_is_hash_not_cartesian(spark):
+    """The perceptual-audio pair join must candidate on an equi key
+    (salt bucket / probe band) like every other near-dup family — never
+    a CartesianProduct or nested loop over raw fingerprints."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["media_audio_near_dup"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
