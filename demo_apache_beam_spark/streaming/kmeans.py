@@ -92,3 +92,132 @@ def start_kmeans_assign_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def make_kmeans_drift_ingest(
+    spark,
+    store_path: str,
+    out_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jsd_threshold: float = 0.05,
+    dist_ratio_threshold: float = 1.5,
+):
+    """Retrain-trigger monitor for the pinned-centroid assignment stream
+    (VERDICT r9 item 7): the store pins centroids forever until a manual
+    rebuild, so SOMETHING has to say when the pin has gone stale. This
+    foreachBatch callable scores every epoch against the TRAINING run's
+    baseline on two drift axes and emits one monitor row per epoch:
+
+    - **cluster-mix drift** — add-one-smoothed Jensen–Shannon divergence
+      (the engine's one JSD definition,
+      ``operators.selection.jsd_of_histograms``, over cluster-id
+      histograms) between the stored training assignment's cluster
+      distribution and this epoch's. A new content regime lands its
+      vectors in a different cluster mix long before any distance blows
+      up.
+    - **fit degradation** — epoch mean assign distance over the training
+      run's mean (``mean_dist_ratio``): vectors far from EVERY pinned
+      centroid (a genuinely new region of embedding space) inflate it
+      even when the mix looks stable. Null when the baseline mean is 0
+      (degenerate store: every training point was a centroid) — the JSD
+      axis still fires.
+
+    ``retrain_recommended`` is true when either axis crosses its
+    threshold. The monitor only RECOMMENDS — rebuilding the store is the
+    owner's batch operation (a new bootstrap), exactly how the DSIR
+    scoring stream documents its model-refresh cadence; assignment keeps
+    serving the pinned centroid version in the meantime and every
+    assignment row remains reproducible per centroid version.
+
+    Baseline state is loaded ONCE at factory time (k-row cluster
+    histogram + one scalar, from the store's own assignment rows); the
+    per-epoch cost is the assign projection the stream already pays plus
+    a k-row aggregate. Monitor rows land under ``_batch_id`` partitions
+    with dynamic partition overwrite — replays rewrite the same
+    deterministic row (pinned by pytest).
+
+    Output row: ``(n_points, jsd, mean_dist, mean_dist_ratio,
+    retrain_recommended, _batch_id)``.
+    """
+    from ..operators.selection import jsd_of_histograms
+    from ..operators.similarity import kmeans_assign, read_kmeans_store
+    from .idempotent import write_windowed_idempotent
+
+    base_assign, centroids = read_kmeans_store(spark, store_path)
+    k = len(centroids)
+    base_stats = (
+        base_assign.groupBy(F.col("cluster").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("dist").alias("_sd"))
+        .collect()  # bounded: <= k rows
+    )
+    base_hist = [(int(r["bucket"]), int(r["c"])) for r in base_stats]
+    base_n = sum(c for _, c in base_hist)
+    base_mean = sum(float(r["_sd"]) for r in base_stats) / base_n
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        epoch_stats = (
+            kmeans_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+            .groupBy(F.col("cluster").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("dist").alias("_sd"))
+            .collect()  # bounded: <= k rows
+        )
+        n = sum(int(r["c"]) for r in epoch_stats)
+        mean_dist = sum(float(r["_sd"]) for r in epoch_stats) / n
+        jsd = float(
+            jsd_of_histograms(
+                spark.createDataFrame(base_hist, "bucket long, c long"),
+                spark.createDataFrame(
+                    [(int(r["bucket"]), int(r["c"])) for r in epoch_stats],
+                    "bucket long, c long",
+                ),
+                n_buckets=k,
+            ).collect()[0]["jsd"]
+        )
+        ratio = (mean_dist / base_mean) if base_mean > 0 else None
+        recommended = jsd > jsd_threshold or (
+            ratio is not None and ratio > dist_ratio_threshold
+        )
+        row = spark.createDataFrame(
+            [(n, jsd, mean_dist, ratio, recommended)],
+            "n_points long, jsd double, mean_dist double, "
+            "mean_dist_ratio double, retrain_recommended boolean",
+        )
+        write_windowed_idempotent(
+            row.withColumn("_batch_id", F.lit(batch_id)),
+            out_path,
+            partition_col="_batch_id",
+        )
+
+    return ingest
+
+
+def start_kmeans_drift_stream(
+    spark,
+    input_dir: str,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jsd_threshold: float = 0.05,
+    dist_ratio_threshold: float = 1.5,
+    schema: str | None = None,
+):
+    """Monitor a parquet embedding stream for k-means retrain pressure
+    against a persisted k-means store (see
+    :func:`make_kmeans_drift_ingest`)."""
+    stream = spark.readStream.schema(
+        schema or f"{id_col} long, {vec_col} array<double>"
+    ).parquet(input_dir)
+    ingest = make_kmeans_drift_ingest(
+        spark, store_path, out_path, id_col=id_col, vec_col=vec_col,
+        jsd_threshold=jsd_threshold, dist_ratio_threshold=dist_ratio_threshold,
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

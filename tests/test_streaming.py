@@ -1531,3 +1531,75 @@ def test_image_near_dedup_replay_epoch_is_idempotent(spark, tmp_path):
     spark.catalog.refreshByPath(out_dir)
     spark.catalog.refreshByPath(store)
     assert snapshot() == first
+
+
+def test_kmeans_retrain_trigger_flips_on_planted_shift(spark, tmp_path):
+    """The assignment stream's retrain monitor (VERDICT r9 item 7): an
+    epoch drawn from the training distribution must score calm
+    (retrain_recommended false); a planted distribution shift — vectors
+    from a region no pinned centroid covers, skewing both the cluster
+    mix and the mean assign distance — must flip the signal; a replayed
+    epoch must rewrite its monitor row to identical bytes."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import (
+        incremental_kmeans_assign,
+    )
+    from demo_apache_beam_spark.streaming.kmeans import (
+        make_kmeans_drift_ingest,
+    )
+
+    def blob(center, n, seed, base_id):
+        r = np.random.RandomState(seed)
+        return [
+            (base_id + i, [float(x) for x in center + 0.5 * r.randn(2)])
+            for i in range(n)
+        ]
+
+    # train on two well-separated blobs and persist the store
+    train = blob(np.array([0.0, 0.0]), 40, 1, 0) + blob(
+        np.array([20.0, 0.0]), 40, 2, 1000
+    )
+    store = str(tmp_path / "kstore")
+    incremental_kmeans_assign(
+        spark.createDataFrame(train, "vec_id long, embedding array<double>"),
+        store,
+        k=2,
+        iters=2,
+    )
+
+    out = str(tmp_path / "monitor")
+    ingest = make_kmeans_drift_ingest(spark, store, out)
+
+    # epoch 0: same distribution -> calm
+    calm = blob(np.array([0.0, 0.0]), 20, 3, 5000) + blob(
+        np.array([20.0, 0.0]), 20, 4, 6000
+    )
+    ingest(
+        spark.createDataFrame(calm, "vec_id long, embedding array<double>"), 0
+    )
+    # epoch 1: planted shift — a new region far from both centroids,
+    # all landing in one cluster (mix skew) at huge distances (fit skew)
+    shifted = blob(np.array([0.0, 80.0]), 40, 5, 7000)
+    ingest(
+        spark.createDataFrame(shifted, "vec_id long, embedding array<double>"),
+        1,
+    )
+
+    rows = {
+        int(r["_batch_id"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[0]["retrain_recommended"] is False
+    assert rows[1]["retrain_recommended"] is True
+    assert rows[1]["jsd"] > rows[0]["jsd"]
+    assert rows[1]["mean_dist_ratio"] > rows[0]["mean_dist_ratio"]
+
+    # replay epoch 1: the monitor row rewrites to identical bytes
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    ingest(
+        spark.createDataFrame(shifted, "vec_id long, embedding array<double>"),
+        1,
+    )
+    spark.catalog.refreshByPath(out)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
