@@ -188,13 +188,20 @@ def register_bucketed_table(
         mismatches = []
         if got_loc != want_loc:
             mismatches.append(f"location {got_loc!r} != {want_loc!r}")
-        # Spark resolves columns case-insensitively (spark.sql.caseSensitive
-        # defaults false), so a table bucketed on `K` must validate against
-        # a request for ['k'] — casefold both sides before comparing
-        # (ADVICE r9); order still matters (bucket id hashes columns in
-        # DDL order).
+        # Spark resolves columns case-insensitively by default, so a
+        # table bucketed on `K` must validate against a request for
+        # ['k'] (ADVICE r9) — but ONLY when the session itself resolves
+        # that way: under spark.sql.caseSensitive=true, `K` and `k` are
+        # genuinely distinct columns and folding would serve a
+        # wrong-spec table (review r10). Order still matters (bucket id
+        # hashes columns in DDL order).
+        case_sensitive = (
+            str(spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+            == "true"
+        )
+
         def _fold(cols):
-            return [c.casefold() for c in cols]
+            return [c if case_sensitive else c.casefold() for c in cols]
 
         if _fold(got_bcols) != _fold(bucket_cols):
             mismatches.append(

@@ -430,12 +430,16 @@ def image_dhash(
     Rasters smaller than the ``hash_size+1``-wide grid in either axis
     are dropped with the rejects (empty target bins would make the
     fingerprint NaN-derived); real thumbnails are never that small.
-    Output: ``(id, dhash long)`` — 8 bytes per image into the shuffle,
-    payloads never leave the executor. ``hash_size`` is bounded to
-    [2, 8]: the signature column is one signed 64-bit long and
+    Output: ``(id, dhash long)`` — the id column passes through with
+    its ORIGINAL type (content-addressed string ids work; review r10) —
+    8 bytes of signature per image into the shuffle, payloads never
+    leave the executor. ``hash_size`` is bounded to [2, 8]: the
+    signature column is one signed 64-bit long and
     :func:`operators.dedup.hamming_near_pairs` probes 64-bit words, so
     hash_size² must fit 64 bits (9 would need 81).
     """
+    from pyspark.sql import types as T
+
     from . import codecs
 
     if not 2 <= hash_size <= 8:
@@ -444,13 +448,15 @@ def image_dhash(
             f"must fit one 64-bit word), got {hash_size}"
         )
     th, tw = hash_size, hash_size + 1
-    out_schema = f"{id_col} long, dhash long"
+    out_schema = T.StructType(
+        [media.schema[id_col], T.StructField("dhash", T.LongType(), False)]
+    )
     decode = decoder or codecs.png_raster_decoder
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for media_id, payload in zip(pdf[id_col], pdf["payload"]):
+            kept, sigs = [], []
+            for pos, payload in enumerate(pdf["payload"]):
                 img = decode("image", payload, {})
                 if img is None:
                     if rejected_counter is not None:
@@ -468,11 +474,12 @@ def image_dhash(
                 # (r, c) gradient sign — map back to signed for the
                 # Spark long column (two's complement, wraparound exact)
                 sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                ids.append(media_id)
+                kept.append(pos)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    # iloc slice preserves the id column's original dtype
+                    id_col: pdf[id_col].iloc[kept].reset_index(drop=True),
                     "dhash": pd.Series(sigs, dtype="int64"),
                 }
             )
@@ -539,9 +546,13 @@ def audio_fingerprint(
     duration (or tile short fixtures) so the window is always covered.
     An all-silence window fingerprints to 0 (no band ever rises) —
     byte-exact dedup already collapses those. Output: ``(id, afp
-    long)`` — 8 bytes per clip into the shuffle, payloads never leave
-    the executor. ``(n_frames−1)·n_bands`` must fit 64 bits;
-    ``frame_len`` must resolve ``n_bands`` bands (≥ 2·n_bands)."""
+    long)`` — the id column passes through with its ORIGINAL type
+    (content-addressed string ids work; review r10) — 8 bytes of
+    signature per clip into the shuffle, payloads never leave the
+    executor. ``(n_frames−1)·n_bands`` must fit 64 bits; ``frame_len``
+    must resolve ``n_bands`` bands (≥ 2·n_bands)."""
+    from pyspark.sql import types as T
+
     from . import codecs
 
     if (n_frames - 1) * n_bands > 64 or n_frames < 2 or n_bands < 1:
@@ -554,14 +565,16 @@ def audio_fingerprint(
             f"audio_fingerprint: frame_len {frame_len} too short to "
             f"resolve {n_bands} bands (need >= {2 * n_bands})"
         )
-    out_schema = f"{id_col} long, afp long"
+    out_schema = T.StructType(
+        [media.schema[id_col], T.StructField("afp", T.LongType(), False)]
+    )
     decode = decoder or codecs.wav_pcm_decoder
     min_len = n_frames * frame_len
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
-            for media_id, payload in zip(pdf[id_col], pdf["payload"]):
+            kept, sigs = [], []
+            for pos, payload in enumerate(pdf["payload"]):
                 x = decode("audio", payload, {})
                 if x is None:
                     if rejected_counter is not None:
@@ -583,11 +596,12 @@ def audio_fingerprint(
                 word = np.zeros(64, dtype=bool)
                 word[: bits.size] = bits
                 sig = int.from_bytes(np.packbits(word).tobytes(), "big")
-                ids.append(media_id)
+                kept.append(pos)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    # iloc slice preserves the id column's original dtype
+                    id_col: pdf[id_col].iloc[kept].reset_index(drop=True),
                     "afp": pd.Series(sigs, dtype="int64"),
                 }
             )

@@ -2110,6 +2110,7 @@ def incremental_kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "literal",
 ) -> DataFrame:
     """k-means for incremental corpus refreshes — the clustering mirror
     of :func:`operators.dedup.incremental_exact_dedup`: the FIRST
@@ -2137,6 +2138,15 @@ def incremental_kmeans_assign(
     Lloyd cost. Appends accumulate small files — compact with
     ``operators.layout.compact_files``. The append is not atomic with
     the read; run increments serially (the ingest scheduler contract).
+
+    ``kernel`` pins the delta-assign kernel and defaults to
+    ``"literal"`` — NOT ``"auto"`` — because the bootstrap's rows come
+    from :func:`distributed_kmeans`'s literal kernel and a store must
+    accumulate ONE evaluation order (review r10: at k ≥ the auto
+    threshold, later increments would silently switch to the vectorized
+    kernel and near-tie rows could assign differently from a full
+    recompute). Pass ``"vectorized"`` only for a store whose every
+    consumer does the same.
     """
     from .dedup import _hadoop_path_exists
     from .checkpoints import tracked_local_checkpoint
@@ -2174,7 +2184,9 @@ def incremental_kmeans_assign(
     centroids = [[float(x) for x in r["centroid"]] for r in cent_rows]
     seen = spark.read.parquet(assign_path).select(id_col)
     fresh = new_df.join(seen, id_col, "left_anti")
-    assigned = kmeans_assign(fresh, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(
+        fresh, centroids, id_col=id_col, vec_col=vec_col, kernel=kernel
+    )
     # freeze before the store mutates (the plan reads the store's id set)
     assigned = tracked_local_checkpoint(assigned)
     assigned.write.mode("append").parquet(assign_path)

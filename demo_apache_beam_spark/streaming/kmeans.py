@@ -49,7 +49,12 @@ def make_kmeans_assign_ingest(
     """The foreachBatch callable: assign the batch against the pinned
     centroids and write under this epoch's partition (replay-safe
     overwrite). Centroids load once at factory time — the store is
-    never re-read per batch."""
+    never re-read per batch. The kernel is pinned to ``"literal"``:
+    the store being served was bootstrapped by the literal kernel
+    (``distributed_kmeans``), and streamed epochs must accumulate the
+    same evaluation order (review r10 — ``"auto"`` would silently
+    switch kernels at large k and near-tie rows could diverge from a
+    batch recompute)."""
     from .idempotent import write_windowed_idempotent
 
     centroids = load_centroids(spark, centroids_path)
@@ -58,7 +63,8 @@ def make_kmeans_assign_ingest(
         if batch_df.isEmpty():
             return
         assigned = kmeans_assign(
-            batch_df, centroids, id_col=id_col, vec_col=vec_col
+            batch_df, centroids, id_col=id_col, vec_col=vec_col,
+            kernel="literal",
         )
         write_windowed_idempotent(
             assigned.withColumn("_batch_id", F.lit(batch_id)),
@@ -146,33 +152,41 @@ def make_kmeans_drift_ingest(
 
     base_assign, centroids = read_kmeans_store(spark, store_path)
     k = len(centroids)
-    base_stats = (
-        base_assign.groupBy(F.col("cluster").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"), F.sum("dist").alias("_sd"))
-        .collect()  # bounded: <= k rows
-    )
-    base_hist = [(int(r["bucket"]), int(r["c"])) for r in base_stats]
-    base_n = sum(c for _, c in base_hist)
-    base_mean = sum(float(r["_sd"]) for r in base_stats) / base_n
+
+    def cluster_stats(assigned):
+        # decimal accumulation + bucket-sorted driver fold: the monitor
+        # row must be BIT-identical across replays and restarts, and a
+        # plain double sum is partition-order dependent (review r10 —
+        # the same discipline jsd_of_histograms applies)
+        rows = (
+            assigned.groupBy(F.col("cluster").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(F.col("dist").cast("decimal(28,12)")).alias("_sd"),
+            )
+            .collect()  # bounded: <= k rows
+        )
+        rows.sort(key=lambda r: int(r["bucket"]))
+        hist = [(int(r["bucket"]), int(r["c"])) for r in rows]
+        n = sum(c for _, c in hist)
+        mean = float(sum(r["_sd"] for r in rows) / n)  # Decimal fold
+        return hist, n, mean
+
+    base_hist, _base_n, base_mean = cluster_stats(base_assign)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        epoch_stats = (
-            kmeans_assign(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-            .groupBy(F.col("cluster").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("c"), F.sum("dist").alias("_sd"))
-            .collect()  # bounded: <= k rows
+        epoch_hist, n, mean_dist = cluster_stats(
+            kmeans_assign(
+                batch_df, centroids, id_col=id_col, vec_col=vec_col,
+                kernel="literal",
+            )
         )
-        n = sum(int(r["c"]) for r in epoch_stats)
-        mean_dist = sum(float(r["_sd"]) for r in epoch_stats) / n
         jsd = float(
             jsd_of_histograms(
                 spark.createDataFrame(base_hist, "bucket long, c long"),
-                spark.createDataFrame(
-                    [(int(r["bucket"]), int(r["c"])) for r in epoch_stats],
-                    "bucket long, c long",
-                ),
+                spark.createDataFrame(epoch_hist, "bucket long, c long"),
                 n_buckets=k,
             ).collect()[0]["jsd"]
         )

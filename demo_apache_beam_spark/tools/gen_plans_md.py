@@ -57,6 +57,14 @@ HEADLINE = [
     # semi-probes and one budget-family keyed prefix-scan plan
     "user_erasure_audit",
     "corpus_budget_fill",
+    # round-9/10 additions (VERDICT r9 #1): the store-served k-means
+    # assignment (map-only read), the fixed-centroid delta assign, and
+    # the two perceptual near-dup probe joins (image dHash store-served,
+    # audio chromaprint-shaped inline)
+    "embedding_kmeans",
+    "embedding_kmeans_delta_assign",
+    "media_image_near_dup",
+    "media_audio_near_dup",
 ]
 
 _SCRUB = re.compile(

@@ -1122,3 +1122,32 @@ def test_audio_fingerprint_rejects_and_guards(spark):
             audio_fingerprint(df, n_frames=nf, n_bands=nb)
     with _pytest.raises(ValueError, match="frame_len"):
         audio_fingerprint(df, frame_len=8)
+
+
+def test_fingerprint_id_type_passthrough(spark):
+    """Both perceptual fingerprint operators must carry the id column
+    through with its ORIGINAL type (content-addressed string ids are
+    the norm for media stores — review r10, the same contract as
+    kmeans_assign_vectorized)."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import (
+        audio_fingerprint,
+        image_dhash,
+    )
+
+    img_df = spark.createDataFrame(
+        [("sha1:aa", codecs.png_encode(_rng_raster(11)), "image"),
+         ("sha1:bb", codecs.png_encode(_rng_raster(12)), "image")],
+        "media_id string, payload binary, kind string",
+    )
+    out = image_dhash(img_df)
+    assert dict(out.dtypes)["media_id"] == "string"
+    assert {r["media_id"] for r in out.collect()} == {"sha1:aa", "sha1:bb"}
+
+    wav_df = spark.createDataFrame(
+        [("sha1:cc", codecs.wav_encode(_audio_clip(21)), "audio")],
+        "media_id string, payload binary, kind string",
+    )
+    aout = audio_fingerprint(wav_df)
+    assert dict(aout.dtypes)["media_id"] == "string"
+    assert [r["media_id"] for r in aout.collect()] == ["sha1:cc"]
