@@ -228,16 +228,21 @@ def start_image_near_dedup_stream(
     )
 
 
-def make_image_near_dedup_ingest(
+def make_hamming_near_dedup_ingest(
     spark,
     out_dir: str,
     store_path: str,
+    fingerprint,
     id_col: str = "media_id",
+    sig_col: str = "dhash",
     max_hamming: int = 10,
 ):
-    """The foreachBatch callable behind
-    :func:`start_image_near_dedup_stream`, exposed so the replay
-    contract is directly testable (same shape as
+    """The modality-agnostic foreachBatch callable behind the perceptual
+    dedup streams (:func:`start_image_near_dedup_stream`,
+    :func:`start_audio_near_dedup_stream`) — the decision flow is
+    identical for any 64-bit fingerprint, only ``fingerprint`` (a
+    ``batch_df -> (id, sig)`` DataFrame function) differs per modality.
+    Exposed so the replay contract is directly testable (same shape as
     :func:`make_near_dedup_ingest`): calling it twice with the same
     (batch, batch_id) must leave the store and the sink bit-identical
     to one call."""
@@ -248,7 +253,6 @@ def make_image_near_dedup_ingest(
         _hadoop_path_exists,
         incremental_hamming_dedup_core,
     )
-    from ..operators.media import image_dhash
     from .idempotent import write_windowed_idempotent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -260,27 +264,19 @@ def make_image_near_dedup_ingest(
                 F.col("_batch_id") < F.lit(batch_id)
             )
         # the ledger pattern of make_near_dedup_ingest: the core
-        # checkpoints the (id, dhash) rows (freezing the survivor
-        # decision AND pinning the PNG decode to one pass); release
+        # checkpoints the (id, sig) rows (freezing the survivor
+        # decision AND pinning the decode to one pass); release
         # exactly this batch's blocks once the writes are durable
         with track_checkpoints() as ckpt_ids:
-            # the fingerprint is pinned to the full 64-bit dHash: the
-            # probe machinery buckets 64-bit words and max_hamming=10 is
-            # calibrated to hash_size=8 — a smaller grid (16 meaningful
-            # bits at hash_size=4) would classify most DISTINCT images
-            # as near-dups under the same threshold and silently drop
-            # the stream (review r10)
-            sigs = image_dhash(
-                batch_df.withColumn("kind", F.lit("image")), id_col=id_col
-            )
+            sigs = fingerprint(batch_df)
             survivors, banded = incremental_hamming_dedup_core(
-                sigs, hist, id_col=id_col, sig_col="dhash",
+                sigs, hist, id_col=id_col, sig_col=sig_col,
                 max_hamming=max_hamming,
             )
             try:
                 write_windowed_idempotent(
                     banded.join(survivors, id_col, "left_semi")
-                    .select("dhash", "band_idx", "band_val")
+                    .select(sig_col, "band_idx", "band_val")
                     .withColumn("_batch_id", F.lit(batch_id)),
                     store_path,
                     partition_col="_batch_id",
@@ -296,3 +292,91 @@ def make_image_near_dedup_ingest(
                 unpersist_ids(spark, ckpt_ids)
 
     return ingest
+
+
+def make_image_near_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+):
+    """:func:`make_hamming_near_dedup_ingest` with the image dHash
+    fingerprint. The fingerprint is pinned to the full 64-bit dHash: the
+    probe machinery buckets 64-bit words and ``max_hamming=10`` is
+    calibrated to hash_size=8 — a smaller grid (16 meaningful bits at
+    hash_size=4) would classify most DISTINCT images as near-dups under
+    the same threshold and silently drop the stream (review r10)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.media import image_dhash
+
+    def fingerprint(batch_df: DataFrame) -> DataFrame:
+        return image_dhash(
+            batch_df.withColumn("kind", F.lit("image")), id_col=id_col
+        )
+
+    return make_hamming_near_dedup_ingest(
+        spark, out_dir, store_path, fingerprint,
+        id_col=id_col, sig_col="dhash", max_hamming=max_hamming,
+    )
+
+
+def start_audio_near_dedup_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+):
+    """Streaming **perceptual audio near-dup** ingestion — the third
+    modality on the shared Hamming decision flow (text MinHash stream,
+    image dHash stream, now audio): each micro-batch's WAV payloads are
+    decoded and fingerprinted by the chromaprint-shaped spectral
+    construction (``operators.media.audio_fingerprint`` — a re-encoded,
+    gain-scaled, DC-shifted, or trailing-padded copy of an accepted clip
+    fingerprints bit-identically and is dropped against history even
+    though its bytes are fresh), then probed/clustered/appended exactly
+    as :func:`start_image_near_dedup_stream` documents. Replay
+    idempotence and the ``_batch_id < epoch`` history contract are the
+    shared ingest's. ``input_dir`` holds parquet files of (``id_col``
+    long, ``payload`` binary) rows — WAV bytes."""
+    stream = spark.readStream.schema(
+        f"{id_col} long, payload binary"
+    ).parquet(input_dir)
+    ingest = make_audio_near_dedup_ingest(
+        spark, out_dir, store_path, id_col, max_hamming
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_audio_near_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+):
+    """:func:`make_hamming_near_dedup_ingest` with the spectral audio
+    fingerprint (fixed 9×512 analysis window — the same calibration
+    note as the image ingest: the 64-bit word and ``max_hamming`` are
+    a matched pair)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.media import audio_fingerprint
+
+    def fingerprint(batch_df: DataFrame) -> DataFrame:
+        return audio_fingerprint(
+            batch_df.withColumn("kind", F.lit("audio")), id_col=id_col
+        )
+
+    return make_hamming_near_dedup_ingest(
+        spark, out_dir, store_path, fingerprint,
+        id_col=id_col, sig_col="afp", max_hamming=max_hamming,
+    )

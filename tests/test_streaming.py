@@ -1603,3 +1603,107 @@ def test_kmeans_retrain_trigger_flips_on_planted_shift(spark, tmp_path):
     )
     spark.catalog.refreshByPath(out)
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_streaming_audio_near_dedup_equals_batch_and_replays(spark, tmp_path):
+    """The audio perceptual dedup stream (third modality on the shared
+    Hamming ingest): accepted ids must equal the batch incremental
+    operator over the same increments — including a gain-scaled dup
+    STRADDLING epochs — and a replayed epoch must be a no-op."""
+    import os
+
+    import numpy as np
+
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+    from demo_apache_beam_spark.operators.media import audio_fingerprint
+    from demo_apache_beam_spark.streaming.dedup import (
+        make_audio_near_dedup_ingest,
+        start_audio_near_dedup_stream,
+    )
+    from pyspark.sql import functions as F
+
+    def clip(seed, n=6000):
+        r = np.random.RandomState(4000 + seed)
+        t = np.arange(n)
+        x = np.zeros(n)
+        for seg in range(8):
+            fq = r.uniform(0.01, 0.45)
+            a = r.uniform(0.3, 1.0)
+            x += a * np.sin(2 * np.pi * fq * t + r.uniform(0, 6)) * np.exp(
+                -((t - seg * n / 8) / (n / 6)) ** 2
+            )
+        x += 0.05 * r.randn(n)
+        return np.round(x * 4000).astype(np.int16)
+
+    def rows(ids):
+        out = []
+        for i in ids:
+            c = clip(i % 1000)
+            if i >= 1000:  # planted perceptual variant: gain x2
+                c = (c.astype(np.int32) * 2).astype(np.int16)
+            out.append((i, bytearray(codecs.wav_encode(c))))
+        return out
+
+    incs = [
+        [1, 2, 1001],   # 1001 gain-dup of 1 (in-batch)
+        [1002, 3],      # straddles: dup of epoch-0 winner 1
+    ]
+
+    # batch reference (same core, separate store)
+    batch_store = str(tmp_path / "batch_store")
+    expect: list[int] = []
+    for inc in incs:
+        df = spark.createDataFrame(rows(inc), "media_id long, payload binary")
+        sigs = audio_fingerprint(df.withColumn("kind", F.lit("audio")))
+        expect += [
+            int(r["media_id"])
+            for r in incremental_hamming_dedup(
+                sigs, batch_store, sig_col="afp"
+            ).collect()
+        ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_audio_near_dedup_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "store"),
+        str(tmp_path / "chk"),
+    )
+    try:
+        for i, inc in enumerate(incs):
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(
+                rows(inc), "media_id long, payload binary"
+            ).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(f"{stage}/{part}", f"{in_dir}/inc_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        int(r["media_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert sorted(got) == sorted(expect) == [1, 2, 3]
+
+    # replay epoch 1 via the exposed callable — bit-identical store+sink
+    out_dir2, store2 = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_audio_near_dedup_ingest(spark, out_dir2, store2)
+    before = (
+        sorted(map(tuple, spark.read.parquet(out_dir2).collect())),
+        sorted(map(tuple, spark.read.parquet(store2).collect())),
+    )
+    ingest(
+        spark.createDataFrame(rows(incs[1]), "media_id long, payload binary"),
+        1,
+    )
+    spark.catalog.refreshByPath(out_dir2)
+    spark.catalog.refreshByPath(store2)
+    after = (
+        sorted(map(tuple, spark.read.parquet(out_dir2).collect())),
+        sorted(map(tuple, spark.read.parquet(store2).collect())),
+    )
+    assert after == before
