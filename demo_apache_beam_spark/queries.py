@@ -4933,6 +4933,94 @@ def doc_blocklist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RE2-safe (and Java-regex-identical) PII span patterns — no lookarounds,
+# ASCII word boundaries only, so the DuckDB oracle runs them unchanged
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com tel 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                  || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}', 0)) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}', 0)) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IP}', 0)) AS n_ips,
+           length(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                  '{_PII_PHONE}', '[PHONE]', 'g'),
+                  '{_PII_IP}', '[IP]', 'g')) AS scrubbed_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                  '{_PII_PHONE}', '[PHONE]', 'g'),
+                  '{_PII_IP}', '[IP]', 'g')) AS scrubbed_md5
+    FROM base
+    """,
+    doc="Multi-pattern PII scrub with NON-degenerate hits — the "
+        "complement of doc_blocklist_redaction (whose email count the "
+        "synthetic corpus pins at 0): every document gains a "
+        "deterministic doc_id-derived PII footer (an email, a NANP-style "
+        "phone, an IPv4 host — both engines synthesize the identical "
+        "string), then emails → [EMAIL], phones → [PHONE], IPs → [IP] "
+        "are scrubbed in one fixed order and the counts plus an md5 of "
+        "the scrubbed text are emitted — proving replacement BYTES "
+        "match, not just counts, with every pattern exercised ≥1 time "
+        "per row. Patterns are RE2-safe AND Java-regex-identical "
+        "(character classes, bounded quantifiers, ASCII word "
+        "boundaries; no lookarounds), so the oracle runs them "
+        "unchanged. Plan shape: pure regexp codegen over one scan — "
+        "zero shuffles, zero Python; at 100 TB this is the scan "
+        "itself, the cheapest possible shape for a compliance pass "
+        "that must touch every byte anyway.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("[IP]"),
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 @register(
     "user_team_history",
     """

