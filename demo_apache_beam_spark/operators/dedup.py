@@ -1419,3 +1419,96 @@ def incremental_hamming_dedup_core(
     )
     survivors = tracked_local_checkpoint(survivors)  # freeze before store writes
     return survivors, banded
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure for the accepted-history dedup stores — the gatekeeping
+# half of a compliance delete. `operators.layout.erase_rows` removes a
+# subject's rows from the corpus TABLES; these wrappers remove the same
+# content's signature shadow from the dedup stores, so the content stops
+# vetoing future ingests (an erased document must be re-admissible — a
+# store that still holds its digests would silently drop any future
+# legitimate submission of similar content forever).
+# ---------------------------------------------------------------------------
+
+def erase_from_exact_store(
+    spark,
+    store_path: str,
+    docs: DataFrame,
+    key_cols: tuple[str, ...] | list[str] = ("text",),
+) -> dict:
+    """Remove the given documents' content digests from an
+    :func:`incremental_exact_dedup` store (atomic partition-preserving
+    rewrite via :func:`operators.layout.erase_rows`). Exactness: the
+    store holds one row per ACCEPTED digest (first-seen-wins), so a
+    digest identifies exactly one accepted item. Returns erase_rows'
+    ``{rows_before, rows_erased, rows_after}``."""
+    from .layout import erase_rows
+
+    keys = docs.select(content_key(key_cols).alias("_ck"))
+    return erase_rows(spark, store_path, keys, key_col="_ck")
+
+
+def erase_from_minhash_store(
+    spark,
+    store_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> dict:
+    """Remove the given ACCEPTED documents' band rows from an
+    :func:`incremental_minhash_dedup` store. The erase key is the
+    composite ``(band_idx, band_hash)`` — never ``band_hash`` alone,
+    which could collateral-delete another accepted document's row
+    sharing the hash under a different band index. Exactness rests on
+    the store invariant that no two ACCEPTED documents share a band
+    (any document colliding with history is dropped, any within-
+    increment collision keeps one winner), so the computed pairs match
+    only the target's rows.
+
+    Contract: pass the content of documents that were ACCEPTED (the
+    normal DSR flow — the subject's admitted corpus rows). Erasing a
+    never-accepted near-duplicate's content would instead strip the
+    colliding bands from its accepted REPRESENTATIVE, partially
+    weakening that representative's gatekeeping; the returned
+    ``rows_erased`` count is the audit hook. Signature parameters must
+    match the store's. Partition layout (e.g. the streaming store's
+    ``_batch_id`` dirs) is preserved; untouched partitions are not
+    rewritten."""
+    from .layout import erase_rows
+
+    keys = band_rows(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    ).select("band_idx", "band_hash")
+    return erase_rows(
+        spark, store_path, keys, key_col=["band_idx", "band_hash"]
+    )
+
+
+def erase_from_hamming_store(
+    spark,
+    store_path: str,
+    sigs: DataFrame,
+    sig_col: str = "dhash",
+) -> dict:
+    """Remove the given ACCEPTED items' probe rows from an
+    :func:`incremental_hamming_dedup` store (``sigs``: one ``(id,
+    sig)`` row per item to erase — recompute via
+    :func:`operators.media.image_dhash` / ``audio_fingerprint`` from
+    the payloads being erased). The erase key is the signature alone,
+    which is exact here: accepted items are pairwise ``> max_hamming``
+    apart, so no two accepted items share a signature and every store
+    row carrying it belongs to the erased item. Same accepted-content
+    contract and partition-layout preservation as
+    :func:`erase_from_minhash_store`."""
+    from .layout import erase_rows
+
+    return erase_rows(
+        spark, store_path, sigs.select(sig_col), key_col=sig_col
+    )

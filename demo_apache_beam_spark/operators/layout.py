@@ -152,8 +152,8 @@ def erase_rows(
     spark,
     path: str,
     ids: DataFrame,
-    key_col: str,
-    id_col: str | None = None,
+    key_col: str | list[str] | tuple[str, ...],
+    id_col: str | list[str] | tuple[str, ...] | None = None,
     sort_col: str | None = None,
     _frozen: bool = False,
 ) -> dict:
@@ -181,10 +181,29 @@ def erase_rows(
     forwards the compaction clustering option so a Z-ordered dataset
     keeps its min-max skipping through the rewrite. ``key_col`` must
     be a data column: erasing by the PARTITION column is directory
-    deletion, not a rewrite — rejected loudly before any mutation."""
+    deletion, not a rewrite — rejected loudly before any mutation.
+
+    ``key_col`` may be a LIST of columns for composite-key erasure
+    (``ids`` then matches on the conjunction of all of them — the shape
+    the dedup-store erasure wrappers need, where a MinHash band row is
+    identified by (band_idx, band_hash), never by either alone:
+    erasing by band_hash only could collateral-delete another accepted
+    document's row that shares the hash under a different band index).
+    """
     from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
 
-    id_col = id_col or key_col
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    id_cols = (
+        key_cols
+        if id_col is None
+        else ([id_col] if isinstance(id_col, str) else list(id_col))
+    )
+    if len(id_cols) != len(key_cols):
+        raise ValueError(
+            f"erase_rows: id_col count {len(id_cols)} != key_col count "
+            f"{len(key_cols)}"
+        )
+    probe_cols = [f"__erase_{i}" for i in range(len(key_cols))]
     # the checkpointed request set is released on exit (ADVICE r7): the
     # streaming erasure path calls this once per micro-batch, and without
     # the release a long-running stream pins one RDD per epoch — the leak
@@ -195,12 +214,26 @@ def erase_rows(
     # extra RDD per target table (review r8)
     _cp_ids: list = []
     if _frozen:
+        if len(key_cols) != 1:
+            raise ValueError("erase_rows: _frozen supports a single key only")
         req = ids
+        probe_cols = ["__erase_id"]
     else:
         with track_checkpoints() as _cp_ids:
             req = tracked_local_checkpoint(
-                ids.select(F.col(id_col).alias("__erase_id")).distinct()
+                ids.select(
+                    *[
+                        F.col(c).alias(p)
+                        for c, p in zip(id_cols, probe_cols)
+                    ]
+                ).distinct()
             )
+
+    def _match_cond():
+        cond = F.col(key_cols[0]) == F.col(probe_cols[0])
+        for k, p in zip(key_cols[1:], probe_cols[1:]):
+            cond = cond & (F.col(k) == F.col(p))
+        return cond
 
     def _erase(p: str) -> dict:
         jvm = spark._jvm
@@ -223,29 +256,22 @@ def erase_rows(
             1 for f in entries if f.getPath().getName().startswith("part-")
         )
         df = spark.read.parquet(p)
-        if key_col not in df.columns:
-            raise ValueError(
-                f"erase_rows: {key_col!r} is not a data column of {p} — "
-                "erasing by the Hive partition column means deleting the "
-                "matching partition directories, not rewriting files"
-            )
+        for k in key_cols:
+            if k not in df.columns:
+                raise ValueError(
+                    f"erase_rows: {k!r} is not a data column of {p} — "
+                    "erasing by the Hive partition column means deleting "
+                    "the matching partition directories, not rewriting files"
+                )
         before = df.count()  # parquet footer counts — no data read
         erased = (
-            df.join(
-                F.broadcast(req),
-                F.col(key_col) == F.col("__erase_id"),
-                "left_semi",
-            ).count()
+            df.join(F.broadcast(req), _match_cond(), "left_semi").count()
         )
         if erased == 0:
             return {
                 "rows_before": before, "rows_erased": 0, "rows_after": before,
             }
-        keep = df.join(
-            F.broadcast(req),
-            F.col(key_col) == F.col("__erase_id"),
-            "left_anti",
-        )
+        keep = df.join(F.broadcast(req), _match_cond(), "left_anti")
         keep = (
             keep.repartitionByRange(
                 max(1, n_files), F.col(sort_col)

@@ -1962,3 +1962,133 @@ def test_image_dhash_store_equals_inline(spark):
     )
     assert got == inline
     assert os.path.isdir(data)
+
+
+def test_erase_from_dedup_stores_readmits_content(spark, tmp_path):
+    """Right-to-erasure must reach the accepted-history stores: after
+    erasing an accepted document's signature shadow, a re-crawl of that
+    content is ADMISSIBLE again, while everything else stays blocked —
+    across all three store kinds (exact digests, MinHash bands, Hamming
+    probe rows). The MinHash erase is composite-keyed
+    (band_idx, band_hash); the Hamming store uses the signature alone
+    (accepted items are pairwise > max_hamming apart)."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import (
+        erase_from_exact_store,
+        erase_from_hamming_store,
+        erase_from_minhash_store,
+        incremental_exact_dedup,
+        incremental_hamming_dedup,
+        incremental_minhash_dedup,
+    )
+    from demo_apache_beam_spark.operators.media import image_dhash
+
+    t_a = ("the quick brown fox jumps over the lazy dog while rain falls "
+           "on the quiet town and children play in the green park near "
+           "the old stone bridge every single afternoon")
+    t_b = ("data pipelines shuffle terabytes of text across executors "
+           "while schedulers balance partitions and optimizers prune "
+           "columns from scans to keep the cluster busy at all times")
+    near = lambda t: t.rsplit(" ", 1)[0] + " tonight"  # noqa: E731
+
+    # --- exact digest store -------------------------------------------
+    ex_store = str(tmp_path / "exact")
+    day1 = spark.createDataFrame([(1, t_a), (2, t_b)], "doc_id long, text string")
+    assert incremental_exact_dedup(day1, ex_store).count() == 2
+    recrawl = spark.createDataFrame([(10, t_a)], "doc_id long, text string")
+    assert incremental_exact_dedup(recrawl, ex_store).count() == 0  # blocked
+    res = erase_from_exact_store(
+        spark, ex_store, spark.createDataFrame([(t_a,)], "text string")
+    )
+    assert res["rows_erased"] == 1
+    readmit = spark.createDataFrame([(11, t_a)], "doc_id long, text string")
+    assert incremental_exact_dedup(readmit, ex_store).count() == 1  # admissible
+    still = spark.createDataFrame([(12, t_b)], "doc_id long, text string")
+    assert incremental_exact_dedup(still, ex_store).count() == 0  # B blocked
+
+    # --- MinHash band store (composite key) ---------------------------
+    mh_store = str(tmp_path / "minhash")
+    assert incremental_minhash_dedup(day1, mh_store).count() == 2
+    probe = spark.createDataFrame([(20, near(t_a))], "doc_id long, text string")
+    assert incremental_minhash_dedup(probe, mh_store).count() == 0  # blocked
+    res = erase_from_minhash_store(
+        spark, mh_store,
+        spark.createDataFrame([(1, t_a)], "doc_id long, text string"),
+    )
+    assert res["rows_erased"] > 0 and res["rows_after"] > 0  # B's rows survive
+    probe2 = spark.createDataFrame([(21, near(t_a))], "doc_id long, text string")
+    assert incremental_minhash_dedup(probe2, mh_store).count() == 1  # admissible
+    probe3 = spark.createDataFrame([(22, near(t_b))], "doc_id long, text string")
+    assert incremental_minhash_dedup(probe3, mh_store).count() == 0  # B blocked
+
+    # --- Hamming probe store ------------------------------------------
+    def raster(seed):
+        rng = np.random.RandomState(7000 + seed)
+        return rng.randint(0, 200, size=(40, 32)).astype(np.uint8)
+
+    def sigs_of(rows):
+        data = [(i, codecs.png_encode(img), "image") for i, img in rows]
+        return image_dhash(
+            spark.createDataFrame(
+                data, "media_id long, payload binary, kind string"
+            )
+        )
+
+    hm_store = str(tmp_path / "hamming")
+    accepted = sigs_of([(1, raster(1)), (2, raster(2))])
+    assert incremental_hamming_dedup(accepted, hm_store).count() == 2
+    dup1 = sigs_of([(30, raster(1) + np.uint8(5))])  # perceptual dup of 1
+    assert incremental_hamming_dedup(dup1, hm_store).count() == 0  # blocked
+    res = erase_from_hamming_store(
+        spark, hm_store, sigs_of([(1, raster(1))])
+    )
+    assert res["rows_erased"] > 0 and res["rows_after"] > 0
+    dup1b = sigs_of([(31, raster(1) + np.uint8(5))])
+    assert incremental_hamming_dedup(dup1b, hm_store).count() == 1  # admissible
+    dup2 = sigs_of([(32, raster(2) + np.uint8(5))])
+    assert incremental_hamming_dedup(dup2, hm_store).count() == 0  # 2 blocked
+
+
+def test_erase_from_minhash_store_preserves_epoch_partitions(spark, tmp_path):
+    """Erasing from the STREAMING band store (epoch-partitioned) must
+    keep the _batch_id directory layout — the replay-idempotence
+    contract depends on it — and rewrite only partitions the request
+    touches."""
+    import os
+
+    from demo_apache_beam_spark.operators.dedup import (
+        erase_from_minhash_store,
+    )
+    from demo_apache_beam_spark.streaming.dedup import make_near_dedup_ingest
+
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_near_dedup_ingest(spark, out_dir, store)
+    t1 = ("the quick brown fox jumps over the lazy dog while rain falls "
+          "on the quiet town and children play near the old stone bridge")
+    t2 = ("data pipelines shuffle terabytes of text across executors "
+          "while schedulers balance partitions and optimizers prune scans")
+    ingest(spark.createDataFrame([(1, t1)], "doc_id long, text string"), 0)
+    ingest(spark.createDataFrame([(2, t2)], "doc_id long, text string"), 1)
+    parts_before = {
+        d for d in os.listdir(store) if d.startswith("_batch_id=")
+    }
+    assert parts_before == {"_batch_id=0", "_batch_id=1"}
+
+    res = erase_from_minhash_store(
+        spark, store,
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"),
+    )
+    assert res["rows_erased"] > 0
+    parts_after = {
+        d for d in os.listdir(store) if d.startswith("_batch_id=")
+    }
+    assert parts_after == parts_before  # layout preserved
+    # epoch-1 rows untouched (its partition matched zero request keys)
+    import pyspark.sql.functions as F
+
+    rows1 = spark.read.parquet(store).filter(F.col("_batch_id") == 1).count()
+    assert rows1 > 0
+    rows0 = spark.read.parquet(store).filter(F.col("_batch_id") == 0).count()
+    assert rows0 == 0  # doc 1's bands fully gone

@@ -654,3 +654,15 @@ def test_audio_near_dup_join_is_hash_not_cartesian(spark):
     plan = explain_str(REGISTRY["media_audio_near_dup"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_pii_scrub_is_scan_only(spark):
+    """The PII scrub must be pure projection codegen over one scan —
+    no Exchange (shuffle), no Python stage; at 100 TB a compliance pass
+    that must touch every byte anyway must cost exactly the scan."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["doc_pii_scrub"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
