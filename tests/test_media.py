@@ -1151,3 +1151,135 @@ def test_fingerprint_id_type_passthrough(spark):
     aout = audio_fingerprint(wav_df)
     assert dict(aout.dtypes)["media_id"] == "string"
     assert [r["media_id"] for r in aout.collect()] == ["sha1:cc"]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual video near-dup — per-frame dHash, majority temporal reduction
+# ---------------------------------------------------------------------------
+
+def _scene(seed, n=24, fh=12, fw=16):
+    """Temporally-correlated frame stack (base raster + slow drift +
+    small noise) — the regime where majority votes are lopsided and
+    frame resampling is stable. Uncorrelated random frames put votes
+    near 50% and resampling flips 9-20 bits (measured) — documented in
+    video_dhash."""
+    r = np.random.RandomState(seed)
+    base = r.randint(20, 160, size=(fh, fw)).astype(np.float64)
+    drift = r.randn(fh, fw) * 1.5
+    frames = np.stack(
+        [
+            np.clip(base + t * drift + r.randn(fh, fw) * 2.0, 10, 240)
+            for t in range(n)
+        ]
+    )
+    return frames.astype(np.uint8)
+
+
+def _vdhash_of(spark, rows):
+    """(id, frame stack) pairs -> {id: vdhash} through REAL GIF
+    encode+decode."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import video_dhash
+
+    data = [(i, codecs.gif_encode(fr), "video") for i, fr in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    return {
+        int(r["media_id"]): int(r["vdhash"])
+        for r in video_dhash(df).collect()
+    }
+
+
+def test_video_dhash_invariances(spark):
+    """Lossless re-encode, uniform brightness, and temporal frame-repeat
+    must leave the majority fingerprint bit-identical; every-2nd-frame
+    sampling of correlated footage must stay within a small Hamming
+    distance; unrelated clips must not collide."""
+    base = _scene(1)
+    variants = [
+        (0, base),
+        (1, base.copy()),                       # lossless re-encode
+        (2, base + np.uint8(8)),                # brightness (no clip: <=248)
+        (3, np.repeat(base, 2, axis=0)),        # 2x temporal repeat
+        (4, base[::2]),                         # every-2nd-frame sample
+        (5, _scene(2)),                         # unrelated clip
+    ]
+    sigs = _vdhash_of(spark, variants)
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) == 0
+    assert ham(0, 2) == 0
+    assert ham(0, 3) == 0  # vote proportions (and ties) unchanged
+    assert ham(0, 4) <= 8  # near-50% votes only
+    assert ham(0, 5) >= 16
+
+
+def test_video_near_dup_planted_recall(spark):
+    """Every planted perceptual duplicate (brightness re-encode, frame
+    resample) must pair with its original under BOTH Hamming
+    strategies, and no unrelated pair may appear."""
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import hamming_near_pairs
+    from demo_apache_beam_spark.operators.media import video_dhash
+
+    rows, expect = [], set()
+    for i in range(24):
+        base = _scene(300 + i)
+        rows.append((i, base))
+        if i % 4 == 0:
+            rows.append((1000 + i, base + np.uint8(8)))
+            expect.add((i, 1000 + i))
+        if i % 5 == 0:
+            rows.append((2000 + i, base[::2]))
+            expect.add((i, 2000 + i))
+    data = [(i, codecs.gif_encode(fr), "video") for i, fr in rows]
+    df = spark.createDataFrame(
+        data, "media_id long, payload binary, kind string"
+    )
+    sigs = video_dhash(df).localCheckpoint()
+    for strategy in ("pairwise", "probe"):
+        got = {
+            (int(r["id_a"]), int(r["id_b"]))
+            for r in hamming_near_pairs(
+                sigs, id_col="media_id", sig_col="vdhash",
+                max_hamming=10, strategy=strategy,
+            ).collect()
+        }
+        missed = expect - got
+        assert not missed, f"{strategy}: planted pairs missed: {missed}"
+        for a, b in got - expect:
+            assert a % 1000 == b % 1000, (strategy, a, b)
+
+
+def test_video_dhash_rejects_and_id_passthrough(spark):
+    """Corrupt GIF bytes drop through the decoder seam's rejection path
+    and are countable; frames below the hash grid drop; non-video kinds
+    are filtered; string ids pass through with their type; hash_size is
+    bounded."""
+    import pytest as _pytest
+
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.media import video_dhash
+
+    good = codecs.gif_encode(_scene(5))
+    tiny = codecs.gif_encode(
+        np.zeros((3, 4, 4), dtype=np.uint8)
+    )  # 4x4 < 8x9 grid
+    df = spark.createDataFrame(
+        [(1, good, "video"), (2, b"GIF89a + garbage", "video"),
+         (3, tiny, "video"), (4, good, "image")],
+        "media_id long, payload binary, kind string",
+    )
+    counter = spark.sparkContext.accumulator(0)
+    out = video_dhash(df, rejected_counter=counter).collect()
+    assert [int(r["media_id"]) for r in out] == [1]
+    assert counter.value == 1  # the corrupt file; too-small is a drop
+    with _pytest.raises(ValueError, match="hash_size"):
+        video_dhash(df, hash_size=9)
+
+    sdf = spark.createDataFrame(
+        [("gif:a", good, "video")], "media_id string, payload binary, kind string"
+    )
+    sout = video_dhash(sdf)
+    assert dict(sout.dtypes)["media_id"] == "string"
+    assert [r["media_id"] for r in sout.collect()] == ["gif:a"]

@@ -666,3 +666,14 @@ def test_doc_pii_scrub_is_scan_only(spark):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_video_near_dup_join_is_hash_not_cartesian(spark):
+    """The perceptual-video pair join must candidate on an equi key
+    (salt bucket / probe band) — never a CartesianProduct or nested
+    loop over raw fingerprints."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    plan = explain_str(REGISTRY["media_video_near_dup"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
