@@ -380,3 +380,59 @@ def make_audio_near_dedup_ingest(
         spark, out_dir, store_path, fingerprint,
         id_col=id_col, sig_col="afp", max_hamming=max_hamming,
     )
+
+
+def start_video_near_dedup_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+):
+    """Streaming **perceptual video near-dup** ingestion — the fourth
+    modality on the shared Hamming decision flow: each micro-batch's
+    GIF payloads decode to frame stacks and fingerprint via the
+    majority-vote per-frame dHash (``operators.media.video_dhash`` — a
+    re-encoded, brightened, or frame-repeated copy of accepted footage
+    fingerprints bit-identically and is dropped against history), then
+    probe/cluster/append exactly as the image and audio streams do.
+    ``input_dir`` holds parquet files of (``id_col`` long, ``payload``
+    binary) rows — GIF bytes."""
+    stream = spark.readStream.schema(
+        f"{id_col} long, payload binary"
+    ).parquet(input_dir)
+    ingest = make_video_near_dedup_ingest(
+        spark, out_dir, store_path, id_col, max_hamming
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_video_near_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "media_id",
+    max_hamming: int = 10,
+):
+    """:func:`make_hamming_near_dedup_ingest` with the majority-vote
+    video dHash fingerprint (full 64-bit word — the same
+    threshold-calibration note as the image ingest)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.media import video_dhash
+
+    def fingerprint(batch_df: DataFrame) -> DataFrame:
+        return video_dhash(
+            batch_df.withColumn("kind", F.lit("video")), id_col=id_col
+        )
+
+    return make_hamming_near_dedup_ingest(
+        spark, out_dir, store_path, fingerprint,
+        id_col=id_col, sig_col="vdhash", max_hamming=max_hamming,
+    )

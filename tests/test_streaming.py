@@ -1707,3 +1707,101 @@ def test_streaming_audio_near_dedup_equals_batch_and_replays(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(store2).collect())),
     )
     assert after == before
+
+
+def test_streaming_video_near_dedup_equals_batch_and_replays(spark, tmp_path):
+    """The video perceptual dedup stream (fourth modality on the shared
+    Hamming ingest): accepted ids must equal the batch incremental
+    operator over the same increments — including a brightness dup
+    STRADDLING epochs — and a replayed epoch must be a no-op."""
+    import os
+
+    import numpy as np
+
+    from demo_apache_beam_spark.operators import codecs
+    from demo_apache_beam_spark.operators.dedup import (
+        incremental_hamming_dedup,
+    )
+    from demo_apache_beam_spark.operators.media import video_dhash
+    from demo_apache_beam_spark.streaming.dedup import (
+        make_video_near_dedup_ingest,
+        start_video_near_dedup_stream,
+    )
+    from pyspark.sql import functions as F
+
+    def scene(seed, n=16, fh=12, fw=16):
+        r = np.random.RandomState(6000 + seed)
+        base = r.randint(20, 160, size=(fh, fw)).astype(np.float64)
+        drift = r.randn(fh, fw) * 1.5
+        return np.stack(
+            [np.clip(base + t * drift, 10, 240) for t in range(n)]
+        ).astype(np.uint8)
+
+    def rows(ids):
+        out = []
+        for i in ids:
+            fr = scene(i % 1000)
+            if i >= 1000:  # planted perceptual variant: brightness +8
+                fr = fr + np.uint8(8)
+            out.append((i, bytearray(codecs.gif_encode(fr))))
+        return out
+
+    incs = [
+        [1, 2, 1001],   # 1001 brightness-dup of 1 (in-batch)
+        [1002, 3],      # straddles: dup of epoch-0 winner 1
+    ]
+
+    batch_store = str(tmp_path / "batch_store")
+    expect: list[int] = []
+    for inc in incs:
+        df = spark.createDataFrame(rows(inc), "media_id long, payload binary")
+        sigs = video_dhash(df.withColumn("kind", F.lit("video")))
+        expect += [
+            int(r["media_id"])
+            for r in incremental_hamming_dedup(
+                sigs, batch_store, sig_col="vdhash"
+            ).collect()
+        ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    q = start_video_near_dedup_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "store"),
+        str(tmp_path / "chk"),
+    )
+    try:
+        for i, inc in enumerate(incs):
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(
+                rows(inc), "media_id long, payload binary"
+            ).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(f"{stage}/{part}", f"{in_dir}/inc_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        int(r["media_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    ]
+    assert sorted(got) == sorted(expect) == [1, 2, 3]
+
+    # replay epoch 1 — bit-identical store+sink
+    out_dir2, store2 = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_video_near_dedup_ingest(spark, out_dir2, store2)
+    before = (
+        sorted(map(tuple, spark.read.parquet(out_dir2).collect())),
+        sorted(map(tuple, spark.read.parquet(store2).collect())),
+    )
+    ingest(
+        spark.createDataFrame(rows(incs[1]), "media_id long, payload binary"),
+        1,
+    )
+    spark.catalog.refreshByPath(out_dir2)
+    spark.catalog.refreshByPath(store2)
+    after = (
+        sorted(map(tuple, spark.read.parquet(out_dir2).collect())),
+        sorted(map(tuple, spark.read.parquet(store2).collect())),
+    )
+    assert after == before
