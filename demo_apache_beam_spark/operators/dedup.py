@@ -1449,6 +1449,43 @@ def erase_from_exact_store(
     return erase_rows(spark, store_path, keys, key_col="_ck")
 
 
+def _is_epoch_partitioned(spark, store_path: str) -> bool:
+    """True iff the store is the streaming layout (``_batch_id=``
+    partition directories)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    return any(
+        e.isDirectory() and e.getPath().getName().startswith("_batch_id=")
+        for e in fs.listStatus(p)
+    )
+
+
+def _resolve_tombstone(spark, store_path: str, tombstone) -> bool:
+    """``tombstone=None`` auto-resolves to True for epoch-partitioned
+    (streaming) stores. Rationale (review r10): a streaming store's
+    writer rewrites a replayed epoch's partition from the redelivered
+    SOURCE batch, so a plain row delete is silently resurrected by the
+    exact crash-recovery path the idempotent layout exists for — the
+    erase must leave a durable tombstone the ingest consults on every
+    (re)delivery. Batch stores have no replayer, so plain deletion is
+    complete there and erased content stays RE-ADMISSIBLE; tombstoned
+    content is conservatively BLOCKED from future ingestion (an
+    at-least-once stream cannot distinguish a redelivery of the erased
+    item from a fresh resubmission of the same content)."""
+    if tombstone is None:
+        return _is_epoch_partitioned(spark, store_path)
+    return bool(tombstone)
+
+
+def tombstone_store_path(store_path: str) -> str:
+    """The durable erasure-tombstone dataset paired with a streaming
+    dedup store (consulted by the ingests on every delivery)."""
+    return store_path + "__tombstones"
+
+
 def erase_from_minhash_store(
     spark,
     store_path: str,
@@ -1458,6 +1495,7 @@ def erase_from_minhash_store(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    tombstone: bool | None = None,
 ) -> dict:
     """Remove the given ACCEPTED documents' band rows from an
     :func:`incremental_minhash_dedup` store. The erase key is the
@@ -1477,7 +1515,15 @@ def erase_from_minhash_store(
     ``rows_erased`` count is the audit hook. Signature parameters must
     match the store's. Partition layout (e.g. the streaming store's
     ``_batch_id`` dirs) is preserved; untouched partitions are not
-    rewritten."""
+    rewritten.
+
+    ``tombstone`` (default: auto — ON for epoch-partitioned streaming
+    stores, OFF for batch stores; see :func:`_resolve_tombstone` for
+    why the split): when on, the erased keys are also appended to the
+    ``__tombstones`` dataset the streaming ingests consult, so a
+    redelivered epoch cannot resurrect the erased rows — and a future
+    submission of the same content is conservatively blocked."""
+    from .checkpoints import tracked_local_checkpoint
     from .layout import erase_rows
 
     keys = band_rows(
@@ -1486,6 +1532,9 @@ def erase_from_minhash_store(
         num_hashes,
         bands,
     ).select("band_idx", "band_hash")
+    if _resolve_tombstone(spark, store_path, tombstone):
+        keys = tracked_local_checkpoint(keys)  # one signature pass
+        keys.write.mode("append").parquet(tombstone_store_path(store_path))
     return erase_rows(
         spark, store_path, keys, key_col=["band_idx", "band_hash"]
     )
@@ -1496,19 +1545,25 @@ def erase_from_hamming_store(
     store_path: str,
     sigs: DataFrame,
     sig_col: str = "dhash",
+    tombstone: bool | None = None,
 ) -> dict:
     """Remove the given ACCEPTED items' probe rows from an
     :func:`incremental_hamming_dedup` store (``sigs``: one ``(id,
     sig)`` row per item to erase — recompute via
-    :func:`operators.media.image_dhash` / ``audio_fingerprint`` from
-    the payloads being erased). The erase key is the signature alone,
-    which is exact here: accepted items are pairwise ``> max_hamming``
-    apart, so no two accepted items share a signature and every store
-    row carrying it belongs to the erased item. Same accepted-content
-    contract and partition-layout preservation as
-    :func:`erase_from_minhash_store`."""
+    :func:`operators.media.image_dhash` / ``audio_fingerprint`` /
+    ``video_dhash`` from the payloads being erased). The erase key is
+    the signature alone, which is exact here: accepted items are
+    pairwise ``> max_hamming`` apart, so no two accepted items share a
+    signature and every store row carrying it belongs to the erased
+    item. Same accepted-content contract, partition-layout
+    preservation, and ``tombstone`` semantics as
+    :func:`erase_from_minhash_store` (tombstones hold the bare
+    signature column)."""
+    from .checkpoints import tracked_local_checkpoint
     from .layout import erase_rows
 
-    return erase_rows(
-        spark, store_path, sigs.select(sig_col), key_col=sig_col
-    )
+    keys = sigs.select(sig_col)
+    if _resolve_tombstone(spark, store_path, tombstone):
+        keys = tracked_local_checkpoint(keys)
+        keys.write.mode("append").parquet(tombstone_store_path(store_path))
+    return erase_rows(spark, store_path, keys, key_col=sig_col)

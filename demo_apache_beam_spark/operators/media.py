@@ -653,8 +653,11 @@ def video_dhash(
     near 50% and resampling flips 9–20 bits — majority fingerprints
     need real (correlated) footage to be sampling-robust.
 
-    Frames smaller than the ``hash_size+1`` grid in either axis reject
-    the whole item (with the counter); output ``(id, vdhash long)``
+    Rejection semantics match the image/audio siblings: the counter
+    counts DECODER rejections (undecodable bytes); items whose frames
+    are smaller than the ``hash_size+1`` grid are structural drops,
+    filtered silently like every other below-grid input. Output
+    ``(id, vdhash long)``
     with the id column passing through in its ORIGINAL type — 8
     signature bytes per clip into the shuffle, payloads never leave
     the executor. Feed to :func:`operators.dedup.hamming_near_pairs`

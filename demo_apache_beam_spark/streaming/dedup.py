@@ -131,12 +131,51 @@ def make_near_dedup_ingest(
     from pyspark.sql import functions as F
 
     from ..operators.checkpoints import track_checkpoints, unpersist_ids
-    from ..operators.dedup import _hadoop_path_exists, minhash_near_dedup_core
+    from ..operators.dedup import (
+        _hadoop_path_exists,
+        band_rows,
+        minhash_near_dedup_core,
+        minhash_signatures,
+        tombstone_store_path,
+    )
     from .idempotent import write_windowed_idempotent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # erasure tombstones (review r10): a replayed epoch re-derives
+        # its rows from the redelivered SOURCE batch, so a compliance
+        # delete on the store alone would be silently resurrected by
+        # crash recovery. Documents whose band rows ALL match the
+        # tombstone set (i.e. exactly the erased content — a fresh
+        # near-dup shares only some bands and passes to the normal
+        # decision) are removed from the increment before anything
+        # else, on every delivery, first or replayed.
+        ts_path = tombstone_store_path(store_path)
+        if _hadoop_path_exists(spark, ts_path):
+            tomb = spark.read.parquet(ts_path)
+            bb = band_rows(
+                minhash_signatures(
+                    batch_df, id_col, text_col, num_hashes, shingle_n
+                ),
+                id_col,
+                num_hashes,
+                bands,
+            )
+            per_doc = bb.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+            matched = (
+                bb.join(tomb, ["band_idx", "band_hash"], "left_semi")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("_m"))
+            )
+            blocked = (
+                per_doc.join(matched, id_col)
+                .filter(F.col("_n") == F.col("_m"))
+                .select(id_col)
+            )
+            batch_df = batch_df.join(blocked, id_col, "left_anti")
+            if batch_df.isEmpty():
+                return
         hist = None
         if _hadoop_path_exists(spark, store_path):
             hist = spark.read.parquet(store_path).filter(
@@ -179,6 +218,25 @@ def make_near_dedup_ingest(
     return ingest
 
 
+
+def _start_payload_hamming_stream(
+    spark, input_dir: str, checkpoint_dir: str, ingest, id_col: str
+):
+    """Shared stream scaffolding for the perceptual dedup modalities:
+    a parquet payload stream (``id_col`` long, ``payload`` binary) fed
+    through one foreachBatch ingest — the stream-wiring half of
+    :func:`make_hamming_near_dedup_ingest`, factored once so a new
+    modality adds only its fingerprint (review r10)."""
+    stream = spark.readStream.schema(
+        f"{id_col} long, payload binary"
+    ).parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_image_near_dedup_stream(
     spark,
     input_dir: str,
@@ -215,16 +273,11 @@ def start_image_near_dedup_stream(
     counter when wired). Survivors land under ``out_dir`` partitioned
     by ``_batch_id``.
     """
-    stream = spark.readStream.schema(
-        f"{id_col} long, payload binary"
-    ).parquet(input_dir)
     ingest = make_image_near_dedup_ingest(
         spark, out_dir, store_path, id_col, max_hamming
     )
-    return (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return _start_payload_hamming_stream(
+        spark, input_dir, checkpoint_dir, ingest, id_col
     )
 
 
@@ -239,7 +292,8 @@ def make_hamming_near_dedup_ingest(
 ):
     """The modality-agnostic foreachBatch callable behind the perceptual
     dedup streams (:func:`start_image_near_dedup_stream`,
-    :func:`start_audio_near_dedup_stream`) — the decision flow is
+    :func:`start_audio_near_dedup_stream`,
+    :func:`start_video_near_dedup_stream`) — the decision flow is
     identical for any 64-bit fingerprint, only ``fingerprint`` (a
     ``batch_df -> (id, sig)`` DataFrame function) differs per modality.
     Exposed so the replay contract is directly testable (same shape as
@@ -252,6 +306,7 @@ def make_hamming_near_dedup_ingest(
     from ..operators.dedup import (
         _hadoop_path_exists,
         incremental_hamming_dedup_core,
+        tombstone_store_path,
     )
     from .idempotent import write_windowed_idempotent
 
@@ -269,6 +324,22 @@ def make_hamming_near_dedup_ingest(
         # exactly this batch's blocks once the writes are durable
         with track_checkpoints() as ckpt_ids:
             sigs = fingerprint(batch_df)
+            # erasure tombstones (review r10): items whose signature
+            # EXACTLY matches an erased one are removed from the
+            # increment on every delivery — a replayed epoch would
+            # otherwise re-derive the erased rows from the redelivered
+            # payloads and resurrect them in store and sink; a fresh
+            # near-dup variant (nonzero Hamming) passes to the normal
+            # decision.
+            ts_path = tombstone_store_path(store_path)
+            if _hadoop_path_exists(spark, ts_path):
+                tomb = spark.read.parquet(ts_path).select(sig_col)
+                # filtering the DECISION input is sufficient for the
+                # sink too: survivors ⊆ sigs ids, and the sink write
+                # semi-joins batch_df by survivors
+                sigs = sigs.join(tomb, sig_col, "left_anti")
+                if sigs.isEmpty():
+                    return
             survivors, banded = incremental_hamming_dedup_core(
                 sigs, hist, id_col=id_col, sig_col=sig_col,
                 max_hamming=max_hamming,
@@ -343,16 +414,11 @@ def start_audio_near_dedup_stream(
     idempotence and the ``_batch_id < epoch`` history contract are the
     shared ingest's. ``input_dir`` holds parquet files of (``id_col``
     long, ``payload`` binary) rows — WAV bytes."""
-    stream = spark.readStream.schema(
-        f"{id_col} long, payload binary"
-    ).parquet(input_dir)
     ingest = make_audio_near_dedup_ingest(
         spark, out_dir, store_path, id_col, max_hamming
     )
-    return (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return _start_payload_hamming_stream(
+        spark, input_dir, checkpoint_dir, ingest, id_col
     )
 
 
@@ -400,16 +466,11 @@ def start_video_near_dedup_stream(
     probe/cluster/append exactly as the image and audio streams do.
     ``input_dir`` holds parquet files of (``id_col`` long, ``payload``
     binary) rows — GIF bytes."""
-    stream = spark.readStream.schema(
-        f"{id_col} long, payload binary"
-    ).parquet(input_dir)
     ingest = make_video_near_dedup_ingest(
         spark, out_dir, store_path, id_col, max_hamming
     )
-    return (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return _start_payload_hamming_stream(
+        spark, input_dir, checkpoint_dir, ingest, id_col
     )
 
 

@@ -1805,3 +1805,131 @@ def test_streaming_video_near_dedup_equals_batch_and_replays(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(store2).collect())),
     )
     assert after == before
+
+
+def test_erasure_tombstones_survive_epoch_replay_hamming(spark, tmp_path):
+    """Review r10: a replayed epoch re-derives its rows from the
+    redelivered source batch, so erasing from a streaming store without
+    a tombstone would be silently resurrected by crash recovery. With
+    the (auto-enabled) tombstone: after erasing an accepted image and
+    replaying its epoch, neither the store nor the sink regains it,
+    other docs in the epoch survive the rewrite, and a fresh submission
+    of the same content stays blocked (an at-least-once stream cannot
+    distinguish redelivery from resubmission)."""
+    from demo_apache_beam_spark.operators.dedup import (
+        erase_from_hamming_store,
+        tombstone_store_path,
+    )
+    from demo_apache_beam_spark.operators.media import image_dhash
+    from demo_apache_beam_spark.streaming.dedup import (
+        make_image_near_dedup_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_image_near_dedup_ingest(spark, out_dir, store)
+    b0 = spark.createDataFrame(
+        _png_rows([1, 2]), "media_id long, payload binary"
+    )
+    ingest(b0, 0)
+    assert sorted(
+        int(r["media_id"]) for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2]
+
+    # DSR: erase doc 1 — sink rows by id, store rows by signature
+    sig1 = image_dhash(
+        spark.createDataFrame(_png_rows([1]), "media_id long, payload binary")
+        .withColumn("kind", F.lit("image"))
+    )
+    res = erase_from_hamming_store(spark, store, sig1)  # auto-tombstones
+    assert res["rows_erased"] > 0
+    import os
+
+    assert os.path.isdir(tombstone_store_path(store))
+    from demo_apache_beam_spark.operators.layout import erase_rows
+
+    erase_rows(
+        spark, out_dir,
+        spark.createDataFrame([(1,)], "media_id long"), key_col="media_id",
+    )
+
+    # crash recovery: epoch 0 is redelivered in full
+    ingest(b0, 0)
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    sink_ids = sorted(
+        int(r["media_id"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert sink_ids == [2]  # doc 1 NOT resurrected; doc 2 survives
+    sig1_val = int(sig1.collect()[0]["dhash"])
+    store_sigs = {int(r["dhash"]) for r in spark.read.parquet(store).collect()}
+    assert sig1_val not in store_sigs
+
+    # a fresh submission of the SAME content (new id) stays blocked
+    ingest(
+        spark.createDataFrame(
+            [(99, _png_rows([1])[0][1])], "media_id long, payload binary"
+        ),
+        1,
+    )
+    spark.catalog.refreshByPath(out_dir)
+    assert 99 not in {
+        int(r["media_id"]) for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_erasure_tombstones_survive_epoch_replay_minhash(spark, tmp_path):
+    """The MinHash sibling of the Hamming tombstone contract, plus the
+    precision property: only EXACT erased content (every band
+    tombstoned) is blocked — a fresh NEAR-dup shares some bands, passes
+    to the normal decision, and with the history rows erased is now
+    admissible."""
+    from demo_apache_beam_spark.operators.dedup import (
+        erase_from_minhash_store,
+    )
+    from demo_apache_beam_spark.streaming.dedup import make_near_dedup_ingest
+
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_near_dedup_ingest(spark, out_dir, store)
+    t1 = ("the quick brown fox jumps over the lazy dog while rain falls "
+          "on the quiet town and children play near the old stone bridge")
+    t2 = ("data pipelines shuffle terabytes of text across executors "
+          "while schedulers balance partitions and optimizers prune scans")
+    b0 = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    ingest(b0, 0)
+
+    res = erase_from_minhash_store(
+        spark, store,
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"),
+    )  # epoch-partitioned -> tombstone auto-on
+    assert res["rows_erased"] > 0
+    from demo_apache_beam_spark.operators.layout import erase_rows
+
+    erase_rows(
+        spark, out_dir,
+        spark.createDataFrame([(1,)], "doc_id long"), key_col="doc_id",
+    )
+
+    # replay epoch 0: doc 1 must not come back; doc 2 must survive
+    ingest(b0, 0)
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    assert sorted(
+        int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
+    ) == [2]
+
+    # fresh EXACT content blocked; fresh NEAR-dup admissible (history
+    # erased, only some bands shared with the tombstones)
+    near = t1.rsplit(" ", 1)[0] + " tonight"
+    ingest(
+        spark.createDataFrame(
+            [(50, t1), (51, near)], "doc_id long, text string"
+        ),
+        1,
+    )
+    spark.catalog.refreshByPath(out_dir)
+    got = sorted(
+        int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert 50 not in got  # exact erased content stays out
+    assert 51 in got  # near variant is fresh content post-erasure
