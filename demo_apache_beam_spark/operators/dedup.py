@@ -1436,16 +1436,26 @@ def erase_from_exact_store(
     store_path: str,
     docs: DataFrame,
     key_cols: tuple[str, ...] | list[str] = ("text",),
+    tombstone: bool | None = None,
 ) -> dict:
     """Remove the given documents' content digests from an
     :func:`incremental_exact_dedup` store (atomic partition-preserving
     rewrite via :func:`operators.layout.erase_rows`). Exactness: the
     store holds one row per ACCEPTED digest (first-seen-wins), so a
-    digest identifies exactly one accepted item. Returns erase_rows'
-    ``{rows_before, rows_erased, rows_after}``."""
+    digest identifies exactly one accepted item. ``tombstone`` follows
+    the shared auto rule (:func:`_resolve_tombstone`): ON for the
+    epoch-partitioned streaming store
+    (``streaming.dedup.start_exact_dedup_stream``), whose ingest
+    filters tombstoned digests on every delivery so epoch replay
+    cannot resurrect them. Returns erase_rows' ``{rows_before,
+    rows_erased, rows_after}``."""
+    from .checkpoints import tracked_local_checkpoint
     from .layout import erase_rows
 
     keys = docs.select(content_key(key_cols).alias("_ck"))
+    if _resolve_tombstone(spark, store_path, tombstone):
+        keys = tracked_local_checkpoint(keys)
+        keys.write.mode("append").parquet(tombstone_store_path(store_path))
     return erase_rows(spark, store_path, keys, key_col="_ck")
 
 

@@ -497,3 +497,108 @@ def make_video_near_dedup_ingest(
         spark, out_dir, store_path, fingerprint,
         id_col=id_col, sig_col="vdhash", max_hamming=max_hamming,
     )
+
+
+def start_exact_dedup_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_cols: tuple[str, ...] | list[str] | None = None,
+):
+    """Streaming **exact** dedup against the persisted digest store —
+    the third member of the streaming accepted-history set (MinHash
+    bands, Hamming fingerprints, now exact digests, each mirroring its
+    batch incremental operator): every micro-batch is one increment of
+    :func:`operators.dedup.incremental_exact_dedup` — within-batch
+    min-id winner per content digest, anti-join against every earlier
+    epoch's accepted digests, append survivors. Replay idempotence,
+    the ``_batch_id < epoch`` history contract, and erasure-tombstone
+    filtering (exact digest match) are the same as the near-dup
+    streams. ``input_dir`` holds parquet files of (``id_col`` long,
+    ``text_col`` string) rows; ``key_cols`` defaults to
+    ``(text_col,)``."""
+    stream = spark.readStream.schema(
+        f"{id_col} long, {text_col} string"
+    ).parquet(input_dir)
+    ingest = make_exact_dedup_ingest(
+        spark, out_dir, store_path, id_col=id_col,
+        key_cols=key_cols or (text_col,),
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def make_exact_dedup_ingest(
+    spark,
+    out_dir: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    key_cols: tuple[str, ...] | list[str] = ("text",),
+):
+    """The foreachBatch callable behind :func:`start_exact_dedup_stream`
+    (exposed for the replay contract, like its near-dup siblings):
+    digest → tombstone filter → within-batch min-id winner → history
+    anti-join (``_batch_id <`` epoch) → epoch-partitioned idempotent
+    writes of the surviving digests and documents."""
+    from pyspark.sql import functions as F
+
+    from ..operators.checkpoints import track_checkpoints, unpersist_ids
+    from ..operators.dedup import (
+        _hadoop_path_exists,
+        content_key,
+        tombstone_store_path,
+    )
+    from .idempotent import write_windowed_idempotent
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keyed = batch_df.select(
+            content_key(key_cols).alias("_ck"), F.col(id_col)
+        )
+        # erasure tombstones: an erased digest must not be resurrected
+        # by epoch replay — and an exact resubmission is, by
+        # construction, indistinguishable from a redelivery, so it is
+        # blocked too (the documented streaming-erasure semantics)
+        ts_path = tombstone_store_path(store_path)
+        if _hadoop_path_exists(spark, ts_path):
+            tomb = spark.read.parquet(ts_path).select("_ck")
+            keyed = keyed.join(tomb, "_ck", "left_anti")
+        firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+        if _hadoop_path_exists(spark, store_path):
+            hist = spark.read.parquet(store_path).filter(
+                F.col("_batch_id") < F.lit(batch_id)
+            )
+            firsts = firsts.join(hist.select("_ck"), "_ck", "left_anti")
+        from ..operators.checkpoints import tracked_local_checkpoint
+
+        with track_checkpoints() as ckpt_ids:
+            # freeze the survivor set before the store mutates (the
+            # same contract as the batch operator)
+            firsts = tracked_local_checkpoint(firsts)
+            try:
+                write_windowed_idempotent(
+                    firsts.select("_ck").withColumn(
+                        "_batch_id", F.lit(batch_id)
+                    ),
+                    store_path,
+                    partition_col="_batch_id",
+                )
+                write_windowed_idempotent(
+                    batch_df.join(
+                        firsts.select(id_col), id_col, "left_semi"
+                    ).withColumn("_batch_id", F.lit(batch_id)),
+                    out_dir,
+                    partition_col="_batch_id",
+                )
+            finally:
+                unpersist_ids(spark, ckpt_ids)
+
+    return ingest

@@ -1933,3 +1933,96 @@ def test_erasure_tombstones_survive_epoch_replay_minhash(spark, tmp_path):
     )
     assert 50 not in got  # exact erased content stays out
     assert 51 in got  # near variant is fresh content post-erasure
+
+
+def test_streaming_exact_dedup_equals_batch_replays_and_tombstones(
+    spark, tmp_path
+):
+    """The exact-digest dedup stream (third streaming accepted-history
+    store): accepted ids must equal the batch incremental operator over
+    the same increments, a replayed epoch must be a no-op, and an
+    erased digest must survive epoch replay via the tombstone filter."""
+    import os
+
+    from demo_apache_beam_spark.operators.dedup import (
+        erase_from_exact_store,
+        incremental_exact_dedup,
+    )
+    from demo_apache_beam_spark.operators.layout import erase_rows
+    from demo_apache_beam_spark.streaming.dedup import (
+        make_exact_dedup_ingest,
+        start_exact_dedup_stream,
+    )
+
+    t = [f"document number {i} with unique content {i * 37}" for i in range(6)]
+    incs = [
+        [(1, t[0]), (2, t[1]), (3, t[0])],  # 3 is an exact in-batch dup
+        [(4, t[0]), (5, t[2])],             # 4 replays epoch-0 content
+    ]
+
+    # batch reference
+    batch_store = str(tmp_path / "batch_store")
+    expect: list[int] = []
+    for inc in incs:
+        df = spark.createDataFrame(inc, "doc_id long, text string")
+        expect += [
+            int(r["doc_id"])
+            for r in incremental_exact_dedup(df, batch_store).collect()
+        ]
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    q = start_exact_dedup_stream(
+        spark, in_dir, out_dir, store, str(tmp_path / "chk")
+    )
+    try:
+        for i, inc in enumerate(incs):
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(
+                inc, "doc_id long, text string"
+            ).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(f"{stage}/{part}", f"{in_dir}/inc_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == sorted(expect) == [1, 2, 5]
+    store_parts = {
+        d for d in os.listdir(store) if d.startswith("_batch_id=")
+    }
+    assert store_parts
+
+    # replay epoch 1 via the exposed callable — bit-identical
+    ingest = make_exact_dedup_ingest(spark, out_dir, store)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))  # noqa: E731
+    before = (snap(out_dir), snap(store))
+    ingest(
+        spark.createDataFrame(incs[1], "doc_id long, text string"), 1
+    )
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    assert (snap(out_dir), snap(store)) == before
+
+    # erase doc 1's digest (streaming store -> tombstone auto-on), erase
+    # its sink row, replay epoch 0: not resurrected, doc 2 survives
+    res = erase_from_exact_store(
+        spark, store, spark.createDataFrame([(t[0],)], "text string")
+    )
+    assert res["rows_erased"] == 1
+    erase_rows(
+        spark, out_dir,
+        spark.createDataFrame([(1,)], "doc_id long"), key_col="doc_id",
+    )
+    ingest(
+        spark.createDataFrame(incs[0], "doc_id long, text string"), 0
+    )
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    assert sorted(
+        int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
+    ) == [2, 5]
