@@ -2,14 +2,22 @@
 chains the per-operator epoch stores behind ONE stream (VERDICT r7
 item 4).
 
-Each of the engine's streaming stores (near-dup band store, budget
-enforcement, drift monitor, CMS frequencies, quantile histograms, KMV
-distinct sketches, DSIR scoring) is individually stream==batch-pinned;
-a real ingestion pipeline runs them as ONE foreachBatch per epoch:
+Each of the engine's streaming stores (exact-digest store, near-dup
+band store, budget enforcement, drift monitor, CMS frequencies,
+quantile histograms, KMV distinct sketches, DSIR scoring) is
+individually stream==batch-pinned; a real ingestion pipeline runs
+them as ONE foreachBatch per epoch:
 
-    documents ──▶ near-dedup ──▶ budget gate ──▶ drift / CMS / length
-                  (band store)   (offset store)   / KMV / DSIR
-                                                  monitors (5 stores)
+    documents ──▶ exact dedup ──▶ near-dedup ──▶ budget gate ──▶ drift
+                  (digest store)  (band store)   (offset store)  / CMS
+                                                    / length / KMV /
+                                                    DSIR monitors
+                                                    (5 stores)
+
+The exact stage runs FIRST because it is the cheap gate: a
+byte-identical re-crawl dies on a 16-byte digest probe before paying
+shingling + MinHash; the near-dup stage then only sees genuinely new
+bytes.
 
 Stage chaining is DURABLE, not in-plan: each stage reads the previous
 stage's just-written ``_batch_id`` partition back from parquet, exactly
@@ -49,7 +57,8 @@ def make_curation_ingest(
     kmv_k: int = 32,
 ):
     """The composed foreachBatch callable. Store layout under ``root``:
-    ``survivors``/``band_store`` (near-dedup), ``admitted``/
+    ``exact_survivors``/``digest_store`` (exact dedup — the cheap
+    first gate), ``survivors``/``band_store`` (near-dedup), ``admitted``/
     ``budget_store`` (budget gate, weight = ``length(text)``),
     ``drift`` (per-epoch JSD vs the pinned reference histogram),
     ``cms_store`` (source frequencies), ``len_hist_store`` (per-source
@@ -64,11 +73,18 @@ def make_curation_ingest(
     from ..operators.dedup import _hadoop_path_exists
     from .budget import make_budget_ingest
     from .cms import make_cms_ingest
-    from .dedup import make_near_dedup_ingest
+    from .dedup import make_exact_dedup_ingest, make_near_dedup_ingest
     from .drift import make_drift_ingest
     from .histograms import make_histogram_ingest
     from .kmv import make_kmv_ingest
 
+    exact = make_exact_dedup_ingest(
+        spark,
+        f"{root}/exact_survivors",
+        f"{root}/digest_store",
+        id_col=id_col,
+        key_cols=(text_col,),
+    )
     dedup = make_near_dedup_ingest(
         spark, f"{root}/survivors", f"{root}/band_store", id_col, text_col
     )
@@ -124,7 +140,11 @@ def make_curation_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dedup(batch_df, batch_id)
+        exact(batch_df, batch_id)
+        uniq = _epoch_rows(f"{root}/exact_survivors", batch_id)
+        if uniq is None:
+            return
+        dedup(uniq, batch_id)
         survivors = _epoch_rows(f"{root}/survivors", batch_id)
         if survivors is None:
             return

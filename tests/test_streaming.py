@@ -1260,8 +1260,8 @@ def test_streaming_budget_fill_equals_batch_and_replays(spark, tmp_path):
 
 def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
     """The composed production ingest (VERDICT r7 item 4): ONE stream
-    feeding near-dedup -> budget gate -> drift/CMS/length monitors in a
-    single session. The streamed run must leave every member store
+    feeding exact dedup -> near-dedup -> budget gate -> drift/CMS/length
+    monitors in a single session. The streamed run must leave every member store
     bit-identical to the sequential batch composition of the same
     epochs, and a redelivered epoch must be a no-op across ALL stores
     at once — the cross-operator session-interference axis (shared
@@ -1353,6 +1353,7 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
         ingest_b(spark.createDataFrame(chunk, schema), b)
 
     stores = (
+        "exact_survivors", "digest_store",
         "survivors", "band_store", "admitted", "budget_store",
         "drift", "cms_store", "len_hist_store", "kmv_store", "dsir_scores",
     )
@@ -1376,6 +1377,11 @@ def test_curation_capstone_stream_equals_batch_and_replays(spark, tmp_path):
     assert 10 not in {i % 100 for i in surv_ids} or all(
         (e * 100 + 10) not in surv_ids for e in range(3)
     )
+    # the byte-identical within-epoch dup dies at the EXACT stage (the
+    # cheap first gate), before the near-dup stage ever shingles it
+    exact_ids = {r[0] for r in snap_s["exact_survivors"]}
+    assert all((e * 100 + 10) not in exact_ids for e in range(3))
+    assert surv_ids <= exact_ids
     for e in (1, 2):
         assert all(e * 100 + i not in surv_ids for i in range(5)), e
     n_admitted = len(snap_s["admitted"])
