@@ -1098,9 +1098,11 @@ def incremental_exact_dedup(
     production contract: accepted training data is immutable; dedup
     protects the corpus going forward.
 
-    Scale shape: the store holds 16-byte digests only — at 10⁹ accepted
-    documents it is ~16 GB of parquet, scanned once per increment for a
-    digest anti-join (never the text). The within-batch winner is the
+    Scale shape: the store holds md5 digests only (32-char hex strings —
+    ~32 GB of raw parquet at 10⁹ accepted documents, dictionary/
+    prefix-compressed well below that on disk; store `unhex(_ck)` if
+    the 2× matters), scanned once per increment for a digest anti-join
+    (never the text). The within-batch winner is the
     same partial-min groupBy as :func:`dedup_exact`; survivors semi-join
     back by id so document payloads move only for accepted rows. Store
     appends accumulate small files — compact with
@@ -1109,8 +1111,6 @@ def incremental_exact_dedup(
     contract every ingest pipeline already has).
     """
     spark = new_df.sparkSession
-    keyed = new_df.select(content_key(key_cols).alias("_ck"), F.col(id_col))
-    firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
     # Explicit existence probe (the same Hadoop FS API layout.compact_files
     # uses) decides the first-increment case; ONLY a genuinely missing
     # store may proceed without history. Any reader failure on an existing
@@ -1118,16 +1118,41 @@ def incremental_exact_dedup(
     # silently skipping the anti-join would re-admit previously accepted
     # duplicates. Matching exception TEXT here would couple bootstrap to
     # Spark's error wording (ADVICE r5).
-    if _hadoop_path_exists(spark, store_path):
-        hist = spark.read.parquet(store_path).select("_ck")
-        firsts = firsts.join(hist, "_ck", "left_anti")
-    # freeze winners before the store mutates; tracked so a looping
-    # caller (epoch driver, foreachBatch) can scope + free the blocks
-    from .checkpoints import tracked_local_checkpoint
-
-    firsts = tracked_local_checkpoint(firsts)
+    hist = (
+        spark.read.parquet(store_path)
+        if _hadoop_path_exists(spark, store_path)
+        else None
+    )
+    firsts = exact_dedup_core(new_df, hist, key_cols, id_col)
     firsts.select("_ck").write.mode("append").parquet(store_path)
     return new_df.join(firsts.select(id_col), id_col, "left_semi")
+
+
+def exact_dedup_core(
+    new_df: DataFrame,
+    hist_keys: DataFrame | None,
+    key_cols: tuple[str, ...] | list[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The decision kernel shared by :func:`incremental_exact_dedup` and
+    the streaming ingest (``streaming.dedup.make_exact_dedup_ingest``) —
+    factored for the same reason as :func:`minhash_near_dedup_core`: the
+    winner/anti-join logic must not drift between batch and stream
+    (review r10). Given the increment and the accepted-history digests
+    (``_ck`` column; ``None`` for a bootstrap), return the surviving
+    ``(_ck, id)`` winners, localCheckpointed (tracked) so the caller
+    can mutate the store afterwards without re-running the plan —
+    first-seen-wins within the increment (min id per digest) and
+    across increments (history anti-join)."""
+    from .checkpoints import tracked_local_checkpoint
+
+    keyed = new_df.select(content_key(key_cols).alias("_ck"), F.col(id_col))
+    firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+    if hist_keys is not None:
+        firsts = firsts.join(hist_keys.select("_ck"), "_ck", "left_anti")
+    # freeze winners before the store mutates; tracked so a looping
+    # caller (epoch driver, foreachBatch) can scope + free the blocks
+    return tracked_local_checkpoint(firsts)
 
 
 def _hadoop_path_exists(spark, path: str) -> bool:
@@ -1449,14 +1474,25 @@ def erase_from_exact_store(
     filters tombstoned digests on every delivery so epoch replay
     cannot resurrect them. Returns erase_rows' ``{rows_before,
     rows_erased, rows_after}``."""
-    from .checkpoints import tracked_local_checkpoint
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
     from .layout import erase_rows
 
     keys = docs.select(content_key(key_cols).alias("_ck"))
-    if _resolve_tombstone(spark, store_path, tombstone):
-        keys = tracked_local_checkpoint(keys)
-        keys.write.mode("append").parquet(tombstone_store_path(store_path))
-    return erase_rows(spark, store_path, keys, key_col="_ck")
+    # scope the freeze: a long-lived DSR session erasing in a loop must
+    # not accumulate pinned checkpoint blocks (review r10 — the same
+    # ledger discipline erase_rows applies to its own request set)
+    with track_checkpoints() as _cp:
+        if _resolve_tombstone(spark, store_path, tombstone):
+            keys = tracked_local_checkpoint(keys)
+            keys.write.mode("append").parquet(tombstone_store_path(store_path))
+        try:
+            return erase_rows(spark, store_path, keys, key_col="_ck")
+        finally:
+            unpersist_ids(spark, _cp)
 
 
 def _is_epoch_partitioned(spark, store_path: str) -> bool:
@@ -1533,7 +1569,11 @@ def erase_from_minhash_store(
     ``__tombstones`` dataset the streaming ingests consult, so a
     redelivered epoch cannot resurrect the erased rows — and a future
     submission of the same content is conservatively blocked."""
-    from .checkpoints import tracked_local_checkpoint
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
     from .layout import erase_rows
 
     keys = band_rows(
@@ -1542,12 +1582,16 @@ def erase_from_minhash_store(
         num_hashes,
         bands,
     ).select("band_idx", "band_hash")
-    if _resolve_tombstone(spark, store_path, tombstone):
-        keys = tracked_local_checkpoint(keys)  # one signature pass
-        keys.write.mode("append").parquet(tombstone_store_path(store_path))
-    return erase_rows(
-        spark, store_path, keys, key_col=["band_idx", "band_hash"]
-    )
+    with track_checkpoints() as _cp:  # scoped freeze (review r10)
+        if _resolve_tombstone(spark, store_path, tombstone):
+            keys = tracked_local_checkpoint(keys)  # one signature pass
+            keys.write.mode("append").parquet(tombstone_store_path(store_path))
+        try:
+            return erase_rows(
+                spark, store_path, keys, key_col=["band_idx", "band_hash"]
+            )
+        finally:
+            unpersist_ids(spark, _cp)
 
 
 def erase_from_hamming_store(
@@ -1569,11 +1613,19 @@ def erase_from_hamming_store(
     preservation, and ``tombstone`` semantics as
     :func:`erase_from_minhash_store` (tombstones hold the bare
     signature column)."""
-    from .checkpoints import tracked_local_checkpoint
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
     from .layout import erase_rows
 
     keys = sigs.select(sig_col)
-    if _resolve_tombstone(spark, store_path, tombstone):
-        keys = tracked_local_checkpoint(keys)
-        keys.write.mode("append").parquet(tombstone_store_path(store_path))
-    return erase_rows(spark, store_path, keys, key_col=sig_col)
+    with track_checkpoints() as _cp:  # scoped freeze (review r10)
+        if _resolve_tombstone(spark, store_path, tombstone):
+            keys = tracked_local_checkpoint(keys)
+            keys.write.mode("append").parquet(tombstone_store_path(store_path))
+        try:
+            return erase_rows(spark, store_path, keys, key_col=sig_col)
+        finally:
+            unpersist_ids(spark, _cp)

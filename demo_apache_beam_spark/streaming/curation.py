@@ -15,9 +15,15 @@ them as ONE foreachBatch per epoch:
                                                     (5 stores)
 
 The exact stage runs FIRST because it is the cheap gate: a
-byte-identical re-crawl dies on a 16-byte digest probe before paying
-shingling + MinHash; the near-dup stage then only sees genuinely new
-bytes.
+byte-identical re-crawl dies on an md5-digest probe (32-hex-char
+column — store ``unhex`` if the 2× vs raw bytes matters) before
+paying shingling + MinHash; the near-dup stage then only sees
+genuinely new bytes. Its survivor sink carries IDS ONLY
+(``sink_cols``): the stage is an intermediate handoff, so writing the
+full document payload just to read it back next stage would double
+per-epoch payload I/O — the next stage re-derives rows from the
+source batch (replay-equivalent: foreachBatch redelivers the batch on
+recovery, and the id partition is durable).
 
 Stage chaining is DURABLE, not in-plan: each stage reads the previous
 stage's just-written ``_batch_id`` partition back from parquet, exactly
@@ -84,6 +90,7 @@ def make_curation_ingest(
         f"{root}/digest_store",
         id_col=id_col,
         key_cols=(text_col,),
+        sink_cols=(id_col,),  # intermediate handoff: ids only
     )
     dedup = make_near_dedup_ingest(
         spark, f"{root}/survivors", f"{root}/band_store", id_col, text_col
@@ -141,9 +148,13 @@ def make_curation_ingest(
         if batch_df.isEmpty():
             return
         exact(batch_df, batch_id)
-        uniq = _epoch_rows(f"{root}/exact_survivors", batch_id)
-        if uniq is None:
+        uniq_ids = _epoch_rows(f"{root}/exact_survivors", batch_id)
+        if uniq_ids is None:
             return
+        # re-derive surviving rows from the source batch (the durable
+        # artifact is the id partition; payload bytes are written once,
+        # by the near-dup stage's survivor sink)
+        uniq = batch_df.join(uniq_ids, id_col, "left_semi")
         dedup(uniq, batch_id)
         survivors = _epoch_rows(f"{root}/survivors", batch_id)
         if survivors is None:

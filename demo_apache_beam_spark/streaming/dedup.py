@@ -541,18 +541,27 @@ def make_exact_dedup_ingest(
     store_path: str,
     id_col: str = "doc_id",
     key_cols: tuple[str, ...] | list[str] = ("text",),
+    sink_cols: tuple[str, ...] | list[str] | None = None,
 ):
     """The foreachBatch callable behind :func:`start_exact_dedup_stream`
     (exposed for the replay contract, like its near-dup siblings):
     digest → tombstone filter → within-batch min-id winner → history
     anti-join (``_batch_id <`` epoch) → epoch-partitioned idempotent
-    writes of the surviving digests and documents."""
+    writes of the surviving digests and documents. The decision itself
+    is :func:`operators.dedup.exact_dedup_core` — shared with the batch
+    operator so the winner/anti-join logic cannot drift between the two
+    (review r10). ``sink_cols`` restricts the survivor sink's columns
+    (e.g. ``(id_col,)`` when the sink is an intermediate stage handoff
+    and a downstream consumer re-derives rows from the source batch —
+    the curation capstone — so the full document payload isn't written
+    and re-read per epoch just to carry ids)."""
     from pyspark.sql import functions as F
 
     from ..operators.checkpoints import track_checkpoints, unpersist_ids
     from ..operators.dedup import (
         _hadoop_path_exists,
         content_key,
+        exact_dedup_core,
         tombstone_store_path,
     )
     from .idempotent import write_windowed_idempotent
@@ -560,9 +569,6 @@ def make_exact_dedup_ingest(
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        keyed = batch_df.select(
-            content_key(key_cols).alias("_ck"), F.col(id_col)
-        )
         # erasure tombstones: an erased digest must not be resurrected
         # by epoch replay — and an exact resubmission is, by
         # construction, indistinguishable from a redelivery, so it is
@@ -570,19 +576,25 @@ def make_exact_dedup_ingest(
         ts_path = tombstone_store_path(store_path)
         if _hadoop_path_exists(spark, ts_path):
             tomb = spark.read.parquet(ts_path).select("_ck")
-            keyed = keyed.join(tomb, "_ck", "left_anti")
-        firsts = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col))
+            batch_df = batch_df.join(
+                tomb,
+                content_key(key_cols) == F.col("_ck"),
+                "left_anti",
+            )
+            if batch_df.isEmpty():
+                return  # fully-tombstoned replay: nothing to decide
+        hist = None
         if _hadoop_path_exists(spark, store_path):
             hist = spark.read.parquet(store_path).filter(
                 F.col("_batch_id") < F.lit(batch_id)
             )
-            firsts = firsts.join(hist.select("_ck"), "_ck", "left_anti")
-        from ..operators.checkpoints import tracked_local_checkpoint
-
         with track_checkpoints() as ckpt_ids:
-            # freeze the survivor set before the store mutates (the
-            # same contract as the batch operator)
-            firsts = tracked_local_checkpoint(firsts)
+            firsts = exact_dedup_core(batch_df, hist, key_cols, id_col)
+            out = batch_df.join(
+                firsts.select(id_col), id_col, "left_semi"
+            )
+            if sink_cols is not None:
+                out = out.select(*sink_cols)
             try:
                 write_windowed_idempotent(
                     firsts.select("_ck").withColumn(
@@ -592,9 +604,7 @@ def make_exact_dedup_ingest(
                     partition_col="_batch_id",
                 )
                 write_windowed_idempotent(
-                    batch_df.join(
-                        firsts.select(id_col), id_col, "left_semi"
-                    ).withColumn("_batch_id", F.lit(batch_id)),
+                    out.withColumn("_batch_id", F.lit(batch_id)),
                     out_dir,
                     partition_col="_batch_id",
                 )
