@@ -313,6 +313,75 @@ def _area_pool(img: np.ndarray, th: int, tw: int) -> np.ndarray:
     return (sums / counts).reshape(th, tw)
 
 
+def _signed64(word_bits: np.ndarray) -> int:
+    """Pack a ≤64-element bool vector MSB-first into one signed 64-bit
+    int (two's complement — the exact value Spark's long column holds)."""
+    word = np.zeros(64, dtype=bool)
+    word[: word_bits.size] = word_bits
+    sig = int.from_bytes(np.packbits(word).tobytes(), "big")
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def image_dhash_word(img, hash_size: int = 8):
+    """The pure dHash kernel behind :func:`image_dhash` — one decoded
+    raster in, one signed-64 fingerprint out (``None`` = below the hash
+    grid, the structural drop). Module-level so property tests can
+    drive it numpy-only, and so the Spark operator and any external
+    caller can never diverge."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    th, tw = hash_size, hash_size + 1
+    h, w = img.shape
+    if h < th or w < tw:
+        return None
+    small = _area_pool(img, th, tw)
+    # bit (r·hash_size + c) of the final word is the (r, c) gradient sign
+    return _signed64((small[:, :-1] > small[:, 1:]).ravel())
+
+
+def audio_fp_word(x, n_frames: int = 9, n_bands: int = 8, frame_len: int = 512):
+    """The pure spectral-fingerprint kernel behind
+    :func:`audio_fingerprint` — one decoded mono signal in, one
+    signed-64 fingerprint out (``None`` = shorter than the analysis
+    window)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim != 1 or len(x) < n_frames * frame_len:
+        return None
+    frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # DC excluded; the remaining bins split into n_bands contiguous
+    # equal-width bands
+    bands = np.stack(
+        [b.sum(axis=1) for b in np.array_split(spec[:, 1:], n_bands, axis=1)],
+        axis=1,
+    )  # (n_frames, n_bands)
+    return _signed64((bands[1:] > bands[:-1]).ravel())
+
+
+def video_dhash_word(frames, hash_size: int = 8):
+    """The pure majority-vote kernel behind :func:`video_dhash` — one
+    decoded frame stack in, one signed-64 fingerprint out (``None`` =
+    no frame or frames below the hash grid)."""
+    frames = np.asarray(frames, dtype=np.float64)
+    if frames.ndim == 4:
+        frames = frames.mean(axis=3)  # grayscale
+    th, tw = hash_size, hash_size + 1
+    n, h, w = frames.shape
+    if n < 1 or h < th or w < tw:
+        return None
+    bits = np.stack(
+        [
+            (lambda s: (s[:, :-1] > s[:, 1:]).ravel())(
+                _area_pool(frames[i], th, tw)
+            )
+            for i in range(n)
+        ]
+    )  # (n, hash_size²)
+    return _signed64(bits.sum(axis=0) * 2 >= n)  # ties set — fixed rule
+
+
+
 def resize_images(
     media: DataFrame,
     target_h: int = 8,
@@ -447,7 +516,6 @@ def image_dhash(
             f"image_dhash: hash_size must be in [2, 8] (hash_size² bits "
             f"must fit one 64-bit word), got {hash_size}"
         )
-    th, tw = hash_size, hash_size + 1
     out_schema = T.StructType(
         [media.schema[id_col], T.StructField("dhash", T.LongType(), False)]
     )
@@ -462,20 +530,11 @@ def image_dhash(
                     if rejected_counter is not None:
                         rejected_counter.add(1)
                     continue  # decoder rejected the file
-                img = np.asarray(img, dtype=np.float64)
-                if img.ndim == 3:
-                    img = img.mean(axis=2)
-                h, w = img.shape
-                if h < th or w < tw:
+                sig = image_dhash_word(img, hash_size)
+                if sig is None:
                     continue  # smaller than the hash grid: empty bins
-                small = _area_pool(img, th, tw)
-                bits = (small[:, :-1] > small[:, 1:]).ravel()
-                # pack MSB-first: bit (r·8+c) of the final word is the
-                # (r, c) gradient sign — map back to signed for the
-                # Spark long column (two's complement, wraparound exact)
-                sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 kept.append(pos)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                sigs.append(sig)
             yield pd.DataFrame(
                 {
                     # iloc slice preserves the id column's original dtype
@@ -569,7 +628,6 @@ def audio_fingerprint(
         [media.schema[id_col], T.StructField("afp", T.LongType(), False)]
     )
     decode = decoder or codecs.wav_pcm_decoder
-    min_len = n_frames * frame_len
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -580,24 +638,11 @@ def audio_fingerprint(
                     if rejected_counter is not None:
                         rejected_counter.add(1)
                     continue  # decoder rejected the file
-                x = np.asarray(x, dtype=np.float64)
-                if x.ndim != 1 or len(x) < min_len:
+                sig = audio_fp_word(x, n_frames, n_bands, frame_len)
+                if sig is None:
                     continue  # shorter than the analysis window
-                frames = x[: frame_len * n_frames].reshape(n_frames, frame_len)
-                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-                # DC excluded; the remaining bins split into n_bands
-                # contiguous equal-width bands
-                bands = np.stack(
-                    [b.sum(axis=1) for b in
-                     np.array_split(spec[:, 1:], n_bands, axis=1)],
-                    axis=1,
-                )  # (n_frames, n_bands)
-                bits = (bands[1:] > bands[:-1]).ravel()
-                word = np.zeros(64, dtype=bool)
-                word[: bits.size] = bits
-                sig = int.from_bytes(np.packbits(word).tobytes(), "big")
                 kept.append(pos)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                sigs.append(sig)
             yield pd.DataFrame(
                 {
                     # iloc slice preserves the id column's original dtype
@@ -671,7 +716,6 @@ def video_dhash(
         raise ValueError(
             f"video_dhash: hash_size must be in [2, 8], got {hash_size}"
         )
-    th, tw = hash_size, hash_size + 1
 
     def default_decoder(kind, payload, meta):
         try:
@@ -693,26 +737,11 @@ def video_dhash(
                     if rejected_counter is not None:
                         rejected_counter.add(1)
                     continue  # decoder rejected the file
-                frames = np.asarray(frames, dtype=np.float64)
-                if frames.ndim == 4:
-                    frames = frames.mean(axis=3)  # grayscale
-                n, h, w = frames.shape
-                if n < 1 or h < th or w < tw:
-                    continue  # smaller than the hash grid
-                bits = np.stack(
-                    [
-                        (lambda s: (s[:, :-1] > s[:, 1:]).ravel())(
-                            _area_pool(frames[i], th, tw)
-                        )
-                        for i in range(n)
-                    ]
-                )  # (n, hash_size²)
-                maj = bits.sum(axis=0) * 2 >= n  # ties set — fixed rule
-                word = np.zeros(64, dtype=bool)
-                word[: maj.size] = maj
-                sig = int.from_bytes(np.packbits(word).tobytes(), "big")
+                sig = video_dhash_word(frames, hash_size)
+                if sig is None:
+                    continue  # no frame / below the hash grid
                 kept.append(pos)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                sigs.append(sig)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].iloc[kept].reset_index(drop=True),

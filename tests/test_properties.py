@@ -428,3 +428,85 @@ def test_parse_game_events_never_throws_and_counts_every_drop(spark, lines):
     m = obs.get
     assert m["lines_seen"] == len(lines)
     assert m["parse_errors"] + len(out) == len(lines)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprint kernels — pure-numpy properties (no Spark per
+# example: the kernels behind image_dhash / audio_fingerprint /
+# video_dhash are module-level exactly so these can run fast)
+# ---------------------------------------------------------------------------
+
+_PURE_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    h=st.integers(9, 60),
+    w=st.integers(10, 60),
+    shift=st.integers(1, 40),
+)
+@settings(**_PURE_SETTINGS)
+def test_image_dhash_word_brightness_and_rescale_invariant(seed, h, w, shift):
+    """∀ rasters: a constant brightness shift and a positive contrast
+    rescale leave every left>right gradient sign — and therefore the
+    fingerprint — EXACTLY unchanged; the signed-64 packing round-trips."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import image_dhash_word
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 200, size=(h, w)).astype(np.float64)
+    base = image_dhash_word(img)
+    assert base is not None
+    assert -(1 << 63) <= base < (1 << 63)
+    assert image_dhash_word(img + shift) == base
+    assert image_dhash_word(img * 2.5) == base
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(4608, 9000))
+@settings(max_examples=25, deadline=None)
+def test_audio_fp_word_gain_dc_pad_invariant(seed, n):
+    """∀ signals covering the analysis window: pure gain, DC offset,
+    and trailing padding/truncation beyond the window leave the
+    fingerprint EXACTLY unchanged; shorter-than-window signals return
+    None."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import audio_fp_word
+
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n) * 1000.0
+    base = audio_fp_word(x)
+    assert base is not None
+    assert audio_fp_word(x * 3.0) == base
+    assert audio_fp_word(x + 700.0) == base
+    assert audio_fp_word(np.concatenate([x, np.zeros(500)])) == base
+    assert audio_fp_word(x[: 9 * 512]) == base  # truncate to the window
+    assert audio_fp_word(x[: 9 * 512 - 1]) is None
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_frames=st.integers(1, 12),
+    reps=st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_video_dhash_word_repeat_shuffle_brightness_invariant(
+    seed, n_frames, reps
+):
+    """∀ frame stacks: temporal k× frame-repeat preserves every
+    majority-vote proportion (including the 2·ones >= n tie rule),
+    frame ORDER is irrelevant by construction, and per-frame brightness
+    shifts lift to the clip."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.media import video_dhash_word
+
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 200, size=(n_frames, 12, 16)).astype(np.float64)
+    base = video_dhash_word(frames)
+    assert base is not None
+    assert video_dhash_word(np.repeat(frames, reps, axis=0)) == base
+    perm = rng.permutation(n_frames)
+    assert video_dhash_word(frames[perm]) == base
+    assert video_dhash_word(frames + 9.0) == base
