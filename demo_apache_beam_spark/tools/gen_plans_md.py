@@ -65,6 +65,10 @@ HEADLINE = [
     "embedding_kmeans_delta_assign",
     "media_image_near_dup",
     "media_audio_near_dup",
+    # r10 late additions: the fourth perceptual modality and the
+    # scan-only PII scrub (zero-shuffle compliance pass)
+    "media_video_near_dup",
+    "doc_pii_scrub",
 ]
 
 _SCRUB = re.compile(
