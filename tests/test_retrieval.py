@@ -208,3 +208,73 @@ def test_bfs_distances_multi_seed_min(spark):
     }
     want = {v: min(v, 9 - v) for v in range(10)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality eval: recall@k / MRR@k / nDCG@k vs a hand-computed
+# reference on a tiny fixture, plus the zero-hit row via the left join.
+# ---------------------------------------------------------------------------
+
+
+def test_ranking_eval_reference(spark):
+    from demo_apache_beam_spark.operators.retrieval import ranking_eval
+
+    k = 3
+    # truth: per-query relevant sets
+    truth_rows = [
+        (1, 10), (1, 11), (1, 12),   # q1: three relevant
+        (2, 20), (2, 21), (2, 22),   # q2: three relevant
+        (3, 30), (3, 31), (3, 32),   # q3: three relevant (none retrieved)
+    ]
+    # cand: q1 perfect order; q2 one hit at rank 3; q3 zero hits
+    cand_rows = [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        (2, 99, 1), (2, 98, 2), (2, 20, 3),
+        (3, 97, 1), (3, 96, 2), (3, 95, 3),
+    ]
+    truth = spark.createDataFrame(truth_rows, "query_id long, neighbor_id long")
+    cand = spark.createDataFrame(
+        cand_rows, "query_id long, neighbor_id long, rank_c int"
+    )
+    out = {
+        r["query_id"]: r
+        for r in ranking_eval(truth, cand, k=k).collect()
+    }
+    assert set(out) == {1, 2, 3}
+
+    # the decimal(18,6) stable-sum cast rounds each DCG term to 6 dp
+    def dterm(rank):
+        return round(1.0 / math.log2(rank + 1.0), 6)
+
+    idcg = sum(dterm(i) for i in range(1, k + 1))
+    # q1: perfect
+    assert out[1]["n_hits"] == 3
+    assert out[1]["recall_at_3"] == 1.0
+    assert out[1]["mrr_at_3"] == 1.0
+    assert out[1]["ndcg_at_3"] == pytest.approx(1.0, abs=1e-9)
+    # q2: single hit at rank 3
+    assert out[2]["n_hits"] == 1
+    assert out[2]["recall_at_3"] == pytest.approx(1 / 3)
+    assert out[2]["mrr_at_3"] == pytest.approx(1 / 3)
+    assert out[2]["ndcg_at_3"] == pytest.approx(dterm(3) / idcg, rel=1e-9)
+    # q3: zero hits still emits a row, all-zero metrics
+    assert out[3]["n_hits"] == 0
+    assert out[3]["recall_at_3"] == 0.0
+    assert out[3]["mrr_at_3"] == 0.0
+    assert out[3]["ndcg_at_3"] == 0.0
+
+
+def test_sq8_codes_reference(spark):
+    """Codes match floor(127·x/‖x‖) computed by numpy, for every dim."""
+    from demo_apache_beam_spark.operators.retrieval import sq8_codes
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=5)]) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["dim"]): r["code"] for r in sq8_codes(emb).collect()
+    }
+    for i, v in vecs:
+        n = math.sqrt(sum(x * x for x in v))
+        for d, x in enumerate(v, start=1):
+            assert got[(i, d)] == math.floor(x / n * 127.0), (i, d)
