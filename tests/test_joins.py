@@ -659,3 +659,73 @@ def test_ann_knn_graph_max_bucket_generous_cap_keeps_recall(spark):
         ).collect()
     }
     assert capped == base
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (operators/linkage.py) — independent reference
+# ---------------------------------------------------------------------------
+
+
+def test_record_linkage_pairs_reference(spark):
+    """Blocked Fellegi-Sunter pairs vs a hand-computed reference: the
+    equi-join only compares within blocks, agreements/score/decision
+    match per pair, and the guard errors fire."""
+    import itertools
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.linkage import (
+        FieldComparator,
+        record_linkage_pairs,
+    )
+
+    rows = [
+        # (id, block, name_norm, val)
+        (1, "b1", "alice", 10.0),
+        (2, "b1", "alice", 10.05),   # match with 1 (name + val agree)
+        (3, "b1", "bob", 10.0),      # co-blocked non-match
+        (4, "b2", "alice", 99.0),    # different block: never compared to 1
+        (5, "b2", "carol", 99.5),    # val drift beyond tolerance vs 4
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, blk string, name_norm string, val double"
+    )
+    comps = [
+        FieldComparator(
+            "name", lambda a, b: a("name_norm") == b("name_norm"), 3.0, -1.0
+        ),
+        FieldComparator(
+            "val", lambda a, b: F.abs(a("val") - b("val")) <= F.lit(0.1),
+            2.0, -0.5,
+        ),
+    ]
+    out = record_linkage_pairs(
+        df, id_col="rid", block_cols=["blk"], comparators=comps, threshold=4.0
+    )
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+
+    # reference: all within-block ordered pairs
+    by_block = {}
+    for rid, blk, name, val in rows:
+        by_block.setdefault(blk, []).append((rid, name, val))
+    expect = {}
+    for blk, members in by_block.items():
+        for (ia, na, va), (ib, nb, vb) in itertools.combinations(members, 2):
+            n_ag = 1 if na == nb else 0
+            v_ag = 1 if abs(va - vb) <= 0.1 else 0
+            score = (3.0 if n_ag else -1.0) + (2.0 if v_ag else -0.5)
+            expect[(min(ia, ib), max(ia, ib))] = (n_ag, v_ag, score, score >= 4.0)
+    assert set(got) == set(expect)
+    for key, (n_ag, v_ag, score, match) in expect.items():
+        r = got[key]
+        assert r["name_agree"] == n_ag and r["val_agree"] == v_ag, key
+        assert r["match_score"] == pytest.approx(score, abs=1e-12), key
+        assert r["is_match"] == match, key
+    # the planted (1,2) pair is the only match
+    assert [k for k, v in expect.items() if v[3]] == [(1, 2)]
+
+    with pytest.raises(ValueError):
+        record_linkage_pairs(df, "rid", [], comps, 1.0)
+    with pytest.raises(ValueError):
+        record_linkage_pairs(df, "rid", ["blk"], [], 1.0)

@@ -677,3 +677,14 @@ def test_video_near_dup_join_is_hash_not_cartesian(spark):
     plan = explain_str(REGISTRY["media_video_near_dup"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_joins_on_block_key_not_cross(spark):
+    """The linkage candidate join must be an equi-join on the blocking
+    key (nationkey, bal bucket) — never a nested-loop/cartesian over the
+    record pairs; the id inequality rides as a residual filter."""
+    plan = explain_str(
+        REGISTRY["customer_record_linkage"].fn(spark, SF_SMALL), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
