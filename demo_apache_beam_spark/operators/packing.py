@@ -379,3 +379,174 @@ def waterfill_allocations(
             6,
         ).alias(alloc_col),
     )
+
+
+def histogram_pack(
+    hist: list[tuple[int, int]],
+    capacity: int,
+) -> tuple[int, list[tuple[int, int, int, int]]]:
+    """Best-fit-decreasing bin packing over a LENGTH HISTOGRAM — the
+    sequence-packing formulation of Kosec et al. 2021 ("Efficient
+    sequence packing without cross-contamination", arXiv:2107.02027):
+    the solver never sees documents, only the ≤ ``capacity`` distinct
+    (length, count) rows, so its cost is independent of corpus size.
+
+    Pure function (no Spark): lengths are processed in descending
+    order; each length's documents go first into the open pack group
+    with the SMALLEST remaining capacity that still fits (best-fit;
+    ties broken to the lowest pack id), then overflow opens new packs.
+    Pack groups are tracked as (remaining, pack-id-range) so placing m
+    documents into m packs is one O(1) range event, never a per-doc
+    loop.
+
+    Returns ``(n_packs, events)`` where each event
+    ``(length, rank_start, pack_start, m)`` assigns the documents of
+    ``length`` with within-length ranks ``[rank_start, rank_start+m)``
+    to packs ``[pack_start, pack_start+m)`` — rank i ↦ pack
+    ``pack_start + (i - rank_start)``, one document per pack per event.
+    Every (length, rank) is covered by exactly one event; no pack's
+    load exceeds ``capacity``. Deterministic: same histogram → same
+    events, independent of input dict/row order.
+
+    Raises on non-positive capacity/counts or lengths outside
+    [1, capacity] — callers clamp (truncate) upstream.
+    """
+    import heapq
+    from collections import deque
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    for length, count in hist:
+        if not (1 <= length <= capacity):
+            raise ValueError(
+                f"length {length} outside [1, {capacity}] — clamp upstream"
+            )
+        if count <= 0:
+            raise ValueError(f"count for length {length} must be positive")
+
+    # open pack groups: by_rem[rem] = heap of pack_start; ranges[(rem,
+    # pack_start)] = group size. rems = sorted list of remaining
+    # capacities present (bisect target for best-fit).
+    import bisect
+
+    by_rem: dict[int, list[int]] = {}
+    group: dict[tuple[int, int], int] = {}
+    rems: list[int] = []
+    events: list[tuple[int, int, int, int]] = []
+    next_pack = 0
+
+    def push(rem: int, pack_start: int, m: int) -> None:
+        if rem <= 0 or m <= 0:
+            return
+        if rem not in by_rem:
+            by_rem[rem] = []
+            bisect.insort(rems, rem)
+        heapq.heappush(by_rem[rem], pack_start)
+        group[(rem, pack_start)] = m
+
+    def pop_smallest_fit(length: int) -> tuple[int, int, int] | None:
+        i = bisect.bisect_left(rems, length)
+        if i == len(rems):
+            return None
+        rem = rems[i]
+        heap = by_rem[rem]
+        pack_start = heapq.heappop(heap)
+        m = group.pop((rem, pack_start))
+        if not heap:
+            del by_rem[rem]
+            rems.pop(i)
+        return rem, pack_start, m
+
+    for length, count in sorted(hist, key=lambda lc: (-lc[0], lc[1])):
+        rank = 0
+        n = count
+        while n > 0:
+            fit = pop_smallest_fit(length)
+            if fit is None:
+                # open n new packs, one doc of `length` in each
+                events.append((length, rank, next_pack, n))
+                push(capacity - length, next_pack, n)
+                next_pack += n
+                rank += n
+                n = 0
+            else:
+                rem, pack_start, gsize = fit
+                m = min(n, gsize)
+                events.append((length, rank, pack_start, m))
+                push(rem - length, pack_start, m)
+                if gsize > m:  # the untouched tail of the group stays open
+                    push(rem, pack_start + m, gsize - m)
+                rank += m
+                n -= m
+    return next_pack, events
+
+
+def pack_by_length(
+    df: DataFrame,
+    length_col: str,
+    id_col: str,
+    capacity: int,
+    num_partitions: int | None = None,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign every row to a fixed-capacity pack, minimizing padding —
+    the distributed face of :func:`histogram_pack`.
+
+    Three bounded steps, none of which scales with corpus size beyond
+    one scan:
+
+    1. the length histogram (≤ ``capacity`` rows) is aggregated and
+       collected — the only driver payload;
+    2. :func:`histogram_pack` solves packing on the histogram
+       (driver-side, O(capacity²) worst case, corpus-size-independent);
+    3. each row's within-length rank comes from
+       :func:`keyed_exclusive_prefix_sum` (key = length — the
+       low-cardinality keyed-scan machinery, no one-task-per-hot-length
+       sort), and a broadcast range join on (length, rank ∈ [start,
+       start+m)) maps rank arithmetic onto the solver's events:
+       ``pack_id = pack_start + (rank - rank_start)``.
+
+    ``id_col`` must be unique and non-null (it orders ranks within a
+    length, making the assignment deterministic under any
+    partitioning); ``length_col`` must be integral in [1, capacity] —
+    callers clamp (``least(len, capacity)``) upstream. Output keeps all
+    input columns and adds ``pack_col`` (long).
+    """
+    if not isinstance(df.schema[length_col].dataType, NumericType):
+        raise TypeError(f"{length_col!r} must be numeric")
+    hist_rows = df.groupBy(length_col).count().collect()
+    hist = [(int(r[length_col]), int(r["count"])) for r in hist_rows]
+    _, events = histogram_pack(hist, capacity)
+
+    spark = df.sparkSession
+    etype = T.StructType(
+        [
+            T.StructField("__len", T.LongType()),
+            T.StructField("__rank_start", T.LongType()),
+            T.StructField("__pack_start", T.LongType()),
+            T.StructField("__m", T.LongType()),
+        ]
+    )
+    events_df = spark.createDataFrame(
+        [(length, rs, ps, m) for length, rs, ps, m in events], etype
+    )
+    ranked = keyed_exclusive_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        key_col=length_col,
+        order_col=id_col,
+        weight_col="__one",
+        num_partitions=num_partitions,
+        out_col="__rank",
+    ).drop("__one")
+    joined = ranked.join(
+        F.broadcast(events_df),
+        (F.col(length_col).cast("long") == F.col("__len"))
+        & (F.col("__rank") >= F.col("__rank_start"))
+        & (F.col("__rank") < F.col("__rank_start") + F.col("__m")),
+    )
+    return joined.withColumn(
+        pack_col,
+        (F.col("__pack_start") + F.col("__rank") - F.col("__rank_start")).cast(
+            "long"
+        ),
+    ).drop("__len", "__rank_start", "__pack_start", "__m", "__rank")

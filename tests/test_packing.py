@@ -212,3 +212,90 @@ def test_pack_timestamp_order_col(spark):
     for t, w in sorted(rows):
         assert got[t] == acc // 40, (t, got[t], acc)
         acc += w
+
+
+# ---------------------------------------------------------------------------
+# Histogram sequence packing (Kosec et al. 2021 shape)
+# ---------------------------------------------------------------------------
+
+
+def _pack_reference(rows, capacity):
+    """Sequential reference: drive histogram_pack directly, then map each
+    row via rank-within-length (ordered by id) through the events."""
+    from demo_apache_beam_spark.operators.packing import histogram_pack
+
+    hist = {}
+    for _id, ln in rows:
+        hist[ln] = hist.get(ln, 0) + 1
+    _, events = histogram_pack(sorted(hist.items()), capacity)
+    by_len = {}
+    for _id, ln in sorted(rows, key=lambda r: (r[1], r[0])):
+        by_len.setdefault(ln, []).append(_id)
+    assign = {}
+    for length, rank_start, pack_start, m in events:
+        ids = by_len[length][rank_start : rank_start + m]
+        for i, _id in enumerate(ids):
+            assign[_id] = pack_start + i
+    return assign
+
+
+def test_pack_by_length_equals_reference_and_invariants(spark):
+    from demo_apache_beam_spark.operators.packing import pack_by_length
+
+    cap = 64
+    rows = [(i, 1 + (i * 37) % cap) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    out = pack_by_length(df, "len", "doc_id", cap, num_partitions=7)
+    got = {r["doc_id"]: (r["len"], r["pack_id"]) for r in out.collect()}
+
+    # exactly-once
+    assert set(got) == {i for i, _ in rows}
+    # per-pack load within capacity; pack ids contiguous from 0
+    load = {}
+    for _id, (ln, p) in got.items():
+        load[p] = load.get(p, 0) + ln
+    assert max(load.values()) <= cap
+    assert set(load) == set(range(len(load)))
+    # matches the sequential reference exactly
+    ref = _pack_reference(rows, cap)
+    assert {i: p for i, (_, p) in got.items()} == ref
+    # padding beats the naive one-doc-per-pack layout by a wide margin
+    total = sum(ln for _, ln in rows)
+    assert len(load) * cap - total < len(rows) * cap - total
+
+    # deterministic under repartitioning
+    out2 = pack_by_length(
+        df.repartition(11, "doc_id"), "len", "doc_id", cap, num_partitions=3
+    )
+    got2 = {r["doc_id"]: r["pack_id"] for r in out2.collect()}
+    assert got2 == ref
+
+
+def test_histogram_pack_guards():
+    from demo_apache_beam_spark.operators.packing import histogram_pack
+
+    with pytest.raises(ValueError):
+        histogram_pack([(1, 1)], 0)
+    with pytest.raises(ValueError):
+        histogram_pack([(0, 1)], 8)
+    with pytest.raises(ValueError):
+        histogram_pack([(9, 1)], 8)
+    with pytest.raises(ValueError):
+        histogram_pack([(3, 0)], 8)
+
+
+def test_doc_context_packing_fill_efficiency(spark):
+    """On the real documents fixture the packed layout must fill >=90%
+    of every-window capacity (measured ~97-98%) and respect capacity."""
+    from demo_apache_beam_spark.queries import REGISTRY
+
+    out = REGISTRY["doc_context_packing"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    load = {}
+    for r in rows:
+        load[r["pack_id"]] = load.get(r["pack_id"], 0) + r["len_eff"]
+    assert max(load.values()) <= 256
+    total = sum(r["len_eff"] for r in rows)
+    fill = total / (len(load) * 256)
+    assert fill >= 0.90, fill
+    assert len({r["doc_id"] for r in rows}) == len(rows)

@@ -510,3 +510,52 @@ def test_video_dhash_word_repeat_shuffle_brightness_invariant(
     perm = rng.permutation(n_frames)
     assert video_dhash_word(frames[perm]) == base
     assert video_dhash_word(frames + 9.0) == base
+
+
+@given(
+    st.integers(min_value=4, max_value=256).flatmap(
+        lambda cap: st.tuples(
+            st.just(cap),
+            st.dictionaries(
+                st.integers(min_value=1, max_value=cap),
+                st.integers(min_value=1, max_value=40),
+                min_size=1,
+                max_size=30,
+            ),
+        )
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_histogram_pack_properties(cap_hist):
+    """histogram_pack invariants under random histograms: exactly-once
+    coverage, capacity respected, contiguous pack ids, pack count within
+    [ceil(total/cap), n_docs], and determinism under input reordering."""
+    import math
+
+    from demo_apache_beam_spark.operators.packing import histogram_pack
+
+    capacity, hist_d = cap_hist
+    hist = sorted(hist_d.items())
+    n_packs, events = histogram_pack(hist, capacity)
+
+    got = {}
+    load = {}
+    for length, rank_start, pack_start, m in events:
+        cov = got.setdefault(length, set())
+        new = set(range(rank_start, rank_start + m))
+        assert not (cov & new), "rank range covered twice"
+        cov |= new
+        for i in range(m):
+            load[pack_start + i] = load.get(pack_start + i, 0) + length
+    assert {
+        length: len(c) for length, c in got.items()
+    } == dict(hist), "every doc packed exactly once"
+    assert all(c == set(range(len(c))) for c in got.values())
+    assert max(load.values()) <= capacity
+    assert set(load) == set(range(n_packs))
+    total = sum(ln * c for ln, c in hist)
+    assert math.ceil(total / capacity) <= n_packs <= sum(c for _, c in hist)
+
+    # deterministic under histogram row order
+    n2, events2 = histogram_pack(list(reversed(hist)), capacity)
+    assert (n2, events2) == (n_packs, events)
