@@ -10531,6 +10531,86 @@ def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "len_eff", "pack_id")
 
 
+@register(
+    "user_event_patterns",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, cast(n_events AS BIGINT) AS n_events,
+           cast(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+             AS n_funnels,
+           regexp_matches(seq, 'pe') AS error_after_purchase,
+           cast(coalesce(list_max(list_transform(
+                  regexp_extract_all(seq, 'c+'), x -> length(x))), 0)
+                AS BIGINT) AS longest_click_run
+    FROM seqs
+    """,
+    doc="Event-sequence pattern matching (MATCH_RECOGNIZE / CEP-lite): "
+        "each user's event-type history collapses to a one-char-per-"
+        "event code string in (ts, event_id) order — array_sort over "
+        "collected structs, the engine's sessionized-sequence shape — "
+        "and regexes do the pattern work in codegen: non-overlapping "
+        "view→…→purchase funnel count ('v[^p]*p' — [^p]* cannot cross "
+        "a purchase, so greedy matching is the funnel semantics), "
+        "error-immediately-after-purchase flag ('pe' adjacency; the "
+        "'p.*e' variant is degenerate-true at ~67 events/user), and "
+        "longest click run (max length over 'c+' matches). Both "
+        "engines count non-overlapping left-to-right regex matches, so "
+        "the oracle replays the exact semantics. Scale: one groupBy "
+        "per user with partial aggregation; per-user sequences are "
+        "bounded by user activity (the same bound every sessionization "
+        "op here lives with), and at 100 TB the regex pass is "
+        "scan-shaped over the collapsed sequences — 1 byte per event, "
+        "~100× smaller than the event rows.",
+)
+def user_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("code"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["code"]
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all("seq", F.lit("v[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+        F.col("seq").rlike("pe").alias("error_after_purchase"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all("seq", F.lit("c+"), F.lit(0)),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("longest_click_run"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

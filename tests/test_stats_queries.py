@@ -227,3 +227,39 @@ def test_negative_samples_invariants(spark):
     # candidates (~37 eligible) -> every anchor should reach k
     assert min(per_anchor.values()) == 3
     assert len(per_anchor) == 400
+
+
+def test_user_event_patterns_reference(spark):
+    """CEP-lite metrics vs a pure-Python regex reference built from the
+    raw fixture events — pins the (ts, event_id) sequence order, the
+    non-overlapping greedy funnel count, adjacency flag, and run length."""
+    import re
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    raw = ev.collect()
+    seqs: dict = {}
+    for r in sorted(raw, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"][0])
+    expect = {}
+    for uid, codes in seqs.items():
+        s = "".join(codes)
+        runs = re.findall(r"c+", s)
+        expect[uid] = (
+            len(s),
+            len(re.findall(r"v[^p]*p", s)),
+            re.search("pe", s) is not None,
+            max((len(x) for x in runs), default=0),
+        )
+    out = REGISTRY["user_event_patterns"].fn(spark, SF_SMALL)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_funnels"],
+            r["error_after_purchase"],
+            r["longest_click_run"],
+        )
+        for r in out.collect()
+    }
+    assert got == expect
