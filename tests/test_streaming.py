@@ -797,6 +797,83 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
     assert got == expect
 
 
+def test_stream_stream_interval_left_outer_join(spark, stream_dirs):
+    """LEFT OUTER stream-stream interval join: unmatched left (purchase)
+    rows must emit null-padded once the right watermark provably rules
+    out a future match — the outer-emission semantics the inner test
+    cannot see. Matched rows must equal the inner join's."""
+    from demo_apache_beam_spark.streaming.joins import interval_join_streams
+
+    in_dir, chk = stream_dirs
+    minute = 60_000
+    lines = [
+        _line("u1", "view", 0, BASE_MS),                    # matched by p@+10m
+        _line("u1", "purchase", 5, BASE_MS + 10 * minute),
+        _line("u2", "purchase", 9, BASE_MS + 20 * minute),  # no view ever
+        _line("u3", "view", 0, BASE_MS),
+        _line("u3", "purchase", 4, BASE_MS + 50 * minute),  # view too old (>30m)
+    ]
+    _write_lines(in_dir, "a.txt", lines)
+
+    events = read_game_event_lines(spark, in_dir)
+    views = events.filter(F.col("team") == "view")
+    purchases = events.filter(F.col("team") == "purchase")
+    joined = interval_join_streams(
+        purchases, views, on="user", max_lag_minutes=30,
+        how="left_outer", left_prefix="p", right_prefix="v",
+    ).select("p_user", "p_timestamp", "v_timestamp", "p_score")
+
+    got: set = set()
+
+    def sink(batch_df, _epoch):
+        got.update(
+            (r["p_user"], r["p_timestamp"], r["v_timestamp"], r["p_score"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # push BOTH side watermarks far past every purchase + lag + allowed
+    # lateness (watermark 120m): right-side view events at +400m for a
+    # user that matches nothing on the left
+    # (the GLOBAL watermark is the min across both sides, so the pusher
+    # must appear on the purchase side too; u9's lone purchase stays in
+    # state unemitted — nothing ever advances the watermark past it)
+    _write_lines(in_dir, "b.txt", [
+        _line("u9", "view", 0, BASE_MS + 400 * minute),
+        _line("u9", "purchase", 1, BASE_MS + 400 * minute),
+    ])
+    q.processAllAvailable()
+    # outer results emit in the batch AFTER the watermark advances — one
+    # more micro-batch to flush them
+    _write_lines(in_dir, "c.txt", [
+        _line("u9", "view", 0, BASE_MS + 401 * minute),
+        _line("u9", "purchase", 1, BASE_MS + 401 * minute),
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    expect = {
+        # inner matches (u9's pusher purchases match u9's pusher views)
+        ("u1", BASE_MS + 10 * minute, BASE_MS, 5),
+        ("u9", BASE_MS + 400 * minute, BASE_MS + 400 * minute, 1),
+        ("u9", BASE_MS + 401 * minute, BASE_MS + 400 * minute, 1),
+        ("u9", BASE_MS + 401 * minute, BASE_MS + 401 * minute, 1),
+    }
+    # u9 purchase@+400m also sees view@+401m? no: the interval is
+    # [p-30m, p] so a LATER view never matches. Outer null-padded rows:
+    expect |= {
+        ("u2", BASE_MS + 20 * minute, None, 9),
+        ("u3", BASE_MS + 50 * minute, None, 4),
+    }
+    assert got == expect
+
+
 def test_stream_static_enrichment(spark, stream_dirs):
     """Stream-static join: each micro-batch broadcasts the dimension and
     enriches in flight."""
