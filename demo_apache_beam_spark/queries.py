@@ -10611,6 +10611,58 @@ def user_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_target_encoding",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, value,
+             cast((event_id % 1000) * 2654435761 % 5 AS BIGINT) AS fold
+      FROM events
+    ), agg AS (
+      SELECT event_type, fold,
+             sum(cast(value AS DECIMAL(18,6))) AS s, count(*) AS c
+      FROM e GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, sum(s) AS st, sum(c) AS ct FROM agg GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.fold,
+           CASE WHEN ct > c
+                THEN cast(st - s AS DOUBLE) / cast(ct - c AS DOUBLE)
+           END AS te_value
+    FROM e JOIN agg USING (event_type, fold) JOIN tot USING (event_type)
+    """,
+    doc="Leakage-safe out-of-fold target encoding (Micci-Barreca 2001) "
+        "— the high-cardinality-categorical feature-prep step: each "
+        "event's type is encoded as the mean `value` over every fold "
+        "EXCEPT the row's own, so no row's target leaks into its own "
+        "feature. Folds are a deterministic hash of event_id (never "
+        "random — train/apply drift). The complement mean needs no "
+        "per-fold re-scan: (category, fold) partial decimal sums/counts "
+        "and category totals give (st−s)/(ct−c) exactly — one scan with "
+        "partial aggregation into |categories|·folds rows, a second "
+        "dim-sized agg, and one broadcast join back "
+        "(operators/encoding.py). Sums pass the stable_sum decimal cast "
+        "so the encoding is bit-identical across engines/partitionings; "
+        "the single double division happens after the exact decimal "
+        "subtraction. Categories seen only in their own fold encode as "
+        "NULL (no out-of-fold evidence) rather than a leaked value.",
+)
+def events_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encoding import target_encode_oof
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (((F.col("event_id") % 1000) * F.lit(2654435761)) % 5)
+        .cast("long")
+        .alias("fold"),
+    )
+    return target_encode_oof(e, "event_type", "value", "fold").select(
+        "event_id", "event_type", "fold", "te_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public accessors consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -263,3 +263,40 @@ def test_user_event_patterns_reference(spark):
         for r in out.collect()
     }
     assert got == expect
+
+
+def test_target_encode_oof_reference(spark):
+    """OOF target encoding vs a pure-Python complement-mean reference:
+    no row's own target leaks into its feature, and a category confined
+    to a single fold encodes as NULL."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.encoding import target_encode_oof
+
+    rows = [
+        # (id, cat, target, fold)
+        (1, "a", 10.0, 0), (2, "a", 20.0, 0),
+        (3, "a", 30.0, 1), (4, "a", 40.0, 2),
+        (5, "b", 5.0, 0), (6, "b", 7.0, 1),
+        (7, "c", 99.0, 1),            # only fold -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, cat string, target double, fold int"
+    )
+    out = {
+        r["rid"]: r["te_value"]
+        for r in target_encode_oof(df, "cat", "target", "fold").collect()
+    }
+    by_cat: dict = {}
+    for rid, cat, t, f in rows:
+        by_cat.setdefault(cat, []).append((t, f))
+    for rid, cat, t, f in rows:
+        others = [tv for tv, fv in by_cat[cat] if fv != f]
+        if not others:
+            assert out[rid] is None, rid
+        else:
+            assert out[rid] == pytest.approx(
+                sum(others) / len(others), rel=1e-12
+            ), rid
+    # leak check by construction: row 3's encoding excludes its own 30.0
+    assert out[3] == pytest.approx((10.0 + 20.0 + 40.0) / 3)
