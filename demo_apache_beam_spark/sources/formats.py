@@ -87,3 +87,32 @@ def read_events_csv(
         & F.col("score").isNotNull()
         & F.col("timestamp").isNotNull()
     )
+
+
+def write_events_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Write game events as ORC — the columnar archive format for event
+    logs that stay in the warehouse (predicate pushdown + built-in
+    bloom-filter support on ORC readers make it a drop-in peer of
+    parquet for the S1 scan path). Columns follow GAME_EVENT_SCHEMA.
+    """
+    df.select("user", "team", "score", "timestamp").write.mode(
+        "overwrite"
+    ).option("compression", compression).orc(path)
+
+
+def read_events_orc(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """ORC game events with the explicit wire schema (never inference —
+    the S1 rule; for streams the schema is mandatory anyway, so batch
+    and stream plans match). Nulls in any required field are dropped,
+    mirroring the P1 drop-and-count contract of the other readers.
+    """
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(GAME_EVENT_SCHEMA).orc(path)
+    return df.filter(
+        F.col("user").isNotNull()
+        & F.col("team").isNotNull()
+        & F.col("score").isNotNull()
+        & F.col("timestamp").isNotNull()
+    )

@@ -82,3 +82,32 @@ def test_timestamp_predicate_pushes_to_scan(spark):
     )
     plan = explain_str(df)
     assert "GreaterThanOrEqual(ts," in plan, plan[:1500]
+
+
+def test_orc_roundtrip_equals_text_parser(spark, tmp_path):
+    """ORC write → read must reproduce exactly the rows the reference
+    text parser yields from the same events, under the explicit wire
+    schema (no inference), and the scan must push filters down."""
+    from demo_apache_beam_spark.operators.parse import parse_game_events
+    from demo_apache_beam_spark.sources.formats import (
+        read_events_orc,
+        write_events_orc,
+    )
+
+    lines = [
+        "user0_A,TeamA,5,1447719060000,2015-11-16",
+        "user1_B,TeamB,7,1447719120000,2015-11-16",
+        "user2_C,TeamC,0,1447719180000,2015-11-16",
+    ]
+    parsed = parse_game_events(
+        spark.createDataFrame([(s,) for s in lines], "value string")
+    )
+    path = str(tmp_path / "events_orc")
+    write_events_orc(parsed, path)
+    back = read_events_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, parsed.select("user", "team", "score", "timestamp").collect())
+    )
+    # pushdown reaches the ORC scan
+    plan = back.filter(F.col("score") > 4)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(score,4)" in plan, plan
