@@ -49,6 +49,40 @@ class FieldComparator:
     w_disagree: float
 
 
+def _scored_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    cond,
+    id_a,
+    id_b,
+    comparators: list[FieldComparator],
+    threshold: float,
+    ca,
+    cb,
+) -> DataFrame:
+    """Shared scoring algebra of the self-join and two-table variants:
+    agreement bits in comparator order, a fixed-order left-associative
+    double chain for the score, thresholded decision."""
+    agree_cols = [
+        F.when(comp.agree(ca, cb), 1).otherwise(0).alias(f"{comp.name}_agree")
+        for comp in comparators
+    ]
+    pairs = a.join(b, cond).select(
+        id_a.alias("id_a"), id_b.alias("id_b"), *agree_cols
+    )
+    score: Column | None = None
+    for comp in comparators:
+        term = (
+            F.when(F.col(f"{comp.name}_agree") == 1, F.lit(float(comp.w_agree)))
+            .otherwise(F.lit(float(comp.w_disagree)))
+        )
+        score = term if score is None else score + term
+    return pairs.select(
+        "*",
+        score.alias("match_score"),
+    ).withColumn("is_match", F.col("match_score") >= F.lit(float(threshold)))
+
+
 def record_linkage_pairs(
     records: DataFrame,
     id_col: str,
@@ -85,22 +119,170 @@ def record_linkage_pairs(
     cond = ca(id_col) < cb(id_col)
     for c in block_cols:
         cond = cond & (ca(c) == cb(c))
-
-    agree_cols = [
-        F.when(comp.agree(ca, cb), 1).otherwise(0).alias(f"{comp.name}_agree")
-        for comp in comparators
-    ]
-    pairs = a.join(b, cond).select(
-        ca(id_col).alias("id_a"), cb(id_col).alias("id_b"), *agree_cols
+    return _scored_pairs(
+        a, b, cond, ca(id_col), cb(id_col), comparators, threshold, ca, cb
     )
-    score: Column | None = None
-    for comp in comparators:
-        term = (
-            F.when(F.col(f"{comp.name}_agree") == 1, F.lit(float(comp.w_agree)))
-            .otherwise(F.lit(float(comp.w_disagree)))
+
+
+def record_linkage_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    comparators: list[FieldComparator],
+    threshold: float,
+    right_id_alias: str | None = None,
+) -> DataFrame:
+    """Two-table variant: score every (left, right) candidate pair that
+    shares the blocking key — the probe shape of INCREMENTAL linkage,
+    where ``left`` is a fresh batch and ``right`` an accepted-entity
+    registry. No id inequality (the two sides are distinct record
+    sets); output ``id_a`` is the left id, ``id_b`` the right id (or
+    ``right_id_alias`` read from the right side instead — e.g. the
+    registry's ``entity_id``). Same comparators/score/threshold algebra
+    as :func:`record_linkage_pairs`; both sides must carry the
+    blocking and comparison columns under the same names.
+    """
+    if not block_cols:
+        raise ValueError(
+            "record_linkage_pairs_between: block_cols must be non-empty"
         )
-        score = term if score is None else score + term
-    return pairs.select(
-        "*",
-        score.alias("match_score"),
-    ).withColumn("is_match", F.col("match_score") >= F.lit(float(threshold)))
+    if not comparators:
+        raise ValueError(
+            "record_linkage_pairs_between: comparators must be non-empty"
+        )
+    a = left.alias("a")
+    b = right.alias("b")
+
+    def ca(col: str) -> Column:
+        return F.col(f"a.{col}")
+
+    def cb(col: str) -> Column:
+        return F.col(f"b.{col}")
+
+    cond = None
+    for c in block_cols:
+        term = ca(c) == cb(c)
+        cond = term if cond is None else cond & term
+    return _scored_pairs(
+        a,
+        b,
+        cond,
+        ca(id_col),
+        cb(right_id_alias or id_col),
+        comparators,
+        threshold,
+        ca,
+        cb,
+    )
+
+
+def linkage_resolve_core(
+    batch: DataFrame,
+    hist: DataFrame | None,
+    id_col: str,
+    block_cols: list[str],
+    comparators: list[FieldComparator],
+    threshold: float,
+) -> DataFrame:
+    """Assign an ``entity_id`` to every record of ``batch`` given the
+    accepted-entity registry ``hist`` (None on bootstrap) — the ONE
+    decision kernel shared by the batch incremental operator and the
+    streaming ingest (the exact-dedup-core discipline: winner logic
+    cannot drift between the two).
+
+    Semantics (deterministic, sequential-reference-testable):
+
+    1. within-batch match pairs form clusters via connected components
+       (min-member-id representative) — transitive within the batch;
+    2. a cluster that matches ≥1 registry record ATTACHES to the
+       smallest matched ``entity_id`` (existing entities never merge —
+       a batch record matching two old entities picks the smaller id;
+       entity merge is a curation decision, not an ingest side effect);
+    3. a cluster with no registry match MINTS its representative's
+       record id as the new entity id.
+
+    Returns one ``(id_col, entity_id)`` row per batch record,
+    localCheckpointed (tracked) so the caller can append to the registry
+    afterwards without the lazy store read re-listing its own writes
+    (the exact_dedup_core freeze discipline). ``hist`` must carry the
+    blocking/comparison columns under the batch's names plus
+    ``entity_id``.
+    """
+    from .checkpoints import tracked_local_checkpoint
+    from .graph import connected_components
+
+    edges = record_linkage_pairs(
+        batch, id_col, block_cols, comparators, threshold
+    ).filter(F.col("is_match"))
+    comps = connected_components(
+        edges.select("id_a", "id_b"), vertices=batch.select(id_col)
+    )
+    if hist is None:
+        return tracked_local_checkpoint(
+            comps.select(
+                F.col("id").alias(id_col),
+                F.col("cluster_id").alias("entity_id"),
+            )
+        )
+    probe = record_linkage_pairs_between(
+        batch,
+        hist,
+        id_col=id_col,
+        block_cols=block_cols,
+        comparators=comparators,
+        threshold=threshold,
+        right_id_alias="entity_id",
+    ).filter(F.col("is_match"))
+    cluster_ent = (
+        probe.join(comps, probe["id_a"] == comps["id"])
+        .groupBy("cluster_id")
+        .agg(F.min("id_b").alias("_hist_ent"))
+    )
+    return tracked_local_checkpoint(
+        comps.join(cluster_ent, "cluster_id", "left").select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_hist_ent"), F.col("cluster_id")).alias(
+                "entity_id"
+            ),
+        )
+    )
+
+
+def incremental_record_linkage(
+    new_df: DataFrame,
+    store_path: str,
+    id_col: str,
+    block_cols: list[str],
+    comparators: list[FieldComparator],
+    threshold: float,
+) -> DataFrame:
+    """Entity resolution for corpus refreshes: resolve ``new_df``
+    against the persisted entity registry at ``store_path`` (all prior
+    increments' records with their entity ids), then append the newly
+    resolved records so later increments see them.
+
+    FIRST-SEEN-WINS like the dedup stores: an accepted record's entity
+    assignment is immutable; new arrivals attach to the earliest
+    matching entity. The registry scan per increment reads only the
+    blocking/comparison columns plus ``entity_id``; the probe is the
+    same blocked equi-join as the batch query — Σ_b n_b·m_b candidate
+    pairs, never all-pairs. Appends are not atomic with the read; run
+    increments serially (the standard ingest-scheduler contract).
+
+    Returns the ``(id_col, entity_id)`` assignments for ``new_df``.
+    """
+    from .dedup import _hadoop_path_exists
+
+    spark = new_df.sparkSession
+    hist = (
+        spark.read.parquet(store_path)
+        if _hadoop_path_exists(spark, store_path)
+        else None
+    )
+    assigned = linkage_resolve_core(
+        new_df, hist, id_col, block_cols, comparators, threshold
+    )
+    rows = new_df.join(assigned, id_col)
+    rows.write.mode("append").parquet(store_path)
+    return assigned

@@ -69,6 +69,13 @@ HEADLINE = [
     # scan-only PII scrub (zero-shuffle compliance pass)
     "media_video_near_dup",
     "doc_pii_scrub",
+    # r10 second-wave families: blocked entity resolution (equi-join on
+    # the blocking key, residual-only inequality), histogram sequence
+    # packing (keyed prefix ranks + broadcast range join), and the
+    # quantized-vs-exact retrieval eval (integer-dot candidate side)
+    "customer_record_linkage",
+    "doc_context_packing",
+    "retrieval_eval_quantized",
 ]
 
 _SCRUB = re.compile(

@@ -2109,3 +2109,104 @@ def test_streaming_exact_dedup_equals_batch_replays_and_tombstones(
     assert sorted(
         int(r["doc_id"]) for r in spark.read.parquet(out_dir).collect()
     ) == [2, 5]
+
+
+def test_streaming_record_linkage_equals_batch_and_replay(spark, tmp_path):
+    """Streaming entity resolution (fourth streaming accepted-history
+    store): assignments must equal the batch incremental operator over
+    the same increments AND a hand-computed sequential reference —
+    including a cluster that attaches to history TRANSITIVELY through a
+    batch-internal match — and a replayed epoch must be a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.linkage import (
+        FieldComparator,
+        incremental_record_linkage,
+    )
+    from demo_apache_beam_spark.streaming.linkage import (
+        make_linkage_ingest,
+        start_linkage_stream,
+    )
+
+    comps = [
+        FieldComparator(
+            "name", lambda a, b: a("name_norm") == b("name_norm"), 3.0, -1.0
+        ),
+        FieldComparator(
+            "val", lambda a, b: F.abs(a("val") - b("val")) <= F.lit(0.1),
+            2.0, -0.5,
+        ),
+    ]
+    schema = "rid long, blk string, name_norm string, val double"
+    incs = [
+        # epoch 0: in-batch cluster {1,2}; singletons 3, 10
+        [(1, "b1", "alice", 10.0), (2, "b1", "alice", 10.05),
+         (3, "b1", "bob", 10.0), (10, "b2", "dan", 50.0)],
+        # epoch 1: 4 attaches to entity 1; 5 to entity 10; 6 mints
+        [(4, "b1", "alice", 10.08), (5, "b2", "dan", 50.05),
+         (6, "b3", "eve", 1.0)],
+        # epoch 2: 7 matches history entity 6; 8 matches 7 in-batch but
+        # NOT 6 directly (|1.12-1.0|>0.1) -> transitively entity 6;
+        # 9 attaches to entity 3
+        [(7, "b3", "eve", 1.05), (8, "b3", "eve", 1.12),
+         (9, "b1", "bob", 10.01)],
+    ]
+    expect = {
+        1: 1, 2: 1, 3: 3, 10: 10,
+        4: 1, 5: 10, 6: 6,
+        7: 6, 8: 6, 9: 3,
+    }
+
+    kw = dict(
+        id_col="rid", block_cols=["blk"], comparators=comps, threshold=4.0
+    )
+
+    # batch incremental reference
+    batch_store = str(tmp_path / "batch_store")
+    batch_got = {}
+    for inc in incs:
+        df = spark.createDataFrame(inc, schema)
+        for r in incremental_record_linkage(df, batch_store, **kw).collect():
+            batch_got[r["rid"]] = r["entity_id"]
+    assert batch_got == expect
+
+    # stream over the same increments
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    q = start_linkage_stream(
+        spark, in_dir, out_dir, store, str(tmp_path / "chk"),
+        schema=schema, **kw,
+    )
+    try:
+        for i, inc in enumerate(incs):
+            stage = str(tmp_path / f"stage_{i}")
+            spark.createDataFrame(inc, schema).coalesce(1).write.parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(f"{stage}/{part}", f"{in_dir}/inc_{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["rid"]: r["entity_id"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expect
+    # the registry carries full records + entity ids, epoch-partitioned
+    reg = spark.read.parquet(store)
+    assert sorted(reg.columns) == sorted(
+        ["rid", "blk", "name_norm", "val", "entity_id", "_batch_id"]
+    )
+    assert reg.count() == len(expect)
+
+    # replayed epoch is bit-identical (no-op)
+    ingest = make_linkage_ingest(spark, out_dir, store, **kw)
+    snap = lambda p: sorted(map(tuple, spark.read.parquet(p).collect()))  # noqa: E731
+    before = (snap(out_dir), snap(store))
+    ingest(spark.createDataFrame(incs[1], schema), 1)
+    spark.catalog.refreshByPath(out_dir)
+    spark.catalog.refreshByPath(store)
+    assert (snap(out_dir), snap(store)) == before
