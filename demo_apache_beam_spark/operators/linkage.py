@@ -286,3 +286,48 @@ def incremental_record_linkage(
     rows = new_df.join(assigned, id_col)
     rows.write.mode("append").parquet(store_path)
     return assigned
+
+
+def erase_from_linkage_store(
+    spark,
+    store_path: str,
+    ids: DataFrame,
+    id_col: str,
+    tombstone: bool | None = None,
+) -> dict:
+    """Right-to-erasure for the entity registry: remove the given
+    record ids' rows (their blocking/comparison attributes — the
+    subject data) via the atomic partition-preserving
+    :func:`operators.layout.erase_rows` rewrite.
+
+    After erasure the record's attributes no longer influence matching:
+    a future arrival that would only have matched the erased row mints
+    a new entity instead (pinned in pytest). Other members of the same
+    entity keep their ``entity_id`` — entity ids are opaque tokens
+    (possibly the erased record's numeric id), not subject attributes.
+
+    ``tombstone`` follows the shared auto rule of the dedup stores
+    (:func:`operators.dedup._resolve_tombstone`): ON for the
+    epoch-partitioned streaming registry, whose ingest filters
+    tombstoned record ids on every (re)delivery — at-least-once cannot
+    distinguish a replayed epoch from a resubmission, so epoch replay
+    cannot resurrect an erased record in store or sink. Returns
+    erase_rows' ``{rows_before, rows_erased, rows_after}``.
+    """
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
+    from .dedup import _resolve_tombstone, tombstone_store_path
+    from .layout import erase_rows
+
+    keys = ids.select(id_col)
+    with track_checkpoints() as _cp:
+        if _resolve_tombstone(spark, store_path, tombstone):
+            keys = tracked_local_checkpoint(keys)
+            keys.write.mode("append").parquet(tombstone_store_path(store_path))
+        try:
+            return erase_rows(spark, store_path, keys, key_col=id_col)
+        finally:
+            unpersist_ids(spark, _cp)

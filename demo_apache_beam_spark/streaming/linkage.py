@@ -80,13 +80,27 @@ def make_linkage_ingest(
     from pyspark.sql import functions as F
 
     from ..operators.checkpoints import track_checkpoints, unpersist_ids
-    from ..operators.dedup import _hadoop_path_exists
+    from ..operators.dedup import _hadoop_path_exists, tombstone_store_path
     from ..operators.linkage import linkage_resolve_core
     from .idempotent import write_windowed_idempotent
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # erasure tombstones: an erased record id must not be
+        # resurrected by epoch replay, and a resubmission under the same
+        # id is indistinguishable from a redelivery — both are filtered
+        # on every (re)delivery (the dedup-store erasure semantics)
+        ts_path = tombstone_store_path(store_path)
+        if _hadoop_path_exists(spark, ts_path):
+            tomb = spark.read.parquet(ts_path).select(
+                F.col(id_col).alias("__tomb_id")
+            )
+            batch_df = batch_df.join(
+                tomb, batch_df[id_col] == F.col("__tomb_id"), "left_anti"
+            )
+            if batch_df.isEmpty():
+                return  # fully-tombstoned replay: nothing to resolve
         hist = None
         if _hadoop_path_exists(spark, store_path):
             hist = spark.read.parquet(store_path).filter(

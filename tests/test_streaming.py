@@ -2210,3 +2210,82 @@ def test_streaming_record_linkage_equals_batch_and_replay(spark, tmp_path):
     spark.catalog.refreshByPath(out_dir)
     spark.catalog.refreshByPath(store)
     assert (snap(out_dir), snap(store)) == before
+
+
+def test_linkage_registry_erasure_survives_replay(spark, tmp_path):
+    """Right-to-erasure on the entity registry: the erased record's
+    attributes stop influencing matching (a fresh record that would
+    only have matched IT mints a new entity), other members of its
+    entity keep their ids, and an epoch replay cannot resurrect the
+    erased row in store or sink (tombstone filter)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.layout import erase_rows
+    from demo_apache_beam_spark.operators.linkage import (
+        FieldComparator,
+        erase_from_linkage_store,
+    )
+    from demo_apache_beam_spark.streaming.linkage import make_linkage_ingest
+
+    comps = [
+        FieldComparator(
+            "name", lambda a, b: a("name_norm") == b("name_norm"), 3.0, -1.0
+        ),
+        FieldComparator(
+            "val", lambda a, b: F.abs(a("val") - b("val")) <= F.lit(0.1),
+            2.0, -0.5,
+        ),
+    ]
+    schema = "rid long, blk string, name_norm string, val double"
+    out_dir, store = str(tmp_path / "out"), str(tmp_path / "store")
+    ingest = make_linkage_ingest(
+        spark, out_dir, store,
+        id_col="rid", block_cols=["blk"], comparators=comps, threshold=4.0,
+    )
+    # epoch 0: 6 mints entity 6; epoch 1: 7 and 8 attach to entity 6
+    # (8 only matches 6 through 7? no: |1.05-1.0| and |1.05-1.12| both
+    # within 0.1 of 7; 8 vs 6 is 0.12 — via 7 transitively in epoch 1)
+    ingest(spark.createDataFrame([(6, "b3", "eve", 1.0)], schema), 0)
+    ingest(
+        spark.createDataFrame(
+            [(7, "b3", "eve", 1.05), (8, "b3", "eve", 1.12)], schema
+        ),
+        1,
+    )
+    assigns = lambda: {  # noqa: E731
+        r["rid"]: r["entity_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert assigns() == {6: 6, 7: 6, 8: 6}
+
+    # erase record 6 from registry and sink (streaming store -> tombstone
+    # auto-on)
+    res = erase_from_linkage_store(
+        spark, store, spark.createDataFrame([(6,)], "rid long"), id_col="rid"
+    )
+    assert res["rows_erased"] == 1
+    erase_rows(
+        spark, out_dir, spark.createDataFrame([(6,)], "rid long"),
+        key_col="rid",
+    )
+    spark.catalog.refreshByPath(store)
+    spark.catalog.refreshByPath(out_dir)
+    # other entity members keep their (opaque) entity id
+    assert assigns() == {7: 6, 8: 6}
+    reg_ids = {r["rid"] for r in spark.read.parquet(store).collect()}
+    assert reg_ids == {7, 8}
+
+    # replay epoch 0: the tombstoned record must NOT be resurrected
+    ingest(spark.createDataFrame([(6, "b3", "eve", 1.0)], schema), 0)
+    spark.catalog.refreshByPath(store)
+    spark.catalog.refreshByPath(out_dir)
+    assert assigns() == {7: 6, 8: 6}
+    assert {r["rid"] for r in spark.read.parquet(store).collect()} == {7, 8}
+
+    # evidence removal: 11 (val 0.92) would only have matched the erased
+    # 6 (|0.92-1.0|=0.08; vs 7 it's 0.13, vs 8 it's 0.20) -> mints a new
+    # entity instead of attaching to entity 6
+    ingest(spark.createDataFrame([(11, "b3", "eve", 0.92)], schema), 2)
+    spark.catalog.refreshByPath(out_dir)
+    assert assigns() == {7: 6, 8: 6, 11: 11}
