@@ -688,3 +688,14 @@ def test_record_linkage_joins_on_block_key_not_cross(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_context_packing_range_join_is_broadcast_hash(spark):
+    """The solver-event range join must be a BroadcastHashJoin on the
+    length key with the rank range as a residual condition — never a
+    nested-loop over (row, event) pairs."""
+    df = REGISTRY["doc_context_packing"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [len_eff" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
