@@ -156,10 +156,23 @@ def sq8_codes(
             F.sum((F.col("x") * F.col("x")).cast("decimal(27,12)")).cast("double")
         ).alias("_nv")
     )
+    code = F.floor(F.col("x") / F.col("_nv") * F.lit(127.0)).cast("long")
+    # fail loud on degenerate vectors: a zero norm (or a NaN element
+    # propagating into it) makes x/nv NaN and floor/cast diverge between
+    # engines — the kmeans null-assignment guard discipline
+    guarded = F.when(
+        (F.col("_nv") == 0.0) | F.isnan(F.col("_nv")) | F.isnan(F.col("x")),
+        F.raise_error(
+            F.lit(
+                "sq8_codes: zero-norm or NaN embedding — quantized codes "
+                "would be engine-divergent NaN casts"
+            )
+        ).cast("long"),
+    ).otherwise(code)
     return e.join(nrm, id_col).select(
         F.col(id_col),
         "dim",
-        F.floor(F.col("x") / F.col("_nv") * F.lit(127.0)).cast("long").alias("code"),
+        guarded.alias("code"),
     )
 
 

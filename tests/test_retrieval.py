@@ -278,3 +278,13 @@ def test_sq8_codes_reference(spark):
         n = math.sqrt(sum(x * x for x in v))
         for d, x in enumerate(v, start=1):
             assert got[(i, d)] == math.floor(x / n * 127.0), (i, d)
+
+
+def test_sq8_codes_zero_norm_raises(spark):
+    from demo_apache_beam_spark.operators.retrieval import sq8_codes
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="sq8_codes: zero-norm"):
+        sq8_codes(emb).collect()
