@@ -729,3 +729,64 @@ def test_record_linkage_pairs_reference(spark):
         record_linkage_pairs(df, "rid", [], comps, 1.0)
     with pytest.raises(ValueError):
         record_linkage_pairs(df, "rid", ["blk"], [], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Geo radius join (operators/geo.py) — brute-force haversine reference
+# ---------------------------------------------------------------------------
+
+
+def test_geo_radius_join_equals_bruteforce(spark):
+    """Grid-blocked radius join vs an all-pairs haversine reference on
+    random points: identical pair sets and distances; the too-small-cell
+    guard raises."""
+    import math
+    import random
+
+    import pytest
+
+    from demo_apache_beam_spark.operators.geo import (
+        geo_radius_join,
+        required_cell_deg,
+    )
+
+    rng = random.Random(3)
+    pts = [
+        (i, rng.uniform(-60.0, 60.0), rng.uniform(-180.0, 180.0))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "cid long, lat double, lon double")
+    radius = 400.0
+    cell = required_cell_deg(radius, 60.0)  # exact-minimum cell
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_km"]
+        for r in geo_radius_join(
+            df, radius, cell_deg=cell, max_abs_lat=60.0
+        ).collect()
+    }
+
+    def hav(a, b):
+        (_, la, lo), (_, lb, lo2) = a, b
+        dlat = math.radians(lb - la) / 2
+        dlon = math.radians(lo2 - lo) / 2
+        h = (
+            math.sin(dlat) ** 2
+            + math.cos(math.radians(la))
+            * math.cos(math.radians(lb))
+            * math.sin(dlon) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    expect = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = hav(pts[i], pts[j])
+            if d <= radius:
+                expect[(pts[i][0], pts[j][0])] = round(d, 6)
+    assert set(got) == set(expect)
+    assert expect, "fixture must produce pairs"
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6), k
+
+    with pytest.raises(ValueError, match="cell_deg"):
+        geo_radius_join(df, radius, cell_deg=cell * 0.5, max_abs_lat=60.0)

@@ -699,3 +699,13 @@ def test_context_packing_range_join_is_broadcast_hash(spark):
     assert "BroadcastHashJoin [len_eff" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_join_blocks_on_cells_not_cross(spark):
+    """The spatial candidate join must be an equi-join on the probed
+    grid cell — never a nested-loop/cartesian over the point pairs."""
+    plan = explain_str(
+        REGISTRY["customer_geo_neighbors"].fn(spark, SF_SMALL), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
