@@ -1237,6 +1237,7 @@ def minhash_near_dedup_core(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    banded: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The store-layout-agnostic decision kernel behind
     :func:`incremental_minhash_dedup` (and its streaming wrapper, whose
@@ -1244,12 +1245,22 @@ def minhash_near_dedup_core(
     increment and the accepted-history band rows (or ``None`` for a
     bootstrap), return ``(survivor_ids, increment_band_rows)`` — both
     localCheckpointed so callers can mutate the store afterwards without
-    re-running the plan."""
+    re-running the plan.
+
+    ``banded`` optionally supplies ``new_df``'s band rows when the
+    caller already computed them (the tombstone-filtering ingest —
+    without this the dominant shingle+MinHash pass ran TWICE per epoch
+    whenever a tombstone store exists, review r10); it must be exactly
+    ``band_rows(minhash_signatures(new_df, ...))`` under the same
+    parameters, ideally derived from a checkpointed plan so no
+    signature recompute hides inside it."""
     from .checkpoints import tracked_local_checkpoint
     from .graph import connected_components
 
-    sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n)
-    banded = tracked_local_checkpoint(band_rows(sigs, id_col, num_hashes, bands))
+    if banded is None:
+        sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_n)
+        banded = band_rows(sigs, id_col, num_hashes, bands)
+    banded = tracked_local_checkpoint(banded)
 
     if hist_bands is not None:
         hist_hits = (

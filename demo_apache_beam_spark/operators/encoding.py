@@ -53,14 +53,25 @@ def target_encode_oof(
     )
     tot = agg.groupBy(cat_col).agg(
         F.sum("__s").alias("__st"), F.sum("__c").alias("__ct")
-    )
-    enc = agg.join(tot, cat_col).select(
-        cat_col,
-        fold_col,
+    ).select(F.col(cat_col).alias("__tot_cat"), "__st", "__ct")
+    # null-safe here too: a NULL category is a legitimate group and a
+    # plain equality join would drop its totals row (review r10)
+    enc = agg.join(tot, agg[cat_col].eqNullSafe(F.col("__tot_cat"))).select(
+        F.col(cat_col).alias("__enc_cat"),
+        F.col(fold_col).alias("__enc_fold"),
         F.when(
             F.col("__ct") > F.col("__c"),
             (F.col("__st") - F.col("__s")).cast("double")
             / (F.col("__ct") - F.col("__c")).cast("double"),
         ).alias(out_col),
     )
-    return df.join(F.broadcast(enc), [cat_col, fold_col])
+    # null-safe LEFT join: groupBy keeps NULL categories/folds as groups
+    # (their complement mean is well-defined over the other NULL-key
+    # rows), but a plain equality join would silently DROP those input
+    # rows — the training set must never shrink here (review r10)
+    cond = df[cat_col].eqNullSafe(F.col("__enc_cat")) & df[fold_col].eqNullSafe(
+        F.col("__enc_fold")
+    )
+    return df.join(F.broadcast(enc), cond, "left").drop(
+        "__enc_cat", "__enc_fold"
+    )

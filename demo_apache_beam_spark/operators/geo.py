@@ -8,13 +8,30 @@ join), and the exact haversine distance filters candidates. Join volume
 is Σ_cell 9·n_cell·m_cell — density-bounded, like every blocked join in
 this engine.
 
-Correctness bound (why 3×3 is enough): two points within r km differ by
-at most r/110.574 degrees latitude and r/(111.320·cos(lat)) degrees
-longitude, so with ``cell_deg`` at least that worst-case Δ the floor
-cells differ by at most 1 in each axis. :func:`required_cell_deg` gives
-the minimum for a radius and the corpus's maximum |lat|; the operator
-raises when the configured cell is too small to be exact — a silently
-lossy spatial join is the failure mode this guard exists for.
+Correctness bounds (why 3×3 is enough) — derived on the SAME sphere the
+verify step uses (R = 6371.0088 km), not the WGS84 approximations a
+first draft borrowed (111.320 km/° under-estimated the longitude bound
+by ~0.1% at lat 60, enough to admit a cell size that drops a 49.997 km
+pair — review r10):
+
+- Δlat ≤ degrees(r / R);
+- Δlon ≤ degrees(2·asin(sin(r / 2R) / cos(lat))) — the exact inversion
+  of the haversine at fixed latitude (the asin curvature term is what
+  the flat km/° constant missed).
+
+:func:`required_cell_deg` returns the max of the two at the corpus's
+maximum |lat|; the operator raises when the configured cell is smaller
+— a silently lossy spatial join is the failure mode the guard exists
+for — and also raises AT RUNTIME on any row whose |lat| exceeds the
+declared ``max_abs_lat`` (data outside the declared envelope would
+silently bypass the bound, review r10).
+
+Antimeridian: candidate pairs straddling ±180° are found via GHOST
+probe rows — points within the Δlon bound of either edge probe once
+more with their longitude shifted ∓360° (cells only; distances always
+use the raw coordinates — haversine is 360°-periodic in Δlon, so the
+shifted pair verifies exactly). Real and ghost probe cells are ~360/cell
+apart, so no pair can be emitted twice.
 
 Haversine is evaluated in the same operation order on both engines
 (sin/cos/asin over doubles — libm-identical), so the r-threshold filter
@@ -29,25 +46,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088
-KM_PER_DEG_LAT = 110.574
-KM_PER_DEG_LON_EQ = 111.320
+
+
+def max_dlat_deg(radius_km: float) -> float:
+    """Largest latitude separation (degrees) of two points within
+    ``radius_km`` on the verification sphere."""
+    return math.degrees(radius_km / EARTH_RADIUS_KM)
+
+
+def max_dlon_deg(radius_km: float, max_abs_lat: float) -> float:
+    """Largest longitude separation (degrees) of two points within
+    ``radius_km`` at |lat| ≤ ``max_abs_lat`` — exact haversine inversion
+    at fixed latitude."""
+    if not (0.0 <= max_abs_lat < 90.0):
+        raise ValueError("max_abs_lat must be in [0, 90)")
+    s = math.sin(radius_km / (2.0 * EARTH_RADIUS_KM)) / math.cos(
+        math.radians(max_abs_lat)
+    )
+    return math.degrees(2.0 * math.asin(min(1.0, s)))
 
 
 def required_cell_deg(radius_km: float, max_abs_lat: float) -> float:
     """Smallest grid cell (degrees) for which the 3×3 neighborhood probe
     is EXACT at ``radius_km`` up to latitude ``max_abs_lat``."""
-    if not (0.0 <= max_abs_lat < 90.0):
-        raise ValueError("max_abs_lat must be in [0, 90)")
-    d_lat = radius_km / KM_PER_DEG_LAT
-    d_lon = radius_km / (
-        KM_PER_DEG_LON_EQ * math.cos(math.radians(max_abs_lat))
-    )
-    return max(d_lat, d_lon)
+    return max(max_dlat_deg(radius_km), max_dlon_deg(radius_km, max_abs_lat))
 
 
 def haversine_km(lat_a, lon_a, lat_b, lon_b):
     """Great-circle distance in km — fixed evaluation order (see module
-    docstring); takes Columns, returns a Column."""
+    docstring); takes Columns, returns a Column. 360°-periodic in the
+    longitude difference (sin²(Δλ/2 ± 180°) = sin²(Δλ/2)), so shifted
+    ghost coordinates need never reach this function."""
     dlat = F.radians(lat_b - lat_a) / 2.0
     dlon = F.radians(lon_b - lon_a) / 2.0
     h = (
@@ -70,30 +99,56 @@ def geo_radius_join(
     """All point pairs within ``radius_km`` — exact, via grid blocking.
 
     ``pts``: one row per point with ``id_col`` (unique), ``lat_col``,
-    ``lon_col`` in degrees, |lat| ≤ ``max_abs_lat``. Output
+    ``lon_col`` in degrees; longitudes in [-180, 180). Output
     ``(id_a, id_b, dist_km)`` with id_a < id_b and dist_km rounded to
     6 dp (engine-stable emission; the ≤ filter runs on the raw double,
     identical on both engines). Raises when ``cell_deg`` <
-    :func:`required_cell_deg` — the 3×3 probe would silently miss
-    pairs.
+    :func:`required_cell_deg` (the 3×3 probe would silently miss
+    pairs), and at runtime on any row with |lat| > ``max_abs_lat``
+    (data outside the declared envelope would silently bypass the
+    bound). Antimeridian pairs are found via ghost probes (module
+    docstring).
     """
     need = required_cell_deg(radius_km, max_abs_lat)
     if cell_deg < need:
         raise ValueError(
-            f"geo_radius_join: cell_deg {cell_deg} < {need:.4f} required "
+            f"geo_radius_join: cell_deg {cell_deg} < {need:.6f} required "
             f"for radius {radius_km} km at |lat| ≤ {max_abs_lat}° — the "
             "3x3 neighborhood probe would miss pairs; enlarge cell_deg"
         )
+    lat_guarded = F.when(
+        F.abs(F.col(lat_col)) > F.lit(float(max_abs_lat)),
+        F.raise_error(
+            F.lit(
+                f"geo_radius_join: |{lat_col}| exceeds declared "
+                f"max_abs_lat {max_abs_lat} — the exactness bound does "
+                "not hold; raise max_abs_lat (and cell_deg) to cover "
+                "the data"
+            )
+        ).cast("double"),
+    ).otherwise(F.col(lat_col))
     cells = pts.select(
         F.col(id_col),
-        F.col(lat_col).alias("_lat"),
+        lat_guarded.alias("_lat"),
         F.col(lon_col).alias("_lon"),
         F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("long").alias("_cy"),
         F.floor(F.col(lon_col) / F.lit(float(cell_deg))).cast("long").alias("_cx"),
     )
+    # ghost probe rows for antimeridian wrap: shift the CELL coordinate
+    # by ∓360°, keep raw coords for the distance
+    edge = max_dlon_deg(radius_km, max_abs_lat)
+    ghost_hi = cells.filter(F.col("_lon") >= F.lit(180.0 - edge)).withColumn(
+        "_cx",
+        F.floor((F.col("_lon") - 360.0) / F.lit(float(cell_deg))).cast("long"),
+    )
+    ghost_lo = cells.filter(F.col("_lon") < F.lit(-180.0 + edge)).withColumn(
+        "_cx",
+        F.floor((F.col("_lon") + 360.0) / F.lit(float(cell_deg))).cast("long"),
+    )
+    probe_base = cells.unionAll(ghost_hi).unionAll(ghost_lo)
     offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
     probes = (
-        cells.withColumn("_dy", F.explode(offs))
+        probe_base.withColumn("_dy", F.explode(offs))
         .withColumn("_dx", F.explode(offs))
         .select(
             F.col(id_col),

@@ -280,6 +280,15 @@ def incremental_record_linkage(
         if _hadoop_path_exists(spark, store_path)
         else None
     )
+    if hist is not None:
+        # first-seen-wins on the RECORD ID too: a resubmission of an
+        # already-accepted id (possibly with drifted attributes that no
+        # longer match its own entity) must not mint a conflicting
+        # second registry row for the same id (review r10 — the
+        # incremental_kmeans_assign seen-ids discipline)
+        new_df = new_df.join(
+            hist.select(F.col(id_col)), id_col, "left_anti"
+        )
     assigned = linkage_resolve_core(
         new_df, hist, id_col, block_cols, comparators, threshold
     )

@@ -416,6 +416,7 @@ def histogram_pack(
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    seen_lengths = set()
     for length, count in hist:
         if not (1 <= length <= capacity):
             raise ValueError(
@@ -423,6 +424,16 @@ def histogram_pack(
             )
         if count <= 0:
             raise ValueError(f"count for length {length} must be positive")
+        if length in seen_lengths:
+            # two entries for one length would each restart ranks at 0
+            # and emit OVERLAPPING events — the exactly-once (length,
+            # rank) cover silently breaks (review r10); a groupBy feeder
+            # can't produce this, but the pure function is public
+            raise ValueError(
+                f"duplicate histogram entry for length {length} — merge "
+                "counts upstream"
+            )
+        seen_lengths.add(length)
 
     # open pack groups: by_rem[rem] = heap of pack_start; ranges[(rem,
     # pack_start)] = group size. rems = sorted list of remaining

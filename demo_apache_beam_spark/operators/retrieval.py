@@ -157,15 +157,27 @@ def sq8_codes(
         ).alias("_nv")
     )
     code = F.floor(F.col("x") / F.col("_nv") * F.lit(127.0)).cast("long")
-    # fail loud on degenerate vectors: a zero norm (or a NaN element
-    # propagating into it) makes x/nv NaN and floor/cast diverge between
-    # engines — the kmeans null-assignment guard discipline
+    # fail loud on degenerate vectors — the kmeans null-assignment guard
+    # discipline. All four holes matter (review r10): a zero norm or a
+    # NaN element makes x/nv an engine-divergent NaN cast; a NULL
+    # element (Arrow null list entries) would emit a silently MISSING
+    # code row the integer dot product just skips; an ±Inf element is
+    # dropped from the decimal norm sum (non-ANSI cast → NULL) leaving
+    # nv finite and the code floor(Inf·127) = Long.MAX garbage.
+    bad = (
+        F.col("x").isNull()
+        | F.isnan(F.col("x"))
+        | (F.abs(F.col("x")) == F.lit(float("inf")))
+        | (F.col("_nv") == 0.0)
+        | F.isnan(F.col("_nv"))
+    )
     guarded = F.when(
-        (F.col("_nv") == 0.0) | F.isnan(F.col("_nv")) | F.isnan(F.col("x")),
+        bad,
         F.raise_error(
             F.lit(
-                "sq8_codes: zero-norm or NaN embedding — quantized codes "
-                "would be engine-divergent NaN casts"
+                "sq8_codes: null/NaN/Inf element or zero-norm embedding "
+                "— quantized codes would be silently missing or "
+                "engine-divergent"
             )
         ).cast("long"),
     ).otherwise(code)

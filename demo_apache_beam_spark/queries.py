@@ -10668,6 +10668,16 @@ def _geo_coord_sql(prefix: str, scale: float, offset: float) -> str:
     return f"cast({hx} AS DOUBLE) / 4294967296.0 * {scale} - {offset}"
 
 
+def _geo_edge_deg() -> float:
+    """Δlon bound (degrees) for the 50 km radius at |lat| ≤ 60° — the
+    same expression operators/geo.py:max_dlon_deg evaluates, so the
+    ghost-row boundary literal in the oracle matches the operator's
+    runtime float exactly."""
+    from math import asin, cos, degrees, radians, sin
+
+    return degrees(2.0 * asin(sin(50.0 / (2.0 * 6371.0088)) / cos(radians(60.0))))
+
+
 @register(
     "customer_geo_neighbors",
     f"""
@@ -10681,9 +10691,19 @@ def _geo_coord_sql(prefix: str, scale: float, offset: float) -> str:
              cast(floor(lat / 1.0) AS BIGINT) AS cy,
              cast(floor(lon / 1.0) AS BIGINT) AS cx
       FROM pts
+    ), ghosts AS (
+      SELECT cid, lat, lon, cy,
+             cast(floor((lon - 360.0) / 1.0) AS BIGINT) AS cx
+      FROM cells WHERE lon >= {180.0 - _geo_edge_deg()!r}
+      UNION ALL
+      SELECT cid, lat, lon, cy,
+             cast(floor((lon + 360.0) / 1.0) AS BIGINT) AS cx
+      FROM cells WHERE lon < {-180.0 + _geo_edge_deg()!r}
+    ), pb AS (
+      SELECT * FROM cells UNION ALL SELECT * FROM ghosts
     ), probes AS (
       SELECT c.cid, c.lat, c.lon, c.cy + dy.d AS py, c.cx + dx.d AS px
-      FROM cells c
+      FROM pb c
       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
       CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
     ), cand AS (
@@ -10710,11 +10730,17 @@ def _geo_coord_sql(prefix: str, scale: float, offset: float) -> str:
         "1° lat/lon cells, one side probes its 3×3 neighborhood, "
         "haversine verifies — join volume is Σ_cell 9·n·m, density-"
         "bounded like every blocked join here; never a cartesian "
-        "(plan-pinned). The 3×3 probe is EXACT for this radius because "
-        "50 km ≤ 0.45° lat and ≤ 0.90° lon at the corpus's |lat| ≤ 60° "
-        "cap — the operator RAISES when a configured cell is too small "
-        "for the radius (a silently lossy spatial join is the failure "
-        "mode). Coordinates derive from independent md5 streams per "
+        "(plan-pinned). The 3×3 probe is EXACT for this radius: the "
+        "bounds are the haversine's own inversion on the verification "
+        "sphere (Δlat ≤ deg(r/R); Δlon ≤ deg(2·asin(sin(r/2R)/cos λ)) "
+        "≈ 0.8993° at λ=60 — a flat 111.32 km/° draft under-read it by "
+        "0.1%, review r10), the operator RAISES both on a too-small "
+        "cell AND at runtime on data outside the declared |lat| cap "
+        "(a silently lossy spatial join is the failure mode), and "
+        "±180° antimeridian pairs are found via ghost probe rows "
+        "(cells shifted ∓360°; haversine is 360°-periodic so raw "
+        "coordinates verify exactly — mirrored in the oracle's ghosts "
+        "CTE). Coordinates derive from independent md5 streams per "
         "axis (the portable-hash oracle family; a multiplicative-hash "
         "first draft produced an LCG lattice whose nearest pair was "
         "45 km — measured, discarded). Haversine evaluates in one fixed "

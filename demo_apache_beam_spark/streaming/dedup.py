@@ -140,47 +140,11 @@ def make_near_dedup_ingest(
     )
     from .idempotent import write_windowed_idempotent
 
+    from ..operators.checkpoints import tracked_local_checkpoint
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # erasure tombstones (review r10): a replayed epoch re-derives
-        # its rows from the redelivered SOURCE batch, so a compliance
-        # delete on the store alone would be silently resurrected by
-        # crash recovery. Documents whose band rows ALL match the
-        # tombstone set (i.e. exactly the erased content — a fresh
-        # near-dup shares only some bands and passes to the normal
-        # decision) are removed from the increment before anything
-        # else, on every delivery, first or replayed.
-        ts_path = tombstone_store_path(store_path)
-        if _hadoop_path_exists(spark, ts_path):
-            tomb = spark.read.parquet(ts_path)
-            bb = band_rows(
-                minhash_signatures(
-                    batch_df, id_col, text_col, num_hashes, shingle_n
-                ),
-                id_col,
-                num_hashes,
-                bands,
-            )
-            per_doc = bb.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-            matched = (
-                bb.join(tomb, ["band_idx", "band_hash"], "left_semi")
-                .groupBy(id_col)
-                .agg(F.count(F.lit(1)).alias("_m"))
-            )
-            blocked = (
-                per_doc.join(matched, id_col)
-                .filter(F.col("_n") == F.col("_m"))
-                .select(id_col)
-            )
-            batch_df = batch_df.join(blocked, id_col, "left_anti")
-            if batch_df.isEmpty():
-                return
-        hist = None
-        if _hadoop_path_exists(spark, store_path):
-            hist = spark.read.parquet(store_path).filter(
-                F.col("_batch_id") < F.lit(batch_id)
-            )
         # The core localCheckpoints its intermediates (correctness: the
         # survivor set must be FROZEN before the store mutates, and a
         # lost block must fail, never silently recompute against the
@@ -194,10 +158,60 @@ def make_near_dedup_ingest(
         # CONCURRENT job in the same session took during the window
         # (ADVICE r6); the ledger cannot, by construction.
         with track_checkpoints() as ckpt_ids:
-            survivors, banded = minhash_near_dedup_core(
-                batch_df, hist, id_col, text_col, num_hashes, bands, shingle_n
-            )
             try:
+                # erasure tombstones (review r10): a replayed epoch
+                # re-derives its rows from the redelivered SOURCE batch,
+                # so a compliance delete on the store alone would be
+                # silently resurrected by crash recovery. Documents
+                # whose band rows ALL match the tombstone set (i.e.
+                # exactly the erased content — a fresh near-dup shares
+                # only some bands and passes to the normal decision) are
+                # removed from the increment before anything else, on
+                # every delivery, first or replayed. The band rows are
+                # checkpointed ONCE and the filtered remainder feeds the
+                # core — without the handoff the dominant shingle+
+                # MinHash pass ran twice per epoch (review r10).
+                banded_in = None
+                ts_path = tombstone_store_path(store_path)
+                if _hadoop_path_exists(spark, ts_path):
+                    tomb = spark.read.parquet(ts_path)
+                    bb = tracked_local_checkpoint(
+                        band_rows(
+                            minhash_signatures(
+                                batch_df, id_col, text_col, num_hashes,
+                                shingle_n,
+                            ),
+                            id_col,
+                            num_hashes,
+                            bands,
+                        )
+                    )
+                    per_doc = bb.groupBy(id_col).agg(
+                        F.count(F.lit(1)).alias("_n")
+                    )
+                    matched = (
+                        bb.join(tomb, ["band_idx", "band_hash"], "left_semi")
+                        .groupBy(id_col)
+                        .agg(F.count(F.lit(1)).alias("_m"))
+                    )
+                    blocked = (
+                        per_doc.join(matched, id_col)
+                        .filter(F.col("_n") == F.col("_m"))
+                        .select(id_col)
+                    )
+                    batch_df = batch_df.join(blocked, id_col, "left_anti")
+                    if batch_df.isEmpty():
+                        return
+                    banded_in = bb.join(blocked, id_col, "left_anti")
+                hist = None
+                if _hadoop_path_exists(spark, store_path):
+                    hist = spark.read.parquet(store_path).filter(
+                        F.col("_batch_id") < F.lit(batch_id)
+                    )
+                survivors, banded = minhash_near_dedup_core(
+                    batch_df, hist, id_col, text_col, num_hashes, bands,
+                    shingle_n, banded=banded_in,
+                )
                 write_windowed_idempotent(
                     banded.join(survivors, id_col, "left_semi")
                     .select("band_idx", "band_hash")

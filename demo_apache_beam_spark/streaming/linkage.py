@@ -106,6 +106,16 @@ def make_linkage_ingest(
             hist = spark.read.parquet(store_path).filter(
                 F.col("_batch_id") < F.lit(batch_id)
             )
+            # first-seen-wins on the record id: a LATER epoch
+            # resubmitting an accepted id must not mint a conflicting
+            # second registry row (a REPLAYED epoch is unaffected —
+            # its own rows are excluded by the _batch_id < epoch
+            # filter, so the idempotent rewrite reproduces them)
+            batch_df = batch_df.join(
+                hist.select(F.col(id_col)), id_col, "left_anti"
+            )
+            if batch_df.isEmpty():
+                return  # pure resubmission: nothing new to resolve
         with track_checkpoints() as ckpt_ids:
             try:
                 assigned = linkage_resolve_core(

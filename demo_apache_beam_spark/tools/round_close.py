@@ -74,9 +74,19 @@ def run_sweeps() -> dict:
             cwd=REPO,
             env=env,
         )
-        with open(out_json) as fh:
-            sweeps[tag] = json.load(fh)
-        os.unlink(out_json)
+        # a sweep that died before writing its JSON (Spark failed to
+        # start, OOM kill) must surface as a GATE FAILURE with the
+        # nonzero rc attached — not an unhandled FileNotFoundError
+        # traceback that skips the report entirely (review r10)
+        try:
+            with open(out_json) as fh:
+                sweeps[tag] = json.load(fh)
+            os.unlink(out_json)
+        except (OSError, json.JSONDecodeError) as exc:
+            sweeps[tag] = {
+                "queries": {},
+                "fails": [f"sweep produced no result JSON: {exc}"],
+            }
         sweeps[tag]["exit_code"] = rc
     return sweeps
 

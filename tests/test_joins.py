@@ -790,3 +790,32 @@ def test_geo_radius_join_equals_bruteforce(spark):
 
     with pytest.raises(ValueError, match="cell_deg"):
         geo_radius_join(df, radius, cell_deg=cell * 0.5, max_abs_lat=60.0)
+
+
+def test_geo_radius_join_antimeridian_and_lat_guard(spark):
+    """Pairs straddling ±180° are found via ghost probes (haversine is
+    360°-periodic, so distances verify on raw coords), and data outside
+    the declared |lat| envelope fails loud instead of silently missing
+    pairs."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.geo import geo_radius_join
+
+    pts = [
+        (1, 0.0, 179.99),
+        (2, 0.0, -179.99),   # ~2.2 km from 1, across the antimeridian
+        (3, 10.0, 0.0),      # far from everything
+    ]
+    df = spark.createDataFrame(pts, "cid long, lat double, lon double")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_km"]
+        for r in geo_radius_join(df, 50.0, cell_deg=1.0).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert 2.0 < got[(1, 2)] < 2.5
+
+    bad = spark.createDataFrame(
+        [(1, 75.0, 0.0)], "cid long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="max_abs_lat"):
+        geo_radius_join(bad, 50.0, cell_deg=1.0, max_abs_lat=60.0).collect()

@@ -282,6 +282,8 @@ def test_histogram_pack_guards():
         histogram_pack([(9, 1)], 8)
     with pytest.raises(ValueError):
         histogram_pack([(3, 0)], 8)
+    with pytest.raises(ValueError, match="duplicate"):
+        histogram_pack([(5, 3), (5, 2)], 10)
 
 
 def test_doc_context_packing_fill_efficiency(spark):

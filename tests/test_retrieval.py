@@ -286,5 +286,16 @@ def test_sq8_codes_zero_norm_raises(spark):
     emb = spark.createDataFrame(
         [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
     )
-    with pytest.raises(Exception, match="sq8_codes: zero-norm"):
+    with pytest.raises(Exception, match="zero-norm"):
         sq8_codes(emb).collect()
+
+
+def test_sq8_codes_null_and_inf_elements_raise(spark):
+    from demo_apache_beam_spark.operators.retrieval import sq8_codes
+
+    for vec in ([1.0, None, 2.0], [1.0, float("inf"), 2.0]):
+        emb = spark.createDataFrame(
+            [(1, vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="sq8_codes"):
+            sq8_codes(emb).collect()

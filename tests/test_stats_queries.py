@@ -300,3 +300,30 @@ def test_target_encode_oof_reference(spark):
             ), rid
     # leak check by construction: row 3's encoding excludes its own 30.0
     assert out[3] == pytest.approx((10.0 + 20.0 + 40.0) / 3)
+
+
+def test_target_encode_oof_keeps_null_keys(spark):
+    """NULL categories/folds are legitimate groups: their rows must
+    survive the encode join (null-safe left join), with the complement
+    mean computed over the other NULL-key rows."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.encoding import target_encode_oof
+
+    rows = [
+        (1, None, 10.0, 0), (2, None, 20.0, 1), (3, None, 60.0, 1),
+        (4, "a", 5.0, 0), (5, "a", 7.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, cat string, target double, fold int"
+    )
+    out = {
+        r["rid"]: r["te_value"]
+        for r in target_encode_oof(df, "cat", "target", "fold").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}, "no input row may be dropped"
+    assert out[1] == pytest.approx((20.0 + 60.0) / 2)
+    assert out[2] == pytest.approx(10.0)
+    assert out[3] == pytest.approx(10.0)
+    assert out[4] == pytest.approx(7.0)
+    assert out[5] == pytest.approx(5.0)

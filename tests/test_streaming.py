@@ -2289,3 +2289,54 @@ def test_linkage_registry_erasure_survives_replay(spark, tmp_path):
     ingest(spark.createDataFrame([(11, "b3", "eve", 0.92)], schema), 2)
     spark.catalog.refreshByPath(out_dir)
     assert assigns() == {7: 6, 8: 6, 11: 11}
+
+
+def test_linkage_resubmitted_id_is_immutable(spark, tmp_path):
+    """First-seen-wins on the RECORD ID: a later epoch resubmitting an
+    accepted id with drifted attributes must not mint a conflicting
+    second registry row (batch incremental AND streaming ingest)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.linkage import (
+        FieldComparator,
+        incremental_record_linkage,
+    )
+    from demo_apache_beam_spark.streaming.linkage import make_linkage_ingest
+
+    comps = [
+        FieldComparator(
+            "name", lambda a, b: a("name_norm") == b("name_norm"), 3.0, -1.0
+        ),
+        FieldComparator(
+            "val", lambda a, b: F.abs(a("val") - b("val")) <= F.lit(0.1),
+            2.0, -0.5,
+        ),
+    ]
+    schema = "rid long, blk string, name_norm string, val double"
+    kw = dict(
+        id_col="rid", block_cols=["blk"], comparators=comps, threshold=4.0
+    )
+
+    # batch incremental
+    store = str(tmp_path / "bstore")
+    df0 = spark.createDataFrame([(1, "b1", "alice", 10.0)], schema)
+    incremental_record_linkage(df0, store, **kw)
+    # same id, attributes drifted far from its own entity
+    df1 = spark.createDataFrame([(1, "b1", "zed", 99.0)], schema)
+    out = incremental_record_linkage(df1, store, **kw)
+    assert out.count() == 0
+    reg = spark.read.parquet(store).collect()
+    assert len(reg) == 1 and reg[0]["name_norm"] == "alice"
+
+    # streaming ingest
+    out_dir, sstore = str(tmp_path / "out"), str(tmp_path / "sstore")
+    ingest = make_linkage_ingest(spark, out_dir, sstore, **kw)
+    ingest(df0, 0)
+    ingest(df1, 1)
+    spark.catalog.refreshByPath(sstore)
+    sreg = spark.read.parquet(sstore).collect()
+    assert len(sreg) == 1 and sreg[0]["name_norm"] == "alice"
+    assert {
+        (r["rid"], r["entity_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    } == {(1, 1)}
