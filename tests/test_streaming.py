@@ -2340,3 +2340,82 @@ def test_linkage_resubmitted_id_is_immutable(spark, tmp_path):
         (r["rid"], r["entity_id"])
         for r in spark.read.parquet(out_dir).collect()
     } == {(1, 1)}
+
+
+def test_geofence_stream_equals_batch_and_bruteforce(spark, tmp_path):
+    """Streaming geofence enrichment: stream output == the same callable
+    on the batch rows == an all-(point, fence) haversine reference —
+    including a fence straddling the antimeridian and near-miss points;
+    a pole-crossing fence fails loud."""
+    import math
+    import os
+
+    import pytest
+
+    from demo_apache_beam_spark.streaming.geo import (
+        fence_cover_cells,
+        geofence_points,
+    )
+
+    fences = [
+        (1, 10.0, 20.0, 120.0),
+        (2, 0.0, 179.95, 80.0),   # straddles the antimeridian
+        (3, -45.0, -60.0, 30.0),
+    ]
+    pts = [
+        (1, 10.3, 20.3),     # inside fence 1
+        (2, 11.2, 20.0),     # ~133 km: outside fence 1
+        (3, 0.1, -179.8),    # inside fence 2 across the seam
+        (4, 0.0, 179.4),     # ~61 km: inside fence 2 same side
+        (5, -45.1, -60.1),   # inside fence 3
+        (6, -46.0, -60.0),   # ~111 km: outside fence 3
+    ]
+    schema = "point_id long, lat double, lon double"
+
+    def hav(la, lo, lb, lo2):
+        dlat = math.radians(lb - la) / 2
+        dlon = math.radians(lo2 - lo) / 2
+        h = (
+            math.sin(dlat) ** 2
+            + math.cos(math.radians(la)) * math.cos(math.radians(lb))
+            * math.sin(dlon) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(h))
+
+    expect = set()
+    for pid, la, lo in pts:
+        for fid, fla, flo, rad in fences:
+            if hav(la, lo, fla, flo) <= rad:
+                expect.add((pid, fid))
+    assert expect == {(1, 1), (3, 2), (4, 2), (5, 3)}
+
+    batch = geofence_points(spark.createDataFrame(pts, schema), fences)
+    got_b = {(r["point_id"], r["fence_id"]) for r in batch.collect()}
+    assert got_b == expect
+
+    # stream: same callable over a file-source readStream
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(pts, schema).coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(f"{stage}/{part}", f"{in_dir}/p0.parquet")
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    got_s: set = set()
+    q = (
+        geofence_points(stream, fences)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, _e: got_s.update(
+                (r["point_id"], r["fence_id"]) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got_s == expect
+
+    with pytest.raises(ValueError, match="pole"):
+        fence_cover_cells([(9, 89.9, 0.0, 100.0)], 1.0)
