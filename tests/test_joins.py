@@ -819,3 +819,72 @@ def test_geo_radius_join_antimeridian_and_lat_guard(spark):
     )
     with pytest.raises(Exception, match="max_abs_lat"):
         geo_radius_join(bad, 50.0, cell_deg=1.0, max_abs_lat=60.0).collect()
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/ivm.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_join_view_equals_recompute(spark, tmp_path):
+    """Three append-only increments through the delta-join algebra must
+    leave the materialized view IDENTICAL to a full recompute join of
+    the accumulated sides — including keys joining old-left×new-right,
+    new-left×old-right, and within-increment delta×delta; empty
+    increments are no-ops; clashing non-key columns raise."""
+    import pytest
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        read_join_view,
+    )
+
+    ls = "k long, lv string"
+    rs = "k long, rv string"
+    incs = [
+        # (delta_left, delta_right)
+        ([(1, "a1"), (2, "a2")], [(1, "b1")]),            # ΔL⋈ΔR on k=1
+        ([(3, "a3")], [(2, "b2"), (3, "b3"), (3, "b3x")]),  # old-L×ΔR + ΔL⋈ΔR
+        ([(1, "a1x")], []),                                # ΔL×old-R only
+    ]
+    store = str(tmp_path / "jv")
+    all_l: list = []
+    all_r: list = []
+    for dl, dr in incs:
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame(dl, ls),
+            spark.createDataFrame(dr, rs),
+            on="k",
+        )
+        all_l += dl
+        all_r += dr
+        got = sorted(
+            map(tuple, read_join_view(spark, store).select("k", "lv", "rv").collect())
+        )
+        expect = sorted(
+            (lk, lv, rv) for lk, lv in all_l for rk, rv in all_r if lk == rk
+        )
+        assert got == expect
+
+    # empty increment: view unchanged
+    before = sorted(map(tuple, read_join_view(spark, store).collect()))
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame([], ls),
+        spark.createDataFrame([], rs),
+        on="k",
+    )
+    spark.catalog.refreshByPath(f"{store}/view")
+    assert sorted(map(tuple, read_join_view(spark, store).collect())) == before
+
+    with pytest.raises(ValueError, match="non-key columns"):
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            spark.createDataFrame([(1, "y")], "k long, v string"),
+            on="k",
+        )
