@@ -874,6 +874,68 @@ def test_stream_stream_interval_left_outer_join(spark, stream_dirs):
     assert got == expect
 
 
+def test_stream_stream_interval_full_outer_join(spark, stream_dirs):
+    """FULL OUTER stream-stream interval join: BOTH sides' unmatched
+    rows emit null-padded once the global watermark rules out a future
+    match — unmatched purchases (left) AND the view that no purchase
+    ever attributed (right)."""
+    from demo_apache_beam_spark.streaming.joins import interval_join_streams
+
+    in_dir, chk = stream_dirs
+    minute = 60_000
+    lines = [
+        _line("u1", "view", 0, BASE_MS),                    # matched by p@+10m
+        _line("u1", "purchase", 5, BASE_MS + 10 * minute),
+        _line("u2", "purchase", 9, BASE_MS + 20 * minute),  # no view: left-outer
+        _line("u4", "view", 0, BASE_MS + 5 * minute),       # no purchase: right-outer
+    ]
+    _write_lines(in_dir, "a.txt", lines)
+
+    events = read_game_event_lines(spark, in_dir)
+    views = events.filter(F.col("team") == "view")
+    purchases = events.filter(F.col("team") == "purchase")
+    joined = interval_join_streams(
+        purchases, views, on="user", max_lag_minutes=30,
+        how="full_outer", left_prefix="p", right_prefix="v",
+    ).select("p_user", "p_timestamp", "v_user", "v_timestamp")
+
+    got: set = set()
+
+    def sink(batch_df, _epoch):
+        got.update(
+            (r["p_user"], r["p_timestamp"], r["v_user"], r["v_timestamp"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # advance BOTH watermarks far past all data + lag + lateness, then
+    # one more micro-batch to flush the outer rows
+    for i, fname in ((400, "b.txt"), (401, "c.txt")):
+        _write_lines(in_dir, fname, [
+            _line("u9", "view", 0, BASE_MS + i * minute),
+            _line("u9", "purchase", 1, BASE_MS + i * minute),
+        ])
+        q.processAllAvailable()
+    q.stop()
+
+    expect = {
+        ("u1", BASE_MS + 10 * minute, "u1", BASE_MS),
+        ("u2", BASE_MS + 20 * minute, None, None),          # left outer
+        (None, None, "u4", BASE_MS + 5 * minute),           # right outer
+        # u9 pushers match themselves (view at the same instant)
+        ("u9", BASE_MS + 400 * minute, "u9", BASE_MS + 400 * minute),
+        ("u9", BASE_MS + 401 * minute, "u9", BASE_MS + 401 * minute),
+        ("u9", BASE_MS + 401 * minute, "u9", BASE_MS + 400 * minute),
+    }
+    assert got == expect
+
+
 def test_stream_static_enrichment(spark, stream_dirs):
     """Stream-static join: each micro-batch broadcasts the dimension and
     enriches in flight."""
