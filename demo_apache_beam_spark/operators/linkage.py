@@ -289,10 +289,17 @@ def incremental_record_linkage(
         new_df = new_df.join(
             hist.select(F.col(id_col)), id_col, "left_anti"
         )
+    from .checkpoints import tracked_local_checkpoint
+
     assigned = linkage_resolve_core(
         new_df, hist, id_col, block_cols, comparators, threshold
     )
-    rows = new_df.join(assigned, id_col)
+    # freeze the WRITTEN rows too, not just the assignments: the lazy
+    # plan embeds the store read and the caller's upstream — appending
+    # while it re-executes would re-list the store and, under a
+    # non-deterministic upstream, append rows that diverge from the
+    # already-returned assignments (review r10)
+    rows = tracked_local_checkpoint(new_df.join(assigned, id_col))
     rows.write.mode("append").parquet(store_path)
     return assigned
 

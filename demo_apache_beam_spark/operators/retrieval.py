@@ -167,7 +167,10 @@ def sq8_codes(
     bad = (
         F.col("x").isNull()
         | F.isnan(F.col("x"))
-        | (F.abs(F.col("x")) == F.lit(float("inf")))
+        # decimal(27,12) holds |x*x| < 1e15, so |x| beyond ~3.16e7 would
+        # silently NULL its squared term out of the norm sum exactly
+        # like +/-Inf does (review r10) — same fail-loud treatment
+        | (F.abs(F.col("x")) >= F.lit(3.16e7))
         | (F.col("_nv") == 0.0)
         | F.isnan(F.col("_nv"))
     )

@@ -75,29 +75,34 @@ def export_corpus(
         .write.mode("overwrite")
         .parquet(output_dir)
     )
+    # ONE scan over the export serves every summary number (review r10:
+    # a separate count() was a full redundant pass), and an everything-
+    # filtered export still honors the one-JSON-line contract (review
+    # r10: NULL max/tokens crashed the int() casts).
     stats = (
         spark.read.parquet(output_dir)
         .groupBy("pack_id")
-        .agg(F.sum("len_eff").alias("_fill"))
+        .agg(F.sum("len_eff").alias("_fill"), F.count(F.lit(1)).alias("_n"))
         .agg(
             F.count(F.lit(1)).alias("n_packs"),
+            F.sum("_n").alias("n_docs"),
             F.sum("_fill").alias("tokens"),
             F.max("_fill").alias("max_fill"),
         )
         .collect()[0]
     )
-    n_kept = int(
-        spark.read.parquet(output_dir).count()
-    )
+    n_packs = int(stats["n_packs"])
     return {
         "n_input_docs": int(n_input),
-        "n_exported_docs": n_kept,
-        "n_packs": int(stats["n_packs"]),
+        "n_exported_docs": int(stats["n_docs"] or 0),
+        "n_packs": n_packs,
         "context": int(context),
-        "max_pack_fill": int(stats["max_fill"]),
+        "max_pack_fill": int(stats["max_fill"] or 0),
         "fill_ratio": round(
-            float(stats["tokens"]) / (int(stats["n_packs"]) * context), 4
-        ),
+            float(stats["tokens"]) / (n_packs * context), 4
+        )
+        if n_packs
+        else 0.0,
         "output": output_dir,
     }
 

@@ -10669,13 +10669,13 @@ def _geo_coord_sql(prefix: str, scale: float, offset: float) -> str:
 
 
 def _geo_edge_deg() -> float:
-    """Δlon bound (degrees) for the 50 km radius at |lat| ≤ 60° — the
-    same expression operators/geo.py:max_dlon_deg evaluates, so the
-    ghost-row boundary literal in the oracle matches the operator's
-    runtime float exactly."""
-    from math import asin, cos, degrees, radians, sin
+    """Δlon bound (degrees) for the 50 km radius at |lat| ≤ 60° — BY
+    CONSTRUCTION the operator's own runtime float (a hand-copied
+    formula would silently desynchronize the oracle's ghost boundary
+    from the operator if either drifted — review r10)."""
+    from .operators.geo import max_dlon_deg
 
-    return degrees(2.0 * asin(sin(50.0 / (2.0 * 6371.0088)) / cos(radians(60.0))))
+    return max_dlon_deg(50.0, 60.0)
 
 
 @register(

@@ -47,6 +47,8 @@ def fence_cover_cells(
     """
     out: list[tuple[int, int, int]] = []
     for fence_id, lat, lon, radius_km in fences:
+        if lon >= 180.0:  # +180 is the same meridian as -180 (review r10)
+            lon -= 360.0
         dlat = max_dlat_deg(radius_km)
         if abs(lat) + dlat >= 90.0:
             raise ValueError(
@@ -104,10 +106,18 @@ def geofence_points(
         ]
     )
     fcells = spark.createDataFrame(rows, ftype)
+    # +180 normalizes to -180 BEFORE the cell floor: fence covers stop
+    # at nextafter(180, -inf), so a lon==180.0 point would otherwise
+    # land in a cell no fence ever emits and silently miss containment
+    # (review r10); haversine itself is 360-periodic, so only the CELL
+    # uses the normalized value
+    lon_n = F.when(
+        F.col(lon_col) >= F.lit(180.0), F.col(lon_col) - F.lit(360.0)
+    ).otherwise(F.col(lon_col))
     pts = points.withColumn(
         "_pcy", F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("long")
     ).withColumn(
-        "_pcx", F.floor(F.col(lon_col) / F.lit(float(cell_deg))).cast("long")
+        "_pcx", F.floor(lon_n / F.lit(float(cell_deg))).cast("long")
     )
     joined = pts.join(
         F.broadcast(fcells),

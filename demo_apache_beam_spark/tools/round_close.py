@@ -81,12 +81,19 @@ def run_sweeps() -> dict:
         try:
             with open(out_json) as fh:
                 sweeps[tag] = json.load(fh)
-            os.unlink(out_json)
         except (OSError, json.JSONDecodeError) as exc:
             sweeps[tag] = {
                 "queries": {},
                 "fails": [f"sweep produced no result JSON: {exc}"],
             }
+        else:
+            # unlink OUTSIDE the load's except: a failed cleanup must
+            # not overwrite a successfully loaded green sweep with a
+            # bogus gate failure (review r10)
+            try:
+                os.unlink(out_json)
+            except OSError:
+                pass
         sweeps[tag]["exit_code"] = rc
     return sweeps
 

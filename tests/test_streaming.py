@@ -2431,6 +2431,7 @@ def test_geofence_stream_equals_batch_and_bruteforce(spark, tmp_path):
         (4, 0.0, 179.4),     # ~61 km: inside fence 2 same side
         (5, -45.1, -60.1),   # inside fence 3
         (6, -46.0, -60.0),   # ~111 km: outside fence 3
+        (7, 0.0, 180.0),     # lon==+180 normalization: inside fence 2
     ]
     schema = "point_id long, lat double, lon double"
 
@@ -2449,7 +2450,7 @@ def test_geofence_stream_equals_batch_and_bruteforce(spark, tmp_path):
         for fid, fla, flo, rad in fences:
             if hav(la, lo, fla, flo) <= rad:
                 expect.add((pid, fid))
-    assert expect == {(1, 1), (3, 2), (4, 2), (5, 3)}
+    assert expect == {(1, 1), (3, 2), (4, 2), (5, 3), (7, 2)}
 
     batch = geofence_points(spark.createDataFrame(pts, schema), fences)
     got_b = {(r["point_id"], r["fence_id"]) for r in batch.collect()}
