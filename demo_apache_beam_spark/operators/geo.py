@@ -116,6 +116,16 @@ def geo_radius_join(
             f"for radius {radius_km} km at |lat| ≤ {max_abs_lat}° — the "
             "3x3 neighborhood probe would miss pairs; enlarge cell_deg"
         )
+    if cell_deg > 90.0:
+        # with fewer than 4 lon cells around the globe the ±360° ghost
+        # shift lands within the REAL 3×3 neighborhood, so an
+        # antimeridian pair is emitted twice — keep ghost and real
+        # neighborhoods provably disjoint (ADVICE r10)
+        raise ValueError(
+            f"geo_radius_join: cell_deg {cell_deg} > 90 — ghost-probe "
+            "cells would overlap the real neighborhood and antimeridian "
+            "pairs would duplicate; use a smaller cell_deg"
+        )
     lat_guarded = F.when(
         F.abs(F.col(lat_col)) > F.lit(float(max_abs_lat)),
         F.raise_error(

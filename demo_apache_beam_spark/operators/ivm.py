@@ -1,40 +1,136 @@
 """Incremental view maintenance — delta-join algebra over a persisted
-materialized join view.
+materialized join view, with the stored sides BUCKETED on the join key
+and the rollup maintained as an incremental monoid aggregate.
 
 The batch-refresh face of materialized views: a warehouse keeps
 ``A ⋈ B`` materialized, facts arrive as APPEND-ONLY deltas, and each
 refresh must pay for the deltas, not the recompute. The classic
 identity (inner equi-join, append-only inputs):
 
-    (A ∪ ΔA) ⋈ (B ∪ ΔB)  =  A⋈B  ∪  ΔA⋈(B ∪ ΔB)  ∪  A⋈ΔB
+    (A ∪ ΔA) ⋈ (B ∪ ΔB)  =  A⋈B  ∪  ΔA⋈B_old  ∪  ΔA⋈ΔB  ∪  A_old⋈ΔB
 
-so the VIEW DELTA is ``ΔA⋈B_new ∪ A_old⋈ΔB`` — two joins whose left
-sides are delta-sized (the ΔA⋈ΔB cross term folds into the first). At
-100 TB each refresh is one delta-vs-stored join per side; store both
-sides bucketed on the key (``functions/sinks.py:write_bucketed``) and
-the joins are exchange-free on the stored side. This complements —
-not duplicates — the stream-stream joins in ``streaming/joins.py``:
-those hold bounded watermark state in the engine; this maintains an
+so the VIEW DELTA is the three right-hand terms. The decomposition is
+deliberately kept in that 3-term form (rather than folding ΔA⋈ΔB into
+``ΔA⋈(B_old ∪ ΔB)``): each STORED side then appears only as a direct
+scan of its bucketed table — never under a union — so the scan's
+bucket layout satisfies the join's required distribution and Catalyst
+plans the stored side with ZERO Exchange (pinned by
+``tests/test_joins.py::test_ivm_refresh_join_stored_side_no_exchange``).
+At 100 TB this is the whole point of the algebra: the accumulated
+(unbounded) sides never reshuffle on refresh; only the delta side pays
+one delta-sized Exchange per term. The sides are written through
+bucketed catalog tables (the ``functions/sinks.py:write_bucketed``
+contract); appends land new per-bucket files, which Spark groups back
+into the same bucket partitioning at scan (ordering is re-sorted but
+no Exchange — compaction of many-increment stores belongs to
+``operators/layout.py:compact_files``). This complements — not
+duplicates — the stream-stream joins in ``streaming/joins.py``: those
+hold bounded watermark state in the engine; this maintains an
 UNBOUNDED persisted view across batch refreshes, the nightly-delta
 contract.
+
+The AGGREGATE view (:func:`apply_aggregate_increment` /
+:func:`read_aggregate_view`) completes the story: each increment
+appends a dimension-sized partial (count / exact-decimal sum — monoid
+partials) computed from the view delta, and the registry read merges
+partials with one dimension-sized aggregation — the rollup query never
+scans the accumulated view at all.
 
 Append-only is the contract (facts append; updates/deletes belong to
 the CDC compaction and erasure machinery): re-appending an existing
 key is two distinct fact rows, exactly like re-inserting into a fact
-table. The store holds three datasets — ``left/``, ``right/``,
-``view/`` — appended per increment; the returned view delta is
-localCheckpointed BEFORE the store mutates (the freeze discipline every
-incremental operator here follows), so the lazy reads cannot re-list
-their own writes. Increments run serially (the standard ingest-
-scheduler contract).
+table. The store holds four datasets — ``left/``, ``right/`` (bucketed
+tables), ``view/``, ``agg/`` (plain parquet appends). Both input
+deltas are localCheckpointed UP FRONT (ADVICE r10) so the returned
+view delta and the store appends derive from the same frozen rows even
+for non-deterministic upstream plans; the view delta is additionally
+checkpointed BEFORE the store mutates, so the caller's lazy reads
+cannot re-list the post-append store. Increments run serially (the
+standard ingest-scheduler contract).
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (callers' convenience)
 
 from .dedup import _hadoop_path_exists
+
+
+def _side_table_name(store_path: str, sub: str) -> str:
+    """Deterministic catalog name for a bucketed side of the store at
+    ``store_path`` — derived from the absolute path so two stores never
+    collide and the same store re-attaches to the same name."""
+    digest = hashlib.md5(
+        os.path.abspath(os.path.join(store_path, sub)).encode()
+    ).hexdigest()[:12]
+    return f"ivm_{sub}_{digest}"
+
+
+def _attach_side(
+    spark, store_path: str, sub: str, keys: list[str], num_buckets: int
+):
+    """Bucket-aware handle on one stored side: returns
+    ``(table_name, old_df_or_None)``. A catalog entry whose files were
+    deleted out-of-band is dropped (stale); an existing store is
+    re-attached through ``register_bucketed_table`` (spec-validated,
+    metadata-only) so the scan keeps its bucket layout — a plain
+    ``spark.read.parquet`` would lose it and reintroduce the Exchange.
+    """
+    from ..functions.sinks import register_bucketed_table
+
+    path = os.path.join(store_path, sub)
+    tbl = _side_table_name(store_path, sub)
+    exists = _hadoop_path_exists(spark, path)
+    if spark.catalog.tableExists(tbl) and not exists:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if not exists:
+        return tbl, None
+    df = register_bucketed_table(
+        spark, tbl, path, keys, num_buckets, sort_cols=keys
+    )
+    # appends may have landed since the catalog cached the listing
+    spark.catalog.refreshTable(tbl)
+    return tbl, df
+
+
+def _append_side(
+    delta: DataFrame, tbl: str, path: str, keys: list[str], num_buckets: int
+) -> None:
+    """Append one delta into a bucketed side table (creates it on the
+    first increment). Spark validates the bucket spec on append, so a
+    drifted table fails loud instead of mixing layouts. The ``path``
+    option is passed only at creation — an existing table already owns
+    its location and some Spark versions reject a redundant path."""
+    writer = (
+        delta.write.mode("append")
+        .format("parquet")
+        .bucketBy(int(num_buckets), *keys)
+        .sortBy(*keys)
+    )
+    if not delta.sparkSession.catalog.tableExists(tbl):
+        writer = writer.option("path", path)
+    writer.saveAsTable(tbl)
+
+
+def _view_delta(
+    l_old, r_old, delta_left: DataFrame, delta_right: DataFrame, keys
+) -> DataFrame:
+    """The 3-term view delta ``ΔA⋈B_old ∪ ΔA⋈ΔB ∪ A_old⋈ΔB`` with every
+    stored side a direct bucketed-table scan (module docstring)."""
+    terms = []
+    if r_old is not None:
+        terms.append(delta_left.join(r_old, keys))
+    terms.append(delta_left.join(delta_right, keys))
+    if l_old is not None:
+        terms.append(l_old.join(delta_right, keys))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 def apply_join_increment(
@@ -43,6 +139,7 @@ def apply_join_increment(
     delta_left: DataFrame,
     delta_right: DataFrame,
     on: str | list[str],
+    num_buckets: int = 8,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
     inner equi-join view at ``store_path``; returns the VIEW DELTA
@@ -50,6 +147,9 @@ def apply_join_increment(
 
     Both sides' non-key column names must be disjoint (raises up
     front — a silent duplicate column would poison the stored view).
+    ``num_buckets`` must stay constant across a store's lifetime (the
+    bucketed append validates it; size it to the target scale — the
+    test default 8 stands in for the thousands a 100 TB side needs).
     """
     from .checkpoints import tracked_local_checkpoint
 
@@ -63,35 +163,151 @@ def apply_join_increment(
             f"{sorted(clash)} — rename before materializing"
         )
 
-    l_path, r_path, v_path = (
-        f"{store_path}/left",
-        f"{store_path}/right",
-        f"{store_path}/view",
-    )
-    l_old = (
-        spark.read.parquet(l_path)
-        if _hadoop_path_exists(spark, l_path)
-        else None
-    )
-    r_old = (
-        spark.read.parquet(r_path)
-        if _hadoop_path_exists(spark, r_path)
-        else None
-    )
-    r_new = (
-        delta_right if r_old is None else r_old.unionByName(delta_right)
-    )
-    dview = delta_left.join(r_new, keys)
-    if l_old is not None:
-        dview = dview.unionByName(l_old.join(delta_right, keys))
-    dview = tracked_local_checkpoint(dview)
+    # freeze BOTH deltas first (ADVICE r10): the view delta below and
+    # the side-store appends must derive from the same rows — a
+    # non-deterministic upstream plan executed twice would let the
+    # stored sides diverge from the already-returned view delta
+    delta_left = tracked_local_checkpoint(delta_left)
+    delta_right = tracked_local_checkpoint(delta_right)
 
-    delta_left.write.mode("append").parquet(l_path)
-    delta_right.write.mode("append").parquet(r_path)
+    l_path, r_path, v_path = (
+        os.path.join(store_path, "left"),
+        os.path.join(store_path, "right"),
+        os.path.join(store_path, "view"),
+    )
+    l_tbl, l_old = _attach_side(spark, store_path, "left", keys, num_buckets)
+    r_tbl, r_old = _attach_side(spark, store_path, "right", keys, num_buckets)
+
+    dview = tracked_local_checkpoint(
+        _view_delta(l_old, r_old, delta_left, delta_right, keys)
+    )
+
+    _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
+    _append_side(delta_right, r_tbl, r_path, keys, num_buckets)
     dview.write.mode("append").parquet(v_path)
+    for t in (l_tbl, r_tbl):
+        spark.catalog.refreshTable(t)
     return dview
 
 
 def read_join_view(spark, store_path: str) -> DataFrame:
     """The accumulated materialized view (all increments applied)."""
-    return spark.read.parquet(f"{store_path}/view")
+    return spark.read.parquet(os.path.join(store_path, "view"))
+
+
+def apply_aggregate_increment(
+    spark,
+    store_path: str,
+    view_delta: DataFrame,
+    group_cols: list[str],
+    partial_aggs: list,
+) -> None:
+    """Maintain the AGGREGATE view incrementally: append one
+    dimension-sized partial computed from this increment's view delta.
+
+    ``partial_aggs`` are aliased aggregate Columns that must be
+    SUM-MERGEABLE monoids — ``F.count(...)`` partials merge by sum,
+    exact-decimal ``F.sum(cast)`` partials merge by decimal sum (both
+    order-independent); an average is expressed as sum+count partials
+    and divided at read. Each append is |groups| rows, so after N
+    increments the stored aggregate is N·|groups| rows — the
+    :func:`read_aggregate_view` merge is dimension-sized, never a scan
+    of the accumulated view.
+    """
+    (
+        view_delta.groupBy(*group_cols)
+        .agg(*partial_aggs)
+        .write.mode("append")
+        .parquet(os.path.join(store_path, "agg"))
+    )
+
+
+def read_aggregate_view(
+    spark, store_path: str, group_cols: list[str], merge_aggs: list
+) -> DataFrame:
+    """Merge the appended monoid partials into the current aggregate —
+    one groupBy over N·|groups| rows (``merge_aggs``: aliased Columns
+    summing the partial columns)."""
+    return (
+        spark.read.parquet(os.path.join(store_path, "agg"))
+        .groupBy(*group_cols)
+        .agg(*merge_aggs)
+    )
+
+
+def apply_left_join_increment(
+    spark,
+    store_path: str,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: str | list[str],
+    num_buckets: int = 8,
+) -> None:
+    """LEFT OUTER join view maintenance (the retraction-bearing half the
+    inner algebra cannot express): maintain ``A LEFT JOIN B`` under
+    append-only deltas. The inner-match rows are append-only and reuse
+    the whole :func:`apply_join_increment` machinery (bucketed sides,
+    frozen deltas) at ``{store}/inner``; the NULL-extended rows are the
+    left rows with no match yet — and that set shrinks when ΔB arrives,
+    which is a RETRACTION, so it lives in its own rewritten dataset:
+
+        unmatched_new = unmatched_old ⟕̸ ΔB  ∪  ΔA ⟕̸ B_new
+
+    (anti-joins: unmatched_old rows already failed to match B_old, so
+    only ΔB can claim them; ΔA must clear all of B_new). The rows any
+    increment moves out of ``unmatched`` are exactly the
+    ``A_old ⋈ ΔB`` term the inner store just appended — the two
+    datasets stay consistent by construction (pinned per-increment in
+    pytest against a full recompute).
+
+    Scale shape: the anti-joins are delta-vs-stored (the stored side of
+    ``ΔA ⟕̸ B_new`` is the bucketed right table — exchange-free like
+    every stored-side join here), except the ``unmatched`` rewrite,
+    which costs |unmatched| per refresh — bounded by the fact table's
+    UNMATCHED rows (telemetry without a dimension row yet), a set that
+    drains as late dimension rows arrive; a warehouse where it grows
+    unboundedly has a referential-integrity problem, not a plan
+    problem. Read with :func:`read_left_join_view`.
+    """
+    from .checkpoints import tracked_local_checkpoint
+
+    keys = [on] if isinstance(on, str) else list(on)
+    delta_left = tracked_local_checkpoint(delta_left)
+    delta_right = tracked_local_checkpoint(delta_right)
+
+    inner = os.path.join(store_path, "inner")
+    apply_join_increment(
+        spark, inner, delta_left, delta_right, on=keys,
+        num_buckets=num_buckets,
+    )
+    _, r_all = _attach_side(spark, inner, "right", keys, num_buckets)
+    um_path = os.path.join(store_path, "unmatched")
+    if _hadoop_path_exists(spark, um_path):
+        um_old = spark.read.parquet(um_path).join(
+            delta_right.select(*keys), keys, "left_anti"
+        )
+    else:
+        um_old = None
+    um_new = delta_left.join(r_all.select(*keys), keys, "left_anti")
+    um = um_old.unionByName(um_new) if um_old is not None else um_new
+    # the rewrite plan reads the old store — freeze before overwriting
+    um = tracked_local_checkpoint(um)
+    um.write.mode("overwrite").parquet(um_path)
+    spark.catalog.refreshByPath(um_path)
+
+
+def read_left_join_view(spark, store_path: str) -> DataFrame:
+    """The accumulated LEFT OUTER view: inner-match rows ∪ unmatched
+    left rows null-extended to the right side's columns (taken from the
+    stored right table's own schema, so the extension never drifts from
+    what was written)."""
+    inner = spark.read.parquet(os.path.join(store_path, "inner", "view"))
+    um = spark.read.parquet(os.path.join(store_path, "unmatched"))
+    right_schema = spark.read.parquet(
+        os.path.join(store_path, "inner", "right")
+    ).schema
+    ext = um
+    for f in right_schema.fields:
+        if f.name not in um.columns:
+            ext = ext.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return inner.unionByName(ext.select(*inner.columns))

@@ -14,8 +14,12 @@ resolves them in two moves this module keeps separate:
   log-odds-shaped score ``Σ (agree ? w_a : w_d)`` over the configured
   comparators; a threshold turns scores into match decisions. With
   per-field weights derived from m/u probabilities this IS Fellegi–
-  Sunter; here the weights are caller-supplied constants, which is how
-  production linkage usually starts before EM fitting.
+  Sunter; the weights may be caller-supplied constants (how production
+  linkage usually starts) or fitted from the candidate pairs themselves
+  by :func:`fit_linkage_weights_em` — the EM half of Fellegi–Sunter
+  1969 (§5; the latent-class formulation of Winkler 1988): estimate
+  per-field m = P(agree | match) and u = P(agree | non-match) plus the
+  match prior from the observed agreement vectors, no labels needed.
 
 Scale shape: the self-join is a plain equi-join on the block key (no
 cartesian, plan-pinned in tests); candidate volume is Σ_b n_b², governed
@@ -175,6 +179,181 @@ def record_linkage_pairs_between(
         ca,
         cb,
     )
+
+
+def fit_linkage_weights_em(
+    pairs: DataFrame,
+    field_names: list[str],
+    n_iter: int = 25,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    tol: float = 1e-8,
+    clip: float = 1e-6,
+) -> dict:
+    """Fit Fellegi–Sunter m/u probabilities and the match prior from
+    UNLABELED candidate pairs by EM — the half of Fellegi & Sunter 1969
+    that turns caller-guessed constants into data-derived weights.
+
+    ``pairs`` is the output shape of :func:`record_linkage_pairs` (or
+    any frame carrying an integer ``{name}_agree`` column per entry of
+    ``field_names``); conditional independence of fields given the
+    match class is the model (the standard FS assumption).
+
+    Per iteration (two-class latent mixture over agreement vectors):
+
+    - E-step: each pair's match posterior
+      ``w = p·∏ m^γ(1-m)^(1-γ) / (p·∏ m^γ(1-m)^(1-γ) +
+      (1-p)·∏ u^γ(1-u)^(1-γ))`` — a pure codegen expression built from
+      the current scalar parameters (no UDF);
+    - M-step: ``p = Σw/N``, ``m_i = Σw·γ_i / Σw``,
+      ``u_i = Σ(1-w)·γ_i / Σ(1-w)`` — ONE aggregation job over the
+      frozen pair table; the driver holds only the |fields|-sized
+      parameter vector. At 100 TB each iteration is a single map-side-
+      combinable sum over the (already blocked, Σ_b n_b²) candidate
+      pairs — the pair table is localCheckpointed once up front so the
+      blocking join never re-executes across iterations.
+
+    m/u are clipped to ``[clip, 1-clip]`` each step (log-weight
+    stability; also keeps the degenerate all-0/all-1 fixed points out).
+    Stops early when every parameter moves < ``tol``. Deterministic up
+    to double-sum ordering (the E-step is exact per row; the M-step
+    sums commute to ~1e-12).
+
+    Returns ``{"p": float, "n_iter": int, "converged": bool,
+    "fields": {name: {"m", "u", "w_agree", "w_disagree"}}}`` with
+    ``w_agree = log2(m/u)`` and ``w_disagree = log2((1-m)/(1-u))`` —
+    drop-in weights for :class:`FieldComparator`
+    (:func:`comparators_with_fitted_weights`).
+    """
+    import math
+
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
+
+    if not field_names:
+        raise ValueError("fit_linkage_weights_em: field_names must be non-empty")
+    if not (0.0 < init_p < 1.0):
+        raise ValueError(f"init_p must be in (0,1), got {init_p}")
+    gam = [F.col(f"{name}_agree").cast("double") for name in field_names]
+    spark = pairs.sparkSession
+    with track_checkpoints() as _ckpt:
+        try:
+            return _fit_em_over_frozen(
+                tracked_local_checkpoint(
+                    pairs.select(
+                        *[g.alias(f"_g{i}") for i, g in enumerate(gam)]
+                    )
+                ),
+                field_names,
+                n_iter,
+                init_p,
+                init_m,
+                init_u,
+                tol,
+                clip,
+            )
+        finally:
+            # the fit returns driver scalars only — release the frozen
+            # pair table's pinned blocks before returning
+            unpersist_ids(spark, _ckpt)
+
+
+def _fit_em_over_frozen(
+    frozen: DataFrame,
+    field_names: list[str],
+    n_iter: int,
+    init_p: float,
+    init_m: float,
+    init_u: float,
+    tol: float,
+    clip: float,
+) -> dict:
+    import math
+
+    n_pairs = frozen.count()
+    if n_pairs == 0:
+        raise ValueError(
+            "fit_linkage_weights_em: no candidate pairs — blocking "
+            "produced an empty table; EM has nothing to fit"
+        )
+
+    k = len(field_names)
+    p = float(init_p)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+
+    def _clip(x: float) -> float:
+        return min(max(x, clip), 1.0 - clip)
+
+    converged = False
+    it = 0
+    for it in range(1, n_iter + 1):
+        # E-step in log space (codegen literals only): log-likelihood
+        # under each class, posterior via the logistic of the gap
+        ll_m = F.lit(math.log(p))
+        ll_u = F.lit(math.log(1.0 - p))
+        for i in range(k):
+            g = F.col(f"_g{i}")
+            ll_m = ll_m + g * F.lit(math.log(m[i])) + (
+                F.lit(1.0) - g
+            ) * F.lit(math.log(1.0 - m[i]))
+            ll_u = ll_u + g * F.lit(math.log(u[i])) + (
+                F.lit(1.0) - g
+            ) * F.lit(math.log(1.0 - u[i]))
+        w = F.lit(1.0) / (F.lit(1.0) + F.exp(ll_u - ll_m))
+        # M-step: one aggregation job
+        aggs = [F.sum(w).alias("_sw")]
+        for i in range(k):
+            aggs.append(F.sum(w * F.col(f"_g{i}")).alias(f"_swg{i}"))
+            aggs.append(
+                F.sum((F.lit(1.0) - w) * F.col(f"_g{i}")).alias(f"_snwg{i}")
+            )
+        row = frozen.agg(*aggs).collect()[0]
+        sw = float(row["_sw"])
+        snw = float(n_pairs) - sw
+        new_p = _clip(sw / float(n_pairs))
+        new_m = [_clip(float(row[f"_swg{i}"]) / sw) for i in range(k)]
+        new_u = [_clip(float(row[f"_snwg{i}"]) / snw) for i in range(k)]
+        delta = max(
+            abs(new_p - p),
+            *(abs(a - b) for a, b in zip(new_m, m)),
+            *(abs(a - b) for a, b in zip(new_u, u)),
+        )
+        p, m, u = new_p, new_m, new_u
+        if delta < tol:
+            converged = True
+            break
+
+    fields = {}
+    for i, name in enumerate(field_names):
+        fields[name] = {
+            "m": m[i],
+            "u": u[i],
+            "w_agree": math.log2(m[i] / u[i]),
+            "w_disagree": math.log2((1.0 - m[i]) / (1.0 - u[i])),
+        }
+    return {"p": p, "n_iter": it, "converged": converged, "fields": fields}
+
+
+def comparators_with_fitted_weights(
+    comparators: list[FieldComparator], fitted: dict
+) -> list[FieldComparator]:
+    """Rebind each comparator's weights to the EM-fitted log2 m/u odds
+    (:func:`fit_linkage_weights_em` output) — the agreement predicates
+    are untouched; only the score contributions change."""
+    out = []
+    for comp in comparators:
+        fw = fitted["fields"][comp.name]
+        out.append(
+            FieldComparator(
+                comp.name, comp.agree, fw["w_agree"], fw["w_disagree"]
+            )
+        )
+    return out
 
 
 def linkage_resolve_core(

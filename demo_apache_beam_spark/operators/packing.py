@@ -412,7 +412,6 @@ def histogram_pack(
     [1, capacity] — callers clamp (truncate) upstream.
     """
     import heapq
-    from collections import deque
 
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")

@@ -213,7 +213,9 @@ def ranking_eval(
     SUM is the DCG, and each 1/log2(rank+1) term passes through the
     ``stable_sum`` decimal(18,6) cast so the per-query sum is
     order-independent; IDCG is the same decimal sum over ranks 1..k
-    (binary gains, |truth| ≥ k here), computed once and broadcast. All
+    (binary gains; |truth| ≥ k per query is ENFORCED — an undersized
+    truth set raises in-plan rather than silently deflating the
+    metrics), computed once and broadcast. All
     divisions are double/double.
 
     Scale shape: hits is an equi-join of two k·|queries| rank lists;
@@ -224,7 +226,37 @@ def ranking_eval(
     hits = cand.select(query_col, item_col, rank_col).join(
         truth.select(query_col, item_col), [query_col, item_col]
     )
-    qs = cand.select(query_col).distinct()
+    # the |truth| ≥ k contract is ENFORCED, not assumed (ADVICE r10):
+    # an undersized (or missing) truth set silently deflates
+    # recall/nDCG — they could never reach 1.0 — which is a
+    # quiet-wrong metric; fail loud in the plan itself instead. The
+    # guard is a dim-sized broadcast join (one count per query).
+    truth_counts = truth.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("_n_truth")
+    )
+    qtype = dict(cand.dtypes)[query_col]
+    # the guard is woven into the LIVE query column (the geo.py
+    # lat-guard pattern) — a dropped side column would be pruned by
+    # Catalyst before the raise_error ever evaluates
+    qs = (
+        cand.select(query_col)
+        .distinct()
+        .join(F.broadcast(truth_counts), query_col, "left")
+        .select(
+            F.when(
+                F.coalesce(F.col("_n_truth"), F.lit(0)) < F.lit(int(k)),
+                F.raise_error(
+                    F.lit(
+                        f"ranking_eval: a query has fewer than k={k} "
+                        "truth rows — recall@k/nDCG@k would be silently "
+                        "deflated; shrink k or extend the truth set"
+                    )
+                ).cast(qtype),
+            )
+            .otherwise(F.col(query_col))
+            .alias(query_col)
+        )
+    )
     dcg_term = (
         F.lit(1.0) / F.log2(F.col(rank_col).cast("double") + F.lit(1.0))
     ).cast("decimal(18,6)")

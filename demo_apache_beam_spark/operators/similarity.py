@@ -2233,3 +2233,54 @@ def read_kmeans_store(
         spark.read.parquet(f"{store_path}/assignment"),
         [[float(x) for x in r["centroid"]] for r in cent_rows],
     )
+
+
+def kmeans_store_epoch(spark, store_path: str) -> int:
+    """The store's centroid-version epoch (0 for a store that has never
+    been retrained — the bootstrap writer predates the marker)."""
+    from .dedup import _hadoop_path_exists
+
+    path = f"{store_path}/epoch"
+    if not _hadoop_path_exists(spark, path):
+        return 0
+    rows = spark.read.parquet(path).collect()
+    return int(rows[0]["epoch"]) if rows else 0
+
+
+def retrain_kmeans_store(
+    spark,
+    store_path: str,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """ACT on a ``retrain_recommended`` signal (VERDICT r10 item 7 —
+    the consumer ``streaming/kmeans.py:make_kmeans_drift_ingest`` was
+    missing): re-run :func:`distributed_kmeans` over the CURRENT corpus
+    and overwrite the store with the new centroids + assignment, bumping
+    the ``{store}/epoch`` marker so consumers can tell centroid
+    versions apart.
+
+    Contract with the serving stream (the module's pinned-version
+    discipline): a RUNNING assignment stream keeps serving the centroid
+    version it pinned at start — the centroids are plan literals, so the
+    overwrite cannot reach it and its already-written epoch partitions
+    stay byte-identical; the NEXT stream start (or
+    ``load_centroids`` call) re-pins against the new version. The drift
+    monitor's baseline likewise re-reads at its next factory call, so
+    post-retrain epochs are scored against the new training
+    distribution. Returns ``{"epoch": int, "k": int, "centroids":
+    [...]}`` (driver-bounded: k·dim floats)."""
+    new_epoch = kmeans_store_epoch(spark, store_path) + 1
+    assigned, cents = distributed_kmeans(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # the assignment plan reads only `emb` (never the store), so the
+    # overwrite below cannot feed back into its own input
+    write_kmeans_store(spark, store_path, assigned, cents)
+    spark.createDataFrame([(new_epoch,)], "epoch long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store_path}/epoch")
+    return {"epoch": new_epoch, "k": int(k), "centroids": cents}

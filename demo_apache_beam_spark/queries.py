@@ -4585,12 +4585,37 @@ def media_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ids) fingerprint bit-identically; the nonzero-small-Hamming "
         "case (noise overlay = re-recording stand-in) is pinned in "
         "pytest. Pairs via hamming_near_pairs — sub-quadratic, no "
-        "all-pairs join (plan-pinned). Output (id_a, id_b, hamming).",
+        "all-pairs join (plan-pinned). The signatures come from the "
+        "shared fingerprinted store (_audio_fp_store, keyed on the "
+        "documents listing + frame/band/variant params, bit-identical "
+        "to an inline run by pytest), so the WAV encode+decode+FFT "
+        "pipeline runs once per corpus generation and the query itself "
+        "is join-only over 8-byte rows. Output (id_a, id_b, hamming).",
 )
 def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import hamming_near_pairs
+
+    # signatures come from the shared fingerprinted store — the query
+    # itself is join-only over 8-byte rows; the WAV encode+decode+FFT
+    # pipeline runs once per corpus generation, not per call (VERDICT
+    # r10 item 3, mirroring the image family's r10 store)
+    sigs = _audio_fp_store(spark, sf_dir)
+    return hamming_near_pairs(
+        sigs, id_col="media_id", sig_col="afp", max_hamming=10
+    )
+
+
+def _audio_fp_sigs_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (media_id, afp) signature pipeline backing
+    ``media_audio_near_dup``: shape document-derived audio payloads into
+    int16 PCM tiled to the 9-frame × 512-sample analysis window, plant
+    perceptual variants (every 5th gain ×2 at +1e9 ids, every 7th
+    trailing-padded 10% at +2e9 ids), ENCODE to real WAV, and
+    fingerprint by the spectral band-energy construction over the
+    DECODED samples. Inline form — one full encode+decode+FFT pass per
+    call; consumers go through :func:`_audio_fp_store`."""
     import pandas as pd_mod
 
-    from .operators.dedup import hamming_near_pairs
     from .operators.media import audio_fingerprint, media_from_documents
 
     m = media_from_documents(
@@ -4645,13 +4670,49 @@ def media_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = m.mapInPandas(encode, "media_id long, payload binary").withColumn(
         "kind", F.lit("audio")
     )
-    # pin the fingerprints: one WAV encode+decode+FFT pass, not three
-    # (hamming_near_pairs' auto-count + both self-join sides — the same
-    # contract as the image query before its store)
-    sigs = audio_fingerprint(wavs).localCheckpoint()
-    return hamming_near_pairs(
-        sigs, id_col="media_id", sig_col="afp", max_hamming=10
-    )
+    return audio_fingerprint(wavs)
+
+
+def _audio_fp_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted audio-fingerprint signature table for ``sf_dir``'s
+    audio corpus (VERDICT r10 item 3): ``media_audio_near_dup``
+    re-encoded + decoded + FFT'd its whole WAV corpus inside the query
+    on every call (4.5 s cold / 1.85 s steady, SURVEY §6); with a
+    second audio-fingerprint computer live (the streaming perceptual
+    ingest), the ``(media_id, afp)`` rows go behind the same
+    fingerprinted :func:`_bootstrap_store` discipline as the image
+    family's ``_image_dhash_store`` (its own r10 template: 1.21 → 0.80 s
+    warm) — keyed on the documents listing + frame/band/variant params,
+    so a regenerated corpus or changed parameters rebuild. The pipeline
+    is fully deterministic (fixed start-anchored frames, rfft power
+    spectra, equal-width band energies, gradient signs), so stored rows
+    are bit-identical to an inline run (pinned by pytest). Falls back
+    inline (localCheckpointed — one decode pass, the r9 review
+    contract) on the narrow store-error set."""
+    from .operators.checkpoints import tracked_local_checkpoint
+
+    def build(path, _table):
+        _audio_fp_sigs_inline(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def load(path, _table):
+        return spark.read.parquet(path)
+
+    try:
+        return _bootstrap_store(
+            spark,
+            "audio_fp",
+            sf_dir,
+            "documents",
+            "afp:frames=9x512:bands=8:variants=g5@1e9,p7@2e9:v1",
+            build,
+            load,
+        )
+    except _store_errors():
+        return tracked_local_checkpoint(
+            _audio_fp_sigs_inline(spark, sf_dir)
+        )
 
 
 @register(
@@ -10434,7 +10495,23 @@ def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join exists anywhere (plan-pinned).",
 )
 def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.linkage import FieldComparator, record_linkage_pairs
+    from .operators.linkage import record_linkage_pairs
+
+    blocked, comparators = _linkage_fixture(spark, sf_dir)
+    return record_linkage_pairs(
+        blocked,
+        id_col="cid",
+        block_cols=["nat", "bal_block"],
+        comparators=comparators,
+        threshold=5.0,
+    )
+
+
+def _linkage_fixture(spark: SparkSession, sf_dir: str):
+    """The shared dirty-customer linkage fixture: normalized + blocked
+    records and the three field comparators (constants = the production
+    starting point; the EM query fits data-derived replacements)."""
+    from .operators.linkage import FieldComparator
 
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
@@ -10483,13 +10560,58 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         FieldComparator("seg", lambda a, b: a("seg") == b("seg"), 0.8, -0.5),
     ]
-    return record_linkage_pairs(
+    return blocked, comparators
+
+
+@register(
+    "customer_linkage_em_weights",
+    None,  # rows-only by necessity: EM is an iterative fixed-point
+    # algorithm (25 bounded E/M aggregation rounds with driver-held
+    # |fields|-sized state) — not expressible as one SQL query; the
+    # update arithmetic is pinned against an identical-update numpy
+    # reference in pytest (planted m/u recovered within tolerance) and
+    # the fitted ordering asserted here is deterministic.
+    doc="Fellegi–Sunter EM weight fitting (VERDICT r10 item 4 — the "
+        "half of Fellegi & Sunter 1969 the constant-weight query "
+        "starts before): estimate per-field m = P(agree|match), "
+        "u = P(agree|non-match) and the match prior from the UNLABELED "
+        "candidate-pair agreement vectors of customer_record_linkage's "
+        "own blocked fixture (operators/linkage.py:"
+        "fit_linkage_weights_em). Each EM iteration is ONE map-side-"
+        "combinable aggregation over the frozen pair table (E-step "
+        "posterior is a pure codegen expression of the current scalar "
+        "parameters — no UDF); the driver holds only the |fields|-sized "
+        "parameter vector, so 100 TB cost is n_iter × one pass over "
+        "the blocked (never all-pairs) candidates. Output one row per "
+        "field: (field, m, u, w_agree=log2(m/u), "
+        "w_disagree=log2((1-m)/(1-u))) — drop-in FieldComparator "
+        "weights via comparators_with_fitted_weights.",
+)
+def customer_linkage_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkage import fit_linkage_weights_em, record_linkage_pairs
+
+    blocked, comparators = _linkage_fixture(spark, sf_dir)
+    pairs = record_linkage_pairs(
         blocked,
         id_col="cid",
         block_cols=["nat", "bal_block"],
         comparators=comparators,
         threshold=5.0,
     )
+    fit = fit_linkage_weights_em(pairs, [c.name for c in comparators])
+    rows = [
+        (
+            name,
+            fw["m"],
+            fw["u"],
+            fw["w_agree"],
+            fw["w_disagree"],
+        )
+        for name, fw in fit["fields"].items()
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, w_agree double, w_disagree double"
+    ).orderBy("field")
 
 
 @register(
@@ -10752,6 +10874,18 @@ def _geo_edge_deg() -> float:
 def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.geo import geo_radius_join
 
+    return geo_radius_join(
+        _geo_points(spark, sf_dir), radius_km=50.0, cell_deg=1.0,
+        max_abs_lat=60.0,
+    )
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic (cid, lat, lon) per customer — independent md5 streams
+    per axis (the portable-hash oracle family; see
+    customer_geo_neighbors' doc for why a multiplicative hash was
+    discarded). lat ∈ [-60, 60), lon ∈ [-180, 180)."""
+
     def coord(prefix: str, scale: float, offset: float):
         h = F.conv(
             F.substring(
@@ -10764,14 +10898,114 @@ def customer_geo_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         return h / F.lit(4294967296.0) * F.lit(scale) - F.lit(offset)
 
-    pts = load_table(spark, sf_dir, "customer").select(
+    return load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cid"),
         coord("lat", 120.0, 60.0).alias("lat"),
         coord("lon", 360.0, 180.0).alias("lon"),
     )
-    return geo_radius_join(
-        pts, radius_km=50.0, cell_deg=1.0, max_abs_lat=60.0
+
+
+#: polygon fixtures for the geofence query — a concave "L" (the notch
+#: lat>10 lon<30 is OUTSIDE) and a quad straddling ±180° expressed
+#: unwrapped (170 → 190), exercising the shifted-copy seam path
+_GEOFENCE_POLYGONS = [
+    (1, [(0.0, 0.0), (0.0, 40.0), (40.0, 40.0), (40.0, 30.0),
+         (10.0, 30.0), (10.0, 0.0)]),
+    (2, [(-20.0, 170.0), (-20.0, 190.0), (20.0, 190.0), (20.0, 170.0)]),
+]
+
+
+def _polygon_edges_sql() -> str:
+    """The polygon fixtures as a SQL VALUES edge list
+    (fence_id, la1, lo1, la0, lo0) with la1/lo1 = vertex i and
+    la0/lo0 = its predecessor — the same (i, i-1) edge roles the Spark
+    HOF uses, so the oracle's crossing test is the identical formula."""
+    rows = []
+    for fid, verts in _GEOFENCE_POLYGONS:
+        for i in range(len(verts)):
+            la1, lo1 = verts[i]
+            la0, lo0 = verts[i - 1]
+            rows.append(f"({fid}, {la1!r}, {lo1!r}, {la0!r}, {lo0!r})")
+    return ", ".join(rows)
+
+
+@register(
+    "customer_polygon_geofence",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS cid,
+             {_geo_coord_sql("lat", 120.0, 60.0)} AS lat,
+             {_geo_coord_sql("lon", 360.0, 180.0)} AS lon
+      FROM customer
+    ), pn AS (
+      SELECT cid, lat,
+             CASE WHEN lon >= 180.0 THEN lon - 360.0 ELSE lon END AS lon_n
+      FROM pts
+    ), edges(fence_id, la1, lo1, la0, lo0) AS (
+      VALUES {_polygon_edges_sql()}
+    ), shifts AS (
+      SELECT unnest([0.0, -360.0, 360.0]) AS s
+    ), cr AS (
+      SELECT p.cid, e.fence_id, sh.s,
+             sum(CASE WHEN ((e.la1 > p.lat) != (e.la0 > p.lat))
+                       AND ((p.lon_n - sh.s) <
+                            e.lo1 + (e.lo0 - e.lo1) * (p.lat - e.la1)
+                                    / (e.la0 - e.la1))
+                 THEN 1 ELSE 0 END) AS k
+      FROM pn p CROSS JOIN shifts sh CROSS JOIN edges e
+      GROUP BY 1, 2, 3
     )
+    SELECT DISTINCT cid, fence_id FROM cr WHERE k % 2 = 1
+    """,
+    doc="Polygon geofence containment (VERDICT r10 item 6, the batch "
+        "face of streaming/geo.py:geofence_points_polygon — the SAME "
+        "callable serves the stream, stream==batch pinned in pytest): "
+        "each synthetic customer point computes ONE grid home cell and "
+        "broadcast-joins the driver-expanded (cell → polygon, vertex "
+        "arrays) cover table; exact containment is the even-odd "
+        "ray-crossing rule as a single aggregate HOF over the vertex "
+        "arrays — pure JVM expression, no Python, no cartesian "
+        "(plan-pinned). The fixture is a CONCAVE L (notch excluded) "
+        "plus a quad straddling ±180° expressed unwrapped, matched via "
+        "±360° shifted cell copies whose shift travels with the row so "
+        "the point is tested in the polygon's own longitude frame. The "
+        "oracle replays the identical crossing formula over an edge "
+        "VALUES list with all three shifts — boolean comparisons only, "
+        "so engine float-order differences cannot flip a verdict off "
+        "the (measure-zero) boundary. At 100 TB: fences are "
+        "dimension-sized (broadcast), points are map-only — the "
+        "streaming-enrichment scale shape.",
+)
+def customer_polygon_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.geo import geofence_points_polygon
+
+    return geofence_points_polygon(
+        _geo_points(spark, sf_dir),
+        _GEOFENCE_POLYGONS,
+        cell_deg=5.0,
+        id_col="cid",
+    ).select("cid", "fence_id")
+
+
+#: group keys + monoid partial/merge specs for the IVM aggregate view —
+#: count merges by sum; the revenue partial is the exact decimal(18,6)
+#: stable-sum cast, merged by decimal sum (order-independent), cast to
+#: double only at the final read
+_IVM_GROUP = ["o_orderpriority", "l_linestatus"]
+
+
+def _ivm_partial_aggs():
+    return [
+        F.count(F.lit(1)).alias("n_rows_p"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev_p"),
+    ]
+
+
+def _ivm_merge_aggs():
+    return [
+        F.sum("n_rows_p").alias("n_rows"),
+        F.sum("rev_p").cast("double").alias("revenue"),
+    ]
 
 
 def _ivm_store(spark: SparkSession, sf_dir: str):
@@ -10779,10 +11013,20 @@ def _ivm_store(spark: SparkSession, sf_dir: str):
     append-only increments through the delta-join algebra
     (operators/ivm.py) — deliberately split with DIFFERENT moduli per
     side (orders by %5, lineitem by %3) so every delta term fires
-    (old-left×Δright, Δleft×old-right, Δleft×Δright). Behind the
-    fingerprinted store discipline; the fingerprint covers BOTH source
-    tables (lineitem's listing folds into the params string)."""
-    from .operators.ivm import apply_join_increment, read_join_view
+    (old-left×Δright, Δleft×old-right, Δleft×Δright). v2: the sides
+    are BUCKETED catalog tables (stored side exchange-free on refresh,
+    plan-pinned in tests/test_joins.py) and each increment also appends
+    a dimension-sized monoid partial of the rollup, so the aggregate
+    read never scans the accumulated view. Behind the fingerprinted
+    store discipline; the fingerprint covers BOTH source tables
+    (lineitem's listing folds into the params string). Returns
+    ``{"view": df, "agg": df}``."""
+    from .operators.ivm import (
+        apply_aggregate_increment,
+        apply_join_increment,
+        read_aggregate_view,
+        read_join_view,
+    )
 
     def build(path, _table):
         jvm = spark._jvm
@@ -10801,21 +11045,29 @@ def _ivm_store(spark: SparkSession, sf_dir: str):
             (o.filter(F.col("okey") % 5 >= 4), li.filter(F.col("okey") % 3 >= 2)),
         ]
         for dl, dr in splits:
-            apply_join_increment(spark, path, dl, dr, on="okey")
+            dv = apply_join_increment(spark, path, dl, dr, on="okey")
+            apply_aggregate_increment(
+                spark, path, dv, _IVM_GROUP, _ivm_partial_aggs()
+            )
 
     def load(path, _table):
-        return read_join_view(spark, path)
+        return {
+            "view": read_join_view(spark, path),
+            "agg": read_aggregate_view(
+                spark, path, _IVM_GROUP, _ivm_merge_aggs()
+            ),
+        }
 
     return _bootstrap_store(
         spark,
         "ivm_orders_lineitem",
         sf_dir,
         "orders",
-        "ivm:v1:inc=o%5/li%3:li="
+        "ivm:v2:bucketed+agg:inc=o%5/li%3:li="
         + _source_fingerprint(spark, sf_dir, "lineitem", ""),
         build,
         load,
-        success_probes=("left", "right", "view"),
+        success_probes=("left", "right", "view", "agg"),
     )
 
 
@@ -10845,8 +11097,10 @@ def _ivm_store(spark: SparkSession, sf_dir: str):
         "level (row-level equality over three increments incl. empty "
         "ones is pinned in pytest). Sums go through the stable_sum "
         "decimal cast. At 100 TB each refresh pays one delta-vs-stored "
-        "join per side instead of the full recompute; store both sides "
-        "bucketed on the key and the stored side never reshuffles. The "
+        "join per side instead of the full recompute; the sides ARE "
+        "stored as bucketed catalog tables (v2), so the stored side "
+        "joins with zero Exchange — plan-pinned in "
+        "tests/test_joins.py::test_ivm_refresh_join_stored_side_no_exchange. The "
         "streaming siblings hold watermark-bounded state "
         "(streaming/joins.py); this is the unbounded persisted-view "
         "contract batch warehouses refresh nightly.",
@@ -10855,7 +11109,7 @@ def orders_lineitem_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.aggregate import stable_sum
 
     try:
-        view = _ivm_store(spark, sf_dir)
+        view = _ivm_store(spark, sf_dir)["view"]
     except _store_errors():
         o = load_table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("okey"), "o_orderpriority"
@@ -10865,6 +11119,169 @@ def orders_lineitem_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         view = o.join(li, "okey")
     return view.groupBy("o_orderpriority", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("l_extendedprice", "revenue"),
+    )
+
+
+@register(
+    "orders_lineitem_ivm_agg",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS okey, o_orderpriority FROM orders
+    ), r AS (
+      SELECT l_orderkey AS okey, l_linestatus, l_extendedprice FROM lineitem
+    )
+    SELECT o_orderpriority, l_linestatus,
+           count(*) AS n_rows,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM l JOIN r USING (okey)
+    GROUP BY 1, 2
+    """,
+    doc="Incremental AGGREGATE view maintenance (the completion of the "
+        "ivm_rollup story, VERDICT r10 item 2): each delta refresh "
+        "appends a DIMENSION-SIZED monoid partial — count(*) and the "
+        "exact decimal(18,6) revenue sum per (o_orderpriority, "
+        "l_linestatus) — computed from the increment's view delta "
+        "(operators/ivm.py:apply_aggregate_increment), and this query "
+        "reads the maintained aggregate by merging partials (sum of "
+        "counts; decimal sum of sums, cast to double once) — it never "
+        "scans the accumulated view. The oracle recomputes the join + "
+        "rollup from scratch, so the hash match IS the incremental-agg "
+        "== full-recompute proof; per-increment row-level equality is "
+        "additionally pinned in pytest. At 100 TB the registry read "
+        "costs N_increments × |groups| rows (dimension-sized) instead "
+        "of the full view scan its sibling orders_lineitem_ivm_rollup "
+        "deliberately retains as the view-level proof.",
+)
+def orders_lineitem_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import stable_sum
+
+    try:
+        return _ivm_store(spark, sf_dir)["agg"]
+    except _store_errors():
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_linestatus", "l_extendedprice"
+        )
+        return o.join(li, "okey").groupBy(*_IVM_GROUP).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("l_extendedprice", "revenue"),
+        )
+
+
+def _ivm_left_sources(spark: SparkSession, sf_dir: str):
+    """orders LEFT JOIN lineitem sources with the right side restricted
+    to l_linestatus='F' lines, so orders whose lines are all 'O' stay
+    genuinely unmatched — the NULL-extension path has real rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .select(
+            F.col("l_orderkey").alias("okey"), "l_linestatus", "l_extendedprice"
+        )
+    )
+    return o, li
+
+
+def _ivm_left_store(spark: SparkSession, sf_dir: str):
+    """The materialized orders⟕lineitem('F') LEFT view, built by two
+    append-only increments through the retraction-bearing left-join
+    algebra (operators/ivm.py:apply_left_join_increment) — same
+    different-moduli split as the inner store so every term fires,
+    INCLUDING the retraction (an order unmatched after increment 1
+    whose first 'F' line arrives in increment 2 moves from the
+    unmatched set into the inner view)."""
+    from .operators.ivm import apply_left_join_increment, read_left_join_view
+
+    def build(path, _table):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+        o, li = _ivm_left_sources(spark, sf_dir)
+        splits = [
+            (o.filter(F.col("okey") % 5 < 4), li.filter(F.col("okey") % 3 < 2)),
+            (o.filter(F.col("okey") % 5 >= 4), li.filter(F.col("okey") % 3 >= 2)),
+        ]
+        for dl, dr in splits:
+            apply_left_join_increment(spark, path, dl, dr, on="okey")
+
+    def load(path, _table):
+        return read_left_join_view(spark, path)
+
+    return _bootstrap_store(
+        spark,
+        "ivm_left_orders_lineitem",
+        sf_dir,
+        "orders",
+        "ivm_left:v1:right=F:inc=o%5/li%3:li="
+        + _source_fingerprint(spark, sf_dir, "lineitem", ""),
+        build,
+        load,
+        success_probes=(
+            "inner/left", "inner/right", "inner/view", "unmatched",
+        ),
+    )
+
+
+@register(
+    "orders_lineitem_ivm_left",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS okey, o_orderpriority FROM orders
+    ), r AS (
+      SELECT l_orderkey AS okey, l_linestatus, l_extendedprice
+      FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT o_orderpriority,
+           coalesce(l_linestatus, 'NONE') AS l_linestatus,
+           count(*) AS n_rows,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM l LEFT JOIN r USING (okey)
+    GROUP BY 1, 2
+    """,
+    doc="LEFT OUTER incremental view maintenance (r11 — the retraction-"
+        "bearing half the inner delta algebra cannot express, closing "
+        "the VERDICT r10 'no left-join IVM' gap): the view "
+        "orders⟕lineitem('F' lines only, so real unmatched orders "
+        "exist) is maintained by apply_left_join_increment — "
+        "inner-match rows ride the bucketed append-only inner store; "
+        "the NULL-extension set is rewritten per refresh as "
+        "unmatched_old⟕̸ΔB ∪ ΔA⟕̸B_new (anti-joins; a late-arriving "
+        "dimension row RETRACTS its fact rows from the unmatched set — "
+        "exactly the rows the inner store's A_old⋈ΔB term just "
+        "appended, so the two datasets stay consistent by "
+        "construction). This rollup reads the maintained view; the "
+        "oracle recomputes the LEFT JOIN from scratch — the hash match "
+        "is the incremental==recompute proof including the NONE group "
+        "(whose revenue is NULL in both engines: sum over no non-null "
+        "values). Per-increment row-level equality incl. the "
+        "retraction is pinned in pytest. At 100 TB the unmatched "
+        "rewrite costs |unmatched| — the referential-integrity debt "
+        "set, which drains as late dimension rows arrive — while "
+        "everything else is delta-vs-bucketed-stored.",
+)
+def orders_lineitem_ivm_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import stable_sum
+
+    try:
+        view = _ivm_left_store(spark, sf_dir)
+    except _store_errors():
+        o, li = _ivm_left_sources(spark, sf_dir)
+        view = o.join(li, "okey", "left")
+    return view.groupBy(
+        "o_orderpriority",
+        F.coalesce(F.col("l_linestatus"), F.lit("NONE")).alias("l_linestatus"),
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         stable_sum("l_extendedprice", "revenue"),
     )

@@ -20,6 +20,13 @@ no state, no shuffle, no watermark needed (enrichment is stateless), so
 the operator composes freely with the windowed aggregations downstream.
 The same callable serves batch DataFrames — stream==batch parity is
 pinned in pytest.
+
+Polygon fences (:func:`geofence_points_polygon`) follow the identical
+shape: the driver expands each polygon's bbox to cells (±360° shifted
+copies for the seam), the point computes one home cell, and exact
+containment is the even-odd ray-crossing rule evaluated as a single
+``aggregate`` HOF over the broadcast vertex arrays — still no Python
+and no state on the unbounded side.
 """
 
 from __future__ import annotations
@@ -131,4 +138,159 @@ def geofence_points(
         .filter(F.col("_d") <= F.col("_frad"))
         .withColumn("dist_km", F.round("_d", 6))
         .drop("_pcy", "_pcx", "_fcy", "_fcx", "_flat", "_flon", "_frad", "_d")
+    )
+
+
+def polygon_cover_cells(
+    polygons: list[tuple], cell_deg: float
+) -> list[tuple[int, int, int, float]]:
+    """Grid cells each POLYGON fence's bounding box touches — pure
+    driver-side function (fences are dimension-sized by contract),
+    the polygon analogue of :func:`fence_cover_cells`.
+
+    ``polygons``: (fence_id, [(lat, lon), ...]) with ≥ 3 vertices.
+    Vertices must be CONTINUOUS in longitude (consecutive |Δlon| <
+    180°): a fence straddling ±180° is expressed unwrapped (e.g.
+    179 → 181), the standard representation — the ±360° shifted cell
+    copies map seam points back into it. Edges are straight lines in
+    lat/lon space (plate carrée, the usual geofence convention — for
+    the few-km fences this serves, the geodesic deviation is
+    negligible). Returns (fence_id, cy, cx, lon_shift) rows; the shift
+    travels with the row so containment tests the point in the
+    polygon's own longitude frame.
+
+    Raises on: < 3 vertices, |lat| ≥ 90 (not a valid vertex latitude —
+    note near-pole polygons are fine here, unlike circles: the polygon
+    is DEFINED in lat/lon space, so bbox cover and ray crossing stay
+    exact), a lon discontinuity, or a lon extent ≥ 360 − 2·cell_deg
+    (a near-global fence could match one point through two shifted
+    copies — duplicates)."""
+    out: set[tuple[int, int, int, float]] = set()
+    for fence_id, verts in polygons:
+        if len(verts) < 3:
+            raise ValueError(f"polygon {fence_id}: needs >= 3 vertices")
+        lats = [v[0] for v in verts]
+        lons = [v[1] for v in verts]
+        if any(abs(la) >= 90.0 for la in lats):
+            raise ValueError(
+                f"polygon {fence_id}: vertex at |lat| >= 90 is not a "
+                "valid latitude"
+            )
+        for i in range(len(verts)):
+            if abs(lons[i] - lons[i - 1]) >= 180.0:
+                raise ValueError(
+                    f"polygon {fence_id}: consecutive vertex lon jump "
+                    ">= 180° — unwrap the seam crossing (e.g. 179 → 181)"
+                )
+        extent = max(lons) - min(lons)
+        if extent >= 360.0 - 2.0 * cell_deg:
+            raise ValueError(
+                f"polygon {fence_id}: lon extent {extent:.1f}° too wide — "
+                "a point could match through two ±360° copies"
+            )
+        cy_lo = math.floor(min(lats) / cell_deg)
+        cy_hi = math.floor(max(lats) / cell_deg)
+        for lon_shift in (0.0, -360.0, 360.0):
+            lo = min(lons) + lon_shift
+            hi = max(lons) + lon_shift
+            # only cells that can hold a REAL point longitude
+            lo = max(lo, -180.0)
+            hi = min(hi, math.nextafter(180.0, -math.inf))
+            if lo > hi:
+                continue
+            for cy in range(cy_lo, cy_hi + 1):
+                for cx in range(
+                    math.floor(lo / cell_deg), math.floor(hi / cell_deg) + 1
+                ):
+                    out.add((fence_id, cy, cx, lon_shift))
+    return sorted(out)
+
+
+def geofence_points_polygon(
+    points: DataFrame,
+    polygons: list[tuple],
+    cell_deg: float = 1.0,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Polygon-fence enrichment (stream OR batch — same plan): output =
+    input columns + ``fence_id``, one row per (point, containing
+    polygon); points in no polygon are dropped. Containment is the
+    even-odd ray-crossing rule evaluated as ONE ``aggregate`` HOF over
+    the broadcast vertex arrays — a pure JVM expression, no Python in
+    the per-event path (boundary points are implementation-defined, as
+    ray crossing always is). Scale shape is identical to the circle
+    variant: fences expand driver-side to (cell, fence, vertices) rows,
+    each streamed point computes one home cell, and the only join is a
+    broadcast equi-join on the cell — map-only on the unbounded side."""
+    spark = points.sparkSession
+    cover = polygon_cover_cells(polygons, cell_deg)
+    pdict = {p[0]: p for p in polygons}
+    rows = [
+        (
+            fid,
+            cy,
+            cx,
+            shift,
+            [float(v[0]) for v in pdict[fid][1]],
+            [float(v[1]) for v in pdict[fid][1]],
+        )
+        for fid, cy, cx, shift in cover
+    ]
+    ftype = T.StructType(
+        [
+            T.StructField("fence_id", T.LongType()),
+            T.StructField("_fcy", T.LongType()),
+            T.StructField("_fcx", T.LongType()),
+            T.StructField("_fshift", T.DoubleType()),
+            T.StructField("_vlat", T.ArrayType(T.DoubleType())),
+            T.StructField("_vlon", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    fcells = spark.createDataFrame(rows, ftype)
+    # +180 → -180 normalization BEFORE the cell floor (same review-r10
+    # fix as the circle path); the containment test then maps the point
+    # into the polygon's own frame by undoing the copy's shift
+    lon_n = F.when(
+        F.col(lon_col) >= F.lit(180.0), F.col(lon_col) - F.lit(360.0)
+    ).otherwise(F.col(lon_col))
+    pts = points.withColumn("_lon_n", lon_n).withColumn(
+        "_pcy", F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("long")
+    ).withColumn(
+        "_pcx", F.floor(F.col("_lon_n") / F.lit(float(cell_deg))).cast("long")
+    )
+    joined = pts.join(
+        F.broadcast(fcells),
+        (F.col("_pcy") == F.col("_fcy")) & (F.col("_pcx") == F.col("_fcx")),
+    )
+    # even-odd ray crossing (+lon ray), edges (i-1, i) with wraparound:
+    # vertex i is element_at(_vlat, i+1); predecessor j = i-1 (i=0 → n-1)
+    inside = F.expr(
+        f"""
+        aggregate(
+          sequence(0, size(_vlat) - 1),
+          false,
+          (acc, i) -> CASE WHEN
+            (
+              (element_at(_vlat, i + 1) > {lat_col})
+              != (element_at(_vlat, IF(i = 0, size(_vlat), i)) > {lat_col})
+            )
+            AND (
+              (_lon_n - _fshift) <
+                element_at(_vlon, i + 1)
+                + (element_at(_vlon, IF(i = 0, size(_vlon), i))
+                   - element_at(_vlon, i + 1))
+                  * ({lat_col} - element_at(_vlat, i + 1))
+                  / (element_at(_vlat, IF(i = 0, size(_vlat), i))
+                     - element_at(_vlat, i + 1))
+            )
+          THEN NOT acc ELSE acc END,
+          acc -> acc
+        )
+        """
+    )
+    return (
+        joined.filter(inside)
+        .drop("_lon_n", "_pcy", "_pcx", "_fcy", "_fcx", "_fshift", "_vlat", "_vlon")
     )

@@ -79,7 +79,11 @@ def make_linkage_ingest(
     ``(id, entity_id)`` assignments."""
     from pyspark.sql import functions as F
 
-    from ..operators.checkpoints import track_checkpoints, unpersist_ids
+    from ..operators.checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
     from ..operators.dedup import _hadoop_path_exists, tombstone_store_path
     from ..operators.linkage import linkage_resolve_core
     from .idempotent import write_windowed_idempotent
@@ -121,7 +125,12 @@ def make_linkage_ingest(
                 assigned = linkage_resolve_core(
                     batch_df, hist, id_col, block_cols, comparators, threshold
                 )
-                rows = batch_df.join(assigned, id_col)
+                # freeze the registry rows BEFORE the store-mutating
+                # write (mirrors incremental_record_linkage, review
+                # r10): the join plan embeds the live store read via
+                # the hist/tombstone anti-joins, so a task retry during
+                # the write would re-list the store mid-mutation
+                rows = tracked_local_checkpoint(batch_df.join(assigned, id_col))
                 write_windowed_idempotent(
                     rows.withColumn("_batch_id", F.lit(batch_id)),
                     store_path,

@@ -1964,6 +1964,43 @@ def test_image_dhash_store_equals_inline(spark):
     assert os.path.isdir(data)
 
 
+def test_audio_fp_store_equals_inline(spark):
+    """The persisted audio-fingerprint table must be bit-identical to an
+    inline encode+decode+FFT run (the pipeline is deterministic: fixed
+    start-anchored frames, rfft power spectra, band-energy gradient
+    signs). Cold build, warm re-read, and the r7 self-heal contract
+    after out-of-band deletion — the audio mirror of the image dHash
+    store (VERDICT r10 item 3)."""
+    import os
+    import shutil
+
+    from demo_apache_beam_spark.queries import (
+        _audio_fp_sigs_inline,
+        _audio_fp_store,
+    )
+
+    data, _meta = _store_paths("audio_fp")
+    shutil.rmtree(data, ignore_errors=True)
+    inline = sorted(
+        (int(r["media_id"]), int(r["afp"]))
+        for r in _audio_fp_sigs_inline(spark, SF_SMALL).collect()
+    )
+    assert inline
+    for label in ("cold", "warm"):
+        got = sorted(
+            (int(r["media_id"]), int(r["afp"]))
+            for r in _audio_fp_store(spark, SF_SMALL).collect()
+        )
+        assert got == inline, label
+    shutil.rmtree(data)  # NO memo clear — live session must recover
+    got = sorted(
+        (int(r["media_id"]), int(r["afp"]))
+        for r in _audio_fp_store(spark, SF_SMALL).collect()
+    )
+    assert got == inline
+    assert os.path.isdir(data)
+
+
 def test_erase_from_dedup_stores_readmits_content(spark, tmp_path):
     """Right-to-erasure must reach the accepted-history stores: after
     erasing an accepted document's signature shadow, a re-crawl of that

@@ -264,6 +264,31 @@ def test_ranking_eval_reference(spark):
     assert out[3]["ndcg_at_3"] == 0.0
 
 
+def test_ranking_eval_undersized_truth_fails_loud(spark):
+    """A query whose truth set has fewer than k rows (or none at all)
+    must raise in-plan (ADVICE r10) — dividing by k would silently
+    deflate recall/nDCG so they could never reach 1.0."""
+    from demo_apache_beam_spark.operators.retrieval import ranking_eval
+
+    cand = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank_c int",
+    )
+    # q2 has only 2 truth rows (< k=3)
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    with pytest.raises(Exception, match="fewer than k"):
+        ranking_eval(truth, cand, k=3).collect()
+    # q2 missing from truth entirely: same failure
+    truth_missing = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)], "query_id long, neighbor_id long"
+    )
+    with pytest.raises(Exception, match="fewer than k"):
+        ranking_eval(truth_missing, cand, k=3).collect()
+
+
 def test_sq8_codes_reference(spark):
     """Codes match floor(127·x/‖x‖) computed by numpy, for every dim."""
     from demo_apache_beam_spark.operators.retrieval import sq8_codes

@@ -1750,6 +1750,123 @@ def test_kmeans_retrain_trigger_flips_on_planted_shift(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
 
 
+def test_kmeans_retrain_acts_on_signal_and_repins_stream(spark, tmp_path):
+    """ACTING on the retrain trigger (VERDICT r10 item 7): a planted
+    shift flips the monitor, retrain_kmeans_store rebuilds the store
+    with NEW centroids (one covering the new region) and bumps the
+    epoch marker; the RUNNING assignment stream keeps its pinned old
+    version (its already-written partitions stay byte-identical and a
+    late batch still scores against the old literals), while a
+    restarted stream re-pins against the new centroids and assigns the
+    shifted points at small distance."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import (
+        incremental_kmeans_assign,
+        kmeans_store_epoch,
+        read_kmeans_store,
+        retrain_kmeans_store,
+    )
+    from demo_apache_beam_spark.streaming.kmeans import (
+        make_kmeans_assign_ingest,
+        make_kmeans_drift_ingest,
+    )
+
+    def blob(center, n, seed, base_id, step=1):
+        r = np.random.RandomState(seed)
+        return [
+            (base_id + step * i, [float(x) for x in center + 0.5 * r.randn(2)])
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    train = blob(np.array([0.0, 0.0]), 40, 1, 0) + blob(
+        np.array([20.0, 0.0]), 40, 2, 1000
+    )
+    store = str(tmp_path / "kstore")
+    incremental_kmeans_assign(
+        spark.createDataFrame(train, schema), store, k=2, iters=2
+    )
+    assert kmeans_store_epoch(spark, store) == 0
+    _, old_cents = read_kmeans_store(spark, store)
+
+    # serving stream v1 pins the bootstrap centroids; epoch 0 is calm
+    assign_out = str(tmp_path / "assign_out")
+    ingest_v1 = make_kmeans_assign_ingest(
+        spark, f"{store}/centroids", assign_out
+    )
+    calm = blob(np.array([0.0, 0.0]), 20, 3, 5000) + blob(
+        np.array([20.0, 0.0]), 20, 4, 6000
+    )
+    ingest_v1(spark.createDataFrame(calm, schema), 0)
+    epoch0_rows = sorted(map(tuple, spark.read.parquet(assign_out).collect()))
+
+    # the monitor flips on the planted shift
+    monitor_out = str(tmp_path / "monitor")
+    monitor = make_kmeans_drift_ingest(spark, store, monitor_out)
+    shifted = blob(np.array([0.0, 80.0]), 40, 5, 7000)
+    monitor(spark.createDataFrame(shifted, schema), 1)
+    mrow = spark.read.parquet(monitor_out).collect()[0]
+    assert mrow["retrain_recommended"] is True
+
+    # ACT: retrain on the current corpus (ids interleaved so the
+    # deterministic smallest-id seeding draws one seed per blob)
+    corpus = (
+        [(3 * i, v) for i, (_, v) in enumerate(train[:40])]
+        + [(3 * i + 1, v) for i, (_, v) in enumerate(train[40:])]
+        + [(3 * i + 2, v) for i, (_, v) in enumerate(shifted)]
+    )
+    res = retrain_kmeans_store(
+        spark, store, spark.createDataFrame(corpus, schema), k=3, iters=2
+    )
+    assert res["epoch"] == 1
+    assert kmeans_store_epoch(spark, store) == 1
+    new_cents = res["centroids"]
+    assert new_cents != old_cents
+    # one new centroid covers the shifted region
+    assert any(
+        (c[0] - 0.0) ** 2 + (c[1] - 80.0) ** 2 < 25.0 for c in new_cents
+    )
+    _, stored_cents = read_kmeans_store(spark, store)
+    assert stored_cents == new_cents
+
+    # the RUNNING v1 stream is untouched: epoch-0 partitions identical,
+    # and a late batch still scores against the OLD pinned literals
+    # (shifted points land far from both old centroids)
+    spark.catalog.refreshByPath(assign_out)
+    assert (
+        sorted(
+            map(
+                tuple,
+                spark.read.parquet(assign_out)
+                .filter("_batch_id = 0")
+                .collect(),
+            )
+        )
+        == epoch0_rows
+    )
+    ingest_v1(spark.createDataFrame(shifted, schema), 1)
+    spark.catalog.refreshByPath(assign_out)
+    v1_dists = [
+        r["dist"]
+        for r in spark.read.parquet(assign_out).filter("_batch_id = 1").collect()
+    ]
+    assert min(v1_dists) > 50.0
+
+    # a RESTARTED stream re-pins the new version: the same shifted
+    # batch now assigns at small distance
+    ingest_v2 = make_kmeans_assign_ingest(
+        spark, f"{store}/centroids", assign_out
+    )
+    ingest_v2(spark.createDataFrame(shifted, schema), 2)
+    spark.catalog.refreshByPath(assign_out)
+    v2_dists = [
+        r["dist"]
+        for r in spark.read.parquet(assign_out).filter("_batch_id = 2").collect()
+    ]
+    assert max(v2_dists) < 5.0
+
+
 def test_streaming_audio_near_dedup_equals_batch_and_replays(spark, tmp_path):
     """The audio perceptual dedup stream (third modality on the shared
     Hamming ingest): accepted ids must equal the batch incremental
@@ -2482,3 +2599,110 @@ def test_geofence_stream_equals_batch_and_bruteforce(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pole"):
         fence_cover_cells([(9, 89.9, 0.0, 100.0)], 1.0)
+
+
+def test_polygon_geofence_stream_equals_batch_and_reference(spark, tmp_path):
+    """Polygon geofences (VERDICT r10 item 6): stream output == the same
+    callable on the batch rows == an independent pure-Python
+    ray-crossing reference over every (point, polygon) — including a
+    CONCAVE polygon (point in the notch is outside) and a fence
+    straddling ±180° expressed unwrapped; degenerate polygons fail
+    loud; the plan is a broadcast equi-join, no cartesian."""
+    import os
+
+    import pytest
+
+    from demo_apache_beam_spark.streaming.geo import (
+        geofence_points_polygon,
+        polygon_cover_cells,
+    )
+
+    polys = [
+        # concave "L": bottom bar lat 10-11 lon 20-23, vertical arm
+        # lat 11-13 lon 22-23 — the notch (lat>11, lon<22) is OUTSIDE
+        (1, [(10.0, 20.0), (10.0, 23.0), (13.0, 23.0), (13.0, 22.0),
+             (11.0, 22.0), (11.0, 20.0)]),
+        # antimeridian quad, unwrapped 179 → 181
+        (2, [(-1.0, 179.0), (-1.0, 181.0), (1.0, 181.0), (1.0, 179.0)]),
+    ]
+    pts = [
+        (1, 10.5, 20.5),   # inside L bottom bar
+        (2, 12.0, 20.5),   # concave notch → outside
+        (3, 12.5, 22.5),   # inside L vertical arm
+        (4, 0.0, -179.5),  # inside the seam quad via the +360 frame
+        (5, 0.0, 179.5),   # inside the seam quad same side
+        (6, 0.0, 178.5),   # outside
+        (7, 0.5, 180.0),   # lon==+180 normalization: inside
+        (8, 20.0, 20.0),   # far away
+    ]
+    schema = "point_id long, lat double, lon double"
+
+    def ray(plat, plon, verts):
+        inside = False
+        for i in range(len(verts)):
+            la1, lo1 = verts[i]
+            la0, lo0 = verts[i - 1]
+            if (la1 > plat) != (la0 > plat):
+                xint = lo1 + (lo0 - lo1) * (plat - la1) / (la0 - la1)
+                if plon < xint:
+                    inside = not inside
+        return inside
+
+    expect = set()
+    for pid, la, lo in pts:
+        lon_n = lo - 360.0 if lo >= 180.0 else lo
+        for fid, verts in polys:
+            if any(
+                ray(la, lon_n - shift, verts) for shift in (0.0, -360.0, 360.0)
+            ):
+                expect.add((pid, fid))
+    assert expect == {(1, 1), (3, 1), (4, 2), (5, 2), (7, 2)}
+
+    batch = geofence_points_polygon(spark.createDataFrame(pts, schema), polys)
+    got_b = {(r["point_id"], r["fence_id"]) for r in batch.collect()}
+    assert got_b == expect
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(pts, schema).coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(f"{stage}/{part}", f"{in_dir}/p0.parquet")
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    got_s: set = set()
+    q = (
+        geofence_points_polygon(stream, polys)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, _e: got_s.update(
+                (r["point_id"], r["fence_id"]) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got_s == expect
+
+    with pytest.raises(ValueError, match=">= 3 vertices"):
+        polygon_cover_cells([(9, [(0.0, 0.0), (1.0, 1.0)])], 1.0)
+    with pytest.raises(ValueError, match="valid latitude"):
+        polygon_cover_cells(
+            [(9, [(90.0, 0.0), (89.0, 1.0), (89.5, 2.0)])], 1.0
+        )
+    with pytest.raises(ValueError, match="lon jump"):
+        polygon_cover_cells(
+            [(9, [(0.0, 179.0), (0.0, -179.0), (1.0, 179.0)])], 1.0
+        )
+    with pytest.raises(ValueError, match="too wide"):
+        # continuous lons (every jump < 180°) but a 340° extent vs the
+        # 360 − 2·30 = 300° bound at cell_deg=30
+        polygon_cover_cells(
+            [(9, [(0.0, -170.0), (0.0, -60.0), (0.0, 60.0),
+                  (0.0, 170.0), (1.0, 0.0)])],
+            30.0,
+        )
