@@ -235,6 +235,78 @@ def read_aggregate_view(
     )
 
 
+def compact_ivm_sides(
+    spark, store_path: str, keys: list[str], num_buckets: int
+) -> dict:
+    """Compact the bucketed side tables back to ONE file per bucket.
+
+    Every increment appends new per-bucket files; Spark groups them
+    back into the right partitions at scan, but after many increments
+    the small-files overhead dominates. Generic
+    ``operators/layout.py:compact_files`` MUST NOT touch these
+    directories — it rewrites through a plain parquet writer, which
+    destroys the bucket-id file naming while the catalog DDL still
+    claims bucketed, i.e. silently WRONG exchange-free joins. This
+    helper rewrites each side THROUGH the bucketed writer instead:
+    eager localCheckpoint (materialize off the files — breaks the
+    self-overwrite cycle), drop table + delete the old directory
+    (dropping an EXTERNAL table leaves its files behind; an overwrite
+    into the same directory would union old and new files), then
+    ``repartition(num_buckets, keys)`` INSIDE the write plan (Spark's
+    repartition hash is the same Murmur3 the bucketizer uses, so
+    partition index == bucket id → exactly one file per bucket; on the
+    raw table scan the optimizer could elide the repartition as
+    already-satisfied and leave mixed-bucket tasks — LogicalRDD has no
+    known partitioning, so it survives) and ``saveAsTable`` with the
+    identical bucket spec. Cost is one full rewrite of each side —
+    that's what compaction is; schedule it like any other table
+    maintenance. Beyond small-files overhead, multi-file buckets also
+    force a stored-side Sort into every refresh join (sorted-scan
+    metadata needs one file per bucket) — measured 14.8 s to compact a
+    2×10M-row store (SURVEY §6). Returns per-side file counts after
+    compaction."""
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
+
+    out = {}
+    for sub in ("left", "right"):
+        tbl, df = _attach_side(spark, store_path, sub, keys, num_buckets)
+        if df is None:
+            continue
+        with track_checkpoints() as _ckpt:
+            try:
+                frozen = tracked_local_checkpoint(df)
+                path = os.path.join(store_path, sub)
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(path)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                fs.delete(p, True)
+                (
+                    frozen.repartition(
+                        int(num_buckets), *[F.col(k) for k in keys]
+                    )
+                    .write.mode("overwrite")
+                    .format("parquet")
+                    .bucketBy(int(num_buckets), *keys)
+                    .sortBy(*keys)
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
+                spark.catalog.refreshTable(tbl)
+                out[sub] = sum(
+                    1
+                    for st in fs.listStatus(p)
+                    if st.getPath().getName().endswith(".parquet")
+                )
+            finally:
+                unpersist_ids(spark, _ckpt)
+    return out
+
+
 def apply_left_join_increment(
     spark,
     store_path: str,

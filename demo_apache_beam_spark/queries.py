@@ -10577,12 +10577,13 @@ def _linkage_fixture(spark: SparkSession, sf_dir: str):
         "u = P(agree|non-match) and the match prior from the UNLABELED "
         "candidate-pair agreement vectors of customer_record_linkage's "
         "own blocked fixture (operators/linkage.py:"
-        "fit_linkage_weights_em). Each EM iteration is ONE map-side-"
-        "combinable aggregation over the frozen pair table (E-step "
-        "posterior is a pure codegen expression of the current scalar "
-        "parameters — no UDF); the driver holds only the |fields|-sized "
-        "parameter vector, so 100 TB cost is n_iter × one pass over "
-        "the blocked (never all-pairs) candidates. Output one row per "
+        "fit_linkage_weights_em). The likelihood depends on a pair only "
+        "through its k-bit agreement PATTERN, so Spark's entire job is "
+        "ONE map-side-combinable aggregation — groupBy the pattern, "
+        "count, ≤2^k rows to the driver (the Winkler formulation) — and "
+        "the EM loop runs driver-side in numpy: 100 TB cost is one pass "
+        "over the blocked (never all-pairs) candidates REGARDLESS of "
+        "iteration count. Output one row per "
         "field: (field, m, u, w_agree=log2(m/u), "
         "w_disagree=log2((1-m)/(1-u))) — drop-in FieldComparator "
         "weights via comparators_with_fitted_weights.",

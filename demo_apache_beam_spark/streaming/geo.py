@@ -25,7 +25,8 @@ Polygon fences (:func:`geofence_points_polygon`) follow the identical
 shape: the driver expands each polygon's bbox to cells (±360° shifted
 copies for the seam), the point computes one home cell, and exact
 containment is the even-odd ray-crossing rule evaluated as a single
-``aggregate`` HOF over the broadcast vertex arrays — still no Python
+``aggregate`` HOF over broadcast EDGE arrays (each ring closed
+independently, so multi-ring fences express holes) — still no Python
 and no state on the unbounded side.
 """
 
@@ -141,6 +142,40 @@ def geofence_points(
     )
 
 
+def _polygon_rings(fence_id, verts) -> list[list[tuple]]:
+    """Normalize a fence's vertex spec to a list of rings: a bare
+    ``[(lat, lon), ...]`` ring, or ``[ring, ring, ...]`` for polygons
+    WITH HOLES (even-odd over all rings' edges = inside the outer ring
+    and outside the holes — the standard multi-ring semantics)."""
+    if not verts:
+        raise ValueError(f"polygon {fence_id}: empty vertex list")
+    first = verts[0]
+    rings = (
+        [verts]
+        if isinstance(first, tuple) and isinstance(first[0], (int, float))
+        else [list(r) for r in verts]
+    )
+    for ring in rings:
+        if len(ring) < 3:
+            raise ValueError(
+                f"polygon {fence_id}: each ring needs >= 3 vertices"
+            )
+        lats = [v[0] for v in ring]
+        lons = [v[1] for v in ring]
+        if any(abs(la) >= 90.0 for la in lats):
+            raise ValueError(
+                f"polygon {fence_id}: vertex at |lat| >= 90 is not a "
+                "valid latitude"
+            )
+        for i in range(len(ring)):
+            if abs(lons[i] - lons[i - 1]) >= 180.0:
+                raise ValueError(
+                    f"polygon {fence_id}: consecutive vertex lon jump "
+                    ">= 180° — unwrap the seam crossing (e.g. 179 → 181)"
+                )
+    return rings
+
+
 def polygon_cover_cells(
     polygons: list[tuple], cell_deg: float
 ) -> list[tuple[int, int, int, float]]:
@@ -148,40 +183,30 @@ def polygon_cover_cells(
     driver-side function (fences are dimension-sized by contract),
     the polygon analogue of :func:`fence_cover_cells`.
 
-    ``polygons``: (fence_id, [(lat, lon), ...]) with ≥ 3 vertices.
-    Vertices must be CONTINUOUS in longitude (consecutive |Δlon| <
-    180°): a fence straddling ±180° is expressed unwrapped (e.g.
-    179 → 181), the standard representation — the ±360° shifted cell
-    copies map seam points back into it. Edges are straight lines in
-    lat/lon space (plate carrée, the usual geofence convention — for
-    the few-km fences this serves, the geodesic deviation is
-    negligible). Returns (fence_id, cy, cx, lon_shift) rows; the shift
-    travels with the row so containment tests the point in the
-    polygon's own longitude frame.
+    ``polygons``: (fence_id, ring) or (fence_id, [rings...]) with
+    ≥ 3 vertices per ring — multiple rings express HOLES (even-odd
+    containment over all rings' edges). Vertices must be CONTINUOUS in
+    longitude (consecutive |Δlon| < 180°): a fence straddling ±180° is
+    expressed unwrapped (e.g. 179 → 181), the standard representation —
+    the ±360° shifted cell copies map seam points back into it. Edges
+    are straight lines in lat/lon space (plate carrée, the usual
+    geofence convention — for the few-km fences this serves, the
+    geodesic deviation is negligible). Returns
+    (fence_id, cy, cx, lon_shift) rows; the shift travels with the row
+    so containment tests the point in the polygon's own longitude
+    frame.
 
-    Raises on: < 3 vertices, |lat| ≥ 90 (not a valid vertex latitude —
-    note near-pole polygons are fine here, unlike circles: the polygon
-    is DEFINED in lat/lon space, so bbox cover and ray crossing stay
-    exact), a lon discontinuity, or a lon extent ≥ 360 − 2·cell_deg
-    (a near-global fence could match one point through two shifted
-    copies — duplicates)."""
+    Raises on: a ring with < 3 vertices, |lat| ≥ 90 (not a valid vertex
+    latitude — note near-pole polygons are fine here, unlike circles:
+    the polygon is DEFINED in lat/lon space, so bbox cover and ray
+    crossing stay exact), a lon discontinuity, or a lon extent ≥
+    360 − 2·cell_deg (a near-global fence could match one point through
+    two shifted copies — duplicates)."""
     out: set[tuple[int, int, int, float]] = set()
     for fence_id, verts in polygons:
-        if len(verts) < 3:
-            raise ValueError(f"polygon {fence_id}: needs >= 3 vertices")
-        lats = [v[0] for v in verts]
-        lons = [v[1] for v in verts]
-        if any(abs(la) >= 90.0 for la in lats):
-            raise ValueError(
-                f"polygon {fence_id}: vertex at |lat| >= 90 is not a "
-                "valid latitude"
-            )
-        for i in range(len(verts)):
-            if abs(lons[i] - lons[i - 1]) >= 180.0:
-                raise ValueError(
-                    f"polygon {fence_id}: consecutive vertex lon jump "
-                    ">= 180° — unwrap the seam crossing (e.g. 179 → 181)"
-                )
+        rings = _polygon_rings(fence_id, verts)
+        lats = [v[0] for ring in rings for v in ring]
+        lons = [v[1] for ring in rings for v in ring]
         extent = max(lons) - min(lons)
         if extent >= 360.0 - 2.0 * cell_deg:
             raise ValueError(
@@ -206,6 +231,23 @@ def polygon_cover_cells(
     return sorted(out)
 
 
+def _polygon_edges(fence_id, verts) -> tuple[list, list, list, list]:
+    """Edge arrays (elat1, elon1, elat0, elon0) over ALL rings — vertex
+    i paired with its ring-local predecessor, each ring closed
+    independently (the wraparound edge never spans two rings, which is
+    what lets one flat edge list carry holes)."""
+    elat1, elon1, elat0, elon0 = [], [], [], []
+    for ring in _polygon_rings(fence_id, verts):
+        for i in range(len(ring)):
+            la1, lo1 = ring[i]
+            la0, lo0 = ring[i - 1]
+            elat1.append(float(la1))
+            elon1.append(float(lo1))
+            elat0.append(float(la0))
+            elon0.append(float(lo0))
+    return elat1, elon1, elat0, elon0
+
+
 def geofence_points_polygon(
     points: DataFrame,
     polygons: list[tuple],
@@ -218,34 +260,34 @@ def geofence_points_polygon(
     input columns + ``fence_id``, one row per (point, containing
     polygon); points in no polygon are dropped. Containment is the
     even-odd ray-crossing rule evaluated as ONE ``aggregate`` HOF over
-    the broadcast vertex arrays — a pure JVM expression, no Python in
-    the per-event path (boundary points are implementation-defined, as
-    ray crossing always is). Scale shape is identical to the circle
-    variant: fences expand driver-side to (cell, fence, vertices) rows,
-    each streamed point computes one home cell, and the only join is a
-    broadcast equi-join on the cell — map-only on the unbounded side."""
+    broadcast EDGE arrays — a pure JVM expression, no Python in the
+    per-event path (boundary points are implementation-defined, as ray
+    crossing always is). Fences may carry multiple rings (holes): the
+    edge list concatenates every ring closed independently, and
+    even-odd over all edges is exactly outer-minus-holes. Scale shape
+    is identical to the circle variant: fences expand driver-side to
+    (cell, fence, edges) rows, each streamed point computes one home
+    cell, and the only join is a broadcast equi-join on the cell —
+    map-only on the unbounded side."""
     spark = points.sparkSession
     cover = polygon_cover_cells(polygons, cell_deg)
     pdict = {p[0]: p for p in polygons}
+    edges = {fid: _polygon_edges(fid, verts) for fid, verts in polygons}
     rows = [
-        (
-            fid,
-            cy,
-            cx,
-            shift,
-            [float(v[0]) for v in pdict[fid][1]],
-            [float(v[1]) for v in pdict[fid][1]],
-        )
+        (fid, cy, cx, shift, *edges[fid])
         for fid, cy, cx, shift in cover
     ]
+    arr = T.ArrayType(T.DoubleType())
     ftype = T.StructType(
         [
             T.StructField("fence_id", T.LongType()),
             T.StructField("_fcy", T.LongType()),
             T.StructField("_fcx", T.LongType()),
             T.StructField("_fshift", T.DoubleType()),
-            T.StructField("_vlat", T.ArrayType(T.DoubleType())),
-            T.StructField("_vlon", T.ArrayType(T.DoubleType())),
+            T.StructField("_elat1", arr),
+            T.StructField("_elon1", arr),
+            T.StructField("_elat0", arr),
+            T.StructField("_elon0", arr),
         ]
     )
     fcells = spark.createDataFrame(rows, ftype)
@@ -264,26 +306,24 @@ def geofence_points_polygon(
         F.broadcast(fcells),
         (F.col("_pcy") == F.col("_fcy")) & (F.col("_pcx") == F.col("_fcx")),
     )
-    # even-odd ray crossing (+lon ray), edges (i-1, i) with wraparound:
-    # vertex i is element_at(_vlat, i+1); predecessor j = i-1 (i=0 → n-1)
+    # even-odd ray crossing (+lon ray) over the flat edge list; edge i
+    # is (vertex _e*1[i], ring-predecessor _e*0[i]) — 1-based element_at
     inside = F.expr(
         f"""
         aggregate(
-          sequence(0, size(_vlat) - 1),
+          sequence(1, size(_elat1)),
           false,
           (acc, i) -> CASE WHEN
             (
-              (element_at(_vlat, i + 1) > {lat_col})
-              != (element_at(_vlat, IF(i = 0, size(_vlat), i)) > {lat_col})
+              (element_at(_elat1, i) > {lat_col})
+              != (element_at(_elat0, i) > {lat_col})
             )
             AND (
               (_lon_n - _fshift) <
-                element_at(_vlon, i + 1)
-                + (element_at(_vlon, IF(i = 0, size(_vlon), i))
-                   - element_at(_vlon, i + 1))
-                  * ({lat_col} - element_at(_vlat, i + 1))
-                  / (element_at(_vlat, IF(i = 0, size(_vlat), i))
-                     - element_at(_vlat, i + 1))
+                element_at(_elon1, i)
+                + (element_at(_elon0, i) - element_at(_elon1, i))
+                  * ({lat_col} - element_at(_elat1, i))
+                  / (element_at(_elat0, i) - element_at(_elat1, i))
             )
           THEN NOT acc ELSE acc END,
           acc -> acc
@@ -292,5 +332,8 @@ def geofence_points_polygon(
     )
     return (
         joined.filter(inside)
-        .drop("_lon_n", "_pcy", "_pcx", "_fcy", "_fcx", "_fshift", "_vlat", "_vlon")
+        .drop(
+            "_lon_n", "_pcy", "_pcx", "_fcy", "_fcx", "_fshift",
+            "_elat1", "_elon1", "_elat0", "_elon0",
+        )
     )

@@ -734,8 +734,9 @@ def test_record_linkage_pairs_reference(spark):
 def test_linkage_em_recovers_planted_parameters(spark):
     """Fellegi–Sunter EM (VERDICT r10 item 4) on planted dirty pairs:
     agreement vectors drawn from known (p, m, u) must (a) reproduce an
-    IDENTICAL-update numpy reference to 1e-6 — the Spark E/M arithmetic
-    is the same fixed-point map — and (b) recover the planted
+    independent PER-ROW numpy EM reference to 1e-6 — the production
+    pattern-histogram formulation is the same fixed-point map, its sums
+    merely grouped by agreement pattern — and (b) recover the planted
     parameters within sampling tolerance. Degenerate inputs raise."""
     import math
 
@@ -809,6 +810,8 @@ def test_linkage_em_recovers_planted_parameters(spark):
         fit_linkage_weights_em(pairs, [])
     with pytest.raises(ValueError, match="no candidate pairs"):
         fit_linkage_weights_em(pairs.limit(0), ["f1"])
+    with pytest.raises(ValueError, match="2\\^k"):
+        fit_linkage_weights_em(pairs, [f"f{i}" for i in range(21)])
 
 
 def test_linkage_em_fitted_weights_separate_fixture(spark):
@@ -1136,6 +1139,57 @@ def test_ivm_refresh_join_stored_side_no_exchange(spark, tmp_path):
             assert "SortMergeJoin" in plan, plan
             assert "Bucketed: true" in plan, plan
             assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivm_compaction_preserves_rows_and_bucket_plan(spark, tmp_path):
+    """compact_ivm_sides rewrites each side through the BUCKETED writer:
+    after compaction there is exactly one file per bucket, the rows are
+    identical, and the stored-side refresh join still plans with zero
+    Exchange on the stored side (generic compact_files would destroy
+    the bucket file naming and silently break that)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        _attach_side,
+        apply_join_increment,
+        compact_ivm_sides,
+    )
+
+    store = str(tmp_path / "jv_compact")
+    ls = "k long, lv string"
+    rs = "k long, rv string"
+    for base in (0, 100, 200):
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame(
+                [(base + i, f"a{base + i}") for i in range(40)], ls
+            ),
+            spark.createDataFrame(
+                [(base + i, f"b{base + i}") for i in range(30)], rs
+            ),
+            on="k",
+        )
+    _, l_before = _attach_side(spark, store, "left", ["k"], 8)
+    rows_before = sorted(map(tuple, l_before.collect()))
+    counts = compact_ivm_sides(spark, store, ["k"], 8)
+    assert counts == {"left": 8, "right": 8}, counts
+    _, l_after = _attach_side(spark, store, "left", ["k"], 8)
+    assert sorted(map(tuple, l_after.collect())) == rows_before
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        delta = spark.createDataFrame([(1, "zz")], rs)
+        plan = (
+            delta.join(l_after, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

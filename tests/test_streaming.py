@@ -2706,3 +2706,31 @@ def test_polygon_geofence_stream_equals_batch_and_reference(spark, tmp_path):
                   (0.0, 170.0), (1.0, 0.0)])],
             30.0,
         )
+
+
+def test_polygon_geofence_with_holes(spark):
+    """Multi-ring fences: a square with a square HOLE — points between
+    the outer ring and the hole are inside, points in the hole or
+    beyond the outer ring are outside (even-odd over all rings'
+    edges); the edge list closes each ring independently, so the
+    wraparound edge never spans rings."""
+    from demo_apache_beam_spark.streaming.geo import geofence_points_polygon
+
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    hole = [(3.0, 3.0), (3.0, 7.0), (7.0, 7.0), (7.0, 3.0)]
+    polys = [(1, [outer, hole])]
+    pts = [
+        (1, 1.0, 1.0),    # in the ring (outside the hole)
+        (2, 5.0, 5.0),    # in the hole → outside
+        (3, 5.0, 1.5),    # between outer and hole edges → inside
+        (4, 11.0, 5.0),   # outside outer
+        (5, 3.5, 3.5),    # just inside the hole → outside
+    ]
+    got = {
+        r["point_id"]
+        for r in geofence_points_polygon(
+            spark.createDataFrame(pts, "point_id long, lat double, lon double"),
+            polys,
+        ).collect()
+    }
+    assert got == {1, 3}
