@@ -22,8 +22,10 @@ one delta-sized Exchange per term. The sides are written through
 bucketed catalog tables (the ``functions/sinks.py:write_bucketed``
 contract); appends land new per-bucket files, which Spark groups back
 into the same bucket partitioning at scan (ordering is re-sorted but
-no Exchange — compaction of many-increment stores belongs to
-``operators/layout.py:compact_files``). This complements — not
+no Exchange — many-increment stores compact through
+:func:`compact_ivm_sides`; the generic ``layout.py:compact_files``
+must NOT touch these directories, see its docstring). This complements
+— not
 duplicates — the stream-stream joins in ``streaming/joins.py``: those
 hold bounded watermark state in the engine; this maintains an
 UNBOUNDED persisted view across batch refreshes, the nightly-delta
@@ -62,11 +64,15 @@ from .dedup import _hadoop_path_exists
 
 def _side_table_name(store_path: str, sub: str) -> str:
     """Deterministic catalog name for a bucketed side of the store at
-    ``store_path`` — derived from the absolute path so two stores never
-    collide and the same store re-attaches to the same name."""
-    digest = hashlib.md5(
-        os.path.abspath(os.path.join(store_path, sub)).encode()
-    ).hexdigest()[:12]
+    ``store_path`` — derived from the absolute path (local) or the URI
+    as given (remote) so two stores never collide and the same store
+    re-attaches to the same name. ``os.path.abspath`` on an
+    ``hdfs://``/``s3a://`` URI would treat it as cwd-relative and make
+    the digest — and hence the catalog name — depend on the driver's
+    working directory (review r11)."""
+    joined = store_path.rstrip("/") + "/" + sub
+    key = joined if "://" in store_path else os.path.abspath(joined)
+    digest = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"ivm_{sub}_{digest}"
 
 
@@ -140,18 +146,28 @@ def apply_join_increment(
     delta_right: DataFrame,
     on: str | list[str],
     num_buckets: int = 8,
+    _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
     inner equi-join view at ``store_path``; returns the VIEW DELTA
-    (the new join rows), already localCheckpointed.
+    (the new join rows), already localCheckpointed (the caller owns that
+    pin; the internal delta freezes are released before returning).
 
     Both sides' non-key column names must be disjoint (raises up
     front — a silent duplicate column would poison the stored view).
     ``num_buckets`` must stay constant across a store's lifetime (the
     bucketed append validates it; size it to the target scale — the
     test default 8 stands in for the thousands a 100 TB side needs).
+    ``_frozen`` is the internal contract with
+    :func:`apply_left_join_increment`: the deltas are already
+    localCheckpointed, so re-freezing (a second full materialization of
+    every delta — review r11) is skipped.
     """
-    from .checkpoints import tracked_local_checkpoint
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
 
     keys = [on] if isinstance(on, str) else list(on)
     l_extra = set(delta_left.columns) - set(keys)
@@ -166,28 +182,43 @@ def apply_join_increment(
     # freeze BOTH deltas first (ADVICE r10): the view delta below and
     # the side-store appends must derive from the same rows — a
     # non-deterministic upstream plan executed twice would let the
-    # stored sides diverge from the already-returned view delta
-    delta_left = tracked_local_checkpoint(delta_left)
-    delta_right = tracked_local_checkpoint(delta_right)
+    # stored sides diverge from the already-returned view delta. The
+    # freezes are scoped to this increment (ledger + unpersist in
+    # finally): a long-lived nightly-refresh session must not pin two
+    # delta copies per increment forever (review r11). The ledger is
+    # closed before the view-delta checkpoint, so THAT pin — the return
+    # value — stays alive for the caller.
+    _delta_ids: list = []
+    if not _frozen:
+        with track_checkpoints() as _delta_ids:
+            delta_left = tracked_local_checkpoint(delta_left)
+            delta_right = tracked_local_checkpoint(delta_right)
 
-    l_path, r_path, v_path = (
-        os.path.join(store_path, "left"),
-        os.path.join(store_path, "right"),
-        os.path.join(store_path, "view"),
-    )
-    l_tbl, l_old = _attach_side(spark, store_path, "left", keys, num_buckets)
-    r_tbl, r_old = _attach_side(spark, store_path, "right", keys, num_buckets)
+    try:
+        l_path, r_path, v_path = (
+            os.path.join(store_path, "left"),
+            os.path.join(store_path, "right"),
+            os.path.join(store_path, "view"),
+        )
+        l_tbl, l_old = _attach_side(
+            spark, store_path, "left", keys, num_buckets
+        )
+        r_tbl, r_old = _attach_side(
+            spark, store_path, "right", keys, num_buckets
+        )
 
-    dview = tracked_local_checkpoint(
-        _view_delta(l_old, r_old, delta_left, delta_right, keys)
-    )
+        dview = tracked_local_checkpoint(
+            _view_delta(l_old, r_old, delta_left, delta_right, keys)
+        )
 
-    _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
-    _append_side(delta_right, r_tbl, r_path, keys, num_buckets)
-    dview.write.mode("append").parquet(v_path)
-    for t in (l_tbl, r_tbl):
-        spark.catalog.refreshTable(t)
-    return dview
+        _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
+        _append_side(delta_right, r_tbl, r_path, keys, num_buckets)
+        dview.write.mode("append").parquet(v_path)
+        for t in (l_tbl, r_tbl):
+            spark.catalog.refreshTable(t)
+        return dview
+    finally:
+        unpersist_ids(spark, _delta_ids)
 
 
 def read_join_view(spark, store_path: str) -> DataFrame:
@@ -247,63 +278,88 @@ def compact_ivm_sides(
     directories — it rewrites through a plain parquet writer, which
     destroys the bucket-id file naming while the catalog DDL still
     claims bucketed, i.e. silently WRONG exchange-free joins. This
-    helper rewrites each side THROUGH the bucketed writer instead:
-    eager localCheckpoint (materialize off the files — breaks the
-    self-overwrite cycle), drop table + delete the old directory
-    (dropping an EXTERNAL table leaves its files behind; an overwrite
-    into the same directory would union old and new files), then
-    ``repartition(num_buckets, keys)`` INSIDE the write plan (Spark's
-    repartition hash is the same Murmur3 the bucketizer uses, so
-    partition index == bucket id → exactly one file per bucket; on the
-    raw table scan the optimizer could elide the repartition as
-    already-satisfied and leave mixed-bucket tasks — LogicalRDD has no
-    known partitioning, so it survives) and ``saveAsTable`` with the
-    identical bucket spec. Cost is one full rewrite of each side —
+    helper rewrites each side THROUGH the bucketed writer instead, with
+    the erase_rows write-then-swap discipline — the accumulated side is
+    the unbounded dataset this module exists to preserve, so at no
+    point is it held only in memory (a delete-before-write draft kept
+    the rows solely in a non-replicated localCheckpoint — an executor
+    loss in that window would have destroyed the store; review r11):
+
+    1. write the compacted copy to a ``__compacting`` sibling through a
+       temp bucketed table, reading the side as PLAIN parquet with a
+       ``repartition(num_buckets, keys)`` in the write plan — Spark's
+       repartition hash is the same Murmur3 the bucketizer uses, so
+       partition index == bucket id → exactly one file per bucket. The
+       plain read matters: on the bucketed-table scan the planner
+       elides the repartition as already-satisfied and THEN disables
+       the bucketed scan (no operator needs it anymore), leaving
+       mixed-bucket tasks — "Bucketed: false (disabled by query
+       planner)" with no Exchange, one file per (task, bucket)
+       (measured, review r11);
+    2. rename original → ``__precompact``, rename the copy into place
+       (a durable copy exists at every step; a crash between the
+       renames leaves the original recoverable under ``__precompact``);
+    3. drop the temp catalog entry, refresh the real one (its location
+       never changed), delete the backup.
+
+    Stale ``__compacting``/``__precompact`` leftovers from a crashed
+    run are cleared up front. Cost is one full rewrite of each side —
     that's what compaction is; schedule it like any other table
     maintenance. Beyond small-files overhead, multi-file buckets also
     force a stored-side Sort into every refresh join (sorted-scan
     metadata needs one file per bucket) — measured 14.8 s to compact a
     2×10M-row store (SURVEY §6). Returns per-side file counts after
     compaction."""
-    from .checkpoints import (
-        track_checkpoints,
-        tracked_local_checkpoint,
-        unpersist_ids,
-    )
-
     out = {}
+    jvm = spark._jvm
     for sub in ("left", "right"):
         tbl, df = _attach_side(spark, store_path, sub, keys, num_buckets)
         if df is None:
             continue
-        with track_checkpoints() as _ckpt:
-            try:
-                frozen = tracked_local_checkpoint(df)
-                path = os.path.join(store_path, sub)
-                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-                jvm = spark._jvm
-                p = jvm.org.apache.hadoop.fs.Path(path)
-                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-                fs.delete(p, True)
-                (
-                    frozen.repartition(
-                        int(num_buckets), *[F.col(k) for k in keys]
-                    )
-                    .write.mode("overwrite")
-                    .format("parquet")
-                    .bucketBy(int(num_buckets), *keys)
-                    .sortBy(*keys)
-                    .option("path", path)
-                    .saveAsTable(tbl)
-                )
-                spark.catalog.refreshTable(tbl)
-                out[sub] = sum(
-                    1
-                    for st in fs.listStatus(p)
-                    if st.getPath().getName().endswith(".parquet")
-                )
-            finally:
-                unpersist_ids(spark, _ckpt)
+        path = os.path.join(store_path, sub)
+        # plain read — the bucketed-table scan would defeat the
+        # repartition (docstring step 1); the original files stay alive
+        # until the swap, so no freeze is needed either
+        df = spark.read.parquet(path)
+        tmp_path = path + "__compacting"
+        bak_path = path + "__precompact"
+        tmp_tbl = f"{tbl}_compacting"
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        # clear leftovers of a crashed prior run
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        for stale in (tmp_path, bak_path):
+            sp = jvm.org.apache.hadoop.fs.Path(stale)
+            if fs.exists(sp):
+                fs.delete(sp, True)
+
+        (
+            df.repartition(int(num_buckets), *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(int(num_buckets), *keys)
+            .sortBy(*keys)
+            .option("path", tmp_path)
+            .saveAsTable(tmp_tbl)
+        )
+        p_orig = jvm.org.apache.hadoop.fs.Path(path)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+        p_bak = jvm.org.apache.hadoop.fs.Path(bak_path)
+        if not fs.rename(p_orig, p_bak):
+            raise OSError(f"compact_ivm_sides: rename {path} -> {bak_path} failed")
+        if not fs.rename(p_tmp, p_orig):
+            # put the original back — the compacted copy is still durable
+            fs.rename(p_bak, p_orig)
+            raise OSError(f"compact_ivm_sides: rename {tmp_path} -> {path} failed")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        spark.catalog.refreshTable(tbl)
+        fs.delete(p_bak, True)
+        out[sub] = sum(
+            1
+            for st in fs.listStatus(p_orig)
+            if st.getPath().getName().endswith(".parquet")
+        )
     return out
 
 
@@ -341,31 +397,44 @@ def apply_left_join_increment(
     unboundedly has a referential-integrity problem, not a plan
     problem. Read with :func:`read_left_join_view`.
     """
-    from .checkpoints import tracked_local_checkpoint
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
 
     keys = [on] if isinstance(on, str) else list(on)
-    delta_left = tracked_local_checkpoint(delta_left)
-    delta_right = tracked_local_checkpoint(delta_right)
+    # one ledger spans the whole increment: the delta freezes, the inner
+    # store's view-delta checkpoint (its return value is not used here),
+    # and the unmatched-rewrite freeze are all released on exit — none
+    # of these pins outlives the increment (review r11)
+    with track_checkpoints() as _ckpt:
+        try:
+            delta_left = tracked_local_checkpoint(delta_left)
+            delta_right = tracked_local_checkpoint(delta_right)
 
-    inner = os.path.join(store_path, "inner")
-    apply_join_increment(
-        spark, inner, delta_left, delta_right, on=keys,
-        num_buckets=num_buckets,
-    )
-    _, r_all = _attach_side(spark, inner, "right", keys, num_buckets)
-    um_path = os.path.join(store_path, "unmatched")
-    if _hadoop_path_exists(spark, um_path):
-        um_old = spark.read.parquet(um_path).join(
-            delta_right.select(*keys), keys, "left_anti"
-        )
-    else:
-        um_old = None
-    um_new = delta_left.join(r_all.select(*keys), keys, "left_anti")
-    um = um_old.unionByName(um_new) if um_old is not None else um_new
-    # the rewrite plan reads the old store — freeze before overwriting
-    um = tracked_local_checkpoint(um)
-    um.write.mode("overwrite").parquet(um_path)
-    spark.catalog.refreshByPath(um_path)
+            inner = os.path.join(store_path, "inner")
+            apply_join_increment(
+                spark, inner, delta_left, delta_right, on=keys,
+                num_buckets=num_buckets, _frozen=True,
+            )
+            _, r_all = _attach_side(spark, inner, "right", keys, num_buckets)
+            um_path = os.path.join(store_path, "unmatched")
+            if _hadoop_path_exists(spark, um_path):
+                um_old = spark.read.parquet(um_path).join(
+                    delta_right.select(*keys), keys, "left_anti"
+                )
+            else:
+                um_old = None
+            um_new = delta_left.join(r_all.select(*keys), keys, "left_anti")
+            um = um_old.unionByName(um_new) if um_old is not None else um_new
+            # the rewrite plan reads the old store — freeze before
+            # overwriting
+            um = tracked_local_checkpoint(um)
+            um.write.mode("overwrite").parquet(um_path)
+            spark.catalog.refreshByPath(um_path)
+        finally:
+            unpersist_ids(spark, _ckpt)
 
 
 def read_left_join_view(spark, store_path: str) -> DataFrame:

@@ -241,6 +241,13 @@ def fit_linkage_weights_em(
         )
     if not (0.0 < init_p < 1.0):
         raise ValueError(f"init_p must be in (0,1), got {init_p}")
+    if not (0.0 < init_m < 1.0) or not (0.0 < init_u < 1.0):
+        raise ValueError(
+            f"init_m/init_u must be in (0,1), got {init_m}/{init_u} — "
+            "a boundary initialization makes the first E-step log(0)"
+        )
+    if not (0.0 < clip < 0.5):
+        raise ValueError(f"clip must be in (0, 0.5), got {clip}")
     gcols = [
         F.col(f"{name}_agree").cast("int").alias(f"_g{i}")
         for i, name in enumerate(field_names)
@@ -300,6 +307,15 @@ def _fit_em_over_histogram(
         w = 1.0 / (1.0 + np.exp(ll_u - ll_m))
         sw = float((c * w).sum())
         snw = N - sw
+        if sw <= 0.0 or snw <= 0.0:
+            # every pair's posterior saturated to one class — dividing
+            # through would return silent NaN weights (review r11)
+            raise ValueError(
+                "fit_linkage_weights_em: posterior collapsed to a "
+                "single class — the agreement data carries no "
+                "two-class signal (or the initialization is extreme); "
+                "EM cannot fit m/u here"
+            )
         new_p = min(max(sw / N, clip), 1.0 - clip)
         new_m = np.clip(((c * w)[:, None] * g).sum(axis=0) / sw, clip, 1.0 - clip)
         new_u = np.clip(

@@ -10984,7 +10984,6 @@ def customer_polygon_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         _geo_points(spark, sf_dir),
         _GEOFENCE_POLYGONS,
         cell_deg=5.0,
-        id_col="cid",
     ).select("cid", "fence_id")
 
 

@@ -149,12 +149,18 @@ def _polygon_rings(fence_id, verts) -> list[list[tuple]]:
     and outside the holes — the standard multi-ring semantics)."""
     if not verts:
         raise ValueError(f"polygon {fence_id}: empty vertex list")
-    first = verts[0]
-    rings = (
-        [verts]
-        if isinstance(first, tuple) and isinstance(first[0], (int, float))
-        else [list(r) for r in verts]
-    )
+
+    def _is_vertex(v) -> bool:
+        # a (lat, lon) pair as tuple OR list — JSON-loaded fences
+        # arrive as lists, and misreading one as a ring would reject
+        # valid input with a wrong-problem error (review r11)
+        return (
+            isinstance(v, (tuple, list))
+            and len(v) == 2
+            and all(isinstance(x, (int, float)) for x in v)
+        )
+
+    rings = [verts] if _is_vertex(verts[0]) else [list(r) for r in verts]
     for ring in rings:
         if len(ring) < 3:
             raise ValueError(
@@ -252,7 +258,6 @@ def geofence_points_polygon(
     points: DataFrame,
     polygons: list[tuple],
     cell_deg: float = 1.0,
-    id_col: str = "point_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
 ) -> DataFrame:
@@ -271,7 +276,6 @@ def geofence_points_polygon(
     map-only on the unbounded side."""
     spark = points.sparkSession
     cover = polygon_cover_cells(polygons, cell_deg)
-    pdict = {p[0]: p for p in polygons}
     edges = {fid: _polygon_edges(fid, verts) for fid, verts in polygons}
     rows = [
         (fid, cy, cx, shift, *edges[fid])

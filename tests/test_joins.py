@@ -812,6 +812,14 @@ def test_linkage_em_recovers_planted_parameters(spark):
         fit_linkage_weights_em(pairs.limit(0), ["f1"])
     with pytest.raises(ValueError, match="2\\^k"):
         fit_linkage_weights_em(pairs, [f"f{i}" for i in range(21)])
+    # boundary initializations would make the first E-step log(0) and
+    # return silent NaN weights — fail loud instead (review r11)
+    with pytest.raises(ValueError, match="init_m/init_u"):
+        fit_linkage_weights_em(pairs, ["f1"], init_m=1.0)
+    with pytest.raises(ValueError, match="init_m/init_u"):
+        fit_linkage_weights_em(pairs, ["f1"], init_u=0.0)
+    with pytest.raises(ValueError, match="clip"):
+        fit_linkage_weights_em(pairs, ["f1"], clip=0.7)
 
 
 def test_linkage_em_fitted_weights_separate_fixture(spark):
