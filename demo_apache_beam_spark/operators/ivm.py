@@ -122,17 +122,51 @@ def _append_side(
     writer.saveAsTable(tbl)
 
 
+def _prune_bounds(delta: DataFrame, prune_col: str):
+    """(min, max) of the frozen delta's prune column — one bounded
+    driver row; (None, None) for an empty delta."""
+    row = delta.agg(
+        F.min(prune_col).alias("_lo"), F.max(prune_col).alias("_hi")
+    ).collect()[0]
+    return row["_lo"], row["_hi"]
+
+
+def _pruned(stored, delta: DataFrame, prune_col: str | None):
+    """The stored side restricted to the delta's prune-column range —
+    EXACT because ``prune_col`` is one of the join keys: a stored row
+    outside the delta's [min, max] cannot equal any delta row on it.
+    The BETWEEN lands in the scan's PushedFilters, and because
+    increments append time-correlated files, parquet footer min/max
+    stats skip every old increment's files wholesale — the read-term
+    lever the r11 refresh probe identified (SURVEY §6): the refresh
+    scan becomes delta-CORRELATED instead of O(|stored|), with no
+    partitionBy machinery. An empty delta prunes the whole side (its
+    join term is empty anyway)."""
+    if stored is None or prune_col is None:
+        return stored
+    lo, hi = _prune_bounds(delta, prune_col)
+    if lo is None:
+        return stored.filter(F.lit(False))
+    return stored.filter(F.col(prune_col).between(F.lit(lo), F.lit(hi)))
+
+
 def _view_delta(
-    l_old, r_old, delta_left: DataFrame, delta_right: DataFrame, keys
+    l_old,
+    r_old,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    keys,
+    prune_col: str | None = None,
 ) -> DataFrame:
     """The 3-term view delta ``ΔA⋈B_old ∪ ΔA⋈ΔB ∪ A_old⋈ΔB`` with every
-    stored side a direct bucketed-table scan (module docstring)."""
+    stored side a direct bucketed-table scan (module docstring), each
+    pruned to the opposing delta's ``prune_col`` range when set."""
     terms = []
     if r_old is not None:
-        terms.append(delta_left.join(r_old, keys))
+        terms.append(delta_left.join(_pruned(r_old, delta_left, prune_col), keys))
     terms.append(delta_left.join(delta_right, keys))
     if l_old is not None:
-        terms.append(l_old.join(delta_right, keys))
+        terms.append(_pruned(l_old, delta_right, prune_col).join(delta_right, keys))
     out = terms[0]
     for t in terms[1:]:
         out = out.unionByName(t)
@@ -146,6 +180,7 @@ def apply_join_increment(
     delta_right: DataFrame,
     on: str | list[str],
     num_buckets: int = 8,
+    prune_col: str | None = None,
     _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
@@ -158,6 +193,18 @@ def apply_join_increment(
     ``num_buckets`` must stay constant across a store's lifetime (the
     bucketed append validates it; size it to the target scale — the
     test default 8 stands in for the thousands a 100 TB side needs).
+
+    ``prune_col`` (optional; must be one of the join keys) turns the
+    stored-side READ delta-correlated: each stored side is filtered to
+    the opposing delta's [min, max] on that column — exact, since
+    matching rows agree on every join key — and the BETWEEN reaches the
+    parquet scan as a pushed filter, so the footer min/max of every
+    OLD increment's time-correlated files skips them wholesale. This is
+    the read-term lever the r11 refresh probe identified (SURVEY §6):
+    without it a refresh scans both accumulated sides in full; with a
+    time-like join component (event day, ingest epoch) the scan cost
+    tracks the delta instead. Plan-pinned in
+    ``tests/test_joins.py::test_ivm_prune_col_pushes_stored_side_filter``.
     ``_frozen`` is the internal contract with
     :func:`apply_left_join_increment`: the deltas are already
     localCheckpointed, so re-freezing (a second full materialization of
@@ -177,6 +224,12 @@ def apply_join_increment(
         raise ValueError(
             f"apply_join_increment: non-key columns shared by both sides "
             f"{sorted(clash)} — rename before materializing"
+        )
+    if prune_col is not None and prune_col not in keys:
+        raise ValueError(
+            f"apply_join_increment: prune_col {prune_col!r} must be "
+            "one of the join keys — pruning on a non-key column "
+            "would silently drop matching rows"
         )
 
     # freeze BOTH deltas first (ADVICE r10): the view delta below and
@@ -208,7 +261,10 @@ def apply_join_increment(
         )
 
         dview = tracked_local_checkpoint(
-            _view_delta(l_old, r_old, delta_left, delta_right, keys)
+            _view_delta(
+                l_old, r_old, delta_left, delta_right, keys,
+                prune_col=prune_col,
+            )
         )
 
         _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
@@ -370,6 +426,7 @@ def apply_left_join_increment(
     delta_right: DataFrame,
     on: str | list[str],
     num_buckets: int = 8,
+    prune_col: str | None = None,
 ) -> None:
     """LEFT OUTER join view maintenance (the retraction-bearing half the
     inner algebra cannot express): maintain ``A LEFT JOIN B`` under
@@ -416,9 +473,14 @@ def apply_left_join_increment(
             inner = os.path.join(store_path, "inner")
             apply_join_increment(
                 spark, inner, delta_left, delta_right, on=keys,
-                num_buckets=num_buckets, _frozen=True,
+                num_buckets=num_buckets, prune_col=prune_col,
+                _frozen=True,
             )
             _, r_all = _attach_side(spark, inner, "right", keys, num_buckets)
+            # the anti-probe prunes too: B_new rows outside ΔA's
+            # prune-column range cannot match any ΔA row, so removing
+            # them cannot flip an anti-join verdict
+            r_all = _pruned(r_all, delta_left, prune_col)
             um_path = os.path.join(store_path, "unmatched")
             if _hadoop_path_exists(spark, um_path):
                 um_old = spark.read.parquet(um_path).join(

@@ -1151,6 +1151,90 @@ def test_ivm_refresh_join_stored_side_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ivm_prune_col_pushes_stored_side_filter(spark, tmp_path):
+    """Delta-correlated stored-side pruning (the read-term lever the r11
+    refresh probe identified): with ``prune_col`` set to a join-key
+    component, every stored-side scan in the view delta carries the
+    opposing delta's [min, max] as a PUSHED filter (footer min/max of
+    old time-correlated increment files skips them wholesale), and the
+    maintained view still equals a from-scratch recompute over three
+    increments with composite (k, day) keys — including day ranges that
+    OVERLAP across increments; a non-key prune_col raises."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        _attach_side,
+        _pruned,
+        apply_join_increment,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_prune")
+    ls = "k long, day long, lv string"
+    rs = "k long, day long, rv string"
+    incs = [
+        # (left rows, right rows) — day ranges overlap across increments
+        ([(i, i % 3, f"a{i}") for i in range(30)],
+         [(i, i % 3, f"b{i}") for i in range(20)]),
+        ([(i, 2 + i % 3, f"c{i}") for i in range(30, 60)],
+         [(i, 2 + i % 3, f"d{i}") for i in range(10, 40)]),
+        ([(i, 4, f"e{i}") for i in range(60, 70)],
+         [(i, 4, f"f{i}") for i in range(55, 75)]),
+    ]
+    all_l: list = []
+    all_r: list = []
+    for dl, dr in incs:
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame(dl, ls),
+            spark.createDataFrame(dr, rs),
+            on=["k", "day"],
+            prune_col="day",
+        )
+        all_l += dl
+        all_r += dr
+        got = sorted(
+            map(
+                tuple,
+                read_join_view(spark, store)
+                .select("k", "day", "lv", "rv")
+                .collect(),
+            )
+        )
+        expect = sorted(
+            (lk, ld, lv, rv)
+            for lk, ld, lv in all_l
+            for rk, rd, rv in all_r
+            if lk == rk and ld == rd
+        )
+        assert got == expect
+
+    # the pruning filter reaches the stored-side SCAN (PushedFilters)
+    _, r_old = _attach_side(spark, store, "right", ["k", "day"], 8)
+    delta = spark.createDataFrame([(1, 2, "z")], ls)
+    plan = (
+        delta.join(_pruned(r_old, delta, "day"), ["k", "day"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(day,2)" in plan, plan
+    assert "LessThanOrEqual(day,2)" in plan, plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="prune_col"):
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame([], ls),
+            spark.createDataFrame([], rs),
+            on=["k", "day"],
+            prune_col="lv",
+        )
+
+
 def test_ivm_compaction_preserves_rows_and_bucket_plan(spark, tmp_path):
     """compact_ivm_sides rewrites each side through the BUCKETED writer:
     after compaction there is exactly one file per bucket, the rows are
