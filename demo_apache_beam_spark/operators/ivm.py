@@ -38,17 +38,40 @@ partials) computed from the view delta, and the registry read merges
 partials with one dimension-sized aggregation — the rollup query never
 scans the accumulated view at all.
 
-Append-only is the contract (facts append; updates/deletes belong to
-the CDC compaction and erasure machinery): re-appending an existing
-key is two distinct fact rows, exactly like re-inserting into a fact
-table. The store holds four datasets — ``left/``, ``right/`` (bucketed
-tables), ``view/``, ``agg/`` (plain parquet appends). Both input
-deltas are localCheckpointed UP FRONT (ADVICE r10) so the returned
-view delta and the store appends derive from the same frozen rows even
-for non-deterministic upstream plans; the view delta is additionally
-checkpointed BEFORE the store mutates, so the caller's lazy reads
-cannot re-list the post-append store. Increments run serially (the
-standard ingest-scheduler contract).
+INSERT increments are append-only (re-appending an existing key is two
+distinct fact rows, exactly like re-inserting into a fact table);
+DELETE increments exist as their signed complement
+(:func:`apply_delete_increment`, r12 — closing the VERDICT r11 gap
+where an erased source row survived inside any materialized view):
+a delete removes every row matching a key set from the affected
+bucketed side(s) (bucket-preserving write-then-swap rewrite), removes
+the corresponding join rows from ``view/`` (exact, because the key
+column survives into the view and column names are disjoint), and
+appends NEGATIVE monoid partials to ``agg/`` — the Z-set discipline
+where a deletion is an increment of multiplicity −1, so the aggregate
+read still merges partials without ever scanning the view.
+:func:`erase_from_ivm_store` is the right-to-erasure face of the same
+operation, composing with ``operators/layout.py:erase_rows`` on the
+source tables. The store holds four datasets — ``left/``, ``right/``
+(bucketed tables), ``view/``, ``agg/`` (plain parquet appends). Both
+input deltas are localCheckpointed UP FRONT (ADVICE r10) so the
+returned view delta and the store appends derive from the same frozen
+rows even for non-deterministic upstream plans; the view delta is
+additionally checkpointed BEFORE the store mutates, so the caller's
+lazy reads cannot re-list the post-append store. Increments run
+serially (the standard ingest-scheduler contract).
+
+Durability (ADVICE r11): one increment mutates up to four datasets as
+sequential non-atomic writes, so every mutating entry point brackets
+its writes with an ``_INCREMENT_IN_PROGRESS`` marker — created before
+the first write, removed after the last. A crash in between leaves the
+marker, and every subsequent attach/read/mutate raises
+:class:`IvmStoreCorrupt` instead of silently serving (or blindly
+re-appending onto) a half-applied increment; recovery is a store
+rebuild, stated loudly in the error. A crashed COMPACTION swap is the
+one recoverable case: the side's ``__precompact`` backup is the only
+surviving copy, so :func:`_attach_side` auto-restores it (rename back)
+and never deletes a backup whose live side directory is missing.
 """
 
 from __future__ import annotations
@@ -60,6 +83,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (callers' convenience)
 
 from .dedup import _hadoop_path_exists
+
+
+class IvmStoreCorrupt(RuntimeError):
+    """A prior increment died between its non-atomic dataset writes
+    (the ``_INCREMENT_IN_PROGRESS`` marker survived). The store's four
+    datasets can no longer be trusted to agree — a blind retry would
+    double-count the already-appended half — so every entry point
+    fails loudly; recovery is a store rebuild. Deliberately NOT an
+    OSError: the registry's store-unavailable fallback set must not
+    swallow a consistency violation."""
+
+
+def _fs_path(spark, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — the JVM boilerplate
+    every swap/marker helper needs."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _marker_path(store_path: str) -> str:
+    return os.path.join(store_path, "_INCREMENT_IN_PROGRESS")
+
+
+def check_store_consistent(spark, store_path: str) -> None:
+    """Raise :class:`IvmStoreCorrupt` if a prior increment on this
+    store died between its dataset writes (module docstring,
+    Durability). Called by every mutating and reading entry point."""
+    if _hadoop_path_exists(spark, _marker_path(store_path)):
+        raise IvmStoreCorrupt(
+            f"IVM store at {store_path} holds an _INCREMENT_IN_PROGRESS "
+            "marker: a prior increment crashed between its non-atomic "
+            "dataset writes and the datasets may disagree. Rebuild the "
+            "store from its sources (a blind retry would double-count "
+            "the already-written half of the crashed increment)."
+        )
+
+
+def _begin_increment(spark, store_path: str) -> None:
+    """Write the in-progress marker (after validating none exists) —
+    the first mutation of every increment."""
+    check_store_consistent(spark, store_path)
+    fs, p = _fs_path(spark, _marker_path(store_path))
+    fs.create(p, True).close()
+
+
+def _end_increment(spark, store_path: str) -> None:
+    fs, p = _fs_path(spark, _marker_path(store_path))
+    fs.delete(p, False)
 
 
 def _side_table_name(store_path: str, sub: str) -> str:
@@ -85,12 +157,35 @@ def _attach_side(
     re-attached through ``register_bucketed_table`` (spec-validated,
     metadata-only) so the scan keeps its bucket layout — a plain
     ``spark.read.parquet`` would lose it and reintroduce the Exchange.
+
+    Crashed-swap recovery (ADVICE r11): a bucketed rewrite (compaction,
+    delete increment) renames the live side to ``<side>__precompact``
+    before renaming the new copy into place; a crash between the two
+    renames leaves the side directory MISSING with the backup as the
+    only surviving copy. Silently treating that as "no store yet" would
+    recreate an EMPTY side on the next increment — every later view
+    delta would omit every history term — so a missing side with a
+    ``__precompact`` sibling is auto-restored (renamed back) here,
+    before any caller can observe the hole.
     """
     from ..functions.sinks import register_bucketed_table
 
     path = os.path.join(store_path, sub)
     tbl = _side_table_name(store_path, sub)
     exists = _hadoop_path_exists(spark, path)
+    if not exists:
+        bak = path + "__precompact"
+        if _hadoop_path_exists(spark, bak):
+            fs, p_bak = _fs_path(spark, bak)
+            _, p_live = _fs_path(spark, path)
+            if not fs.rename(p_bak, p_live):
+                raise OSError(
+                    f"_attach_side: crashed-swap restore {bak} -> {path} "
+                    "failed — the backup is the only copy of this side; "
+                    "restore it manually before touching the store"
+                )
+            spark.catalog.refreshByPath(path)
+            exists = True
     if spark.catalog.tableExists(tbl) and not exists:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not exists:
@@ -181,12 +276,23 @@ def apply_join_increment(
     on: str | list[str],
     num_buckets: int = 8,
     prune_col: str | None = None,
+    agg: tuple[list[str], list] | None = None,
     _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
     inner equi-join view at ``store_path``; returns the VIEW DELTA
     (the new join rows), already localCheckpointed (the caller owns that
     pin; the internal delta freezes are released before returning).
+
+    ``agg=(group_cols, partial_aggs)`` optionally maintains the
+    aggregate view INSIDE the same increment: the dimension-sized
+    monoid partial (:func:`apply_aggregate_increment` semantics) is
+    appended under the increment's ``_INCREMENT_IN_PROGRESS`` marker,
+    so a crash between the join-view append and the aggregate append
+    is detected like any other half-applied increment instead of
+    leaving the two views silently disagreeing (ADVICE r11 — the
+    separately-invoked :func:`apply_aggregate_increment` cannot give
+    that guarantee).
 
     Both sides' non-key column names must be disjoint (raises up
     front — a silent duplicate column would poison the stored view).
@@ -216,6 +322,7 @@ def apply_join_increment(
         unpersist_ids,
     )
 
+    check_store_consistent(spark, store_path)
     keys = [on] if isinstance(on, str) else list(on)
     l_extra = set(delta_left.columns) - set(keys)
     r_extra = set(delta_right.columns) - set(keys)
@@ -267,9 +374,20 @@ def apply_join_increment(
             )
         )
 
+        # all store mutations live inside the marker window: a crash
+        # between any two of them surfaces as IvmStoreCorrupt on the
+        # next touch instead of a silently half-applied increment
+        _begin_increment(spark, store_path)
         _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
         _append_side(delta_right, r_tbl, r_path, keys, num_buckets)
         dview.write.mode("append").parquet(v_path)
+        if agg is not None:
+            group_cols, partial_aggs = agg
+            apply_aggregate_increment(
+                spark, store_path, dview, list(group_cols),
+                list(partial_aggs), _in_increment=True,
+            )
+        _end_increment(spark, store_path)
         for t in (l_tbl, r_tbl):
             spark.catalog.refreshTable(t)
         return dview
@@ -279,6 +397,7 @@ def apply_join_increment(
 
 def read_join_view(spark, store_path: str) -> DataFrame:
     """The accumulated materialized view (all increments applied)."""
+    check_store_consistent(spark, store_path)
     return spark.read.parquet(os.path.join(store_path, "view"))
 
 
@@ -288,6 +407,7 @@ def apply_aggregate_increment(
     view_delta: DataFrame,
     group_cols: list[str],
     partial_aggs: list,
+    _in_increment: bool = False,
 ) -> None:
     """Maintain the AGGREGATE view incrementally: append one
     dimension-sized partial computed from this increment's view delta.
@@ -299,8 +419,15 @@ def apply_aggregate_increment(
     and divided at read. Each append is |groups| rows, so after N
     increments the stored aggregate is N·|groups| rows — the
     :func:`read_aggregate_view` merge is dimension-sized, never a scan
-    of the accumulated view.
-    """
+    of the accumulated view. Prefer the ``agg=`` option of
+    :func:`apply_join_increment`, which runs this append INSIDE the
+    increment's durability marker; invoked standalone the append is its
+    own (single-dataset, hence atomic-enough) mutation, but a crash
+    between the join append and this one leaves the two views
+    disagreeing with nothing to detect it (``_in_increment`` is the
+    internal flag distinguishing the two call shapes)."""
+    if not _in_increment:
+        check_store_consistent(spark, store_path)
     (
         view_delta.groupBy(*group_cols)
         .agg(*partial_aggs)
@@ -310,16 +437,30 @@ def apply_aggregate_increment(
 
 
 def read_aggregate_view(
-    spark, store_path: str, group_cols: list[str], merge_aggs: list
+    spark,
+    store_path: str,
+    group_cols: list[str],
+    merge_aggs: list,
+    drop_zero_col: str | None = None,
 ) -> DataFrame:
     """Merge the appended monoid partials into the current aggregate —
     one groupBy over N·|groups| rows (``merge_aggs``: aliased Columns
-    summing the partial columns)."""
-    return (
+    summing the partial columns). ``drop_zero_col`` names a merged
+    COUNT column; groups where it sums to 0 are dropped — the Z-set
+    rule that a group whose every contributing row was deleted
+    (positive partials fully cancelled by negative ones) must vanish
+    from the view, exactly as a from-scratch recompute would have no
+    row for it. Stores that never take delete increments can leave it
+    unset (no group can reach zero)."""
+    check_store_consistent(spark, store_path)
+    out = (
         spark.read.parquet(os.path.join(store_path, "agg"))
         .groupBy(*group_cols)
         .agg(*merge_aggs)
     )
+    if drop_zero_col is not None:
+        out = out.filter(F.col(drop_zero_col) != 0)
+    return out
 
 
 def compact_ivm_sides(
@@ -354,69 +495,106 @@ def compact_ivm_sides(
        (measured, review r11);
     2. rename original → ``__precompact``, rename the copy into place
        (a durable copy exists at every step; a crash between the
-       renames leaves the original recoverable under ``__precompact``);
+       renames leaves the side directory missing with the backup as the
+       only copy — :func:`_attach_side` AUTO-RESTORES it on the next
+       touch, ADVICE r11);
     3. drop the temp catalog entry, refresh the real one (its location
        never changed), delete the backup.
 
-    Stale ``__compacting``/``__precompact`` leftovers from a crashed
-    run are cleared up front. Cost is one full rewrite of each side —
+    Stale ``__compacting`` leftovers from a crashed run are cleared up
+    front; a ``__precompact`` backup is deleted only while the live
+    side directory exists (it may be the only surviving copy). Cost is one full rewrite of each side —
     that's what compaction is; schedule it like any other table
     maintenance. Beyond small-files overhead, multi-file buckets also
     force a stored-side Sort into every refresh join (sorted-scan
     metadata needs one file per bucket) — measured 14.8 s to compact a
     2×10M-row store (SURVEY §6). Returns per-side file counts after
     compaction."""
+    check_store_consistent(spark, store_path)
     out = {}
-    jvm = spark._jvm
     for sub in ("left", "right"):
-        tbl, df = _attach_side(spark, store_path, sub, keys, num_buckets)
-        if df is None:
-            continue
-        path = os.path.join(store_path, sub)
-        # plain read — the bucketed-table scan would defeat the
-        # repartition (docstring step 1); the original files stay alive
-        # until the swap, so no freeze is needed either
-        df = spark.read.parquet(path)
-        tmp_path = path + "__compacting"
-        bak_path = path + "__precompact"
-        tmp_tbl = f"{tbl}_compacting"
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
+        n = _bucketed_rewrite_swap(
+            spark, store_path, sub, keys, num_buckets, lambda df: df
         )
-        # clear leftovers of a crashed prior run
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        for stale in (tmp_path, bak_path):
-            sp = jvm.org.apache.hadoop.fs.Path(stale)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-
-        (
-            df.repartition(int(num_buckets), *[F.col(k) for k in keys])
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(int(num_buckets), *keys)
-            .sortBy(*keys)
-            .option("path", tmp_path)
-            .saveAsTable(tmp_tbl)
-        )
-        p_orig = jvm.org.apache.hadoop.fs.Path(path)
-        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
-        p_bak = jvm.org.apache.hadoop.fs.Path(bak_path)
-        if not fs.rename(p_orig, p_bak):
-            raise OSError(f"compact_ivm_sides: rename {path} -> {bak_path} failed")
-        if not fs.rename(p_tmp, p_orig):
-            # put the original back — the compacted copy is still durable
-            fs.rename(p_bak, p_orig)
-            raise OSError(f"compact_ivm_sides: rename {tmp_path} -> {path} failed")
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        spark.catalog.refreshTable(tbl)
-        fs.delete(p_bak, True)
-        out[sub] = sum(
-            1
-            for st in fs.listStatus(p_orig)
-            if st.getPath().getName().endswith(".parquet")
-        )
+        if n is not None:
+            out[sub] = n
     return out
+
+
+def _bucketed_rewrite_swap(
+    spark, store_path: str, sub: str, keys: list[str], num_buckets: int,
+    transform,
+) -> int | None:
+    """Rewrite one bucketed side as ``transform(plain read)`` with the
+    write-then-swap discipline of :func:`compact_ivm_sides` (whose
+    docstring documents the three steps and why the read is PLAIN
+    parquet) — shared by compaction (``transform`` = identity) and the
+    delete increment (``transform`` = anti-join against the delete
+    keys). Returns the post-swap parquet file count, or None when the
+    side doesn't exist yet. Crash safety: a durable copy of the side
+    exists at every step; :func:`_attach_side` auto-restores the
+    ``__precompact`` backup if a crash lands between the two renames,
+    and the stale-leftover cleanup here never deletes a backup whose
+    live side directory is missing (ADVICE r11 — deleting it would
+    destroy the only surviving copy)."""
+    tbl, df = _attach_side(spark, store_path, sub, keys, num_buckets)
+    if df is None:
+        return None
+    path = os.path.join(store_path, sub)
+    # plain read — the bucketed-table scan would defeat the repartition
+    # (compact_ivm_sides docstring step 1); the original files stay
+    # alive until the swap, so no freeze is needed either
+    df = transform(spark.read.parquet(path))
+    tmp_path = path + "__compacting"
+    bak_path = path + "__precompact"
+    tmp_tbl = f"{tbl}_compacting"
+    fs, p_orig = _fs_path(spark, path)
+    jvm = spark._jvm
+    # clear leftovers of a crashed prior run: the __compacting copy is
+    # always disposable (never the only copy); the __precompact backup
+    # is only disposable while the live side exists — _attach_side just
+    # guaranteed it does (it restores a missing side from the backup),
+    # but guard anyway so a future caller reordering cannot turn this
+    # cleanup into data loss
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    tmp_stale = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    if fs.exists(tmp_stale):
+        fs.delete(tmp_stale, True)
+    bak_stale = jvm.org.apache.hadoop.fs.Path(bak_path)
+    if fs.exists(bak_stale):
+        if not fs.exists(p_orig):
+            raise OSError(
+                f"_bucketed_rewrite_swap: {bak_path} exists but {path} "
+                "does not — the backup is the only copy; restore it "
+                "(rename back) instead of rewriting"
+            )
+        fs.delete(bak_stale, True)
+
+    (
+        df.repartition(int(num_buckets), *[F.col(k) for k in keys])
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(int(num_buckets), *keys)
+        .sortBy(*keys)
+        .option("path", tmp_path)
+        .saveAsTable(tmp_tbl)
+    )
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    p_bak = jvm.org.apache.hadoop.fs.Path(bak_path)
+    if not fs.rename(p_orig, p_bak):
+        raise OSError(f"bucketed rewrite: rename {path} -> {bak_path} failed")
+    if not fs.rename(p_tmp, p_orig):
+        # put the original back — the rewritten copy is still durable
+        fs.rename(p_bak, p_orig)
+        raise OSError(f"bucketed rewrite: rename {tmp_path} -> {path} failed")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    spark.catalog.refreshTable(tbl)
+    fs.delete(p_bak, True)
+    return sum(
+        1
+        for st in fs.listStatus(p_orig)
+        if st.getPath().getName().endswith(".parquet")
+    )
 
 
 def apply_left_join_increment(
@@ -465,11 +643,20 @@ def apply_left_join_increment(
     # store's view-delta checkpoint (its return value is not used here),
     # and the unmatched-rewrite freeze are all released on exit — none
     # of these pins outlives the increment (review r11)
+    check_store_consistent(spark, store_path)
     with track_checkpoints() as _ckpt:
         try:
             delta_left = tracked_local_checkpoint(delta_left)
             delta_right = tracked_local_checkpoint(delta_right)
 
+            # the root-store marker brackets the WHOLE composite
+            # increment (inner store mutation + unmatched rewrite); the
+            # nested apply_join_increment additionally brackets its own
+            # writes under {store}/inner — both markers clear on
+            # success. Opened after the input freezes so a failure in
+            # the caller's upstream plan (store untouched) doesn't
+            # falsely flag corruption.
+            _begin_increment(spark, store_path)
             inner = os.path.join(store_path, "inner")
             apply_join_increment(
                 spark, inner, delta_left, delta_right, on=keys,
@@ -495,6 +682,7 @@ def apply_left_join_increment(
             um = tracked_local_checkpoint(um)
             um.write.mode("overwrite").parquet(um_path)
             spark.catalog.refreshByPath(um_path)
+            _end_increment(spark, store_path)
         finally:
             unpersist_ids(spark, _ckpt)
 
@@ -504,6 +692,7 @@ def read_left_join_view(spark, store_path: str) -> DataFrame:
     left rows null-extended to the right side's columns (taken from the
     stored right table's own schema, so the extension never drifts from
     what was written)."""
+    check_store_consistent(spark, store_path)
     inner = spark.read.parquet(os.path.join(store_path, "inner", "view"))
     um = spark.read.parquet(os.path.join(store_path, "unmatched"))
     right_schema = spark.read.parquet(
@@ -514,3 +703,213 @@ def read_left_join_view(spark, store_path: str) -> DataFrame:
         if f.name not in um.columns:
             ext = ext.withColumn(f.name, F.lit(None).cast(f.dataType))
     return inner.unionByName(ext.select(*inner.columns))
+
+
+def apply_delete_increment(
+    spark,
+    store_path: str,
+    keys: DataFrame,
+    key_col: str,
+    on: str | list[str],
+    num_buckets: int = 8,
+    agg: tuple[list[str], list] | None = None,
+) -> dict:
+    """Apply one DELETE increment to the materialized inner-join store:
+    remove every row whose ``key_col`` value appears in ``keys`` (a
+    DataFrame carrying a column named ``key_col``) — the signed
+    complement of :func:`apply_join_increment`, closing the r11 gap
+    where a source-row deletion could not be propagated into a
+    maintained view (VERDICT r11 item 1).
+
+    Z-set reading: the delete is an increment of multiplicity −1 per
+    matching row. Physically, per dataset:
+
+    - **sides** — every affected bucketed side (the side(s) whose
+      schema carries ``key_col``; both when it is a join key) is
+      rewritten without the matching rows THROUGH the bucketed writer
+      with the compaction write-then-swap discipline
+      (:func:`_bucketed_rewrite_swap` — bucket layout and its
+      exchange-free refresh joins survive; a plain rewrite would
+      silently break them);
+    - **view/** — the join rows carrying a deleted row are EXACTLY the
+      view rows whose ``key_col`` matches (the column survives into the
+      view and the two sides' non-key columns are disjoint by the
+      insert-path contract), removed via the atomic
+      ``operators/layout.py:erase_rows`` rewrite;
+    - **agg/** — one NEGATIVE monoid partial per group, computed from
+      the removed view rows BEFORE they are rewritten away (frozen via
+      localCheckpoint) and appended: counts and exact-decimal sums
+      negate exactly, so :func:`read_aggregate_view` keeps merging
+      partials without ever scanning the view; pass its
+      ``drop_zero_col`` so fully-cancelled groups vanish as a recompute
+      would. ``agg=(group_cols, partial_aggs)`` must be the SAME spec
+      the insert increments used.
+
+    ``on`` is the store's join key list (bucket layout of the sides).
+    The delete key set is frozen up front (it may derive from the very
+    datasets being rewritten) and is dimension-sized by contract (a
+    DSR queue / CDC tombstone batch), so every probe broadcasts; the
+    side and view rewrites are the only full-dataset costs, identical
+    in shape to compaction — schedule deletes like any other table
+    maintenance, batched. All writes run inside the increment's
+    ``_INCREMENT_IN_PROGRESS`` marker (module docstring, Durability).
+    Returns per-dataset removed-row counts:
+    ``{"left": n, "right": n, "view": n, "agg_groups": n}``.
+    """
+    from .checkpoints import (
+        track_checkpoints,
+        tracked_local_checkpoint,
+        unpersist_ids,
+    )
+    from .layout import erase_rows
+
+    check_store_consistent(spark, store_path)
+    join_keys = [on] if isinstance(on, str) else list(on)
+    out = {"left": 0, "right": 0, "view": 0, "agg_groups": 0}
+    with track_checkpoints() as _cp:
+        try:
+            req = tracked_local_checkpoint(
+                keys.select(F.col(key_col).alias("__del_key")).distinct()
+            )
+            probe = F.col(key_col) == F.col("__del_key")
+
+            sides = {}
+            for sub in ("left", "right"):
+                _, df = _attach_side(
+                    spark, store_path, sub, join_keys, num_buckets
+                )
+                if df is not None and key_col in df.columns:
+                    sides[sub] = df
+            if not sides:
+                raise ValueError(
+                    f"apply_delete_increment: {key_col!r} is not a column "
+                    "of any stored side — nothing identifies the rows to "
+                    "delete"
+                )
+
+            v_path = os.path.join(store_path, "view")
+            view = (
+                spark.read.parquet(v_path)
+                if _hadoop_path_exists(spark, v_path)
+                else None
+            )
+            neg_partial = None
+            if view is not None and agg is not None and _hadoop_path_exists(
+                spark, os.path.join(store_path, "agg")
+            ):
+                group_cols, partial_aggs = agg
+                removed = view.join(F.broadcast(req), probe, "left_semi")
+                part = removed.groupBy(*group_cols).agg(*partial_aggs)
+                # negate every partial column, cast back to its own type
+                # so the parquet append schema stays byte-compatible
+                # (unary minus widens some numeric types)
+                neg_partial = tracked_local_checkpoint(
+                    part.select(
+                        *group_cols,
+                        *[
+                            (-F.col(f.name)).cast(f.dataType).alias(f.name)
+                            for f in part.schema.fields
+                            if f.name not in group_cols
+                        ],
+                    )
+                )
+                out["agg_groups"] = neg_partial.count()
+
+            _begin_increment(spark, store_path)
+            if neg_partial is not None:
+                neg_partial.write.mode("append").parquet(
+                    os.path.join(store_path, "agg")
+                )
+            if view is not None:
+                stats = erase_rows(
+                    spark, v_path, req, key_col=key_col, id_col="__del_key"
+                )
+                out["view"] = stats["rows_erased"]
+            for sub in sides:
+                n_before = sides[sub].count()
+                _bucketed_rewrite_swap(
+                    spark, store_path, sub, join_keys, num_buckets,
+                    lambda df: df.join(F.broadcast(req), probe, "left_anti"),
+                )
+                _, after = _attach_side(
+                    spark, store_path, sub, join_keys, num_buckets
+                )
+                out[sub] = n_before - after.count()
+            _end_increment(spark, store_path)
+            return out
+        finally:
+            unpersist_ids(spark, _cp)
+
+
+def erase_from_ivm_store(
+    spark,
+    store_path: str,
+    ids: DataFrame,
+    key_col: str,
+    on: str | list[str],
+    num_buckets: int = 8,
+    agg: tuple[list[str], list] | None = None,
+) -> dict:
+    """Right-to-erasure propagation into a materialized IVM store —
+    the composition ``operators/layout.py:erase_rows`` alone cannot
+    provide (VERDICT r11 item 1: an erased source row otherwise
+    SURVIVES inside every view materialized from that table, a
+    right-to-erasure hole). Call it with the same subject-id set handed
+    to ``erase_rows``/``erase_rows_multi`` on the source tables, once
+    per IVM store built over them; after it returns, the store's
+    sides, view, and maintained aggregate no longer carry the subject
+    (pinned end-to-end in pytest together with the source erasure and
+    a zero-reading erasure audit).
+
+    Handles both store layouts:
+
+    - **inner store** (``left/ right/ view/ agg/``) — delegates to
+      :func:`apply_delete_increment`;
+    - **LEFT OUTER store** (``inner/ unmatched/``) — the inner store
+      takes the delete increment, and matching rows are additionally
+      erased from the ``unmatched`` dataset (atomic ``erase_rows``
+      rewrite). Erasing by a RIGHT-side-only column is rejected loudly:
+      deleting dimension rows would have to move their former matches
+      back INTO the unmatched set, which requires the recompute this
+      module exists to avoid — rebuild the store instead (deleting by
+      a left-side or join-key column, the right-to-erasure shape, is
+      fully supported).
+    """
+    inner = os.path.join(store_path, "inner")
+    if not _hadoop_path_exists(spark, inner):
+        return apply_delete_increment(
+            spark, store_path, ids, key_col, on=on,
+            num_buckets=num_buckets, agg=agg,
+        )
+    check_store_consistent(spark, store_path)
+    join_keys = [on] if isinstance(on, str) else list(on)
+    _, r_side = _attach_side(spark, inner, "right", join_keys, num_buckets)
+    _, l_side = _attach_side(spark, inner, "left", join_keys, num_buckets)
+    right_only = (
+        r_side is not None
+        and key_col in r_side.columns
+        and (l_side is None or key_col not in l_side.columns)
+    )
+    if right_only:
+        raise ValueError(
+            f"erase_from_ivm_store: {key_col!r} identifies RIGHT-side "
+            "rows of a LEFT OUTER store — deleting them would move "
+            "their former matches back into the unmatched set, which "
+            "needs a recompute; rebuild the store from the post-delete "
+            "sources instead"
+        )
+    _begin_increment(spark, store_path)
+    out = apply_delete_increment(
+        spark, inner, ids, key_col, on=on, num_buckets=num_buckets, agg=agg
+    )
+    from .layout import erase_rows
+
+    um_path = os.path.join(store_path, "unmatched")
+    out["unmatched"] = 0
+    if _hadoop_path_exists(spark, um_path):
+        um_cols = spark.read.parquet(um_path).columns
+        if key_col in um_cols:
+            stats = erase_rows(spark, um_path, ids, key_col=key_col)
+            out["unmatched"] = stats["rows_erased"]
+    _end_increment(spark, store_path)
+    return out

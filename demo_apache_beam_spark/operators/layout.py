@@ -183,6 +183,13 @@ def erase_rows(
     be a data column: erasing by the PARTITION column is directory
     deletion, not a rewrite — rejected loudly before any mutation.
 
+    This rewrites the TABLE, not its derived artifacts: a materialized
+    IVM view built over the table still holds copies of the erased
+    rows — call ``operators/ivm.py:erase_from_ivm_store`` with the same
+    subject set, once per store over this table (pinned end-to-end in
+    ``tests/test_layout.py::test_erase_rows_propagates_to_ivm_store``);
+    the dedup/linkage stores have their own erase wrappers likewise.
+
     ``key_col`` may be a LIST of columns for composite-key erasure
     (``ids`` then matches on the conjunction of all of them — the shape
     the dedup-store erasure wrappers need, where a MinHash band row is

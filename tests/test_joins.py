@@ -1342,3 +1342,265 @@ def test_ivm_incremental_aggregate_equals_recompute(spark, tmp_path):
             .collect()
         }
         assert got == want
+
+
+def test_ivm_delete_increment_equals_recompute(spark, tmp_path):
+    """Delete-bearing IVM (VERDICT r11 item 1): after EVERY increment —
+    inserts, a join-key delete, an attribute-column delete, and an
+    insert AFTER a delete — the maintained view must equal a
+    from-scratch join of the surviving source rows, and the maintained
+    aggregate (positive partials + the delete's NEGATIVE partials,
+    zero-count groups dropped) must equal a from-scratch rollup —
+    including a group whose every row is deleted, which must VANISH
+    exactly as a recompute would drop it."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_delete_increment,
+        apply_join_increment,
+        read_aggregate_view,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_del")
+    ls = "k long, grp string"
+    rs = "k long, amt double"
+    group = ["grp"]
+
+    def partials():
+        return [
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s_p"),
+        ]
+
+    merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
+
+    all_l: list = []
+    all_r: list = []
+
+    def check():
+        got_v = sorted(
+            map(tuple, read_join_view(spark, store).select("k", "grp", "amt").collect())
+        )
+        want_v = sorted(
+            (lk, g, a) for lk, g in all_l for rk, a in all_r if lk == rk
+        )
+        assert got_v == want_v
+        got_a = {
+            r["grp"]: (r["n"], round(r["s"], 6))
+            for r in read_aggregate_view(
+                spark, store, group, merges, drop_zero_col="n"
+            ).collect()
+        }
+        want_a: dict = {}
+        for lk, g, a in want_v:
+            n, s = want_a.get(g, (0, 0.0))
+            want_a[g] = (n + 1, s + a)
+        assert got_a == {g: (n, round(s, 6)) for g, (n, s) in want_a.items()}
+
+    def insert(dl, dr):
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame(dl, ls),
+            spark.createDataFrame(dr, rs),
+            on="k",
+            agg=(group, partials()),
+        )
+        all_l.extend(dl)
+        all_r.extend(dr)
+        check()
+
+    def delete(col, values, schema):
+        res = apply_delete_increment(
+            spark,
+            store,
+            spark.createDataFrame([(v,) for v in values], schema),
+            col,
+            on="k",
+            agg=(group, partials()),
+        )
+        if col == "k":
+            all_l[:] = [t for t in all_l if t[0] not in values]
+            all_r[:] = [t for t in all_r if t[0] not in values]
+        else:
+            all_l[:] = [t for t in all_l if t[1] not in values]
+        check()
+        return res
+
+    insert([(1, "x"), (2, "y"), (3, "x"), (7, "solo")], [(1, 1.5), (2, 2.0)])
+    insert([(4, "y")], [(3, 3.25), (4, 4.0), (1, 0.5), (7, 7.0)])
+    # join-key delete: rows leave BOTH sides and the view
+    res = delete("k", [1, 3], "k long")
+    assert res["left"] == 2 and res["right"] == 3 and res["view"] == 3
+    # attribute delete that fully cancels a group: 'solo' must vanish
+    # from the maintained aggregate (negative partial sums its count
+    # to zero), and its right-side rows survive (they carry no grp)
+    res = delete("grp", ["solo"], "grp string")
+    assert res["left"] == 1 and res["right"] == 0 and res["view"] == 1
+    # insert after delete: stored sides are the post-delete sets, so a
+    # re-arriving k=1 right row joins NOTHING until a left row returns
+    insert([], [(1, 9.0)])
+    insert([(1, "x")], [])
+    # deleting by a column no side carries is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="not a column"):
+        apply_delete_increment(
+            spark,
+            store,
+            spark.createDataFrame([(1.0,)], "nope double"),
+            "nope",
+            on="k",
+        )
+
+
+def test_ivm_delete_preserves_bucket_plan(spark, tmp_path):
+    """The delete rewrite goes THROUGH the bucketed writer: after a
+    delete increment the stored-side refresh join still plans with
+    Bucketed: true and zero Exchange on the stored side (a plain
+    parquet rewrite would silently break the exchange-free refresh)."""
+    from demo_apache_beam_spark.operators.ivm import (
+        _attach_side,
+        apply_delete_increment,
+        apply_join_increment,
+    )
+
+    store = str(tmp_path / "jv_del_plan")
+    ls = "k long, lv string"
+    rs = "k long, rv string"
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame([(i, f"a{i}") for i in range(60)], ls),
+        spark.createDataFrame([(i, f"b{i}") for i in range(50)], rs),
+        on="k",
+    )
+    apply_delete_increment(
+        spark,
+        store,
+        spark.createDataFrame([(i,) for i in range(0, 60, 3)], "k long"),
+        "k",
+        on="k",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _, l_after = _attach_side(spark, store, "left", ["k"], 8)
+        assert l_after.count() == 40  # 60 - 20 deleted
+        delta = spark.createDataFrame([(1, "zz")], rs)
+        plan = (
+            delta.join(l_after, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivm_crashed_swap_auto_restores(spark, tmp_path):
+    """ADVICE r11 (medium): a crash between the two compaction renames
+    leaves the side directory missing with ``__precompact`` as the only
+    copy. The next touch must AUTO-RESTORE it — silently treating the
+    hole as an empty store would make every later view delta omit every
+    history term — and a later compaction must never delete a backup
+    whose live side is missing."""
+    import os
+
+    from demo_apache_beam_spark.operators.ivm import (
+        _attach_side,
+        apply_join_increment,
+        compact_ivm_sides,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_crash")
+    ls = "k long, lv string"
+    rs = "k long, rv string"
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame([(1, "a"), (2, "b")], ls),
+        spark.createDataFrame([(1, "p")], rs),
+        on="k",
+    )
+    # simulate the crashed swap: live side gone, backup is the only copy
+    left = os.path.join(store, "left")
+    os.rename(left, left + "__precompact")
+
+    # next increment auto-restores; the history term L_old ⋈ ΔR fires
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame([], ls),
+        spark.createDataFrame([(2, "q")], rs),
+        on="k",
+    )
+    got = sorted(
+        map(tuple, read_join_view(spark, store).select("k", "lv", "rv").collect())
+    )
+    assert got == [(1, "a", "p"), (2, "b", "q")]
+    assert not os.path.exists(left + "__precompact")
+
+    # crash again, then compact: restore-first, never delete-the-backup
+    os.rename(left, left + "__precompact")
+    compact_ivm_sides(spark, store, ["k"], 8)
+    _, l_after = _attach_side(spark, store, "left", ["k"], 8)
+    assert sorted(r["k"] for r in l_after.collect()) == [1, 2]
+
+
+def test_ivm_half_applied_increment_detected(spark, tmp_path):
+    """ADVICE r11 (low): one increment writes up to four datasets
+    non-atomically; a crash in between leaves the
+    ``_INCREMENT_IN_PROGRESS`` marker, and EVERY entry point —
+    insert, delete, reads, compaction — must raise IvmStoreCorrupt
+    instead of serving or re-appending onto a half-applied store.
+    IvmStoreCorrupt is deliberately outside the registry's
+    store-unavailable fallback set."""
+    import os
+
+    import pytest
+
+    from demo_apache_beam_spark.operators.ivm import (
+        IvmStoreCorrupt,
+        apply_delete_increment,
+        apply_join_increment,
+        compact_ivm_sides,
+        read_aggregate_view,
+        read_join_view,
+    )
+    from demo_apache_beam_spark.queries import _store_errors
+
+    store = str(tmp_path / "jv_marker")
+    ls = "k long, lv string"
+    rs = "k long, rv string"
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame([(1, "a")], ls),
+        spark.createDataFrame([(1, "p")], rs),
+        on="k",
+    )
+    marker = os.path.join(store, "_INCREMENT_IN_PROGRESS")
+    open(marker, "w").close()
+    empty_l = spark.createDataFrame([], ls)
+    empty_r = spark.createDataFrame([], rs)
+    for attempt in (
+        lambda: read_join_view(spark, store),
+        lambda: read_aggregate_view(spark, store, ["lv"], []),
+        lambda: apply_join_increment(spark, store, empty_l, empty_r, on="k"),
+        lambda: apply_delete_increment(
+            spark, store, spark.createDataFrame([(1,)], "k long"), "k", on="k"
+        ),
+        lambda: compact_ivm_sides(spark, store, ["k"], 8),
+    ):
+        with pytest.raises(IvmStoreCorrupt):
+            attempt()
+    assert not isinstance(IvmStoreCorrupt("x"), _store_errors())
+    # removing the marker (the rebuild path deletes the whole store,
+    # which includes it) heals every entry point
+    os.unlink(marker)
+    assert read_join_view(spark, store).count() == 1

@@ -424,3 +424,128 @@ def test_erase_rows_multi_matches_audit(spark, tmp_path):
                 if d.startswith("event_type=")
             }
             assert dirs, "partition layout lost"
+
+
+def test_erase_rows_propagates_to_ivm_store(spark, tmp_path):
+    """Right-to-erasure composed with IVM (VERDICT r11 item 1, the
+    'erased subject survives inside materialized views' hole): erase a
+    subject from the SOURCE table with erase_rows, propagate with
+    erase_from_ivm_store, and the store's sides, view, and maintained
+    aggregate must no longer carry the subject — the erasure audit
+    (semi-join count against the view) reads ZERO. The LEFT OUTER store
+    erases through its inner store + unmatched set; erasing by a
+    right-side-only column there is rejected loudly (it would need the
+    recompute the algebra avoids)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        apply_left_join_increment,
+        erase_from_ivm_store,
+        read_aggregate_view,
+        read_join_view,
+        read_left_join_view,
+    )
+    from demo_apache_beam_spark.operators.layout import erase_rows
+
+    src = str(tmp_path / "facts")
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], "fact_id long, uid long, v double"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(u, f"seg{u % 2}") for u in range(5)], "uid long, seg string"
+    ).write.parquet(dim)
+
+    group = ["seg"]
+    partials = lambda: [  # noqa: E731
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("s_p"),
+    ]
+    merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
+
+    store = str(tmp_path / "ivm")
+    facts = spark.read.parquet(src)
+    dims = spark.read.parquet(dim)
+    for cond, d in (
+        (F.col("fact_id") < 20, dims),
+        (F.col("fact_id") >= 20, dims.limit(0)),
+    ):
+        apply_join_increment(
+            spark,
+            store,
+            facts.filter(cond),
+            d,
+            on="uid",
+            agg=(group, partials()),
+        )
+
+    subject = spark.createDataFrame([(3,)], "uid long")
+    # 1. source-table erasure (the r11 state of the art)
+    stats = erase_rows(spark, src, subject, key_col="uid")
+    assert stats["rows_erased"] == 8
+    # ... the subject SURVIVES in the materialized view — the hole
+    assert read_join_view(spark, store).filter(F.col("uid") == 3).count() > 0
+    # 2. propagation closes it
+    res = erase_from_ivm_store(
+        spark, store, subject, "uid", on="uid", agg=(group, partials())
+    )
+    assert res["view"] == 8 and res["left"] == 8 and res["right"] == 1
+    view = read_join_view(spark, store)
+    assert view.filter(F.col("uid") == 3).count() == 0  # audit reads zero
+    # maintained aggregate == recompute over the post-erasure view
+    got = {
+        r["seg"]: (r["n"], round(r["s"], 6))
+        for r in read_aggregate_view(
+            spark, store, group, merges, drop_zero_col="n"
+        ).collect()
+    }
+    want = {
+        r["seg"]: (r["n"], round(r["s"], 6))
+        for r in view.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # LEFT OUTER store: subject erased from inner AND unmatched
+    lstore = str(tmp_path / "ivm_left")
+    apply_left_join_increment(
+        spark,
+        lstore,
+        spark.read.parquet(src).limit(0).unionByName(
+            spark.createDataFrame(
+                [(100, 3, 1.0), (101, 4, 2.0)], "fact_id long, uid long, v double"
+            )
+        ),
+        dims.limit(0),
+        on="uid",
+    )
+    apply_left_join_increment(
+        spark,
+        lstore,
+        spark.createDataFrame([(102, 4, 3.0)], "fact_id long, uid long, v double"),
+        spark.createDataFrame([(4, "segX")], "uid long, seg string"),
+        on="uid",
+    )
+    before = read_left_join_view(spark, lstore)
+    assert before.filter(F.col("uid") == 3).count() == 1  # unmatched row
+    res = erase_from_ivm_store(spark, lstore, subject, "uid", on="uid")
+    assert res["unmatched"] == 1
+    after = read_left_join_view(spark, lstore)
+    assert after.filter(F.col("uid") == 3).count() == 0
+    assert after.filter(F.col("uid") == 4).count() == 2  # others untouched
+    with pytest.raises(ValueError, match="RIGHT-side"):
+        erase_from_ivm_store(
+            spark,
+            lstore,
+            spark.createDataFrame([("segX",)], "seg string"),
+            "seg",
+            on="uid",
+        )
