@@ -154,6 +154,36 @@ def main(argv: list[str]) -> int:
             f"but HEAD holds {n_registry}"
         )
 
+    # Bench gate (VERDICT r11 #1/#2): a committed BENCH_FULL_r{N}.json
+    # taken before the round's last registry edit silently goes stale —
+    # r11 shipped a 194-query bench against a 195-query registry. The
+    # close now refuses a bench whose query count differs from the
+    # registry at HEAD, or one missing the hardware canary that makes
+    # cross-round comparison measurable.
+    bench_path = os.path.join(REPO, f"BENCH_FULL_r{round_n}.json")
+    try:
+        with open(bench_path) as fh:
+            bench = json.load(fh)
+    except FileNotFoundError:
+        problems.append(
+            f"BENCH_FULL_r{round_n}.json missing — run `python bench.py` "
+            "at HEAD before closing the round"
+        )
+    except (OSError, json.JSONDecodeError) as exc:
+        problems.append(f"BENCH_FULL_r{round_n}.json unreadable: {exc}")
+    else:
+        n_bench = len(bench.get("queries") or {})
+        if n_bench != n_registry:
+            problems.append(
+                f"BENCH_FULL_r{round_n}.json covers {n_bench} queries but "
+                f"the registry at HEAD holds {n_registry} — re-run bench.py"
+            )
+        if not (bench.get("canary") or {}).get("spark_fixed_job_sec"):
+            problems.append(
+                f"BENCH_FULL_r{round_n}.json has no hardware canary — "
+                "re-run bench.py at HEAD"
+            )
+
     # regenerate the human-readable artifacts from the live registry —
     # subprocesses: gen_plans_md owns (and stops) a SparkSession
     for mod in ("gen_queries_md", "gen_plans_md"):
@@ -167,7 +197,8 @@ def main(argv: list[str]) -> int:
 
     dirty = subprocess.check_output(
         ["git", "status", "--porcelain", "--", os.path.basename(verify_path)]
-        + list(ARTIFACTS),
+        + list(ARTIFACTS)
+        + [f"BENCH_FULL_r{round_n}.json"],
         cwd=REPO,
         text=True,
     ).strip()
