@@ -263,6 +263,17 @@ def fit_linkage_weights_em(
         (tuple(int(r[f"_g{i}"]) for i in range(k)), int(r["_c"]))
         for r in hist_rows
     )
+    # the model is Bernoulli per field: a graded or miscoded agreement
+    # column (2, -1, …) would silently corrupt the E-step (γ multiplies
+    # log m / log u) and return plausible-looking but wrong weights
+    # (ADVICE r11) — reject loudly instead
+    bad = sorted({v for pat, _ in hist for v in pat if v not in (0, 1)})
+    if bad:
+        raise ValueError(
+            f"fit_linkage_weights_em: agreement columns must be binary "
+            f"0/1; found values {bad} — a graded comparator needs "
+            "thresholding into agree/disagree before fitting"
+        )
     return _fit_em_over_histogram(
         hist, field_names, n_iter, init_p, init_m, init_u, tol, clip
     )
@@ -357,6 +368,101 @@ def comparators_with_fitted_weights(
             )
         )
     return out
+
+
+def fs_decision_threshold(fitted: dict) -> float:
+    """The Fellegi–Sunter decision threshold implied by a fitted model:
+    total posterior log-odds of a pair are ``log2(p/(1-p)) + Σ w_i``,
+    so ``score ≥ -log2(p/(1-p))`` is exactly ``P(match | γ) ≥ 0.5`` —
+    the principled replacement for a hand-picked cut once the weights
+    are data-derived (the hand-constant path keeps its caller-supplied
+    threshold; the two are not comparable numbers)."""
+    import math
+
+    p = float(fitted["p"])
+    return -math.log2(p / (1.0 - p))
+
+
+def write_linkage_weights(spark, store_path: str, fitted: dict) -> int:
+    """Persist an EM fit as a versioned weight store — the linkage
+    twin of the k-means centroid store's epoch discipline: each write
+    lands the per-field rows plus a one-row prior/epoch sidecar, with
+    the epoch bumped, so a serving stream can PIN the version it read
+    at start while later fits land behind it. Returns the new epoch."""
+    epoch = 0
+    try:
+        epoch = read_linkage_weights(spark, store_path)["epoch"] + 1
+    except Exception:
+        pass  # first write: no prior version
+    rows = [
+        (name, fw["m"], fw["u"], fw["w_agree"], fw["w_disagree"])
+        for name, fw in sorted(fitted["fields"].items())
+    ]
+    spark.createDataFrame(
+        rows,
+        "field string, m double, u double, w_agree double, w_disagree double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_path}/fields")
+    spark.createDataFrame(
+        [(float(fitted["p"]), int(epoch))], "p double, epoch long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_path}/prior")
+    return epoch
+
+
+def read_linkage_weights(spark, store_path: str) -> dict:
+    """Load the current weight version: the fit-shaped dict (drop-in
+    for :func:`comparators_with_fitted_weights` /
+    :func:`fs_decision_threshold`) plus its ``epoch``. The returned
+    values are plain Python floats — a consumer that bakes them into a
+    plan holds LITERALS, so a concurrent re-fit overwriting the store
+    cannot reach an already-running stream (the k-means pinned-epoch
+    contract)."""
+    fields = {
+        r["field"]: {
+            "m": r["m"],
+            "u": r["u"],
+            "w_agree": r["w_agree"],
+            "w_disagree": r["w_disagree"],
+        }
+        for r in spark.read.parquet(f"{store_path}/fields").collect()
+    }
+    prior = spark.read.parquet(f"{store_path}/prior").collect()[0]
+    return {"p": float(prior["p"]), "epoch": int(prior["epoch"]), "fields": fields}
+
+
+def linkage_decisions_with_em(
+    records: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    comparators: list[FieldComparator],
+    n_iter: int = 25,
+) -> tuple[DataFrame, dict]:
+    """The closed fit→re-score→decide loop (VERDICT r11 item 3 — the
+    fit previously RETURNED weights no production path consumed): fit
+    m/u/prior by EM on the blocked candidate pairs' agreement patterns,
+    rebind the comparators to the fitted log2 odds, re-score the SAME
+    candidate pairs, and decide at the model-implied threshold
+    (:func:`fs_decision_threshold` — posterior ≥ 0.5). Returns
+    ``(decisions, fit)`` where decisions is the
+    :func:`record_linkage_pairs` output shape scored with FITTED
+    weights. Costs two passes over the blocked pairs (one histogram
+    aggregation for the fit, one re-score) — agreement bits are
+    weight-independent, so the second pass re-evaluates only cheap
+    predicates; still never all-pairs."""
+    pairs = record_linkage_pairs(
+        records, id_col, block_cols, comparators, threshold=0.0
+    )
+    fit = fit_linkage_weights_em(
+        pairs, [c.name for c in comparators], n_iter=n_iter
+    )
+    fitted_comps = comparators_with_fitted_weights(comparators, fit)
+    decisions = record_linkage_pairs(
+        records,
+        id_col,
+        block_cols,
+        fitted_comps,
+        threshold=fs_decision_threshold(fit),
+    )
+    return decisions, fit
 
 
 def linkage_resolve_core(

@@ -41,11 +41,23 @@ def start_linkage_stream(
     block_cols: list[str],
     comparators,
     threshold: float,
+    weights_store: str | None = None,
 ):
     """File-source streaming entity resolution: parquet batches of
     records (``schema`` — must include ``id_col``, the blocking and the
     comparison columns) resolve against the persisted registry at
-    ``store_path``; assignments land in ``out_dir``."""
+    ``store_path``; assignments land in ``out_dir``.
+
+    ``weights_store`` (r12, VERDICT r11 item 3) names a persisted EM
+    weight store (``operators/linkage.py:write_linkage_weights``): the
+    comparators' score weights and the decision threshold are then
+    REBOUND to that store's current version — read ONCE here, at stream
+    start, the k-means pinned-epoch discipline: the fitted values
+    become plan literals, so a re-fit overwriting the store mid-run
+    cannot reach this stream's decisions (one weight version per run,
+    pinned in pytest), and the next start re-pins against the new
+    version. Without it the caller-supplied constants + threshold
+    stand."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     ingest = make_linkage_ingest(
         spark,
@@ -55,6 +67,7 @@ def start_linkage_stream(
         block_cols=block_cols,
         comparators=comparators,
         threshold=threshold,
+        weights_store=weights_store,
     )
     return (
         stream.writeStream.foreachBatch(ingest)
@@ -71,13 +84,26 @@ def make_linkage_ingest(
     block_cols: list[str],
     comparators,
     threshold: float,
+    weights_store: str | None = None,
 ):
     """The foreachBatch callable behind :func:`start_linkage_stream`
     (exposed for the replay contract, like the dedup ingests): registry
     read (``_batch_id <`` epoch) → shared resolve core → epoch-
     partitioned idempotent writes of the resolved registry rows and the
-    ``(id, entity_id)`` assignments."""
+    ``(id, entity_id)`` assignments. ``weights_store`` pins an EM
+    weight version at FACTORY time (see :func:`start_linkage_stream`)."""
     from pyspark.sql import functions as F
+
+    if weights_store is not None:
+        from ..operators.linkage import (
+            comparators_with_fitted_weights,
+            fs_decision_threshold,
+            read_linkage_weights,
+        )
+
+        fitted = read_linkage_weights(spark, weights_store)
+        comparators = comparators_with_fitted_weights(comparators, fitted)
+        threshold = fs_decision_threshold(fitted)
 
     from ..operators.checkpoints import (
         track_checkpoints,

@@ -2734,3 +2734,100 @@ def test_polygon_geofence_with_holes(spark):
         ).collect()
     }
     assert got == {1, 3}
+
+
+def test_linkage_weight_store_pins_one_version_per_run(spark, tmp_path):
+    """EM weight store + streaming pin (VERDICT r11 item 3): the weight
+    store versions like the k-means centroid store (epoch bumps per
+    write), and a linkage ingest built with ``weights_store`` reads ONE
+    version at factory time — a re-fit overwriting the store mid-run
+    cannot change a running stream's decisions; the next factory
+    re-pins against the new version."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.linkage import (
+        FieldComparator,
+        read_linkage_weights,
+        write_linkage_weights,
+    )
+    from demo_apache_beam_spark.streaming.linkage import make_linkage_ingest
+
+    def fitlike(p, m, u):
+        return {
+            "p": p,
+            "fields": {
+                name: {
+                    "m": m,
+                    "u": u,
+                    "w_agree": math.log2(m / u),
+                    "w_disagree": math.log2((1 - m) / (1 - u)),
+                }
+                for name in ("name", "val")
+            },
+        }
+
+    wstore = str(tmp_path / "weights")
+    # v0: discriminating weights, prior 0.5 -> threshold 0: same-name,
+    # same-val pairs match
+    assert write_linkage_weights(spark, wstore, fitlike(0.5, 0.9, 0.1)) == 0
+    rt = read_linkage_weights(spark, wstore)
+    assert rt["epoch"] == 0 and rt["p"] == 0.5
+    assert rt["fields"]["name"]["w_agree"] == math.log2(9.0)
+
+    comps = [
+        FieldComparator(
+            "name", lambda a, b: a("name_norm") == b("name_norm"), 99.0, -99.0
+        ),
+        FieldComparator(
+            "val", lambda a, b: F.abs(a("val") - b("val")) <= F.lit(0.1),
+            99.0, -99.0,
+        ),  # absurd constants: the store must override them
+    ]
+    schema = "rid long, blk string, name_norm string, val double"
+    out_dir = str(tmp_path / "out")
+    store = str(tmp_path / "registry")
+    ingest = make_linkage_ingest(
+        spark, out_dir, store, id_col="rid", block_cols=["blk"],
+        comparators=comps, threshold=123.0, weights_store=wstore,
+    )
+
+    def assigned(batch, bid):
+        ingest(spark.createDataFrame(batch, schema), bid)
+        return {
+            r["rid"]: r["entity_id"]
+            for r in spark.read.parquet(out_dir)
+            .filter(F.col("_batch_id") == bid)
+            .collect()
+        }
+
+    got0 = assigned([(1, "b", "alice", 1.0), (2, "b", "alice", 1.02)], 0)
+    assert got0[1] == got0[2]  # matched under the pinned v0 weights
+
+    # a re-fit lands: near-zero prior -> threshold ~ +10, nothing matches
+    assert write_linkage_weights(spark, wstore, fitlike(0.001, 0.11, 0.1)) == 1
+    assert read_linkage_weights(spark, wstore)["epoch"] == 1
+
+    # the RUNNING ingest still decides with its pinned v0 version
+    got1 = assigned([(3, "c", "bob", 2.0), (4, "c", "bob", 2.03)], 1)
+    assert got1[3] == got1[4]
+
+    # a fresh factory re-pins against v1: identical twins now split
+    ingest2 = make_linkage_ingest(
+        spark, str(tmp_path / "out2"), str(tmp_path / "registry2"),
+        id_col="rid", block_cols=["blk"], comparators=comps,
+        threshold=123.0, weights_store=wstore,
+    )
+    ingest2(
+        spark.createDataFrame(
+            [(5, "d", "carol", 3.0), (6, "d", "carol", 3.01)], schema
+        ),
+        0,
+    )
+    got2 = {
+        r["rid"]: r["entity_id"]
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert got2[5] != got2[6]
