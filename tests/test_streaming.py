@@ -2831,3 +2831,134 @@ def test_linkage_weight_store_pins_one_version_per_run(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out2")).collect()
     }
     assert got2[5] != got2[6]
+
+
+def test_kmeans_check_and_retrain_orchestration(spark, tmp_path):
+    """The schedulable monitor→retrain loop (VERDICT r11 item 4):
+    check_and_retrain_kmeans reads the drift monitor's latest epoch row
+    and acts on it — a no-recommendation run is a NO-OP (epoch
+    unchanged, store bytes identical), a planted shift retrains (epoch
+    bumps, a centroid covers the new region), a re-run against the same
+    monitor state is a no-op (acted marker), and a calm epoch after the
+    retrain is again a no-op. The CLI twin produces the same decision
+    from a cron-shaped invocation."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import (
+        check_and_retrain_kmeans,
+        incremental_kmeans_assign,
+        kmeans_store_epoch,
+        read_kmeans_store,
+    )
+    from demo_apache_beam_spark.streaming.kmeans import (
+        make_kmeans_drift_ingest,
+    )
+
+    def blob(center, n, seed, base_id, step=1):
+        r = np.random.RandomState(seed)
+        return [
+            (base_id + step * i, [float(x) for x in center + 0.5 * r.randn(2)])
+            for i in range(n)
+        ]
+
+    def store_listing(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                out.append((os.path.relpath(p, path), os.path.getsize(p),
+                            os.path.getmtime(p)))
+        return sorted(out)
+
+    schema = "vec_id long, embedding array<double>"
+    train = blob(np.array([0.0, 0.0]), 40, 1, 0) + blob(
+        np.array([20.0, 0.0]), 40, 2, 1000
+    )
+    store = str(tmp_path / "kstore")
+    incremental_kmeans_assign(
+        spark.createDataFrame(train, schema), store, k=2, iters=2
+    )
+    monitor_out = str(tmp_path / "monitor")
+    monitor = make_kmeans_drift_ingest(spark, store, monitor_out)
+
+    corpus = spark.createDataFrame(train, schema)
+
+    # 0. no monitor output at all -> no-op
+    res = check_and_retrain_kmeans(
+        spark, store, str(tmp_path / "nowhere"), corpus, k=2
+    )
+    assert res == {
+        "retrained": False, "reason": "no monitor output",
+        "epoch": 0, "checked_batch_id": None,
+    }
+
+    # 1. calm epoch -> recommended False -> no-op, store bytes identical
+    calm = blob(np.array([0.0, 0.0]), 20, 3, 5000) + blob(
+        np.array([20.0, 0.0]), 20, 4, 6000
+    )
+    monitor(spark.createDataFrame(calm, schema), 0)
+    before = store_listing(store)
+    res = check_and_retrain_kmeans(spark, store, monitor_out, corpus, k=2)
+    assert res["retrained"] is False and res["epoch"] == 0
+    assert res["checked_batch_id"] == 0
+    assert store_listing(store) == before  # byte-identical no-op
+
+    # 2. planted shift -> recommended True -> retrain, epoch bumps,
+    #    a new centroid covers the shifted region
+    shifted = blob(np.array([0.0, 80.0]), 40, 5, 7000)
+    monitor(spark.createDataFrame(shifted, schema), 1)
+    retrain_corpus = spark.createDataFrame(
+        [(3 * i, v) for i, (_, v) in enumerate(train[:40])]
+        + [(3 * i + 1, v) for i, (_, v) in enumerate(train[40:])]
+        + [(3 * i + 2, v) for i, (_, v) in enumerate(shifted)],
+        schema,
+    )
+    res = check_and_retrain_kmeans(
+        spark, store, monitor_out, retrain_corpus, k=3
+    )
+    assert res["retrained"] is True and res["epoch"] == 1
+    assert kmeans_store_epoch(spark, store) == 1
+    _, cents = read_kmeans_store(spark, store)
+    assert any((c[0]) ** 2 + (c[1] - 80.0) ** 2 < 25.0 for c in cents)
+
+    # 3. re-run against the SAME monitor state -> acted marker no-op
+    before = store_listing(store)
+    res = check_and_retrain_kmeans(
+        spark, store, monitor_out, retrain_corpus, k=3
+    )
+    assert res["retrained"] is False
+    assert "already acted" in res["reason"]
+    assert kmeans_store_epoch(spark, store) == 1
+    assert store_listing(store) == before
+
+    # 4. calm epoch against the NEW baseline -> no-op again
+    monitor2 = make_kmeans_drift_ingest(spark, store, monitor_out)
+    monitor2(retrain_corpus, 2)
+    before = store_listing(store)
+    res = check_and_retrain_kmeans(
+        spark, store, monitor_out, retrain_corpus, k=3
+    )
+    assert res["retrained"] is False and res["epoch"] == 1
+    assert res["checked_batch_id"] == 2
+    assert store_listing(store) == before
+
+    # 5. CLI twin: cron-shaped invocation reproduces the no-op decision
+    corpus_path = str(tmp_path / "corpus_parquet")
+    retrain_corpus.write.parquet(corpus_path)
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "demo_apache_beam_spark.pipelines.maintain_kmeans",
+         "--store", store, "--monitor", monitor_out,
+         "--corpus", corpus_path, "--k", "3"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["retrained"] is False and out["epoch"] == 1
