@@ -39,7 +39,7 @@ with seeded-hash Gumbel noise added to the weight before ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .aggregate import STABLE_DECIMAL
@@ -52,6 +52,30 @@ _BIGRAMS_EXPR = (
     "            i -> concat(_toks[i - 1], '_', _toks[i])) "
     "ELSE array() END"
 )
+
+
+#: permille of the id space held out as the deterministic eval split —
+#: the ONE benchmark-holdout rule every decontamination path shares
+EVAL_HOLDOUT_PERMILLE = 50
+
+
+def is_eval_doc(col: Column) -> Column:
+    """THE deterministic eval-holdout predicate (ADVICE r11: this
+    Knuth-hash expression was inlined at least six times across the
+    decontamination queries, the export CLI, and tests — drift between
+    copies would quietly re-admit benchmark documents into an exported
+    training corpus). Spark side; :func:`is_eval_doc_sql` is the SQL
+    twin the DuckDB oracles interpolate. ~5% of ids, stable under
+    corpus growth (depends only on the id)."""
+    return (
+        (col % F.lit(1000)) * F.lit(2654435761)
+    ) % F.lit(1000) < F.lit(EVAL_HOLDOUT_PERMILLE)
+
+
+def is_eval_doc_sql(expr: str = "doc_id") -> str:
+    """SQL twin of :func:`is_eval_doc` — interpolate into oracle
+    strings so both engines evaluate the identical expression."""
+    return f"(({expr} % 1000) * 2654435761) % 1000 < {EVAL_HOLDOUT_PERMILLE}"
 
 
 def hashed_ngram_features(

@@ -88,9 +88,9 @@ def _decontaminate(
     from ..operators.bloom import bloom_build, bloom_prefilter
     from ..sources.tables import load_table
 
-    is_eval = (
-        (F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)
-    ) % F.lit(1000) < 50
+    from ..operators.selection import is_eval_doc
+
+    is_eval = is_eval_doc(F.col("doc_id"))
 
     def shingles(df):
         toks = df.select("doc_id", F.split("text", " ").alias("toks"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .operators.aggregate import stable_avg, stable_sum, sum_scores, windowed_sum_scores
 from .operators.filters import filter_time_range
 from .operators.parse import events_to_game_lines, parse_game_events, with_corrupt_lines
+from .operators.selection import is_eval_doc, is_eval_doc_sql
 from .operators.windows import with_event_time
 from .sources.tables import load_table
 
@@ -3570,7 +3571,7 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_decontamination",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), pos AS (
@@ -3581,10 +3582,10 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), eval_sh AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
+      WHERE {is_eval_doc_sql()}
     ), train_sh AS (
       SELECT doc_id, shingle FROM sh
-      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
+      WHERE NOT ({is_eval_doc_sql()})
     )
     SELECT doc_id, count(*) AS n_shared_shingles
     FROM train_sh JOIN eval_sh USING (shingle)
@@ -3603,7 +3604,7 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nothing (driver compare sorts); rows = docs with >= 1 leak.",
 )
 def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = is_eval_doc(F.col("doc_id"))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -7795,7 +7796,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminated_corpus_bloom",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), pos AS (
@@ -7806,14 +7807,14 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), eval_sh AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
+      WHERE {is_eval_doc_sql()}
     ), contaminated AS (
       SELECT DISTINCT doc_id FROM sh
-      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
+      WHERE NOT ({is_eval_doc_sql()})
         AND shingle IN (SELECT shingle FROM eval_sh)
     )
     SELECT doc_id FROM documents
-    WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
+    WHERE NOT ({is_eval_doc_sql()})
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
     doc="Decontamination with a broadcast BLOOM pre-filter: the clean "
@@ -7835,7 +7836,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bloom import bloom_build, bloom_prefilter
 
-    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = is_eval_doc(F.col("doc_id"))
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -7866,13 +7867,13 @@ def decontaminated_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_decontamination",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
-      WHERE ((vec_id % 1000) * 2654435761) % 1000 < 50
+      WHERE {is_eval_doc_sql('vec_id')}
     ), t AS (
       SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings
-      WHERE NOT (((vec_id % 1000) * 2654435761) % 1000 < 50)
+      WHERE NOT ({is_eval_doc_sql('vec_id')})
     )
     SELECT t.vec_id,
            max(list_cosine_similarity(t.tv, e.ev)) AS max_eval_cosine,
@@ -7900,7 +7901,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import _as_double, dot_col_unrolled, norm_col
 
     emb = load_table(spark, sf_dir, "embeddings")
-    is_eval = ((F.col("vec_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = is_eval_doc(F.col("vec_id"))
     ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("_eid"), _as_double(F.col("embedding")).alias("_ev")
     ).withColumn("_en", norm_col(F.col("_ev")))
@@ -7937,7 +7938,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_contamination_report",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), pos AS (
@@ -7948,18 +7949,18 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     ), eval_sh AS (
       SELECT DISTINCT shingle FROM sh
-      WHERE ((doc_id % 1000) * 2654435761) % 1000 < 50
+      WHERE {is_eval_doc_sql()}
     ), ngram AS (
       SELECT doc_id, count(*) AS n_shared_shingles
       FROM sh JOIN eval_sh USING (shingle)
-      WHERE NOT (((doc_id % 1000) * 2654435761) % 1000 < 50)
+      WHERE NOT ({is_eval_doc_sql()})
       GROUP BY doc_id
     ), e AS (
       SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
-      WHERE ((vec_id % 1000) * 2654435761) % 1000 < 50
+      WHERE {is_eval_doc_sql('vec_id')}
     ), tv AS (
       SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings
-      WHERE NOT (((vec_id % 1000) * 2654435761) % 1000 < 50)
+      WHERE NOT ({is_eval_doc_sql('vec_id')})
     ), sem AS (
       SELECT tv.vec_id AS doc_id,
              max(list_cosine_similarity(tv.tv, e.ev)) AS max_eval_cosine
@@ -7975,7 +7976,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN ngram ON ngram.doc_id = d.doc_id
     LEFT JOIN sem ON sem.doc_id = d.doc_id
-    WHERE NOT (((d.doc_id % 1000) * 2654435761) % 1000 < 50)
+    WHERE NOT ({is_eval_doc_sql('d.doc_id')})
     """,
     doc="The composed decontamination CAPSTONE: one row per training "
         "document carrying BOTH leak signals against the eval split — "
@@ -7998,7 +7999,7 @@ def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_eval_cosine",
         F.col("contaminated").alias("_sem"),
     )
-    is_eval = ((F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)) % F.lit(1000) < 50
+    is_eval = is_eval_doc(F.col("doc_id"))
     train = (
         load_table(spark, sf_dir, "documents").filter(~is_eval).select("doc_id")
     )

@@ -57,9 +57,9 @@ def _expected_export_ids(spark, input_dir, min_quality=0.5, context=256):
     }
 
     # decontamination: plain exact anti-join on 8-token shingles
-    is_eval = (
-        (F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)
-    ) % F.lit(1000) < 50
+    from demo_apache_beam_spark.operators.selection import is_eval_doc
+
+    is_eval = is_eval_doc(F.col("doc_id"))
 
     def shingle_df(df):
         toks = df.select("doc_id", F.split("text", " ").alias("toks"))
@@ -128,8 +128,12 @@ def test_export_corpus_end_to_end(spark, tmp_path):
 
 def _non_eval_id(start):
     """Smallest doc_id >= start outside the deterministic eval split."""
+    from demo_apache_beam_spark.operators.selection import (
+        EVAL_HOLDOUT_PERMILLE,
+    )
+
     i = start
-    while ((i % 1000) * 2654435761) % 1000 < 50:
+    while ((i % 1000) * 2654435761) % 1000 < EVAL_HOLDOUT_PERMILLE:
         i += 1
     return i
 
@@ -149,9 +153,9 @@ def test_export_corpus_planted_neardup_and_contamination(spark, tmp_path):
     from demo_apache_beam_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_SMALL, "documents")
-    is_eval = (
-        (F.col("doc_id") % F.lit(1000)) * F.lit(2654435761)
-    ) % F.lit(1000) < 50
+    from demo_apache_beam_spark.operators.selection import is_eval_doc
+
+    is_eval = is_eval_doc(F.col("doc_id"))
     # an EVAL-split document with >= 8 tokens to steal a span from
     eval_doc = (
         docs.filter(is_eval)
