@@ -10117,6 +10117,89 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_erasure_audit_views",
+    """
+    WITH ids AS (
+      SELECT user_id FROM events
+      WHERE ((user_id % 1000) * 2654435761) % 1000 < 12
+      GROUP BY user_id
+    )
+    SELECT 'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS subjects
+    FROM events e JOIN ids ON e.user_id = ids.user_id
+    UNION ALL
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS subjects
+    FROM customer c JOIN ids ON c.c_custkey = ids.user_id
+    UNION ALL
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS subjects
+    FROM orders o JOIN ids ON o.o_custkey = ids.user_id
+    UNION ALL
+    SELECT 'ivm3_view' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT v.ckey) AS BIGINT) AS subjects
+    FROM (
+      SELECT c_custkey AS ckey
+      FROM customer
+      JOIN orders   ON c_custkey  = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    ) v JOIN ids ON v.ckey = ids.user_id
+    """,
+    doc="View-aware right-to-erasure audit (r12 — the r11 audit counted "
+        "only SOURCE tables, so a subject's copies inside a "
+        "materialized IVM view were invisible to the dry run, the same "
+        "hole erase_from_ivm_store closes on the execute side): the "
+        "three base-table rows of user_erasure_audit plus one row per "
+        "MAINTAINED VIEW over those tables — here the three-table "
+        "customer⋈orders⋈lineitem store, whose view carries the "
+        "subject's ckey into every derived row (4,460 view rows per "
+        "~60 subjects at sf0.01 — the fan-out is exactly why view "
+        "copies must be audited). The Spark side reads the MAINTAINED "
+        "store; the oracle recomputes the 3-way join — so the audit "
+        "row is hash-verified against what the view is contractually "
+        "supposed to contain. Probes stay broadcast semi-joins; the "
+        "view row costs one scan of the stored view, never a rebuild.",
+)
+def user_erasure_audit_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ids = (
+        ev.filter(
+            ((F.col("user_id") % F.lit(1000)) * F.lit(2654435761))
+            % F.lit(1000)
+            < F.lit(12)
+        )
+        .select(F.col("user_id").alias("__erase_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def audit(df, key, name):
+        j = df.join(F.broadcast(ids), df[key] == ids["__erase_id"])
+        return j.agg(
+            F.count(F.lit(1)).alias("rows_affected"),
+            F.count_distinct(df[key]).alias("subjects"),
+        ).select(
+            F.lit(name).alias("table_name"), "rows_affected", "subjects"
+        )
+
+    try:
+        view = _ivm3_store(spark, sf_dir)
+    except _store_errors():
+        c, o, li = _ivm3_sources(spark, sf_dir)
+        view = c.join(o, "ckey").join(li, "okey")
+    return (
+        audit(ev, "user_id", "events")
+        .unionAll(audit(load_table(spark, sf_dir, "customer"), "c_custkey", "customer"))
+        .unionAll(audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders"))
+        .unionAll(audit(view, "ckey", "ivm3_view"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — distributed clustering + cluster-based data pruning
 # ---------------------------------------------------------------------------

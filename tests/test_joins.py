@@ -1751,3 +1751,58 @@ def test_linkage_em_decisions_close_the_loop(spark):
     )
     with pytest.raises(ValueError, match="binary"):
         fit_linkage_weights_em(graded, ["f1", "f2"])
+
+
+def test_ivm_update_is_delete_then_insert(spark, tmp_path):
+    """CDC UPDATE composition: an update increment is the composition
+    delete(old keys) → insert(new rows) — after it, the maintained view
+    and aggregate reflect the new attribute values exactly as a
+    recompute over the updated sources would (the Z-set reading:
+    multiplicity −1 then +1)."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_delete_increment,
+        apply_join_increment,
+        read_aggregate_view,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_upd")
+    ls = "k long, grp string"
+    rs = "k long, amt double"
+    group = ["grp"]
+
+    def partials():
+        return [
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s_p"),
+        ]
+
+    merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
+    apply_join_increment(
+        spark, store,
+        spark.createDataFrame([(1, "x"), (2, "y")], ls),
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], rs),
+        on="k", agg=(group, partials()),
+    )
+    # UPDATE left row k=1: grp x -> z  (delete by key, re-insert)
+    apply_delete_increment(
+        spark, store, spark.createDataFrame([(1,)], "k long"), "k",
+        on="k", agg=(group, partials()),
+    )
+    apply_join_increment(
+        spark, store,
+        spark.createDataFrame([(1, "z")], ls),
+        spark.createDataFrame([(1, 1.0)], rs),
+        on="k", agg=(group, partials()),
+    )
+    got = sorted(map(tuple, read_join_view(spark, store).collect()))
+    assert got == [(1, "z", 1.0), (2, "y", 2.0)]
+    agg = {
+        r["grp"]: (r["n"], r["s"])
+        for r in read_aggregate_view(
+            spark, store, group, merges, drop_zero_col="n"
+        ).collect()
+    }
+    assert agg == {"z": (1, 1.0), "y": (1, 2.0)}  # group x vanished
