@@ -277,6 +277,7 @@ def apply_join_increment(
     num_buckets: int = 8,
     prune_col: str | None = None,
     agg: tuple[list[str], list] | None = None,
+    epoch: int | None = None,
     _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
@@ -293,6 +294,14 @@ def apply_join_increment(
     leaving the two views silently disagreeing (ADVICE r11 — the
     separately-invoked :func:`apply_aggregate_increment` cannot give
     that guarantee).
+
+    ``epoch`` (r12, the streaming contract) records an increment id
+    into ``{store}/applied`` INSIDE the same marker window — the
+    at-least-once replay ledger :func:`ivm_applied_epochs` reads:
+    a redelivered epoch whose id is already recorded is a completed
+    increment (skip — the store already holds it); an id that is
+    absent with the in-progress marker present is the crashed case
+    (raises, rebuild). One row per increment, driver-bounded.
 
     Both sides' non-key column names must be disjoint (raises up
     front — a silent duplicate column would poison the stored view).
@@ -386,6 +395,12 @@ def apply_join_increment(
             apply_aggregate_increment(
                 spark, store_path, dview, list(group_cols),
                 list(partial_aggs), _in_increment=True,
+            )
+        if epoch is not None:
+            spark.createDataFrame(
+                [(int(epoch),)], "epoch long"
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(store_path, "applied")
             )
         _end_increment(spark, store_path)
         for t in (l_tbl, r_tbl):
@@ -913,3 +928,14 @@ def erase_from_ivm_store(
             out["unmatched"] = stats["rows_erased"]
     _end_increment(spark, store_path)
     return out
+
+
+def ivm_applied_epochs(spark, store_path: str) -> set[int]:
+    """The replay ledger: epoch ids whose increments COMPLETED (each id
+    is written inside its increment's durability marker window, so
+    presence here means every dataset of that increment landed).
+    Driver-bounded: one row per increment ever applied."""
+    path = os.path.join(store_path, "applied")
+    if not _hadoop_path_exists(spark, path):
+        return set()
+    return {int(r["epoch"]) for r in spark.read.parquet(path).collect()}

@@ -2962,3 +2962,101 @@ def test_kmeans_check_and_retrain_orchestration(spark, tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert out["retrained"] is False and out["epoch"] == 1
+
+
+def test_streaming_ivm_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streaming IVM (r12): each micro-batch is one replay-safe
+    increment of the persisted join view. The streamed store must equal
+    a serial batch-increment reference over the same deltas; a
+    REDELIVERED epoch must be a byte-identical no-op (the applied-epoch
+    ledger, written inside the increment's durability marker window);
+    and the file-source wrapper drives the same ingest end-to-end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        ivm_applied_epochs,
+        read_join_view,
+    )
+    from demo_apache_beam_spark.streaming.ivm import (
+        make_ivm_ingest,
+        start_ivm_stream,
+    )
+
+    schema = "k long, v string"
+
+    def right_of(batch):
+        # per-key batch profile — both sides of the increment derive
+        # from the same epoch
+        return batch.groupBy("k").agg(F.count(F.lit(1)).alias("rv"))
+
+    epochs = [
+        [(1, "a"), (2, "b"), (1, "c")],
+        [(2, "d"), (3, "e")],
+        [(1, "f")],
+    ]
+
+    # serial batch reference
+    ref = str(tmp_path / "ref")
+    for rows in epochs:
+        b = spark.createDataFrame(rows, schema)
+        apply_join_increment(spark, ref, b, right_of(b), on="k")
+
+    # streamed store: the foreachBatch ingest with explicit epoch ids
+    store = str(tmp_path / "stream_store")
+    ingest = make_ivm_ingest(spark, store, on="k", right_deltas=right_of)
+    for i, rows in enumerate(epochs):
+        ingest(spark.createDataFrame(rows, schema), i)
+
+    def view_rows(p):
+        return sorted(
+            map(tuple, read_join_view(spark, p).select("k", "v", "rv").collect())
+        )
+
+    assert view_rows(store) == view_rows(ref)
+    assert ivm_applied_epochs(spark, store) == {0, 1, 2}
+
+    # redelivered epoch: byte-identical no-op
+    def listing(p):
+        out = []
+        for root, _d, files in os.walk(p):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                out.append((os.path.relpath(fp, p), os.path.getsize(fp),
+                            os.path.getmtime(fp)))
+        return sorted(out)
+
+    before = listing(store)
+    ingest(spark.createDataFrame(epochs[1], schema), 1)
+    assert listing(store) == before
+    assert view_rows(store) == view_rows(ref)
+
+    # empty-right fact-stream shape + the file-source wrapper e2e
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(epochs[0] + epochs[1], schema).write.parquet(in_dir)
+    store2 = str(tmp_path / "wrap_store")
+    q = start_ivm_stream(
+        spark,
+        in_dir,
+        store2,
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=schema,
+        on="k",
+        empty_right_schema="k long, rv long",
+    )
+    q.processAllAvailable()
+    q.stop()
+    # right side empty forever -> view exists but is empty; the left
+    # side accumulated every streamed row
+    from demo_apache_beam_spark.operators.ivm import _attach_side
+
+    _, left = _attach_side(spark, store2, "left", ["k"], 8)
+    assert left.count() == 5
+    assert read_join_view(spark, store2).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="right_deltas"):
+        make_ivm_ingest(spark, str(tmp_path / "x"), on="k")
