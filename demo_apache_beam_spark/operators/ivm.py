@@ -808,10 +808,23 @@ def apply_delete_increment(
                 if _hadoop_path_exists(spark, v_path)
                 else None
             )
-            neg_partial = None
-            if view is not None and agg is not None and _hadoop_path_exists(
+            has_agg = _hadoop_path_exists(
                 spark, os.path.join(store_path, "agg")
-            ):
+            )
+            if has_agg and agg is None:
+                # deleting view rows while keeping their positive
+                # partials would leave the maintained aggregate
+                # silently STALE — the one corruption this module
+                # exists to prevent; the caller must supply the same
+                # (group_cols, partial_aggs) spec the inserts used
+                raise ValueError(
+                    "apply_delete_increment: the store maintains an "
+                    "aggregate view (agg/ exists) but no agg= spec was "
+                    "given — the delete must append matching NEGATIVE "
+                    "partials or the aggregate goes stale"
+                )
+            neg_partial = None
+            if view is not None and agg is not None and has_agg:
                 group_cols, partial_aggs = agg
                 removed = view.join(F.broadcast(req), probe, "left_semi")
                 part = removed.groupBy(*group_cols).agg(*partial_aggs)

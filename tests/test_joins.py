@@ -1806,3 +1806,33 @@ def test_ivm_update_is_delete_then_insert(spark, tmp_path):
         ).collect()
     }
     assert agg == {"z": (1, 1.0), "y": (1, 2.0)}  # group x vanished
+
+
+def test_ivm_delete_requires_agg_spec_when_store_has_aggregate(spark, tmp_path):
+    """A delete on an aggregate-bearing store without the agg= spec
+    would leave the maintained aggregate silently stale (view rows gone,
+    their positive partials kept) — rejected loudly, store untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_delete_increment,
+        apply_join_increment,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_guard")
+    apply_join_increment(
+        spark, store,
+        spark.createDataFrame([(1, "x")], "k long, grp string"),
+        spark.createDataFrame([(1, 1.0)], "k long, amt double"),
+        on="k",
+        agg=(["grp"], [F.count(F.lit(1)).alias("n_p")]),
+    )
+    with pytest.raises(ValueError, match="agg"):
+        apply_delete_increment(
+            spark, store, spark.createDataFrame([(1,)], "k long"), "k",
+            on="k",
+        )
+    # the guard fired before any mutation
+    assert read_join_view(spark, store).count() == 1
