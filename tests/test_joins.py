@@ -1836,3 +1836,98 @@ def test_ivm_delete_requires_agg_spec_when_store_has_aggregate(spark, tmp_path):
         )
     # the guard fired before any mutation
     assert read_join_view(spark, store).count() == 1
+
+
+def test_maintain_ivm_cli_drains_delete_queue_and_compacts(spark, tmp_path):
+    """The schedulable IVM maintenance CLI (r12): draining a DSR queue
+    removes the subject from sides/view/aggregate exactly like the
+    library call (negative partials included, agg spec via flags), a
+    re-run with the same queue is an erasure no-op, and --compact
+    rewrites the sides to one file per bucket. Cron contract: one JSON
+    line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        read_aggregate_view,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "cli_store")
+    apply_join_increment(
+        spark, store,
+        spark.createDataFrame(
+            [(i, f"g{i % 2}") for i in range(20)], "k long, grp string"
+        ),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(15)], "k long, amt double"
+        ),
+        on="k",
+        agg=(["grp"], [
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s_p"),
+        ]),
+    )
+    queue = str(tmp_path / "dsr")
+    spark.createDataFrame(
+        [(i,) for i in range(0, 20, 4)], "k long"
+    ).write.parquet(queue)
+
+    def run_cli(*extra):
+        proc = subprocess.run(
+            [sys.executable, "-m",
+             "demo_apache_beam_spark.pipelines.maintain_ivm",
+             "--store", store, "--on", "k", *extra],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    agg_flags = [
+        "--agg-group", "grp", "--agg-count", "n_p", "--agg-sum", "amt:s_p",
+    ]
+    out = run_cli("--delete-queue", queue, "--key-col", "k", *agg_flags)
+    assert out["deleted"]["left"] == 5 and out["deleted"]["right"] == 4
+    assert out["deleted"]["view"] == 4
+    spark.catalog.refreshByPath(store)
+    view = read_join_view(spark, store)
+    assert view.filter(F.col("k") % 4 == 0).count() == 0
+    merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
+    got = {
+        r["grp"]: (r["n"], r["s"])
+        for r in read_aggregate_view(
+            spark, store, ["grp"], merges, drop_zero_col="n"
+        ).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in view.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # same queue re-drained: erasure no-op; then compact to 8/bucket
+    out2 = run_cli(
+        "--delete-queue", queue, "--key-col", "k", "--compact", *agg_flags
+    )
+    assert out2["deleted"]["view"] == 0 and out2["deleted"]["left"] == 0
+    # at most one file per bucket (a bucket the delete emptied writes
+    # no file at all), rows preserved through the compaction swap
+    assert out2["compacted_files"]["left"] <= 8
+    assert out2["compacted_files"]["right"] <= 8
+    spark.catalog.refreshByPath(store)
+    assert sorted(
+        map(tuple, read_join_view(spark, store).collect())
+    ) == sorted(map(tuple, view.collect()))
