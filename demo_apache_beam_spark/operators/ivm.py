@@ -72,6 +72,13 @@ rebuild, stated loudly in the error. A crashed COMPACTION swap is the
 one recoverable case: the side's ``__precompact`` backup is the only
 surviving copy, so :func:`_attach_side` auto-restores it (rename back)
 and never deletes a backup whose live side directory is missing.
+
+Small-files maintenance: the BUCKETED sides compact only through
+:func:`compact_ivm_sides` (generic ``compact_files`` would destroy the
+bucket file naming); ``view/`` and ``agg/`` are PLAIN parquet append
+datasets, so the generic ``layout.py:compact_files`` IS the right tool
+for them — scheduled alongside side compaction and DSR delete drains
+via ``pipelines/maintain_ivm.py``.
 """
 
 from __future__ import annotations
@@ -854,15 +861,23 @@ def apply_delete_increment(
                 )
                 out["view"] = stats["rows_erased"]
             for sub in sides:
-                n_before = sides[sub].count()
+                # probe first (footer count + broadcast semi-join — the
+                # erase_rows discipline): a side with ZERO matching rows
+                # must not pay a full rewrite+swap; a re-drained DSR
+                # queue then costs two probes, not two compactions
+                n_match = (
+                    sides[sub]
+                    .join(F.broadcast(req), probe, "left_semi")
+                    .count()
+                )
+                if n_match == 0:
+                    out[sub] = 0
+                    continue
                 _bucketed_rewrite_swap(
                     spark, store_path, sub, join_keys, num_buckets,
                     lambda df: df.join(F.broadcast(req), probe, "left_anti"),
                 )
-                _, after = _attach_side(
-                    spark, store_path, sub, join_keys, num_buckets
-                )
-                out[sub] = n_before - after.count()
+                out[sub] = n_match
             _end_increment(spark, store_path)
             return out
         finally:
