@@ -309,6 +309,7 @@ def erase_rows_multi(
     targets: dict[str, tuple[str, str]],
     id_col: str,
     sort_cols: dict[str, str] | None = None,
+    ivm_stores: dict[str, dict] | None = None,
 ) -> dict[str, dict]:
     """Identity-mapped MULTI-TABLE erasure execute — the execution half
     of the ``user_erasure_audit`` dry run across every table that keys
@@ -326,7 +327,20 @@ def erase_rows_multi(
     per-table :func:`erase_rows` calls then distinct an already-frozen
     plan, never the mutating source. One pass per table, each a
     broadcast probe + anti-join rewrite; tables not matching any
-    request id are probed but not rewritten."""
+    request id are probed but not rewritten.
+
+    ``ivm_stores`` (r12) extends the same one-call erasure to every
+    MATERIALIZED VIEW built over the target tables — the copies a
+    table-only erase leaves behind (the r11 right-to-erasure hole):
+    each entry maps a name → kwargs for
+    ``operators/ivm.py:erase_from_ivm_store`` (``store_path``,
+    ``key_col``, ``on``, optional ``num_buckets``/``agg``), called with
+    the SAME frozen request set (renamed to each store's ``key_col``)
+    AFTER the source tables, so a store-derived request cannot observe
+    the mutation order. A STACKED (view-of-view) store erases by
+    listing each pairwise level as its own entry (the subject key is a
+    plain column at every level, pinned in pytest). Returns the store
+    results under their names alongside the table results."""
     from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
 
     with track_checkpoints() as _cp_ids:
@@ -334,7 +348,7 @@ def erase_rows_multi(
             ids.select(F.col(id_col).alias("__erase_id")).distinct()
         )
     try:
-        return {
+        out = {
             name: erase_rows(
                 spark,
                 path,
@@ -347,6 +361,26 @@ def erase_rows_multi(
             )
             for name, (path, key_col) in targets.items()
         }
+        if ivm_stores:
+            from .ivm import erase_from_ivm_store
+
+            for name, spec in ivm_stores.items():
+                if name in out:
+                    raise ValueError(
+                        f"erase_rows_multi: ivm store name {name!r} "
+                        "collides with a table target"
+                    )
+                kc = spec["key_col"]
+                out[name] = erase_from_ivm_store(
+                    spark,
+                    spec["store_path"],
+                    req.select(F.col("__erase_id").alias(kc)),
+                    kc,
+                    on=spec["on"],
+                    num_buckets=spec.get("num_buckets", 8),
+                    agg=spec.get("agg"),
+                )
+        return out
     finally:
         unpersist_ids(spark, _cp_ids)
 

@@ -549,3 +549,84 @@ def test_erase_rows_propagates_to_ivm_store(spark, tmp_path):
             "seg",
             on="uid",
         )
+
+
+def test_erase_rows_multi_reaches_stacked_ivm_stores(spark, tmp_path):
+    """ONE erase_rows_multi call removes a subject from the source
+    tables AND from a STACKED (view-of-view) three-table IVM store —
+    both pairwise levels listed as ivm_stores entries: the inner
+    (orders⋈lines) level erases by the subject column it carries as a
+    left attribute; the outer (customer⋈view) level erases by its join
+    key, which also scrubs the accumulated view-delta RIGHT side. The
+    post-erase audit reads zero at every level."""
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        read_join_view,
+    )
+    from demo_apache_beam_spark.operators.layout import erase_rows_multi
+
+    cust_src = str(tmp_path / "cust")
+    ord_src = str(tmp_path / "ord")
+    spark.createDataFrame(
+        [(c, f"seg{c % 2}") for c in range(6)], "ckey long, seg string"
+    ).write.parquet(cust_src)
+    spark.createDataFrame(
+        [(o, o % 6, float(o)) for o in range(30)],
+        "okey long, ckey long, amt double",
+    ).write.parquet(ord_src)
+
+    store = str(tmp_path / "stack")
+    cust = spark.read.parquet(cust_src)
+    orders = spark.read.parquet(ord_src)
+    lines = spark.createDataFrame(
+        [(o, f"l{o}") for o in range(30)], "okey long, line string"
+    )
+    for cond, cmod in (
+        (F.col("okey") < 15, 0),
+        (F.col("okey") >= 15, 1),
+    ):
+        dv = apply_join_increment(
+            spark, f"{store}/ol", orders.filter(cond), lines.filter(cond),
+            on="okey",
+        )
+        apply_join_increment(
+            spark, f"{store}/col",
+            cust.filter(F.col("ckey") % 2 == cmod),
+            dv, on="ckey",
+        )
+
+    subject = spark.createDataFrame([(3,)], "uid long")
+    res = erase_rows_multi(
+        spark,
+        subject,
+        targets={
+            "customer": (cust_src, "ckey"),
+            "orders": (ord_src, "ckey"),
+        },
+        id_col="uid",
+        ivm_stores={
+            "stack_inner": {
+                "store_path": f"{store}/ol", "key_col": "ckey", "on": "okey",
+            },
+            "stack_outer": {
+                "store_path": f"{store}/col", "key_col": "ckey", "on": "ckey",
+            },
+        },
+    )
+    assert res["customer"]["rows_erased"] == 1
+    assert res["orders"]["rows_erased"] == 5
+    assert res["stack_inner"]["view"] == 5 and res["stack_inner"]["left"] == 5
+    assert res["stack_outer"]["left"] == 1
+    assert res["stack_outer"]["right"] == 5  # accumulated view-delta side
+    # audit reads zero at every level
+    for p, col in (
+        (cust_src, "ckey"), (ord_src, "ckey"),
+        (f"{store}/ol/view", "ckey"), (f"{store}/col/view", "ckey"),
+    ):
+        assert spark.read.parquet(p).filter(F.col(col) == 3).count() == 0
+    # other subjects untouched in the outer view
+    assert read_join_view(spark, f"{store}/col").filter(
+        F.col("ckey") == 2
+    ).count() > 0
