@@ -1931,3 +1931,113 @@ def test_maintain_ivm_cli_drains_delete_queue_and_compacts(spark, tmp_path):
     assert sorted(
         map(tuple, read_join_view(spark, store).collect())
     ) == sorted(map(tuple, view.collect()))
+
+
+def test_ivm_randomized_insert_delete_soak(spark, tmp_path):
+    """Randomized Z-set soak: a seeded sequence of mixed INSERT and
+    DELETE increments (join-key and attribute deletes, some matching
+    nothing) must keep the maintained view equal to a Python multiset
+    reference after EVERY step, and the maintained aggregate (± monoid
+    partials, zero groups dropped) equal to a reference rollup — the
+    property the per-scenario tests sample, swept across operation
+    orders a hand-written case wouldn't pick."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_delete_increment,
+        apply_join_increment,
+        read_aggregate_view,
+        read_join_view,
+    )
+
+    ls = "k long, grp string"
+    rs = "k long, amt long"
+    group = ["grp"]
+
+    def partials():
+        return [
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum(F.col("amt").cast("decimal(18,6)")).alias("s_p"),
+        ]
+
+    merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        store = str(tmp_path / f"soak_{seed}")
+        left: list = []   # (k, grp) multiset
+        right: list = []  # (k, amt) multiset
+
+        def check():
+            got = sorted(
+                map(
+                    tuple,
+                    read_join_view(spark, store)
+                    .select("k", "grp", "amt")
+                    .collect(),
+                )
+            )
+            want = sorted(
+                (lk, g, a) for lk, g in left for rk, a in right if lk == rk
+            )
+            assert got == want, f"seed={seed} view mismatch"
+            got_a = {
+                r["grp"]: (r["n"], r["s"])
+                for r in read_aggregate_view(
+                    spark, store, group, merges, drop_zero_col="n"
+                ).collect()
+            }
+            want_a: dict = {}
+            for _, g, a in want:
+                n, s = want_a.get(g, (0, 0.0))
+                want_a[g] = (n + 1, s + a)
+            assert got_a == want_a, f"seed={seed} agg mismatch"
+
+        # bootstrap insert so deletes have something to bite
+        dl = [(rng.randrange(8), rng.choice("pq")) for _ in range(6)]
+        dr = [(rng.randrange(8), rng.randrange(100)) for _ in range(6)]
+        apply_join_increment(
+            spark, store, spark.createDataFrame(dl, ls),
+            spark.createDataFrame(dr, rs), on="k", agg=(group, partials()),
+        )
+        left += dl
+        right += dr
+        check()
+
+        for _step in range(5):
+            if rng.random() < 0.5:
+                dl = [
+                    (rng.randrange(8), rng.choice("pqr"))
+                    for _ in range(rng.randrange(0, 4))
+                ]
+                dr = [
+                    (rng.randrange(8), rng.randrange(100))
+                    for _ in range(rng.randrange(0, 4))
+                ]
+                apply_join_increment(
+                    spark, store, spark.createDataFrame(dl, ls),
+                    spark.createDataFrame(dr, rs), on="k",
+                    agg=(group, partials()),
+                )
+                left += dl
+                right += dr
+            elif rng.random() < 0.5:
+                ks = [rng.randrange(10) for _ in range(rng.randrange(1, 3))]
+                apply_delete_increment(
+                    spark, store,
+                    spark.createDataFrame([(k,) for k in ks], "k long"),
+                    "k", on="k", agg=(group, partials()),
+                )
+                left = [t for t in left if t[0] not in ks]
+                right = [t for t in right if t[0] not in ks]
+            else:
+                g = rng.choice("pqrs")
+                apply_delete_increment(
+                    spark, store,
+                    spark.createDataFrame([(g,)], "grp string"),
+                    "grp", on="k", agg=(group, partials()),
+                )
+                left = [t for t in left if t[1] != g]
+            check()
