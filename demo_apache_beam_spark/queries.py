@@ -10157,9 +10157,10 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "three base-table rows of user_erasure_audit plus one row per "
         "MAINTAINED VIEW over those tables — here the three-table "
         "customer⋈orders⋈lineitem store, whose view carries the "
-        "subject's ckey into every derived row (4,460 view rows per "
-        "~60 subjects at sf0.01 — the fan-out is exactly why view "
-        "copies must be audited). The Spark side reads the MAINTAINED "
+        "subject's ckey into every derived row (measured at sf0.01: 67 "
+        "view rows for 2 subjects vs 2 customer rows — a ~33× fan-out, "
+        "exactly why view copies must be audited). The Spark side "
+        "reads the MAINTAINED "
         "store; the oracle recomputes the 3-way join — so the audit "
         "row is hash-verified against what the view is contractually "
         "supposed to contain. Probes stay broadcast semi-joins; the "
