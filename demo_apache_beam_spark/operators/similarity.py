@@ -2298,12 +2298,17 @@ def check_and_retrain_kmeans(
 ) -> dict:
     """The monitor→retrain ORCHESTRATION step (r12, VERDICT r11 item 4
     — the drift monitor emitted ``retrain_recommended`` and the retrain
-    action existed, but nothing connected them outside pytest): read
-    the drift stream's LATEST epoch row from ``monitor_path``
+    action existed, but nothing connected them outside pytest): scan
+    every drift-stream epoch row at ``monitor_path``
     (``streaming/kmeans.py:make_kmeans_drift_ingest`` output,
-    ``_batch_id``-partitioned) and, if it recommends a retrain that has
-    not already been acted on, invoke :func:`retrain_kmeans_store` over
-    ``emb`` (the CURRENT corpus).
+    ``_batch_id``-partitioned) ABOVE the acted high-water mark and, if
+    ANY of them recommends a retrain, invoke
+    :func:`retrain_kmeans_store` over ``emb`` (the CURRENT corpus).
+    Scanning all unacted rows — not just the latest (ADVICE r12) —
+    means a drift spike at batch N still fires even when a calmer
+    epoch N+1 lands before the scheduler wakes; acting records the MAX
+    scanned batch id, so the spike is handled exactly once at any
+    scheduler cadence.
 
     Designed to be run by a scheduler (the CLI twin is
     ``pipelines/maintain_kmeans.py``), so it is IDEMPOTENT two ways:
@@ -2333,38 +2338,47 @@ def check_and_retrain_kmeans(
             "epoch": epoch,
             "checked_batch_id": None,
         }
-    latest = (
-        spark.read.parquet(monitor_path)
-        .orderBy(F.col("_batch_id").desc())
-        .limit(1)
-        .collect()
-    )
-    if not latest:
-        return {
-            "retrained": False,
-            "reason": "monitor output empty",
-            "epoch": epoch,
-            "checked_batch_id": None,
-        }
-    row = latest[0]
-    batch_id = int(row["_batch_id"])
+    # scan EVERY monitor row past the acted marker, not just the latest
+    # (ADVICE r12): a retrain_recommended row at batch N followed by one
+    # calmer epoch before the scheduler wakes must still fire — acting
+    # on "any unacted row recommends" makes the orchestration correct
+    # at ANY scheduler cadence, not only cadences at least as fine as
+    # the monitor's. The scan is driver-bounded: one monitor row per
+    # drift epoch, filtered to ids above the acted high-water mark.
     acted_path = f"{store_path}/maintenance_acted"
+    acted_id = -1
     if _hadoop_path_exists(spark, acted_path):
         acted_rows = spark.read.parquet(acted_path).collect()
-        if acted_rows and batch_id <= int(acted_rows[0]["batch_id"]):
-            return {
-                "retrained": False,
-                "reason": f"already acted on batch {batch_id}",
-                "epoch": epoch,
-                "checked_batch_id": batch_id,
-            }
-    if not bool(row["retrain_recommended"]):
+        if acted_rows:
+            acted_id = int(acted_rows[0]["batch_id"])
+    pending = (
+        spark.read.parquet(monitor_path)
+        .filter(F.col("_batch_id") > F.lit(acted_id))
+        .orderBy(F.col("_batch_id").desc())
+        .collect()
+    )
+    if not pending:
+        reason = (
+            "monitor output empty"
+            if acted_id < 0
+            else f"already acted on batch {acted_id}"
+        )
         return {
             "retrained": False,
-            "reason": "latest monitor row does not recommend retrain",
+            "reason": reason,
+            "epoch": epoch,
+            "checked_batch_id": None if acted_id < 0 else acted_id,
+        }
+    batch_id = int(pending[0]["_batch_id"])  # max scanned id: the new marker
+    recommending = [r for r in pending if bool(r["retrain_recommended"])]
+    if not recommending:
+        return {
+            "retrained": False,
+            "reason": "no unacted monitor row recommends retrain",
             "epoch": epoch,
             "checked_batch_id": batch_id,
         }
+    row = recommending[0]  # most recent recommendation drives the log line
     result = retrain_kmeans_store(
         spark, store_path, emb, k=k, iters=iters,
         id_col=id_col, vec_col=vec_col,
@@ -2378,7 +2392,8 @@ def check_and_retrain_kmeans(
     return {
         "retrained": True,
         "reason": (
-            f"monitor batch {batch_id}: jsd={float(row['jsd']):.4f}, "
+            f"monitor batch {int(row['_batch_id'])}: "
+            f"jsd={float(row['jsd']):.4f}, "
             f"mean_dist_ratio={row['mean_dist_ratio']}"
         ),
         "epoch": result["epoch"],

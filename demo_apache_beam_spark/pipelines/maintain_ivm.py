@@ -21,7 +21,12 @@ like any OPTIMIZE):
   sense: re-running with the same queue removes nothing further.
 - ``--compact``: rewrite each bucketed side back to one file per bucket
   (``compact_ivm_sides``) — removes the per-refresh stored-side Sort
-  multi-file buckets force.
+  multi-file buckets force — and rewrite the streaming replay ledger
+  (``{store}/applied``, when present) back to one file
+  (``compact_ivm_ledger``, r13): every streamed increment appends one
+  tiny parquet file there and the ledger is re-read on the hot path of
+  every micro-batch, so a months-long stream otherwise pays a
+  thousands-of-files listing per skip check.
 
 The aggregate spec mirrors the monoid partials every registry store
 uses: ``--agg-count ALIAS`` adds ``count(*) AS ALIAS``; each
@@ -65,7 +70,11 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import functions as F
 
-    from ..operators.ivm import apply_delete_increment, compact_ivm_sides
+    from ..operators.ivm import (
+        apply_delete_increment,
+        compact_ivm_ledger,
+        compact_ivm_sides,
+    )
     from ..session import get_spark
 
     spark = get_spark("maintain-ivm")
@@ -107,6 +116,7 @@ def main(argv: list[str] | None = None) -> None:
         result["compacted_files"] = compact_ivm_sides(
             spark, args.store, on, args.buckets
         )
+        result["ledger_rows"] = compact_ivm_ledger(spark, args.store)
     print(json.dumps(result))
 
 

@@ -3060,3 +3060,321 @@ def test_streaming_ivm_equals_batch_and_replay_noop(spark, tmp_path):
 
     with pytest.raises(ValueError, match="right_deltas"):
         make_ivm_ingest(spark, str(tmp_path / "x"), on="k")
+
+
+def test_streaming_ivm_delete_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streaming DELETE propagation (r13, VERDICT r12 item 1): a CDC
+    stream carrying tombstones maintains the view without stopping —
+    make_ivm_delete_ingest drains each micro-batch of delete keys
+    through apply_delete_increment under the shared applied-epoch
+    ledger. The streamed insert+delete sequence must equal a serial
+    batch reference row-for-row; a REDELIVERED delete epoch must be a
+    byte-identical no-op — and in particular must NOT re-delete a key
+    that a LATER insert epoch re-inserted (the correctness reason the
+    ledger exists for deletes, not just a cost saving)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_delete_increment,
+        apply_join_increment,
+        ivm_applied_epochs,
+        read_join_view,
+    )
+    from demo_apache_beam_spark.streaming.ivm import (
+        make_ivm_delete_ingest,
+        make_ivm_ingest,
+    )
+
+    schema = "k long, v string"
+
+    def right_of(batch):
+        return batch.groupBy("k").agg(F.count(F.lit(1)).alias("rv"))
+
+    inserts = {
+        0: [(1, "a"), (2, "b"), (1, "c")],
+        1: [(2, "d"), (3, "e")],
+        3: [(1, "f"), (3, "g")],  # k=1 RE-INSERTED after its deletion
+    }
+    delete_keys = [(1,)]  # epoch 2: tombstone for k=1
+
+    # serial batch reference over the same epoch sequence
+    ref = str(tmp_path / "ref")
+    for e in (0, 1):
+        b = spark.createDataFrame(inserts[e], schema)
+        apply_join_increment(spark, ref, b, right_of(b), on="k")
+    apply_delete_increment(
+        spark, ref, spark.createDataFrame(delete_keys, "k long"), "k", on="k"
+    )
+    b = spark.createDataFrame(inserts[3], schema)
+    apply_join_increment(spark, ref, b, right_of(b), on="k")
+
+    # streamed store: ONE logical CDC stream identity, dispatched by op
+    store = str(tmp_path / "cdc_store")
+    ins = make_ivm_ingest(
+        spark, store, on="k", right_deltas=right_of, stream_id="cdc"
+    )
+    dele = make_ivm_delete_ingest(spark, store, "k", on="k", stream_id="cdc")
+    ins(spark.createDataFrame(inserts[0], schema), 0)
+    ins(spark.createDataFrame(inserts[1], schema), 1)
+    dele(spark.createDataFrame(delete_keys, "k long"), 2)
+    ins(spark.createDataFrame(inserts[3], schema), 3)
+
+    def view_rows(p):
+        return sorted(
+            map(tuple, read_join_view(spark, p).select("k", "v", "rv").collect())
+        )
+
+    assert view_rows(store) == view_rows(ref)
+    assert ivm_applied_epochs(spark, store, "cdc") == {0, 1, 2, 3}
+    # k=1 rows of epoch 3 are alive (the delete hit only epochs 0-1)
+    assert any(r[0] == 1 for r in view_rows(store))
+
+    def listing(p):
+        out = []
+        for root, _d, files in os.walk(p):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                out.append((os.path.relpath(fp, p), os.path.getsize(fp),
+                            os.path.getmtime(fp)))
+        return sorted(out)
+
+    # redelivered DELETE epoch: byte-identical no-op — the re-inserted
+    # k=1 rows survive because the ledger skips, not because the delete
+    # happens to miss them
+    before = listing(store)
+    dele(spark.createDataFrame(delete_keys, "k long"), 2)
+    assert listing(store) == before
+    assert view_rows(store) == view_rows(ref)
+
+    # redelivered INSERT epoch too
+    ins(spark.createDataFrame(inserts[1], schema), 1)
+    assert listing(store) == before
+
+    # empty tombstone batch: early return, store untouched
+    dele(spark.createDataFrame([], "k long"), 4)
+    assert listing(store) == before
+
+
+def test_ivm_ledger_stream_identity_guard(spark, tmp_path):
+    """ADVICE r12 (medium): batch ids are checkpoint-scoped, so a
+    ledger keyed on the bare id would silently skip genuinely new
+    micro-batches after a checkpoint loss. The ledger binds each epoch
+    to a stream identity; an ingest running under a FOREIGN identity is
+    refused loudly (both insert and delete ingests), and a legacy r12
+    ledger (epoch-only schema) reads as identity "" so pre-upgrade
+    stores keep replay-skipping under the default identity."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        ivm_applied_epochs,
+        ivm_ledger_guard,
+        read_join_view,
+    )
+    from demo_apache_beam_spark.streaming.ivm import (
+        make_ivm_delete_ingest,
+        make_ivm_ingest,
+    )
+
+    schema = "k long, v string"
+
+    def right_of(batch):
+        return batch.groupBy("k").agg(F.count(F.lit(1)).alias("rv"))
+
+    store = str(tmp_path / "store")
+    ins_a = make_ivm_ingest(
+        spark, store, on="k", right_deltas=right_of, stream_id="chk-A"
+    )
+    ins_a(spark.createDataFrame([(1, "a"), (2, "b")], schema), 0)
+    ins_a(spark.createDataFrame([(2, "c")], schema), 1)
+    assert ivm_applied_epochs(spark, store, "chk-A") == {0, 1}
+    assert ivm_applied_epochs(spark, store, "chk-B") == set()
+    assert ivm_applied_epochs(spark, store) == {0, 1}  # inspection: all
+
+    # a fresh checkpoint (batch ids restart at 0) pointed at the same
+    # store: refused loudly instead of silently skipping batch 0/1 as
+    # completed replays
+    ins_b = make_ivm_ingest(
+        spark, store, on="k", right_deltas=right_of, stream_id="chk-B"
+    )
+    with pytest.raises(RuntimeError, match="stream identity"):
+        ins_b(spark.createDataFrame([(9, "z")], schema), 0)
+    del_b = make_ivm_delete_ingest(spark, store, "k", on="k", stream_id="chk-B")
+    with pytest.raises(RuntimeError, match="stream identity"):
+        del_b(spark.createDataFrame([(1,)], "k long"), 0)
+    assert ivm_ledger_guard(spark, store, "chk-A") == {0, 1}
+
+    # legacy r12 ledger: epoch-only rows == identity "" — the default
+    # (non-streaming) identity keeps skipping, a named one is refused
+    legacy = str(tmp_path / "legacy")
+    ins0 = make_ivm_ingest(spark, legacy, on="k", right_deltas=right_of)
+    ins0(spark.createDataFrame([(1, "a")], schema), 0)
+    import os
+
+    led = os.path.join(legacy, "applied")
+    legacy_rows = [
+        (int(r["epoch"]),) for r in spark.read.parquet(led).collect()
+    ]
+    spark.createDataFrame(legacy_rows, "epoch long").write.mode(
+        "overwrite"
+    ).parquet(led)
+    # (rewrite the ledger to the r12 single-column schema in place)
+    assert ivm_applied_epochs(spark, legacy, "") == {0}
+    n_before = read_join_view(spark, legacy).count()
+    ins0(spark.createDataFrame([(1, "a")], schema), 0)  # replay skips
+    assert read_join_view(spark, legacy).count() == n_before
+    with pytest.raises(RuntimeError, match="stream identity"):
+        ivm_ledger_guard(spark, legacy, "chk-C")
+
+
+def test_left_ivm_streaming_equals_batch_with_late_dimension(spark, tmp_path):
+    """LEFT OUTER streaming IVM (r13, VERDICT r12 item 7): facts stream
+    as micro-batches, dimension rows arrive with their epoch's batch —
+    a LATE dimension row in epoch N retracts the fact rows it matches
+    from the unmatched set built in earlier epochs. The streamed store
+    must equal a serial batch reference AND a from-scratch LEFT OUTER
+    recompute; a redelivered epoch is a byte-identical no-op."""
+    import os
+
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_left_join_increment,
+        ivm_applied_epochs,
+        read_left_join_view,
+    )
+    from demo_apache_beam_spark.streaming.ivm import make_left_ivm_ingest
+
+    lschema = "k long, v string"
+    rschema = "k long, d string"
+    epochs = [
+        # (facts, dimension rows) — k=1's dimension row arrives LATE
+        ([(1, "a"), (2, "b")], [(2, "dim2")]),
+        ([(3, "c"), (1, "e")], [(1, "dim1")]),  # retracts epoch-0's k=1
+        ([(4, "f")], []),
+    ]
+
+    ref = str(tmp_path / "ref")
+    for facts, dims in epochs:
+        apply_left_join_increment(
+            spark,
+            ref,
+            spark.createDataFrame(facts, lschema),
+            spark.createDataFrame(dims, rschema),
+            on="k",
+        )
+
+    # the streamed store: right_deltas pulls the epoch's dimension rows
+    # (test-scoped holder; a real stream derives them from the batch)
+    holder = {}
+    store = str(tmp_path / "stream_store")
+    ingest = make_left_ivm_ingest(
+        spark,
+        store,
+        on="k",
+        right_deltas=lambda _b: holder["dims"],
+        stream_id="lchk",
+    )
+    for i, (facts, dims) in enumerate(epochs):
+        holder["dims"] = spark.createDataFrame(dims, rschema)
+        ingest(spark.createDataFrame(facts, lschema), i)
+
+    def rows(p):
+        return sorted(
+            map(
+                tuple,
+                read_left_join_view(spark, p).select("k", "v", "d").collect(),
+            )
+        )
+
+    assert rows(store) == rows(ref)
+    # from-scratch recompute: all facts LEFT JOIN all dims
+    all_facts = spark.createDataFrame(
+        [t for f, _ in epochs for t in f], lschema
+    )
+    all_dims = spark.createDataFrame(
+        [t for _, d in epochs for t in d], rschema
+    )
+    expect = sorted(
+        map(
+            tuple,
+            all_facts.join(all_dims, "k", "left").select("k", "v", "d").collect(),
+        )
+    )
+    assert rows(store) == expect
+    # the late k=1 dimension row retracted BOTH k=1 facts (epoch 0's
+    # and its own epoch's) from the unmatched set
+    um = spark.read.parquet(os.path.join(store, "unmatched"))
+    assert sorted(r["k"] for r in um.collect()) == [3, 4]
+    assert ivm_applied_epochs(spark, store, "lchk") == {0, 1, 2}
+
+    def listing(p):
+        out = []
+        for root, _d, files in os.walk(p):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                out.append((os.path.relpath(fp, p), os.path.getsize(fp),
+                            os.path.getmtime(fp)))
+        return sorted(out)
+
+    # redelivery of the late-dimension epoch: byte-identical no-op
+    before = listing(store)
+    holder["dims"] = spark.createDataFrame(epochs[1][1], rschema)
+    ingest(spark.createDataFrame(epochs[1][0], lschema), 1)
+    assert listing(store) == before
+    assert rows(store) == expect
+
+
+def test_check_and_retrain_catches_skipped_spike(spark, tmp_path):
+    """ADVICE r12: a retrain_recommended row at batch N must still fire
+    when a CALMER epoch N+1 lands before the scheduler wakes — the
+    orchestration scans every unacted monitor row, not just the latest,
+    and acting records the MAX scanned batch id so the spike is handled
+    exactly once at any scheduler cadence."""
+    import numpy as np
+
+    from demo_apache_beam_spark.operators.similarity import (
+        check_and_retrain_kmeans,
+        incremental_kmeans_assign,
+        kmeans_store_epoch,
+    )
+    from demo_apache_beam_spark.streaming.kmeans import (
+        make_kmeans_drift_ingest,
+    )
+
+    def blob(center, n, seed, base_id):
+        r = np.random.RandomState(seed)
+        return [
+            (base_id + i, [float(x) for x in center + 0.5 * r.randn(2)])
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<double>"
+    train = blob(np.array([0.0, 0.0]), 40, 1, 0)
+    store = str(tmp_path / "kstore")
+    incremental_kmeans_assign(
+        spark.createDataFrame(train, schema), store, k=2, iters=2
+    )
+    monitor_out = str(tmp_path / "monitor")
+    monitor = make_kmeans_drift_ingest(spark, store, monitor_out)
+
+    # batch 0: drift spike (recommends). batch 1: calm again (doesn't).
+    monitor(spark.createDataFrame(blob(np.array([0.0, 80.0]), 40, 5, 7000),
+                                  schema), 0)
+    monitor(spark.createDataFrame(blob(np.array([0.0, 0.0]), 20, 6, 9000),
+                                  schema), 1)
+
+    # the scheduler wakes AFTER both epochs: the spike must still fire
+    res = check_and_retrain_kmeans(spark, store, monitor_out,
+                                   spark.createDataFrame(train, schema), k=2)
+    assert res["retrained"] is True
+    assert res["checked_batch_id"] == 1  # acted marker = max scanned id
+    assert "monitor batch 0" in res["reason"]  # the spike drove it
+    assert kmeans_store_epoch(spark, store) == 1
+
+    # re-run: both rows are now below the acted mark -> no-op
+    res = check_and_retrain_kmeans(spark, store, monitor_out,
+                                   spark.createDataFrame(train, schema), k=2)
+    assert res["retrained"] is False
+    assert "already acted on batch 1" in res["reason"]
+    assert kmeans_store_epoch(spark, store) == 1
