@@ -145,6 +145,14 @@ def register_bucketed_table(
     The column list comes from the store's own parquet footers, so the
     DDL never drifts from what was written.
 
+    ``partition_cols`` (r13) re-attaches a PARTITIONED bucketed table
+    (the IVM delta-correlated side layout): the DDL adds
+    ``PARTITIONED BY`` and the create runs ``MSCK REPAIR TABLE`` once
+    to discover the existing partition directories — appends through
+    ``saveAsTable`` self-register their partitions afterwards. The
+    partition columns come from directory names, so the schema read
+    appends them after the footer columns, exactly as Spark infers.
+
     When the name already exists in the catalog, its location, bucket
     columns, and bucket count are VALIDATED against the arguments and a
     ``ValueError`` raised on mismatch (ADVICE r8): silently serving a
@@ -212,6 +220,16 @@ def register_bucketed_table(
             mismatches.append(f"num buckets {got_n!r} != {num_buckets}")
         if sort_cols is not None and _fold(got_scols) != _fold(want_scols):
             mismatches.append(f"sort columns {got_scols} != {want_scols}")
+        got_pcols = [
+            c.name
+            for c in spark.catalog.listColumns(table_name)
+            if c.isPartition
+        ]
+        if _fold(got_pcols) != _fold(list(partition_cols or [])):
+            mismatches.append(
+                f"partition columns {got_pcols} != "
+                f"{list(partition_cols or [])}"
+            )
         if mismatches:
             raise ValueError(
                 f"register_bucketed_table: catalog table {table_name!r} "
@@ -227,11 +245,21 @@ def register_bucketed_table(
         if sort_cols
         else ""
     )
+    partitioned_by = (
+        "PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_cols) + ") "
+        if partition_cols
+        else ""
+    )
     spark.sql(
         f"CREATE TABLE {table_name} ({ddl}) USING parquet "
+        f"{partitioned_by}"
         f"CLUSTERED BY ({bcols}) {sorted_by}"
         f"INTO {int(num_buckets)} BUCKETS LOCATION '{path}'"
     )
+    if partition_cols:
+        # discover the existing partition directories once; appends via
+        # saveAsTable self-register theirs from here on
+        spark.sql(f"MSCK REPAIR TABLE {table_name}")
     return spark.table(table_name)
 
 

@@ -154,6 +154,39 @@ def _end_increment(spark, store_path: str) -> None:
         )
 
 
+#: Derived partition column of a partition-laid-out IVM side (r13,
+#: VERDICT r12 item 3): a DUPLICATE of one join key, living only in the
+#: directory names. Partitioning directly by the key would remove it
+#: from the bucket spec (Spark forbids a column in both) and the
+#: stored-side scan would stop satisfying the join's distribution —
+#: measured: the refresh re-grows an Exchange on the accumulated side.
+#: Duplicating the value keeps the FULL key list bucketed (exchange-free
+#: refresh preserved) while the coarse copy prunes directories.
+IVM_PART = "__ivm_part"
+
+
+def _side_partition_cols(spark, store_path: str, sub: str) -> list[str]:
+    """Partition columns of one stored side, self-described: from the
+    catalog entry when one exists (authoritative — survives a side
+    emptied by deletes), else from the ``__ivm_part=`` directory names.
+    Returns ``[]`` for the classic bucket-only layout."""
+    tbl = _side_table_name(store_path, sub)
+    if spark.catalog.tableExists(tbl):
+        return [
+            c.name for c in spark.catalog.listColumns(tbl) if c.isPartition
+        ]
+    path = os.path.join(store_path, sub)
+    if not _hadoop_path_exists(spark, path):
+        return []
+    fs, p = _fs_path(spark, path)
+    for st in fs.listStatus(p):
+        if st.isDirectory() and st.getPath().getName().startswith(
+            IVM_PART + "="
+        ):
+            return [IVM_PART]
+    return []
+
+
 def _side_table_name(store_path: str, sub: str) -> str:
     """Deterministic catalog name for a bucketed side of the store at
     ``store_path`` — derived from the absolute path (local) or the URI
@@ -210,8 +243,10 @@ def _attach_side(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not exists:
         return tbl, None
+    pcols = _side_partition_cols(spark, store_path, sub)
     df = register_bucketed_table(
-        spark, tbl, path, keys, num_buckets, sort_cols=keys
+        spark, tbl, path, keys, num_buckets, sort_cols=keys,
+        partition_cols=pcols or None,
     )
     # appends may have landed since the catalog cached the listing
     spark.catalog.refreshTable(tbl)
@@ -219,19 +254,32 @@ def _attach_side(
 
 
 def _append_side(
-    delta: DataFrame, tbl: str, path: str, keys: list[str], num_buckets: int
+    delta: DataFrame,
+    tbl: str,
+    path: str,
+    keys: list[str],
+    num_buckets: int,
+    partition_col: str | None = None,
 ) -> None:
     """Append one delta into a bucketed side table (creates it on the
     first increment). Spark validates the bucket spec on append, so a
     drifted table fails loud instead of mixing layouts. The ``path``
     option is passed only at creation — an existing table already owns
-    its location and some Spark versions reject a redundant path."""
+    its location and some Spark versions reject a redundant path.
+    ``partition_col`` (r13) lays the side out partitioned by
+    :data:`IVM_PART` — a derived DUPLICATE of that join key (see the
+    constant's note for why the key itself cannot be the partition
+    column) — while the bucket spec keeps the FULL key list."""
+    if partition_col is not None:
+        delta = delta.withColumn(IVM_PART, F.col(partition_col))
     writer = (
         delta.write.mode("append")
         .format("parquet")
         .bucketBy(int(num_buckets), *keys)
         .sortBy(*keys)
     )
+    if partition_col is not None:
+        writer = writer.partitionBy(IVM_PART)
     if not delta.sparkSession.catalog.tableExists(tbl):
         writer = writer.option("path", path)
     writer.saveAsTable(tbl)
@@ -263,6 +311,33 @@ def _pruned(stored, delta: DataFrame, prune_col: str | None):
     if lo is None:
         return stored.filter(F.lit(False))
     return stored.filter(F.col(prune_col).between(F.lit(lo), F.lit(hi)))
+
+
+def _part_scoped(stored, delta: DataFrame, partition_col: str | None):
+    """Partition-prune a stored side to the opposing delta's
+    ``partition_col`` range — the directory-level twin of
+    :func:`_pruned` (exact for the same reason: the partition value
+    duplicates a join key) — and strip the derived :data:`IVM_PART`
+    column so it never reaches the join (both sides carry it; it would
+    trip the non-key-clash guard and poison the view schema). The
+    BETWEEN lands in the scan's PartitionFilters: directories outside
+    the delta's range are never even LISTED, the lever footer min/max
+    stats cannot give once increments interleave (a compacted side has
+    one file per bucket spanning all time — footer stats stop
+    skipping; partition dirs keep skipping forever)."""
+    if stored is None:
+        return None
+    if IVM_PART not in stored.columns:
+        return stored
+    if partition_col is not None:
+        lo, hi = _prune_bounds(delta, partition_col)
+        if lo is None:
+            stored = stored.filter(F.lit(False))
+        else:
+            stored = stored.filter(
+                F.col(IVM_PART).between(F.lit(lo), F.lit(hi))
+            )
+    return stored.drop(IVM_PART)
 
 
 def _view_delta(
@@ -299,6 +374,7 @@ def apply_join_increment(
     agg: tuple[list[str], list] | None = None,
     epoch: int | None = None,
     stream_id: str = "",
+    partition_col: str | None = None,
     _frozen: bool = False,
 ) -> DataFrame:
     """Apply one append-only increment ``(ΔA, ΔB)`` to the materialized
@@ -348,6 +424,25 @@ def apply_join_increment(
     time-like join component (event day, ingest epoch) the scan cost
     tracks the delta instead. Plan-pinned in
     ``tests/test_joins.py::test_ivm_prune_col_pushes_stored_side_filter``.
+
+    ``partition_col`` (r13, VERDICT r12 item 3 — the read-term lever
+    SURVEY §6 named) additionally lays the stored sides out
+    DIRECTORY-partitioned on that key (must be a join key, same
+    exactness argument as ``prune_col``; usually the same column):
+    each append writes under ``__ivm_part=<value>`` directories —
+    a derived duplicate of the key, because Spark forbids a column in
+    both the partition and bucket spec, and dropping it from the
+    bucket spec would re-grow the stored-side Exchange (measured; see
+    :data:`IVM_PART`) — and each refresh restricts the stored side to
+    the opposing delta's [min, max] BEFORE listing, surfacing as
+    PartitionFilters in the scan. This holds where ``prune_col``'s
+    footer-stats skipping decays: after compaction (one file per
+    bucket spans all time — footer min/max stop discriminating) and
+    for non-time-correlated file layouts. Must be passed consistently
+    on every increment of a store's lifetime (the partitioned append
+    onto a bucket-only table — and vice versa — fails loud). Delete
+    increments and compaction auto-detect the layout; both preserve
+    it through their rewrites.
     ``_frozen`` is the internal contract with
     :func:`apply_left_join_increment`: the deltas are already
     localCheckpointed, so re-freezing (a second full materialization of
@@ -374,6 +469,12 @@ def apply_join_increment(
             f"apply_join_increment: prune_col {prune_col!r} must be "
             "one of the join keys — pruning on a non-key column "
             "would silently drop matching rows"
+        )
+    if partition_col is not None and partition_col not in keys:
+        raise ValueError(
+            f"apply_join_increment: partition_col {partition_col!r} "
+            "must be one of the join keys — partition-pruning on a "
+            "non-key column would silently drop matching rows"
         )
 
     # freeze BOTH deltas first (ADVICE r10): the view delta below and
@@ -403,6 +504,10 @@ def apply_join_increment(
         r_tbl, r_old = _attach_side(
             spark, store_path, "right", keys, num_buckets
         )
+        # partition-scope each stored side to the OPPOSING delta's
+        # range and strip the derived partition column before any join
+        l_old = _part_scoped(l_old, delta_right, partition_col)
+        r_old = _part_scoped(r_old, delta_left, partition_col)
 
         dview = tracked_local_checkpoint(
             _view_delta(
@@ -415,8 +520,14 @@ def apply_join_increment(
         # between any two of them surfaces as IvmStoreCorrupt on the
         # next touch instead of a silently half-applied increment
         _begin_increment(spark, store_path)
-        _append_side(delta_left, l_tbl, l_path, keys, num_buckets)
-        _append_side(delta_right, r_tbl, r_path, keys, num_buckets)
+        _append_side(
+            delta_left, l_tbl, l_path, keys, num_buckets,
+            partition_col=partition_col,
+        )
+        _append_side(
+            delta_right, r_tbl, r_path, keys, num_buckets,
+            partition_col=partition_col,
+        )
         dview.write.mode("append").parquet(v_path)
         if agg is not None:
             group_cols, partial_aggs = agg
@@ -582,8 +693,13 @@ def _bucketed_rewrite_swap(
     path = os.path.join(store_path, sub)
     # plain read — the bucketed-table scan would defeat the repartition
     # (compact_ivm_sides docstring step 1); the original files stay
-    # alive until the swap, so no freeze is needed either
+    # alive until the swap, so no freeze is needed either. A
+    # partition-laid-out side (r13) is self-describing here: the plain
+    # read infers IVM_PART from the directory names, and the rewrite
+    # preserves the layout (partitionBy below + MSCK SYNC after the
+    # swap, so catalog partitions track dirs emptied by a delete).
     df = transform(spark.read.parquet(path))
+    partitioned = IVM_PART in df.columns
     tmp_path = path + "__compacting"
     bak_path = path + "__precompact"
     tmp_tbl = f"{tbl}_compacting"
@@ -609,15 +725,17 @@ def _bucketed_rewrite_swap(
             )
         fs.delete(bak_stale, True)
 
-    (
+    writer = (
         df.repartition(int(num_buckets), *[F.col(k) for k in keys])
         .write.mode("overwrite")
         .format("parquet")
         .bucketBy(int(num_buckets), *keys)
         .sortBy(*keys)
         .option("path", tmp_path)
-        .saveAsTable(tmp_tbl)
     )
+    if partitioned:
+        writer = writer.partitionBy(IVM_PART)
+    writer.saveAsTable(tmp_tbl)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
     p_bak = jvm.org.apache.hadoop.fs.Path(bak_path)
     if not fs.rename(p_orig, p_bak):
@@ -628,12 +746,18 @@ def _bucketed_rewrite_swap(
         raise OSError(f"bucketed rewrite: rename {tmp_path} -> {path} failed")
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
     spark.catalog.refreshTable(tbl)
+    if partitioned:
+        # a delete can empty a partition directory entirely; drop its
+        # stale catalog entry (and register any new values) so the
+        # table's partition list tracks what the swap actually wrote
+        spark.sql(f"MSCK REPAIR TABLE {tbl} SYNC PARTITIONS")
     fs.delete(p_bak, True)
-    return sum(
-        1
-        for st in fs.listStatus(p_orig)
-        if st.getPath().getName().endswith(".parquet")
-    )
+    n_files = 0
+    it = fs.listFiles(p_orig, True)  # recursive: partition dirs count too
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_files += 1
+    return n_files
 
 
 def apply_left_join_increment(

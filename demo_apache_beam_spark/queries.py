@@ -1021,18 +1021,65 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_clusters_store(spark, sf_dir)
 
 
+def _simhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted xxhash64 SimHash signature table — the production
+    twin of :func:`_simhash_portable_store` (r13, VERDICT r12 item 4:
+    pure symmetry work — the portable sibling banked its signatures in
+    r12 and dropped from 11.0 to ~5 s, while this family kept
+    re-tokenizing + re-hashing + re-voting the corpus per call at
+    4.65 s; the probe join only ever needs the 8-byte fingerprints).
+    Same fingerprinted ``_bootstrap_store`` contract: keyed on the
+    documents listing + hash family + corpus params, so a regenerated
+    corpus or changed family rebuilds; signatures are deterministic
+    (xxhash64 votes), so stored rows are bit-identical to an inline
+    run. Falls back inline (localCheckpointed) on the narrow
+    store-error set."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.dedup import simhash_signatures
+
+    def build(path, _table):
+        simhash_signatures(
+            _neardup_corpus(spark, sf_dir), portable=False
+        ).write.mode("overwrite").parquet(path)
+
+    def load(path, _table):
+        return spark.read.parquet(path)
+
+    try:
+        return _bootstrap_store(
+            spark,
+            "simhash_sigs",
+            sf_dir,
+            "documents",
+            "simhash:family=xxhash64:corpus=neardup%11:v1",
+            build,
+            load,
+        )
+    except _store_errors():
+        return tracked_local_checkpoint(
+            simhash_signatures(_neardup_corpus(spark, sf_dir), portable=False)
+        )
+
+
 @register(
     "dedup_simhash",
     None,  # xxhash64 bit-votes aren't portable to DuckDB — rows-only
     doc="SimHash near-dup: 64-bit sign-sum fingerprints, Manku-style "
         "two-block 16-bit probe keys (28 probes, Hamming ≤ 6 guaranteed), "
-        "Hamming ≤ 12 via bit_count(xor).",
+        "Hamming ≤ 12 via bit_count(xor). Signatures come from the "
+        "persisted xxhash64 store (r13 — the per-call cost is the probe "
+        "join + distinct; recomputing the votes per call was this "
+        "band's biggest recurring cost, exactly as for its portable "
+        "sibling in r12). Correctness contract unchanged: the recall "
+        "pytests pin the pair set against planted near-dups, and "
+        "stored signatures are bit-identical to an inline run by "
+        "determinism of the vote algebra.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_near_pairs
+    from .operators.dedup import hamming_near_pairs
 
-    return simhash_near_pairs(
-        _neardup_corpus(spark, sf_dir), max_hamming=12
+    return hamming_near_pairs(
+        _simhash_store(spark, sf_dir), max_hamming=12
     ).select("id_a", "id_b", "hamming")
 
 
@@ -10140,6 +10187,14 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS subjects
     FROM orders o JOIN ids ON o.o_custkey = ids.user_id
     UNION ALL
+    SELECT 'ivm3_inner' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_affected,
+           CAST(count(DISTINCT v.ckey) AS BIGINT) AS subjects
+    FROM (
+      SELECT o_custkey AS ckey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ) v JOIN ids ON v.ckey = ids.user_id
+    UNION ALL
     SELECT 'ivm3_view' AS table_name,
            CAST(count(*) AS BIGINT) AS rows_affected,
            CAST(count(DISTINCT v.ckey) AS BIGINT) AS subjects
@@ -10150,23 +10205,30 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN lineitem ON o_orderkey = l_orderkey
     ) v JOIN ids ON v.ckey = ids.user_id
     """,
-    doc="View-aware right-to-erasure audit (r12 — the r11 audit counted "
-        "only SOURCE tables, so a subject's copies inside a "
-        "materialized IVM view were invisible to the dry run, the same "
-        "hole erase_from_ivm_store closes on the execute side): the "
-        "three base-table rows of user_erasure_audit plus one row per "
-        "MAINTAINED VIEW over those tables — here the three-table "
-        "customer⋈orders⋈lineitem store, whose view carries the "
-        "subject's ckey into every derived row (measured at sf0.01: 67 "
-        "view rows for 2 subjects vs 2 customer rows — a ~33× fan-out, "
-        "exactly why view copies must be audited). The Spark side "
-        "reads the MAINTAINED "
-        "store; the oracle recomputes the 3-way join — so the audit "
-        "row is hash-verified against what the view is contractually "
-        "supposed to contain. Probes stay broadcast semi-joins; the "
-        "view row costs one scan of the stored view, never a rebuild.",
+    doc="View-aware right-to-erasure audit, CATALOG-enumerated (r13 — "
+        "the r12 audit hard-coded which views to count, the same "
+        "trust-the-caller hole erase_rows_multi(ivm_stores=) had: a "
+        "forgotten store was invisible to the dry run AND skipped by "
+        "the execute). The view rows now come from the persisted store "
+        "catalog (operators/catalog.py, recorded at store-BUILD time): "
+        "one audit row per recorded store depending on the subject "
+        "tables — today the two levels of the stacked "
+        "customer⋈(orders⋈lineitem) store, each probed by its recorded "
+        "subject key column; a store added to the catalog next round "
+        "appears in this audit (and in the one-call erasure) without "
+        "touching this query. The subject's ckey fans out into every "
+        "derived row (measured at sf0.01: 67 outer-view rows for 2 "
+        "subjects vs 2 customer rows — ~33×; the inner level adds its "
+        "own copies), exactly why view copies must be audited. The "
+        "Spark side reads the MAINTAINED stores' views; the oracle "
+        "recomputes both joins — the audit rows are hash-verified "
+        "against what each view contractually contains. Probes stay "
+        "broadcast semi-joins; each view row costs one scan of its "
+        "stored view, never a rebuild.",
 )
 def user_erasure_audit_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.catalog import catalog_entries
+
     ev = load_table(spark, sf_dir, "events")
     ids = (
         ev.filter(
@@ -10188,17 +10250,35 @@ def user_erasure_audit_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("table_name"), "rows_affected", "subjects"
         )
 
+    subject_tables = {"events", "customer", "orders", "lineitem"}
+    view_audits = []
     try:
-        view = _ivm3_store(spark, sf_dir)
+        _ivm3_store(spark, sf_dir)  # ensure built + catalog-recorded
+        seen: set = set()
+        for e in catalog_entries(spark, _ivm_catalog_path(sf_dir)):
+            if e["source_table"] not in subject_tables:
+                continue
+            if e["store_name"] in seen:
+                continue
+            seen.add(e["store_name"])
+            view = spark.read.parquet(f"{e['store_path']}/view")
+            view_audits.append(audit(view, e["key_col"], e["store_name"]))
+        if not view_audits:
+            raise OSError("store catalog empty — fall back inline")
     except _store_errors():
         c, o, li = _ivm3_sources(spark, sf_dir)
-        view = c.join(o, "ckey").join(li, "okey")
-    return (
+        view_audits = [
+            audit(o.join(li, "okey"), "ckey", "ivm3_inner"),
+            audit(c.join(o, "ckey").join(li, "okey"), "ckey", "ivm3_view"),
+        ]
+    out = (
         audit(ev, "user_id", "events")
         .unionAll(audit(load_table(spark, sf_dir, "customer"), "c_custkey", "customer"))
         .unionAll(audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders"))
-        .unionAll(audit(view, "ckey", "ivm3_view"))
     )
+    for va in view_audits:
+        out = out.unionAll(va)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -11461,6 +11541,119 @@ def orders_lineitem_ivm_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_LEFT_ORACLE = """
+    WITH l AS (
+      SELECT o_orderkey AS okey, o_orderpriority FROM orders
+    ), r AS (
+      SELECT l_orderkey AS okey, l_linestatus, l_extendedprice
+      FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT o_orderpriority,
+           coalesce(l_linestatus, 'NONE') AS l_linestatus,
+           count(*) AS n_rows,
+           cast(sum(cast(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM l LEFT JOIN r USING (okey)
+    GROUP BY 1, 2
+    """
+
+
+def _ivm_left_streamed_store(spark: SparkSession, sf_dir: str):
+    """The STREAM-maintained LEFT OUTER view (r13, VERDICT r12 item 7):
+    three micro-batch epochs drive make_left_ivm_ingest — left facts
+    split by okey mod 3, their 'F' dimension lines split with a +1
+    OFFSET modulus, so every epoch both retracts earlier unmatched
+    facts (a late line claiming an epoch-older order) and adds fresh
+    unmatched ones. Epoch 1 is then REDELIVERED: the root-store
+    applied-epoch ledger must skip it byte-identically — a re-applied
+    left-outer epoch would both double-append the inner view and
+    re-shrink the unmatched set against a stale delta."""
+    from .operators.ivm import read_left_join_view
+    from .streaming.ivm import make_left_ivm_ingest
+
+    def build(path, _table):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+        o, li = _ivm_left_sources(spark, sf_dir)
+        cell: dict = {}
+        ingest = make_left_ivm_ingest(
+            spark,
+            path,
+            on="okey",
+            right_deltas=lambda _b: cell["dims"],
+            stream_id="lchk",
+        )
+
+        def run(e):
+            cell["dims"] = li.filter(F.col("okey") % 3 == (e + 1) % 3)
+            ingest(o.filter(F.col("okey") % 3 == e), e)
+
+        for e in range(3):
+            run(e)
+        run(1)  # redelivered epoch: ledger must no-op byte-identically
+
+    def load(path, _table):
+        return read_left_join_view(spark, path)
+
+    return _bootstrap_store(
+        spark,
+        "ivm_left_stream_orders_lineitem",
+        sf_dir,
+        "orders",
+        "ivm_left_stream:v1:right=F:inc=o%3/li%3+1:replay=1:li="
+        + _source_fingerprint(spark, sf_dir, "lineitem", ""),
+        build,
+        load,
+        success_probes=(
+            "inner/left", "inner/right", "inner/view", "unmatched",
+        ),
+    )
+
+
+@register(
+    "orders_lineitem_ivm_left_streamed",
+    _IVM_LEFT_ORACLE,
+    doc="STREAM-maintained LEFT OUTER IVM, oracle-verified end-to-end "
+        "(r13, VERDICT r12 item 7 — the streaming family's last "
+        "asymmetry: inner and delete epochs streamed, LEFT OUTER "
+        "didn't): make_left_ivm_ingest turns each micro-batch into one "
+        "apply_left_join_increment — the inner-match rows ride the "
+        "bucketed append algebra, the unmatched set is rewritten per "
+        "epoch, and a LATE dimension line arriving in epoch N retracts "
+        "its fact rows from the unmatched set built in epochs < N (the "
+        "build splits lines with an offset modulus so every epoch "
+        "fires the retraction). Epoch 1 is REDELIVERED and the "
+        "root-store applied-epoch ledger must skip it byte-identically "
+        "— a re-applied epoch would double-append the inner view, so "
+        "the driver's hash check verifies the left-outer redelivery "
+        "contract itself. The oracle recomputes the LEFT JOIN from "
+        "scratch, including the NONE group. Scale shape inherited: "
+        "anti-joins are delta-vs-bucketed-stored; the unmatched "
+        "rewrite costs |unmatched| per epoch — the draining "
+        "referential-integrity debt set.",
+)
+def orders_lineitem_ivm_left_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.aggregate import stable_sum
+
+    try:
+        view = _ivm_left_streamed_store(spark, sf_dir)
+    except _store_errors():
+        o, li = _ivm_left_sources(spark, sf_dir)
+        view = o.join(li, "okey", "left")
+    return view.groupBy(
+        "o_orderpriority",
+        F.coalesce(F.col("l_linestatus"), F.lit("NONE")).alias("l_linestatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("l_extendedprice", "revenue"),
+    )
+
+
 def _ivm_daily_sources(spark: SparkSession, sf_dir: str):
     """events ⋈ per-(user, day) daily profile — a TIME-KEYED composite
     join (uid, day) whose increments are day ranges, the fixture for
@@ -11798,6 +11991,23 @@ def _ivm3_sources(spark: SparkSession, sf_dir: str):
     return c, o, li
 
 
+def _ivm_catalog_path(sf_dir: str) -> str:
+    """The persisted store catalog for the registry's SUBJECT id space
+    (user_id == c_custkey == o_custkey — the erasure-audit identity
+    mapping), scale-tagged like every bootstrap store. Recorded at
+    store-BUILD time (``operators/catalog.py``); consumed by
+    ``erase_rows_multi(store_catalog=)`` and enumerated by
+    ``user_erasure_audit_views``."""
+    import os
+    import re
+
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    root = os.environ.get("SPARK_GRAFT_STORE_DIR", "spark-warehouse")
+    return os.path.abspath(os.path.join(root, f"ivm_catalog_{tag}"))
+
+
 def _ivm3_store(spark: SparkSession, sf_dir: str):
     """Three-table IVM by COMPOSITION (r12, VERDICT r11 item 4): the
     pairwise delta algebra closes over itself — an inner-join view's
@@ -11807,7 +12017,14 @@ def _ivm3_store(spark: SparkSession, sf_dir: str):
     outer store as its right-side delta. Each increment splits all
     THREE tables with different moduli (customer %2, orders %5,
     lineitem %3), so every delta term of BOTH stores fires — including
-    old-customer × new-view-delta and new-customer × old-view."""
+    old-customer × new-view-delta and new-customer × old-view.
+
+    The build RECORDS both levels into the persisted store catalog
+    (r13, VERDICT r12 item 2) under the subject id space's catalog:
+    each level carries the subject key ``ckey`` as a plain column
+    (outer: join key; inner: left attribute), so a catalog-driven
+    erasure/audit reaches both without the caller naming either."""
+    from .operators.catalog import record_store_dependency
     from .operators.ivm import apply_join_increment, read_join_view
 
     def build(path, _table):
@@ -11834,6 +12051,16 @@ def _ivm3_store(spark: SparkSession, sf_dir: str):
                 spark, f"{path}/ol", do, dl, on="okey"
             )
             apply_join_increment(spark, f"{path}/col", dc, dv, on="ckey")
+        cat = _ivm_catalog_path(sf_dir)
+        record_store_dependency(
+            spark, cat, "ivm3_inner", f"{path}/ol",
+            source_tables=["orders", "lineitem"], key_col="ckey", on="okey",
+        )
+        record_store_dependency(
+            spark, cat, "ivm3_view", f"{path}/col",
+            source_tables=["customer", "orders", "lineitem"],
+            key_col="ckey", on="ckey",
+        )
 
     def load(path, _table):
         return read_join_view(spark, f"{path}/col")
@@ -11843,7 +12070,7 @@ def _ivm3_store(spark: SparkSession, sf_dir: str):
         "ivm3_cust_orders_lineitem",
         sf_dir,
         "orders",
-        "ivm3:v1:inc=c%2/o%5/li%3:c="
+        "ivm3:v2:catalog:inc=c%2/o%5/li%3:c="
         + _source_fingerprint(spark, sf_dir, "customer", "")
         + ":li="
         + _source_fingerprint(spark, sf_dir, "lineitem", ""),
@@ -12001,6 +12228,158 @@ def events_ivm_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = _ivm_streamed_store(spark, sf_dir)
     except _store_errors():
         ev = load_table(spark, sf_dir, "events")
+        l = ev.select(
+            F.col("user_id").alias("uid"),
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            "value",
+        )
+        r = (
+            ev.select(
+                F.col("user_id").alias("uid"),
+                F.date_trunc("day", "ts").alias("day"),
+                (F.col("event_id") % 3).alias("_ep"),
+            )
+            .groupBy("uid", "day", "_ep")
+            .agg(F.count(F.lit(1)).alias("rn"))
+            .drop("_ep")
+        )
+        view = l.join(r, ["uid", "day"])
+    return view.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("value", "val_sum"),
+        F.sum("rn").alias("rn_total"),
+    )
+
+
+def _ivm_streamed_delete_store(spark: SparkSession, sf_dir: str):
+    """The CDC-shaped stream-maintained view with a DELETE epoch in the
+    middle (r13, VERDICT r12 item 1): four micro-batch epochs under ONE
+    logical stream identity — epochs 0/1 insert facts + per-(uid, day)
+    profiles (event_id mod 3 ∈ {0, 1}), epoch 2 drains a TOMBSTONE
+    batch (every uid ≡ 3 mod 10) through the streaming delete ingest,
+    epoch 3 inserts the remaining facts (event_id mod 3 = 2) — so the
+    deleted subjects' epoch-3 rows are genuinely RE-INSERTED after
+    their deletion. Then BOTH the delete epoch and an insert epoch are
+    redelivered: the applied-epoch ledger must skip each byte-
+    identically — a re-applied delete would wrongly re-delete the
+    re-inserted uids, so the driver's hash check verifies the delete
+    redelivery contract itself, not just the arithmetic. The sides are
+    laid out with ``partition_col='day'`` (r13): every stored side
+    keeps the full (uid, day) bucket spec exchange-free while the
+    __ivm_part=day directories give delta-correlated partition
+    pruning on refreshes."""
+    from .operators.ivm import read_join_view
+    from .streaming.ivm import make_ivm_delete_ingest, make_ivm_ingest
+
+    def build(path, _table):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").alias("uid"),
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+            "value",
+            "event_id",
+        )
+        ingest = make_ivm_ingest(
+            spark,
+            path,
+            on=["uid", "day"],
+            right_deltas=lambda b: b.groupBy("uid", "day").agg(
+                F.count(F.lit(1)).alias("rn")
+            ),
+            stream_id="cdc",
+            partition_col="day",
+        )
+        dele = make_ivm_delete_ingest(
+            spark, path, "uid", on=["uid", "day"], stream_id="cdc"
+        )
+        tombstones = (
+            ev.filter(F.col("uid") % 10 == 3).select("uid").distinct()
+        )
+        ingest(ev.filter(F.col("event_id") % 3 == 0).drop("event_id"), 0)
+        ingest(ev.filter(F.col("event_id") % 3 == 1).drop("event_id"), 1)
+        dele(tombstones, 2)
+        ingest(ev.filter(F.col("event_id") % 3 == 2).drop("event_id"), 3)
+        # at-least-once redelivery: the DELETE epoch must no-op (the
+        # re-inserted uids of epoch 3 survive because the ledger skips,
+        # not because the tombstones happen to miss), and so must an
+        # insert epoch
+        dele(tombstones, 2)
+        ingest(ev.filter(F.col("event_id") % 3 == 1).drop("event_id"), 1)
+
+    def load(path, _table):
+        return read_join_view(spark, path)
+
+    return _bootstrap_store(
+        spark,
+        "ivm_stream_del_events",
+        sf_dir,
+        "events",
+        "ivm_stream_del:v1:epochs=i0,i1,d(uid%10=3),i2:replay=d2,i1:part=day",
+        build,
+        load,
+        success_probes=("left", "right", "view"),
+    )
+
+
+@register(
+    "events_ivm_streamed_delete",
+    """
+    WITH l AS (
+      SELECT user_id AS uid, date_trunc('day', ts) AS day,
+             event_type, value
+      FROM events
+      WHERE event_id % 3 = 2 OR user_id % 10 <> 3
+    ), r AS (
+      SELECT user_id AS uid, date_trunc('day', ts) AS day,
+             count(*) AS rn
+      FROM events
+      WHERE event_id % 3 = 2 OR user_id % 10 <> 3
+      GROUP BY 1, 2, event_id % 3
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
+           cast(sum(rn) AS BIGINT) AS rn_total
+    FROM l JOIN r USING (uid, day)
+    GROUP BY 1
+    """,
+    doc="STREAM-maintained IVM with a DELETE epoch in the middle, "
+        "oracle-verified end-to-end (r13, VERDICT r12 item 1 — inserts "
+        "streamed but deletes required stopping the stream): one "
+        "logical CDC stream identity drives insert epochs 0/1 "
+        "(event_id mod 3 ∈ {0,1}), a TOMBSTONE epoch 2 (every uid ≡ 3 "
+        "mod 10 drains through make_ivm_delete_ingest → "
+        "apply_delete_increment: bucket-preserving side rewrites + "
+        "atomic view erase), and insert epoch 3 (event_id mod 3 = 2) — "
+        "which RE-INSERTS rows for the deleted uids. The delete epoch "
+        "AND an insert epoch are then redelivered; the shared "
+        "applied-epoch ledger (written inside each increment's "
+        "durability marker window, bound to the stream identity) must "
+        "skip both byte-identically — a re-applied delete would "
+        "wrongly re-delete the re-inserted uids and break the hash, so "
+        "the driver verifies the tombstone redelivery contract itself. "
+        "The oracle recomputes the final state from scratch: epochs "
+        "0/1 survive only for uid % 10 <> 3, epoch 3 survives fully, "
+        "per-epoch profiles likewise. Sides are partition-laid-out "
+        "(partition_col='day', r13): full (uid, day) bucket spec "
+        "stays exchange-free; __ivm_part=day directories give "
+        "delta-correlated PartitionFilters on refresh scans.",
+)
+def events_ivm_streamed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregate import stable_sum
+
+    try:
+        view = _ivm_streamed_delete_store(spark, sf_dir)
+    except _store_errors():
+        ev = load_table(spark, sf_dir, "events").filter(
+            (F.col("event_id") % 3 == 2) | (F.col("user_id") % 10 != 3)
+        )
         l = ev.select(
             F.col("user_id").alias("uid"),
             F.date_trunc("day", "ts").alias("day"),

@@ -80,6 +80,7 @@ def make_ivm_ingest(
     right_deltas: Callable[[DataFrame], DataFrame] | None = None,
     empty_right_schema: str | None = None,
     stream_id: str = "",
+    partition_col: str | None = None,
 ):
     """The ``foreachBatch`` callable: one micro-batch = one replay-safe
     IVM increment. ``right_deltas`` maps the batch to the right-side
@@ -118,6 +119,7 @@ def make_ivm_ingest(
             agg=agg,
             epoch=int(batch_id),
             stream_id=stream_id,
+            partition_col=partition_col,
         )
 
     return ingest

@@ -2153,3 +2153,155 @@ def test_write_linkage_weights_refuses_unreadable_prior(spark, tmp_path):
         fh.write("not parquet")
     with pytest.raises(RuntimeError, match="unreadable"):
         write_linkage_weights(spark, store, fitted)
+
+
+def test_ivm_partition_col_layout_prunes_and_stays_exchange_free(
+    spark, tmp_path
+):
+    """Delta-correlated PARTITION layout for the stored sides (r13,
+    VERDICT r12 item 3 — the read-term lever for stores where footer
+    min/max stats decay, e.g. after compaction): with
+    ``partition_col`` set to a join-key component, (a) the maintained
+    view still equals a from-scratch recompute across increments and
+    deletes, (b) the refresh's stored-side scan carries the opposing
+    delta's [min, max] as PartitionFilters while staying ``Bucketed:
+    true`` with ZERO stored-side Exchange (the derived __ivm_part
+    duplicate keeps the FULL key list bucketed), (c) compaction and
+    delete rewrites preserve the layout, and (d) a non-key
+    partition_col raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.ivm import (
+        IVM_PART,
+        _attach_side,
+        _part_scoped,
+        apply_delete_increment,
+        apply_join_increment,
+        compact_ivm_sides,
+        read_join_view,
+    )
+
+    store = str(tmp_path / "jv_part")
+    ls = "k long, day long, lv string"
+    rs = "k long, day long, rv string"
+    incs = [
+        ([(i, i % 3, f"a{i}") for i in range(30)],
+         [(i, i % 3, f"b{i}") for i in range(20)]),
+        ([(i, 2 + i % 3, f"c{i}") for i in range(30, 60)],
+         [(i, 2 + i % 3, f"d{i}") for i in range(10, 40)]),
+        ([(i, 4, f"e{i}") for i in range(60, 70)],
+         [(i, 4, f"f{i}") for i in range(55, 75)]),
+    ]
+    all_l: list = []
+    all_r: list = []
+    for dl, dr in incs:
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame(dl, ls),
+            spark.createDataFrame(dr, rs),
+            on=["k", "day"],
+            partition_col="day",
+        )
+        all_l += dl
+        all_r += dr
+
+    def got():
+        return sorted(
+            map(
+                tuple,
+                read_join_view(spark, store)
+                .select("k", "day", "lv", "rv")
+                .collect(),
+            )
+        )
+
+    def expect():
+        return sorted(
+            (lk, ld, lv, rv)
+            for lk, ld, lv in all_l
+            for rk, rd, rv in all_r
+            if lk == rk and ld == rd
+        )
+
+    assert got() == expect()
+    # the view never carries the derived partition column
+    assert IVM_PART not in read_join_view(spark, store).columns
+    # the side directories are laid out by __ivm_part
+    assert any(
+        d.startswith(f"{IVM_PART}=")
+        for d in os.listdir(os.path.join(store, "left"))
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _, r_old = _attach_side(spark, store, "right", ["k", "day"], 8)
+        delta = spark.createDataFrame([(1, 2, "z")], ls)
+        scoped = _part_scoped(r_old, delta, "day")
+        plan = (
+            delta.join(scoped, ["k", "day"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # partition pruning fired on the DIRECTORY level...
+        assert f"isnotnull({IVM_PART}" in plan, plan
+        assert "PartitionFilters" in plan, plan
+        # ...and the stored side stays bucketed with zero Exchange
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange") == 1, plan  # the delta side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # compaction preserves the partitioned layout and the view
+    files = compact_ivm_sides(spark, store, ["k", "day"], 8)
+    assert files["left"] > 0 and files["right"] > 0
+    assert got() == expect()
+    assert any(
+        d.startswith(f"{IVM_PART}=")
+        for d in os.listdir(os.path.join(store, "left"))
+    )
+
+    # a delete increment rewrites through the partitioned writer too
+    apply_delete_increment(
+        spark,
+        store,
+        spark.createDataFrame([(40,), (41,)], "k long"),
+        "k",
+        on=["k", "day"],
+    )
+    all_l = [t for t in all_l if t[0] not in (40, 41)]
+    all_r = [t for t in all_r if t[0] not in (40, 41)]
+    assert got() == expect()
+    assert any(
+        d.startswith(f"{IVM_PART}=")
+        for d in os.listdir(os.path.join(store, "left"))
+    )
+    # and a further increment keeps working on the rewritten store
+    dl4 = [(100, 4, "g100")]
+    dr4 = [(100, 4, "h100")]
+    apply_join_increment(
+        spark,
+        store,
+        spark.createDataFrame(dl4, ls),
+        spark.createDataFrame(dr4, rs),
+        on=["k", "day"],
+        partition_col="day",
+    )
+    all_l += dl4
+    all_r += dr4
+    assert got() == expect()
+
+    with pytest.raises(ValueError, match="partition_col"):
+        apply_join_increment(
+            spark,
+            store,
+            spark.createDataFrame([], ls),
+            spark.createDataFrame([], rs),
+            on=["k", "day"],
+            partition_col="lv",
+        )
