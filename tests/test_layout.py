@@ -765,3 +765,71 @@ def test_store_catalog_discovers_stores_for_erasure(spark, tmp_path):
         },
     )
     assert "legacy" in res
+
+
+def test_erase_subjects_cli_drains_queue_via_catalog(spark, tmp_path):
+    """The DSR-drain CLI (r13): one cron-shaped invocation removes the
+    queued subjects from the source tables AND from every catalog-
+    recorded store over them; re-running the same queue is an erasure
+    no-op; the JSON line reports exactly what each request touched."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from demo_apache_beam_spark.operators.catalog import (
+        record_store_dependency,
+    )
+    from demo_apache_beam_spark.operators.ivm import (
+        apply_join_increment,
+        read_join_view,
+    )
+
+    facts_src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)],
+        "fact_id long, uid long, v double",
+    ).write.parquet(facts_src)
+    dims = spark.createDataFrame(
+        [(u, f"seg{u % 2}") for u in range(5)], "uid long, seg string"
+    )
+    store = str(tmp_path / "ivm_store")
+    apply_join_increment(
+        spark, store, spark.read.parquet(facts_src), dims, on="uid"
+    )
+    cat = str(tmp_path / "catalog")
+    record_store_dependency(
+        spark, cat, "facts_by_seg", store,
+        source_tables=["facts"], key_col="uid", on="uid",
+    )
+    queue = str(tmp_path / "dsr")
+    spark.createDataFrame([(3,)], "user_id long").write.parquet(queue)
+
+    def run():
+        proc = subprocess.run(
+            [sys.executable, "-m",
+             "demo_apache_beam_spark.pipelines.erase_subjects",
+             "--ids", queue, "--id-col", "user_id",
+             "--target", f"facts:{facts_src}:uid",
+             "--store-catalog", cat],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["targets"]
+
+    out = run()
+    assert out["facts"]["rows_erased"] == 8
+    assert out["facts_by_seg"]["view"] == 8  # catalog-discovered store
+    spark.catalog.refreshByPath(facts_src)  # rewritten out-of-band
+    assert spark.read.parquet(facts_src).filter(F.col("uid") == 3).count() == 0
+    spark.catalog.refreshByPath(os.path.join(store, "view"))
+    assert read_join_view(spark, store).filter(F.col("uid") == 3).count() == 0
+
+    # idempotent: the re-drained queue probes but rewrites nothing
+    out = run()
+    assert out["facts"]["rows_erased"] == 0
+    assert out["facts_by_seg"]["view"] == 0
