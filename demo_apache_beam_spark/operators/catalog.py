@@ -47,10 +47,22 @@ _CATALOG_SCHEMA = (
     "store_name string, kind string, store_path string, "
     "source_table string, key_col string, on_cols string, "
     "num_buckets int, agg_group string, agg_count string, "
-    "agg_sums string"
+    "agg_sums string, params string"
 )
 
 _FIELDS = [f.split()[0] for f in _CATALOG_SCHEMA.split(", ")]
+
+#: Catalog kinds with an id-driven discovery path. ``ivm`` stores erase
+#: by probing the subject id against a recorded store column
+#: (:func:`ivm_stores_from_catalog`); ``dedup_exact``/``dedup_minhash``
+#: stores erase by the subject's DOCUMENT CONTENT, so discovery
+#: captures the subject's doc rows from the source table BEFORE its
+#: rewrite (:func:`dedup_stores_from_catalog` + ``erase_rows_multi``).
+#: Hamming (perceptual media) stores are deliberately NOT
+#: catalog-discoverable: their erase keys are signatures recomputed
+#: from decoded payloads (modality-dependent) — erase them through
+#: ``operators/dedup.py:erase_from_hamming_store`` explicitly.
+KINDS = ("ivm", "dedup_exact", "dedup_minhash")
 
 
 def build_agg_spec(
@@ -99,14 +111,32 @@ def record_store_dependency(
     agg_count: str | None = None,
     agg_sums: str | None = None,
     kind: str = "ivm",
+    params: dict | None = None,
 ) -> int:
     """Upsert the catalog rows for one store: any prior rows under
     ``store_name`` are replaced by one row per source table — a store
     REBUILD re-records idempotently, and a store whose source list or
     layout changed overwrites its stale inventory instead of
     accreting. The rewrite collects the (tiny) prior rows first, so it
-    never reads the files it is overwriting. Returns the catalog's
-    post-upsert row count."""
+    never reads the files it is overwriting (and self-migrates a
+    catalog written under an older schema). Returns the catalog's
+    post-upsert row count.
+
+    ``kind`` must be one of :data:`KINDS`. For the dedup kinds,
+    ``params`` records the store's BUILD parameters as a JSON dict —
+    ``dedup_exact``: ``{"key_cols": [...], "id_col": ...}``;
+    ``dedup_minhash``: ``{"id_col", "text_col", "num_hashes",
+    "bands", "shingle_n"}`` — and ``key_col`` still names the SOURCE
+    table's subject column (how the subject's doc rows are found);
+    ``on``/``num_buckets`` are unused there (pass ``on=""``)."""
+    import json
+
+    if kind not in KINDS:
+        raise ValueError(
+            f"record_store_dependency: unknown kind {kind!r} — one of "
+            f"{KINDS} (hamming stores erase through their explicit "
+            "wrapper; see KINDS)"
+        )
     rows = [
         r
         for r in catalog_entries(spark, catalog_path)
@@ -128,6 +158,9 @@ def record_store_dependency(
                 "agg_group": agg_group,
                 "agg_count": agg_count,
                 "agg_sums": agg_sums,
+                "params": json.dumps(params, sort_keys=True)
+                if params is not None
+                else None,
             }
         )
     spark.createDataFrame(
@@ -147,11 +180,47 @@ def catalog_entries(spark, catalog_path: str) -> list[dict]:
         return []
     return sorted(
         (
-            {f: r[f] for f in _FIELDS}
+            # .get: tolerant of rows written under an older schema (a
+            # later upsert rewrites them under the current one)
+            {f: r.asDict().get(f) for f in _FIELDS}
             for r in spark.read.parquet(catalog_path).collect()
         ),
         key=lambda r: (r["store_name"], r["source_table"]),
     )
+
+
+def dedup_stores_from_catalog(
+    spark,
+    catalog_path: str,
+    tables: list[str] | None = None,
+) -> list[dict]:
+    """The catalog's ``dedup_exact``/``dedup_minhash`` entries covering
+    any of ``tables`` (``None`` = all), deduplicated by store name —
+    each as ``{store_name, kind, store_path, source_table, key_col,
+    params}`` with ``params`` already JSON-decoded. These erase by the
+    subject's DOCUMENT CONTENT, so ``erase_rows_multi`` captures the
+    subject's doc rows from ``source_table`` (probing ``key_col``)
+    BEFORE that table's rewrite, then drives the kind's erase wrapper
+    with the recorded build params."""
+    import json
+
+    out: dict[str, dict] = {}
+    for r in catalog_entries(spark, catalog_path):
+        if r["kind"] not in ("dedup_exact", "dedup_minhash"):
+            continue
+        if tables is not None and r["source_table"] not in tables:
+            continue
+        if r["store_name"] in out:
+            continue
+        out[r["store_name"]] = {
+            "store_name": r["store_name"],
+            "kind": r["kind"],
+            "store_path": r["store_path"],
+            "source_table": r["source_table"],
+            "key_col": r["key_col"],
+            "params": json.loads(r["params"]) if r["params"] else {},
+        }
+    return [out[k] for k in sorted(out)]
 
 
 def ivm_stores_from_catalog(

@@ -352,22 +352,51 @@ def erase_rows_multi(
     store silently keeping the subject was the r12 inventory hole).
     An explicitly-passed ``ivm_stores`` entry wins over a catalog entry
     of the same name (caller override); catalog-less legacy stores keep
-    working through the explicit dict alone."""
+    working through the explicit dict alone.
+
+    The catalog's DEDUP entries (``dedup_exact``/``dedup_minhash``,
+    r13) erase by the subject's DOCUMENT CONTENT, so their input — the
+    subject's doc rows from each store's source table — is captured
+    and frozen BEFORE that table is rewritten, then driven through the
+    kind's erase wrapper with the recorded build params AFTER the
+    table/view erasures. First-seen-wins nuance, inherited from the
+    wrappers' batch semantics: erasing a digest/band row makes that
+    content RE-ADMISSIBLE (and, where the subject's doc duplicated
+    another subject's accepted content, stops deduping against it) —
+    the store holds fingerprints, not documents, so no other subject's
+    data is removed."""
     from .checkpoints import track_checkpoints, tracked_local_checkpoint, unpersist_ids
 
+    dedup_specs: list[dict] = []
     if store_catalog is not None:
-        from .catalog import ivm_stores_from_catalog
+        from .catalog import dedup_stores_from_catalog, ivm_stores_from_catalog
 
         discovered = ivm_stores_from_catalog(
             spark, store_catalog, list(targets.keys())
         )
         discovered.update(ivm_stores or {})  # explicit entries win
         ivm_stores = discovered
+        dedup_specs = dedup_stores_from_catalog(
+            spark, store_catalog, list(targets.keys())
+        )
 
     with track_checkpoints() as _cp_ids:
         req = tracked_local_checkpoint(
             ids.select(F.col(id_col).alias("__erase_id")).distinct()
         )
+        # capture the subject's doc rows for every dedup store NOW —
+        # the tables are about to be rewritten without them
+        captured: dict[str, DataFrame] = {}
+        for spec in dedup_specs:
+            path, key_col = targets[spec["source_table"]]
+            src = spark.read.parquet(path)
+            captured[spec["store_name"]] = tracked_local_checkpoint(
+                src.join(
+                    F.broadcast(req),
+                    src[key_col] == req["__erase_id"],
+                    "left_semi",
+                )
+            )
     try:
         out = {
             name: erase_rows(
@@ -401,6 +430,36 @@ def erase_rows_multi(
                     num_buckets=spec.get("num_buckets", 8),
                     agg=spec.get("agg"),
                 )
+        if dedup_specs:
+            from .dedup import erase_from_exact_store, erase_from_minhash_store
+
+            for spec in dedup_specs:
+                name = spec["store_name"]
+                if name in out:
+                    raise ValueError(
+                        f"erase_rows_multi: dedup store name {name!r} "
+                        "collides with another target/store"
+                    )
+                p = spec["params"]
+                docs = captured[name]
+                if spec["kind"] == "dedup_exact":
+                    out[name] = erase_from_exact_store(
+                        spark,
+                        spec["store_path"],
+                        docs,
+                        key_cols=tuple(p.get("key_cols", ("text",))),
+                    )
+                else:  # dedup_minhash (the only other discoverable kind)
+                    out[name] = erase_from_minhash_store(
+                        spark,
+                        spec["store_path"],
+                        docs,
+                        id_col=p.get("id_col", "doc_id"),
+                        text_col=p.get("text_col", "text"),
+                        num_hashes=int(p.get("num_hashes", 32)),
+                        bands=int(p.get("bands", 8)),
+                        shingle_n=int(p.get("shingle_n", 3)),
+                    )
         return out
     finally:
         unpersist_ids(spark, _cp_ids)
