@@ -853,9 +853,32 @@ def apply_left_join_increment(
             um_new = delta_left.join(r_all.select(*keys), keys, "left_anti")
             um = um_old.unionByName(um_new) if um_old is not None else um_new
             # the rewrite plan reads the old store — freeze before
-            # overwriting
+            # rewriting. Then write-aside → delete → rename (r13, the
+            # erase_rows swap discipline): a plain overwrite deletes the
+            # original FIRST and leaves the old unmatched rows' only
+            # copy in a non-replicated localCheckpoint for the write's
+            # duration — an executor loss in that window would destroy
+            # them (the hazard class the r11 review closed for
+            # compaction). With the aside, the original survives on
+            # disk until the new copy is fully durable.
             um = tracked_local_checkpoint(um)
-            um.write.mode("overwrite").parquet(um_path)
+            from .layout import _aside_path
+
+            jvm = spark._jvm
+            p_um = jvm.org.apache.hadoop.fs.Path(um_path)
+            um_fs = p_um.getFileSystem(spark._jsc.hadoopConfiguration())
+            aside = _aside_path(jvm, um_path, "__rewriting")
+            if um_fs.exists(aside):
+                um_fs.delete(aside, True)  # stale leftover: disposable
+            um.write.mode("overwrite").parquet(aside.toString())
+            if um_fs.exists(p_um):
+                um_fs.delete(p_um, True)
+            if not um_fs.rename(aside, p_um):
+                raise OSError(
+                    f"apply_left_join_increment: rename {aside} -> "
+                    f"{um_path} failed — the rewritten unmatched set "
+                    "is durable at the aside path; restore it manually"
+                )
             spark.catalog.refreshByPath(um_path)
             if epoch is not None:
                 _append_ledger(spark, store_path, epoch, stream_id)
@@ -866,17 +889,17 @@ def apply_left_join_increment(
 
 def read_left_join_view(spark, store_path: str) -> DataFrame:
     """The accumulated LEFT OUTER view: inner-match rows ∪ unmatched
-    left rows null-extended to the right side's columns (taken from the
-    stored right table's own schema, so the extension never drifts from
-    what was written)."""
+    left rows null-extended to the right side's columns. The extension
+    schema comes from the inner VIEW's own parquet footers (exactly the
+    left+right columns as written, so it never drifts) — not from the
+    stored right table, whose directory holds NO schema-bearing files
+    while every right delta so far was empty (the fact-stream-before-
+    dimension shape; r13)."""
     check_store_consistent(spark, store_path)
     inner = spark.read.parquet(os.path.join(store_path, "inner", "view"))
     um = spark.read.parquet(os.path.join(store_path, "unmatched"))
-    right_schema = spark.read.parquet(
-        os.path.join(store_path, "inner", "right")
-    ).schema
     ext = um
-    for f in right_schema.fields:
+    for f in inner.schema.fields:
         if f.name not in um.columns:
             ext = ext.withColumn(f.name, F.lit(None).cast(f.dataType))
     return inner.unionByName(ext.select(*inner.columns))

@@ -275,6 +275,42 @@ def start_ivm_stream(
     )
 
 
+def start_left_ivm_stream(
+    spark,
+    input_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    on: str | list[str],
+    num_buckets: int = 8,
+    prune_col: str | None = None,
+    right_deltas: Callable[[DataFrame], DataFrame] | None = None,
+    empty_right_schema: str | None = None,
+):
+    """File-source LEFT OUTER streaming view maintenance: parquet
+    batches of fact deltas maintain the persisted left-join view at
+    ``store_path`` through :func:`make_left_ivm_ingest` — the
+    completing wrapper of the family (insert/delete/left-outer all get
+    a ``start_*`` face). Stream identity is the checkpoint location,
+    as everywhere."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    ingest = make_left_ivm_ingest(
+        spark,
+        store_path,
+        on=on,
+        num_buckets=num_buckets,
+        prune_col=prune_col,
+        right_deltas=right_deltas,
+        empty_right_schema=empty_right_schema,
+        stream_id=_checkpoint_stream_id(checkpoint_dir),
+    )
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def start_ivm_delete_stream(
     spark,
     input_dir: str,

@@ -3378,3 +3378,38 @@ def test_check_and_retrain_catches_skipped_spike(spark, tmp_path):
     assert res["retrained"] is False
     assert "already acted on batch 1" in res["reason"]
     assert kmeans_store_epoch(spark, store) == 1
+
+
+def test_left_ivm_stream_wrapper_e2e(spark, tmp_path):
+    """start_left_ivm_stream (r13): the file-source wrapper drives the
+    LEFT OUTER ingest end-to-end — streamed fact batches with an
+    empty-forever right side all land in the unmatched set, the view
+    reads them NULL-extended, and the unmatched swap leaves no
+    __rewriting aside residue."""
+    import os
+
+    from demo_apache_beam_spark.operators.ivm import read_left_join_view
+    from demo_apache_beam_spark.streaming.ivm import start_left_ivm_stream
+
+    lschema = "k long, v string"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], lschema
+    ).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    q = start_left_ivm_stream(
+        spark,
+        in_dir,
+        store,
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=lschema,
+        on="k",
+        empty_right_schema="k long, d string",
+    )
+    q.processAllAvailable()
+    q.stop()
+    view = read_left_join_view(spark, store)
+    assert view.count() == 3
+    assert all(r["d"] is None for r in view.collect())
+    # swap hygiene: no aside residue next to the unmatched dataset
+    assert not any("__rewriting" in f for f in os.listdir(store))
