@@ -28,7 +28,7 @@ from .operators.filters import filter_time_range
 from .operators.parse import events_to_game_lines, parse_game_events, with_corrupt_lines
 from .operators.selection import is_eval_doc, is_eval_doc_sql
 from .operators.windows import with_event_time
-from .sources.tables import load_table
+from .sources.tables import load_table, spread
 
 
 @dataclass(frozen=True)
@@ -758,7 +758,10 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import with_language_id, with_quality, with_token_count
 
     canonical = dedup_exact(_dup_corpus(spark, sf_dir))
-    scored = with_language_id(with_quality(with_token_count(canonical)))
+    # quality + langid are large-alternation regex projections — CPU-bound
+    # per-row work that would otherwise run on the 1-2 scan tasks feeding
+    # the semi-join's probe side (guide 2.5); widen first, no-op at scale
+    scored = with_language_id(with_quality(with_token_count(spread(canonical))))
     return scored.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "unknown")
     ).select("doc_id", "n_tokens", "quality_score", "lang_pred")
@@ -3626,7 +3629,12 @@ def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same counts out relationally (explode + self-join on position).",
 )
 def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
+    # per-row cost is O(distinct x n_tokens) interpreted HOF work; the
+    # documents scan is 1 split at test SFs, which serializes the whole
+    # pass — widen first (round-robin of raw rows, no keyed shuffle; the
+    # computation itself stays shuffle-free and the widening is a no-op
+    # on corpus-scale scans)
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     df = docs.withColumn(
@@ -4407,6 +4415,10 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "image").select("media_id", "payload")
+    # codec passes are CPU-bound Python work over an opaque blob; the
+    # documents scan is 1-2 splits at small SFs, which would serialize the
+    # whole encode/decode on one task (guide 2.5 input skew) - widen first
+    m = spread(m)
 
     out_schema = (
         "media_id long, height int, width int, png_bytes int, "
@@ -4467,6 +4479,10 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "video").select("media_id", "payload")
+    # codec passes are CPU-bound Python work over an opaque blob; the
+    # documents scan is 1-2 splits at small SFs, which would serialize the
+    # whole encode/decode on one task (guide 2.5 input skew) - widen first
+    m = spread(m)
 
     out_schema = (
         "media_id long, n_frames int, height int, width int, "
@@ -4525,6 +4541,10 @@ def _image_dhash_sigs_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "image").select("media_id", "payload")
+    # codec passes are CPU-bound Python work over an opaque blob; the
+    # documents scan is 1-2 splits at small SFs, which would serialize the
+    # whole encode/decode on one task (guide 2.5 input skew) - widen first
+    m = spread(m)
 
     def encode(batches):
         import numpy as np_mod
@@ -4716,6 +4736,10 @@ def _audio_fp_sigs_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "audio").select("media_id", "payload")
+    # codec passes are CPU-bound Python work over an opaque blob; the
+    # documents scan is 1-2 splits at small SFs, which would serialize the
+    # whole encode/decode on one task (guide 2.5 input skew) - widen first
+    m = spread(m)
 
     def encode(batches):
         import numpy as np_mod
@@ -4846,6 +4870,10 @@ def media_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_from_documents(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("kind") == "video").select("media_id", "payload")
+    # codec passes are CPU-bound Python work over an opaque blob; the
+    # documents scan is 1-2 splits at small SFs, which would serialize the
+    # whole encode/decode on one task (guide 2.5 input skew) - widen first
+    m = spread(m)
 
     def encode(batches):
         import numpy as np_mod

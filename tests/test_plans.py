@@ -225,9 +225,14 @@ def test_excess_supply_part_filter_precedes_aggregate(spark):
 
 def test_repetition_quality_is_shuffle_free(spark):
     """The per-doc repetition stats are higher-order array expressions —
-    the plan must contain no exchange and no join at all."""
+    the plan must contain no keyed exchange and no join at all. (A
+    round-robin widening exchange is allowed: spread() repartitions the
+    1-split test scan so the per-row HOF work parallelizes; it is a no-op
+    on corpus-scale scans, so the scale claim — no data-moving shuffle —
+    is unchanged.)"""
     plan = explain_str(REGISTRY["doc_repetition_quality"].fn(spark, SF_SMALL), "simple")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
 
 
@@ -316,6 +321,11 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # pin the coalescing floor to Spark's default: this test drives
+        # synthetic byte thresholds, and the engine's 16k floor (sized for
+        # compute-dense tiny shuffles) would keep the non-skewed
+        # partitions from coalescing at all under the 16KB advisory
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     try:
