@@ -56,6 +56,18 @@ def connected_components(
         ).distinct()
     labels = tracked_local_checkpoint(labels.withColumn("label", F.col("id")))
 
+    # Convergence probe: labels are node ids and per-vertex monotonically
+    # NON-INCREASING (neighbor step takes least(own, ...); the jump step
+    # replaces label with label(label) <= label because label(x) <= x holds
+    # inductively from the identity initialization). So the label table is
+    # at a fixpoint iff sum(label) is unchanged — one exact decimal
+    # aggregate over the checkpointed table instead of the previous
+    # join-old-vs-new + count, which cost a full extra join stage per
+    # round. Decimal(38,0) keeps the sum exact at any vertex count.
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         # 1. neighbor min: pull each neighbor's current label across edges
         nbr = (
@@ -85,15 +97,11 @@ def connected_components(
             )
         )
         jumped = tracked_local_checkpoint(jumped)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

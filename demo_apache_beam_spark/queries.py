@@ -5540,22 +5540,26 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def check(rel, child, ckey, parent, pkey, bcast):
+        # one pass per branch: LEFT JOIN against the DISTINCT parent keys
+        # and count rows + null-matches in the same aggregate — the
+        # previous shape (left_anti + a second child scan for n_rows +
+        # crossJoin of the broadcast count) paid an extra scan and two
+        # extra exchanges per branch. Distinct parent keys make the LEFT
+        # JOIN multiplicity-free, so n_orphans == the NOT EXISTS count
+        # even on a corrupted parent with duplicate keys.
         c = load_table(spark, sf_dir, child).select(F.col(ckey))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("__pk")
+        ).distinct()
         if bcast:
             p = F.broadcast(p)
-        orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
         return (
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            .crossJoin(
-                F.broadcast(
-                    load_table(spark, sf_dir, child)
-                    .agg(F.count(F.lit(1)).alias("n_rows"))
-                )
+            c.join(p, c[ckey] == p["__pk"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("__pk").isNull(), 1)).alias("n_orphans"),
             )
-            .select(
-                F.lit(rel).alias("relationship"), "n_rows", "n_orphans"
-            )
+            .select(F.lit(rel).alias("relationship"), "n_rows", "n_orphans")
         )
 
     checks = [
