@@ -2923,9 +2923,6 @@ def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("unit_price").alias("supplycost")
-    )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     supp = F.broadcast(
@@ -2939,15 +2936,32 @@ def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_size") == 25)
         .select("p_partkey", "p_name")
     )
-    eur = ps.join(supp, ps.l_suppkey == supp.s_suppkey).join(
-        part, ps.l_partkey == part.p_partkey
+    # Both dimension filters are keyed on the GROUPING columns (p_size is a
+    # per-partkey property; the EUROPE region a per-suppkey one), so the
+    # broadcast inner joins commute below the (l_partkey, l_suppkey) min —
+    # prefiltering lineitem BEFORE the aggregation shuffles only the
+    # qualifying parts'/suppliers' rows (~1/250 of lineitem at any scale)
+    # instead of aggregating everything and discarding 98% after. The
+    # window min then sees exactly the oracle's `eur` rows for surviving
+    # partkeys (the oracle's post-window p_size filter drops whole
+    # partitions only — same set).
+    eur = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            "l_partkey", "l_suppkey", "p_name", "s_name", "s_acctbal", "n_name"
+        )
+        .agg(F.min("unit_price").alias("supplycost"))
     )
     best = eur.withColumn(
         "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
     )
     return (
         best.filter(F.col("supplycost") == F.col("min_cost"))
-        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "supplycost")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name", "s_name", "n_name", "s_acctbal", "supplycost",
+        )
         .orderBy(
             F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
         )
