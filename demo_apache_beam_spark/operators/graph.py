@@ -126,6 +126,7 @@ def pagerank(
     src: str = "src_id",
     dst: str = "dst_id",
     checkpoint_every: int = 1,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over the directed graph given by ``edges``.
 
@@ -151,7 +152,14 @@ def pagerank(
     this rows-only with an independent numpy reference test instead of a
     SQL oracle.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # Parallel edges collapse (classic PageRank treats the edge SET).
+    # ``edges_distinct=True`` is the caller's contract that (src, dst)
+    # pairs are already unique — e.g. a kNN graph's top-k-per-source rows
+    # — which skips a full edge shuffle + aggregate per call; distinct on
+    # an already-distinct set is the identity, so output is unchanged.
+    if not edges_distinct:
+        e = e.distinct()
     e = e.localCheckpoint()
     verts = (
         e.select(F.col("s").alias("id"))
@@ -216,6 +224,7 @@ def pagerank_weighted(
     src: str = "src_id",
     dst: str = "dst_id",
     checkpoint_every: int = 1,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """PageRank with **weighted** edges: rank flows out of a vertex in
     proportion to edge weight (``w / Σ w_out``) instead of uniformly —
@@ -234,15 +243,17 @@ def pagerank_weighted(
     registry rounds to 6 dp on both engines, same margin as the
     unweighted oracle.
     """
-    e = (
-        edges.select(
-            F.col(src).alias("s"), F.col(dst).alias("d"),
-            F.col(weight_col).cast("double").alias("w"),
-        )
-        .groupBy("s", "d")
-        .agg(F.sum("w").alias("w"))  # parallel edges collapse, like distinct
-        .localCheckpoint()
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"),
+        F.col(weight_col).cast("double").alias("w"),
     )
+    # Parallel edges' weights add (the weighted analogue of distinct).
+    # ``edges_distinct=True`` is the caller's contract that (src, dst) is
+    # already unique — the sum-of-one-row groupBy is then the identity and
+    # its edge shuffle + aggregate are skipped; output unchanged.
+    if not edges_distinct:
+        e = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    e = e.localCheckpoint()
     verts = (
         e.select(F.col("s").alias("id"))
         .unionByName(e.select(F.col("d").alias("id")))

@@ -6568,7 +6568,10 @@ def knn_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _knn_graph_store(spark, sf_dir).select(
         "src_id", "dst_id", (F.lit(1.0) + F.col("cosine")).alias("weight")
     )
-    pr = pagerank_weighted(g, damping=0.85, iterations=10)
+    # edges_distinct: the kNN store's (src_id, dst_id) is unique by
+    # construction (top-k per src), so the parallel-edge weight collapse
+    # would be a sum over one row — skip its shuffle + aggregate.
+    pr = pagerank_weighted(g, damping=0.85, iterations=10, edges_distinct=True)
     return pr.select(
         F.col("id").alias("vec_id"), F.round("pagerank", 6).alias("pagerank")
     )
@@ -6898,7 +6901,11 @@ def knn_pagerank(
     g = (graph if graph is not None else _knn_graph_store(spark, sf_dir)).select(
         "src_id", "dst_id"
     )
-    pr = pagerank(g, damping=0.85, iterations=10)
+    # edges_distinct: every accepted graph source is a kNN edge list —
+    # top-k-per-src via row_number — so (src_id, dst_id) is unique by
+    # construction and pagerank's parallel-edge collapse would be an
+    # identity shuffle + aggregate; skip it.
+    pr = pagerank(g, damping=0.85, iterations=10, edges_distinct=True)
     return pr.select(
         F.col("id").alias("vec_id"), F.round("pagerank", 6).alias("pagerank")
     )

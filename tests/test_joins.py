@@ -183,6 +183,43 @@ def test_pagerank_matches_numpy_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_edges_distinct_contract(spark):
+    """edges_distinct=True on an already-unique edge set must be
+    bit-identical to the default (distinct on a distinct set is the
+    identity) — for both the unweighted and weighted operators. The
+    default path must still collapse parallel edges."""
+    from demo_apache_beam_spark.operators.graph import pagerank, pagerank_weighted
+
+    edge_list = [(0, 1), (1, 0), (0, 2), (2, 1), (4, 0), (4, 3), (2, 3)]
+    edges = spark.createDataFrame(edge_list, "src_id long, dst_id long")
+    base = {r["id"]: r["pagerank"] for r in pagerank(edges, iterations=7).collect()}
+    fast = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(edges, iterations=7, edges_distinct=True).collect()
+    }
+    assert fast == base
+
+    w_edges = spark.createDataFrame(
+        [(s, d, 1.0 + 0.1 * s) for s, d in edge_list],
+        "src_id long, dst_id long, weight double",
+    )
+    wbase = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_weighted(w_edges, iterations=7).collect()
+    }
+    wfast = {
+        r["id"]: r["pagerank"]
+        for r in pagerank_weighted(w_edges, iterations=7, edges_distinct=True).collect()
+    }
+    assert wfast == wbase
+
+    # default path still collapses duplicates: doubling every edge row must
+    # not change ranks when edges_distinct is left False
+    doubled = edges.unionAll(edges)
+    dup = {r["id"]: r["pagerank"] for r in pagerank(doubled, iterations=7).collect()}
+    assert dup == base
+
+
 def test_pagerank_hub_ranks_highest(spark):
     """On a star graph every leaf points at the center: the center must
     hold the max rank and all leaves tie."""
