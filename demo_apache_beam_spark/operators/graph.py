@@ -49,25 +49,34 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     sym = tracked_local_checkpoint(sym.filter(F.col("s") != F.col("d")).distinct())
 
+    from pyspark.sql import Observation
+
     labels = sym.select(F.col("s").alias("id")).distinct()
     if vertices is not None:
         labels = labels.unionByName(
             vertices.select(F.col(vertices.columns[0]).alias("id"))
         ).distinct()
-    labels = tracked_local_checkpoint(labels.withColumn("label", F.col("id")))
+
+    def _sum_metric():
+        return F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
+    obs0 = Observation()
+    labels = tracked_local_checkpoint(
+        labels.withColumn("label", F.col("id")).observe(obs0, _sum_metric())
+    )
 
     # Convergence probe: labels are node ids and per-vertex monotonically
     # NON-INCREASING (neighbor step takes least(own, ...); the jump step
     # replaces label with label(label) <= label because label(x) <= x holds
     # inductively from the identity initialization). So the label table is
     # at a fixpoint iff sum(label) is unchanged — one exact decimal
-    # aggregate over the checkpointed table instead of the previous
-    # join-old-vs-new + count, which cost a full extra join stage per
-    # round. Decimal(38,0) keeps the sum exact at any vertex count.
-    def _label_sum(lbl: DataFrame):
-        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = _label_sum(labels)
+    # aggregate instead of the previous join-old-vs-new + count.
+    # Decimal(38,0) keeps the sum exact at any vertex count. The sum rides
+    # each eager-checkpoint action (the initial one included) as an
+    # ``observe`` metric, so the probe costs NO extra job and NO extra
+    # pass over the label table — the rows stream through the aggregate
+    # while being materialized.
+    prev_sum = obs0.get["s"]
     for _ in range(max_iterations):
         # 1. neighbor min: pull each neighbor's current label across edges
         nbr = (
@@ -96,9 +105,10 @@ def connected_components(
                 F.coalesce("_plabel", "label").alias("label"),
             )
         )
-        jumped = tracked_local_checkpoint(jumped)
+        obs = Observation()
+        jumped = tracked_local_checkpoint(jumped.observe(obs, _sum_metric()))
         labels = jumped
-        new_sum = _label_sum(labels)
+        new_sum = obs.get["s"]  # delivered by the checkpoint action itself
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
