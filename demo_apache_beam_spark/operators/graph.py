@@ -177,20 +177,31 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
+    # Dangling mass rides every checkpoint as an ``observe`` metric: the
+    # sum over out-degree-0 vertices is delivered by the materialization
+    # itself, replacing the old per-round filter+agg job (one extra action
+    # and one extra |V| pass per round on dangling graphs). The metric is
+    # attached unconditionally (it streams by for free); it is only READ
+    # when the graph has dangling vertices.
+    def _dangling_metric():
+        return F.sum(
+            F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("d")
+
     n = verts.count()
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     # ranks carry outdeg along so the per-round join is edges x ranks only
+    obs = Observation()
     ranks = verts.join(outdeg, verts.id == outdeg.s, "left").select(
         "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
         F.lit(1.0 / n).alias("rank"),
-    ).localCheckpoint()
+    ).observe(obs, _dangling_metric()).localCheckpoint()
 
     has_dangling = ranks.filter(F.col("outdeg") == 0).limit(1).count() > 0
     for i in range(iterations):
-        dangling = (
-            ranks.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if has_dangling else 0.0
+        dangling = (obs.get["d"] or 0.0) if has_dangling else 0.0
         contribs = (
             e.join(ranks, e.s == ranks.id)
             .select("d", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -222,7 +233,8 @@ def pagerank(
             or i % max(1, checkpoint_every) == max(1, checkpoint_every) - 1
             or i == iterations - 1
         ):
-            ranks = ranks.localCheckpoint()
+            obs = Observation()
+            ranks = ranks.observe(obs, _dangling_metric()).localCheckpoint()
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
@@ -270,19 +282,26 @@ def pagerank_weighted(
         .distinct()
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
+    # dangling mass as an observe metric on every checkpoint — same
+    # zero-extra-jobs discipline as the unweighted operator above
+    def _dangling_metric():
+        return F.sum(
+            F.when(F.col("outw") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("d")
+
     n = verts.count()
     outw = e.groupBy("s").agg(F.sum("w").alias("outw"))
+    obs = Observation()
     ranks = verts.join(outw, verts.id == outw.s, "left").select(
         "id", F.coalesce("outw", F.lit(0.0)).alias("outw"),
         F.lit(1.0 / n).alias("rank"),
-    ).localCheckpoint()
+    ).observe(obs, _dangling_metric()).localCheckpoint()
 
     has_dangling = ranks.filter(F.col("outw") == 0.0).limit(1).count() > 0
     for i in range(iterations):
-        dangling = (
-            ranks.filter(F.col("outw") == 0.0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if has_dangling else 0.0
+        dangling = (obs.get["d"] or 0.0) if has_dangling else 0.0
         contribs = (
             e.join(ranks, e.s == ranks.id)
             .select("d", (F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
@@ -302,7 +321,8 @@ def pagerank_weighted(
             or i % max(1, checkpoint_every) == max(1, checkpoint_every) - 1
             or i == iterations - 1
         ):
-            ranks = ranks.localCheckpoint()
+            obs = Observation()
+            ranks = ranks.observe(obs, _dangling_metric()).localCheckpoint()
     return ranks.select("id", F.col("rank").alias("pagerank"))
 
 
