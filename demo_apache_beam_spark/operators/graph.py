@@ -171,26 +171,30 @@ def pagerank(
     if not edges_distinct:
         e = e.distinct()
     e = e.localCheckpoint()
+    from pyspark.sql import Observation
+
+    # Driver scalars ride the materialization actions as ``observe``
+    # metrics instead of running their own jobs: |V| comes off the vertex
+    # checkpoint; the dangling mass (sum of rank over out-degree-0
+    # vertices) comes off every rank checkpoint — replacing the old
+    # per-call count / dangling-probe jobs and the per-round filter+agg
+    # job (each an extra action and an extra |V| pass). Metrics stream by
+    # during the checkpoint for free.
+    obs_n = Observation()
     verts = (
         e.select(F.col("s").alias("id"))
         .unionByName(e.select(F.col("d").alias("id")))
         .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    from pyspark.sql import Observation
 
-    # Dangling mass rides every checkpoint as an ``observe`` metric: the
-    # sum over out-degree-0 vertices is delivered by the materialization
-    # itself, replacing the old per-round filter+agg job (one extra action
-    # and one extra |V| pass per round on dangling graphs). The metric is
-    # attached unconditionally (it streams by for free); it is only READ
-    # when the graph has dangling vertices.
     def _dangling_metric():
         return F.sum(
             F.when(F.col("outdeg") == 0, F.col("rank")).otherwise(F.lit(0.0))
         ).alias("d")
 
-    n = verts.count()
+    n = obs_n.get["n"]
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     # ranks carry outdeg along so the per-round join is edges x ranks only
     obs = Observation()
@@ -199,7 +203,9 @@ def pagerank(
         F.lit(1.0 / n).alias("rank"),
     ).observe(obs, _dangling_metric()).localCheckpoint()
 
-    has_dangling = ranks.filter(F.col("outdeg") == 0).limit(1).count() > 0
+    # initial rank is uniformly 1/n > 0, so dangling MASS > 0 on the first
+    # checkpoint ⟺ some vertex has no out-edges — no separate probe job
+    has_dangling = (obs.get["d"] or 0.0) > 0.0
     for i in range(iterations):
         dangling = (obs.get["d"] or 0.0) if has_dangling else 0.0
         contribs = (
@@ -276,22 +282,26 @@ def pagerank_weighted(
     if not edges_distinct:
         e = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
     e = e.localCheckpoint()
+    from pyspark.sql import Observation
+
+    # |V|, the dangling probe, and the per-round dangling mass all ride
+    # checkpoint actions as observe metrics — same zero-extra-jobs
+    # discipline as the unweighted operator above
+    obs_n = Observation()
     verts = (
         e.select(F.col("s").alias("id"))
         .unionByName(e.select(F.col("d").alias("id")))
         .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    from pyspark.sql import Observation
 
-    # dangling mass as an observe metric on every checkpoint — same
-    # zero-extra-jobs discipline as the unweighted operator above
     def _dangling_metric():
         return F.sum(
             F.when(F.col("outw") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
         ).alias("d")
 
-    n = verts.count()
+    n = obs_n.get["n"]
     outw = e.groupBy("s").agg(F.sum("w").alias("outw"))
     obs = Observation()
     ranks = verts.join(outw, verts.id == outw.s, "left").select(
@@ -299,7 +309,8 @@ def pagerank_weighted(
         F.lit(1.0 / n).alias("rank"),
     ).observe(obs, _dangling_metric()).localCheckpoint()
 
-    has_dangling = ranks.filter(F.col("outw") == 0.0).limit(1).count() > 0
+    # initial rank is uniformly 1/n > 0: dangling mass > 0 ⟺ dangling exists
+    has_dangling = (obs.get["d"] or 0.0) > 0.0
     for i in range(iterations):
         dangling = (obs.get["d"] or 0.0) if has_dangling else 0.0
         contribs = (
