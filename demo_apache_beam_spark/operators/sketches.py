@@ -221,7 +221,14 @@ def kmv_pair_estimates(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
     large the underlying item domain (the whole point of sketching at
     100 TB: pairwise overlap over billions of users costs k rows per
     key, not a quadratic distinct-join).
+
+    The sketch table is staged once (lazy ``localCheckpoint``): it is
+    referenced three times below (key universe + both pair sides), and
+    without the barrier each reference re-executes the WHOLE sketch
+    build — the full-corpus distinct + bottom-k window — turning one
+    pass over the item domain into three.
     """
+    sketches = sketches.localCheckpoint(eager=False)
     keys = sketches.select(key_col).distinct()
     ka, kb = F.col("_ka"), F.col("_kb")
     pairs = (

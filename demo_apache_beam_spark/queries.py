@@ -10665,10 +10665,21 @@ def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(emb, queries_df, k=10).select(
-        "query_id", "neighbor_id"
+    # Stage the three shared intermediates once (lazy localCheckpoint):
+    # without it, every reuse re-executes the subtree it names — the
+    # sq8 quantize pass (posexplode + decimal-norm groupBy + join)
+    # appeared on BOTH sides of the candidate join, the exact-cosine
+    # truth pass ran twice inside ranking_eval (hits join + |truth|
+    # guard), and the candidate ranking three times — 12 parquet scans
+    # of embeddings in one plan. truth/cand are k·|queries| rows; codes
+    # is the long-form code table the scoring join needs materialized
+    # anyway.
+    truth = (
+        brute_force_topk(emb, queries_df, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
-    codes = sq8_codes(emb)
+    codes = sq8_codes(emb).localCheckpoint(eager=False)
     qc = codes.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("code").alias("qcode")
     )
@@ -10686,6 +10697,7 @@ def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rank_c"),
         )
         .filter(F.col("rank_c") <= 10)
+        .localCheckpoint(eager=False)
     )
     return ranking_eval(truth, cand, k=10)
 
