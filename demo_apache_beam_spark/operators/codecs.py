@@ -562,8 +562,12 @@ def gif_decode(data: bytes) -> np.ndarray:
         pos += 3 * n
 
     bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
-    canvas = np.empty((h, w, 3), dtype=np.uint8)
-    canvas[:] = bg_rgb
+    # The canvas is allocated LAZILY, on the first validated frame: a
+    # corrupt stream whose header happens to carry garbage dimensions
+    # (e.g. ASCII bytes read as 30k×30k) must be rejected by block
+    # parsing in microseconds, not after a multi-GB allocate-and-fill
+    # — the rejection path runs per corrupt payload inside batch jobs.
+    canvas: np.ndarray | None = None
     frames: list[np.ndarray] = []
     disposal = 0
     transparent: int | None = None
@@ -616,6 +620,9 @@ def gif_decode(data: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
 
+        if canvas is None:
+            canvas = np.empty((h, w, 3), dtype=np.uint8)
+            canvas[:] = bg_rgb
         saved = canvas[top : top + fh, left : left + fw].copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]
         rgb = pal[idx]

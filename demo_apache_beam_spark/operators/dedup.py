@@ -634,12 +634,40 @@ def minhash_dedup_pairs(
     ``portable=True`` runs the identical pipeline over the md5 hash family
     (see :func:`minhash_signatures`) so an external ANSI-SQL engine can
     replay every stage — candidates included — bit-for-bit."""
-    # the shingle regex runs exactly once: the staged (id, hash) rows
-    # feed both the signature aggregate and the verification arrays
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n, portable).localCheckpoint()
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, portable)
+    # ONE row per document stages everything every downstream reference
+    # needs: the deduped shingle-hash set (the verification arrays) and
+    # the k minhashes, computed per-row from that set with array
+    # transforms (min is duplicate-insensitive, so array_min over the
+    # set is bit-identical to the old min-aggregate over the raw rows).
+    # The old shape checkpointed the corpus-sized (id, hash) ROWS and
+    # re-ran the k-min aggregate on BOTH band self-join sides; this one
+    # checkpoints doc-count rows, computes each doc's signature exactly
+    # once, and drops the signature groupBy exchange outright (the
+    # collect_set shuffle already carries the same hashes).
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n, portable)
+    sh_rows = hashed.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("_h")).alias("_sh")
+    )
+    if portable:
+        mins = [
+            F.array_min(
+                F.transform(
+                    "_sh", lambda h, i=i: F.md5(F.concat(F.lit(f"{i}:"), h))
+                )
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.array_min(
+                F.transform("_sh", lambda h, i=i: F.xxhash64(F.lit(i), h))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    staged = sh_rows.select(F.col(id_col), "_sh", *mins).localCheckpoint()
+    sigs = staged.drop("_sh")
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
-    sh = hashed.groupBy(id_col).agg(F.sort_array(F.collect_set("_h")).alias("_sh"))
+    sh = staged.select(id_col, "_sh")
     inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
     union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
     return (

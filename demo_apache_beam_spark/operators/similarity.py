@@ -1501,7 +1501,7 @@ def pca_project(
 
 
 def lsh_self_candidates(
-    sigs: DataFrame, max_bucket: int | None = None
+    sigs: DataFrame, max_bucket: int | None = None, directed: bool = True
 ) -> DataFrame:
     """Candidate (src_id, dst_id) pairs from a signature-table self-join
     on the bucket key (_tbl, _sig) — the candidate generator of
@@ -1522,7 +1522,15 @@ def lsh_self_candidates(
     cosine≈1 duplicate edges — which exact dedup upstream should have
     removed anyway (the pipeline order the curation capstones use).
     Sizing runs as one partial-aggregated groupBy on the same bucket
-    key, exchange-free over the bucketed store."""
+    key, exchange-free over the bucketed store.
+
+    ``directed=False`` emits each candidate pair ONCE (src_id < dst_id)
+    instead of in both orientations. The bucket self-join is symmetric
+    — (a, b) co-buckets iff (b, a) does — so the directed set is
+    exactly the unordered set mirrored; callers that score pairs with a
+    symmetric measure (cosine) should take the unordered half, score
+    it once, and mirror the scored rows, halving the candidate dedup
+    shuffle and the refinement work at any scale."""
     if max_bucket is not None:
         keep = (
             sigs.groupBy("_tbl", "_sig")
@@ -1533,9 +1541,14 @@ def lsh_self_candidates(
         sigs = sigs.join(keep, ["_tbl", "_sig"], "left_semi")
     a = sigs.select(F.col("_id").alias("src_id"), "_tbl", "_sig")
     b = sigs.select(F.col("_id").alias("dst_id"), "_tbl", "_sig")
+    cond = (
+        F.col("src_id") < F.col("dst_id")
+        if not directed
+        else F.col("src_id") != F.col("dst_id")
+    )
     return (
         a.join(b, ["_tbl", "_sig"])
-        .filter(F.col("src_id") != F.col("dst_id"))
+        .filter(cond)
         .select("src_id", "dst_id")
         .distinct()
     )
@@ -1657,7 +1670,15 @@ def ann_knn_graph(
             # twice. This is the single-run stand-in for the persisted
             # signature table above.
             sigs = _table_sigs(c_vec, "_id", "_v", tables).localCheckpoint()
-        candidates = lsh_self_candidates(sigs, max_bucket=max_bucket)
+        # unordered pairs: the bucket self-join is symmetric and cosine
+        # is exactly symmetric (x*y == y*x, na*nb == nb*na in IEEE), so
+        # each pair is deduped, vector-fetched and scored ONCE and the
+        # scored row mirrored below — half the candidate shuffle and
+        # half the refinement folds at any scale.
+        candidates = lsh_self_candidates(
+            sigs, max_bucket=max_bucket, directed=False
+        )
+        symmetric_candidates = True
     elif method == "ivf":
         if index is None:
             index = ivf_build(
@@ -1689,6 +1710,9 @@ def ann_knn_graph(
             .select("src_id", "dst_id")
             .distinct()
         )
+        # IVF candidates are NOT symmetric (a probing b's cell does not
+        # imply b probes a's) — keep the directed set as-is.
+        symmetric_candidates = False
     else:
         raise ValueError(f"unknown ann_knn_graph method: {method!r}")
 
@@ -1726,6 +1750,28 @@ def ann_knn_graph(
             ).alias("cosine"),
         )
     )
+    if symmetric_candidates:
+        # each unordered pair was scored once; emit both orientations
+        # from the SAME row via one explode (a unionAll of scored with
+        # its mirror would re-execute the whole candidate join + fold).
+        # Cosine is exactly symmetric, so the directed row set — and
+        # the top-k per source — is bit-identical to scoring the
+        # directed candidates.
+        scored = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("query_id"),
+                        F.col("neighbor_id"),
+                    ),
+                    F.struct(
+                        F.col("neighbor_id").alias("query_id"),
+                        F.col("query_id").alias("neighbor_id"),
+                    ),
+                )
+            ).alias("_e"),
+            "cosine",
+        ).select("_e.query_id", "_e.neighbor_id", "cosine")
     out = _topk_two_phase(scored, k, "query_id")
     return out.select(
         F.col("query_id").alias("src_id"),

@@ -216,57 +216,53 @@ def kmv_pair_estimates(sketches: DataFrame, key_col: str, k: int) -> DataFrame:
       uniform sample of the union);
     - ``intersection_est`` = jaccard_est · union_est.
 
-    Everything after the sketches is joins over ≤ k·|keys| rows — for
-    any realistic key count the pair stage is broadcast-sized however
-    large the underlying item domain (the whole point of sketching at
-    100 TB: pairwise overlap over billions of users costs k rows per
-    key, not a quadratic distinct-join).
+    Each key's sketch first collapses to ONE row carrying the sorted
+    (hx, f) struct array (≤ k elements — the aggregation runs over the
+    already-bottom-k'd input, never the item domain), so the pair stage
+    is a self-join over |keys| single-row sketches and every estimator
+    quantity is per-row array algebra on ≤ 2k elements: the union's
+    bottom-k is ``slice(array_sort(array_union(a, b)))``, membership in
+    both sketches is ``array_intersect`` — no per-pair shuffle, no rank
+    window, no re-aggregation. hx is md5-unique within a sketch and f
+    is a pure function of hx, so struct equality IS hash equality and
+    the array math replays the rank-window formulation bit-for-bit.
 
-    The sketch table is staged once (lazy ``localCheckpoint``): it is
-    referenced three times below (key universe + both pair sides), and
-    without the barrier each reference re-executes the WHOLE sketch
-    build — the full-corpus distinct + bottom-k window — turning one
-    pass over the item domain into three.
+    The one-row-per-key sketch table is staged once (lazy tracked
+    ``localCheckpoint`` — ledger-scoped callers such as a streaming
+    monitor can release the pinned blocks): it feeds both sides of the
+    pair self-join, and without the barrier each side re-executes the
+    WHOLE sketch build — the full-corpus distinct + bottom-k window.
+    The build side is hint-broadcast (k·|keys| sketch rows — bounded by
+    the key universe, never the item domain) because the checkpoint
+    hides size statistics from the planner.
     """
-    sketches = sketches.localCheckpoint(eager=False)
-    keys = sketches.select(key_col).distinct()
-    ka, kb = F.col("_ka"), F.col("_kb")
-    pairs = (
-        keys.select(F.col(key_col).alias("_ka"))
-        .join(keys.select(F.col(key_col).alias("_kb")), ka < kb)
+    from .checkpoints import tracked_local_checkpoint
+
+    arr = sketches.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct("hx", "f"))).alias("_sk")
     )
-    side_a = pairs.join(
-        sketches.select(F.col(key_col).alias("_ka"), "hx", "f"), "_ka"
-    ).select("_ka", "_kb", "hx", "f", F.lit(True).alias("in_a"), F.lit(False).alias("in_b"))
-    side_b = pairs.join(
-        sketches.select(F.col(key_col).alias("_kb"), "hx", "f"), "_kb"
-    ).select("_ka", "_kb", "hx", "f", F.lit(False).alias("in_a"), F.lit(True).alias("in_b"))
-    merged = (
-        side_a.unionAll(side_b)
-        .groupBy("_ka", "_kb", "hx", "f")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    arr = tracked_local_checkpoint(arr, eager=False)
+    a = arr.select(F.col(key_col).alias("_ka"), F.col("_sk").alias("_sa"))
+    b = arr.select(F.col(key_col).alias("_kb"), F.col("_sk").alias("_sb"))
+    pairs = a.join(F.broadcast(b), F.col("_ka") < F.col("_kb"))
+    u = F.array_sort(F.array_union("_sa", "_sb"))
+    pairs = pairs.select(
+        "_ka",
+        "_kb",
+        u.alias("_u"),
+        F.array_intersect("_sa", "_sb").alias("_both"),
     )
-    w = Window.partitionBy("_ka", "_kb").orderBy("hx")
-    wcnt = Window.partitionBy("_ka", "_kb")
-    ranked = merged.withColumn("rk", F.row_number().over(w)).withColumn(
-        "m", F.count(F.lit(1)).over(wcnt)
+    m = F.size("_u")
+    mk = F.least(F.lit(k), m)
+    f_k = F.element_at("_u", mk)["f"]
+    n_both = F.size(F.array_intersect(F.slice("_u", F.lit(1), mk), "_both"))
+    small = m < k
+    union_est = F.when(small, m.cast("double")).otherwise(
+        F.lit(float(k - 1)) / f_k
     )
-    agg = ranked.groupBy("_ka", "_kb").agg(
-        F.max("m").alias("m"),
-        F.max(
-            F.when(F.col("rk") == F.least(F.lit(k), F.col("m")), F.col("f"))
-        ).alias("f_k"),
-        F.sum(
-            F.when((F.col("rk") <= k) & F.col("in_a") & F.col("in_b"), 1).otherwise(0)
-        ).alias("both"),
-    )
-    small = F.col("m") < k
-    union_est = F.when(small, F.col("m").cast("double")).otherwise(
-        F.lit(float(k - 1)) / F.col("f_k")
-    )
-    denom = F.when(small, F.col("m")).otherwise(F.lit(k)).cast("double")
-    jacc = F.col("both").cast("double") / denom
-    return agg.select(
+    denom = F.when(small, m).otherwise(F.lit(k)).cast("double")
+    jacc = n_both.cast("double") / denom
+    return pairs.select(
         F.col("_ka").alias("key_a"),
         F.col("_kb").alias("key_b"),
         F.round(jacc, 6).alias("jaccard_est"),

@@ -1601,15 +1601,26 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     )
+    # aggregate by the key alone, then attach the name: c_name is a
+    # functional dependency of c_custkey, so the dimension join commutes
+    # above the aggregation — the groupBy exchange carries (custkey,
+    # decimal partials) for |customers| groups instead of dragging the
+    # name string through a lineitem-sized shuffle, and the join probes
+    # aggregated rows, not every lineitem (the cheapest_part_supplier
+    # prefilter-below-aggregate discipline). Inner-join semantics are
+    # unchanged: a custkey absent from customer drops either way, and
+    # the decimal partial sums are exact, so the fold reorder cannot
+    # move a bit.
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
+        .groupBy("o_custkey")
         .agg(
             stable_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             )
         )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
     )
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
 
@@ -8217,7 +8228,17 @@ def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
-        "source", "lang", "text", F.size(F.split("text", " ")).alias("n_toks")
+        "source",
+        "lang",
+        "text",
+        # token count without materializing the token array:
+        # len(split(text, ' ')) == #spaces + 1 (split keeps empties), and
+        # #spaces == length(text) - length(text with spaces removed) —
+        # two codegen'd character scans instead of a per-doc string-array
+        # allocation feeding a size()
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+        ).alias("n_toks"),
     )
     s = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -9176,8 +9197,6 @@ def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .operators.sketches import rank_bottom_k
-
     ev = load_table(spark, sf_dir, "events")
     h = F.md5(F.concat(F.lit("kmv1:"), F.col("user_id").cast("string")))
     d = ev.select(
@@ -9189,26 +9208,36 @@ def user_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = d.withColumn("rk", F.row_number().over(wd)).filter(
         F.col("rk") <= _KMV_K
     )
-    days = daily.groupBy("event_type").agg(
-        F.count_distinct("day").alias("n_days")
+    # merge the daily sketches per team in ONE aggregate: the union's
+    # bottom-k is slice(sort(distinct(concat of daily bottom-k's)))
+    # (the bottom-k merge property rank_bottom_k documents), and the
+    # day count rides the same groupBy — replacing the old
+    # distinct → rank window → estimator agg → join chain (three
+    # exchanges + a join) with a single exchange on event_type. The
+    # per-team array holds k·n_days hashes, the same rows the old rank
+    # window already concentrated into one task per team.
+    team = daily.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.collect_list("hx"))),
+            F.lit(1),
+            F.lit(_KMV_K),
+        ).alias("_bk"),
+        F.count_distinct("day").alias("n_days"),
     )
-    rolled = rank_bottom_k(
-        daily.select("event_type", "hx").distinct(), "event_type", _KMV_K
+    m = F.size("_bk")
+    fk = (
+        F.conv(F.substring(F.element_at("_bk", _KMV_K), 1, 12), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(16 ** 12))
     )
-    est = rolled.groupBy("event_type").agg(
-        F.max("rk").alias("_m"),
-        F.max(F.when(F.col("rk") == _KMV_K, F.col("f"))).alias("_fk"),
+    approx = F.when(m < _KMV_K, m.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / fk
     )
-    approx = F.when(
-        F.col("_m") < _KMV_K, F.col("_m").cast("double")
-    ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_fk"))
-    return (
-        est.join(days, "event_type")
-        .select(
-            F.col("event_type").alias("team"),
-            "n_days",
-            F.round(approx, 6).alias("approx_users"),
-        )
+    return team.select(
+        F.col("event_type").alias("team"),
+        "n_days",
+        F.round(approx, 6).alias("approx_users"),
     )
 
 
@@ -10658,6 +10687,7 @@ def embedding_kmeans_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from .operators.checkpoints import tracked_local_checkpoint
     from .operators.retrieval import ranking_eval, sq8_codes
     from .operators.similarity import brute_force_topk
 
@@ -10665,21 +10695,23 @@ def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # Stage the three shared intermediates once (lazy localCheckpoint):
-    # without it, every reuse re-executes the subtree it names — the
-    # sq8 quantize pass (posexplode + decimal-norm groupBy + join)
-    # appeared on BOTH sides of the candidate join, the exact-cosine
-    # truth pass ran twice inside ranking_eval (hits join + |truth|
-    # guard), and the candidate ranking three times — 12 parquet scans
-    # of embeddings in one plan. truth/cand are k·|queries| rows; codes
-    # is the long-form code table the scoring join needs materialized
-    # anyway.
-    truth = (
-        brute_force_topk(emb, queries_df, k=10)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+    # Stage the three shared intermediates once (lazy tracked
+    # localCheckpoint — ledger-scoped callers can release the pinned
+    # blocks): without it, every reuse re-executes the subtree it
+    # names — the sq8 quantize pass (posexplode + decimal-norm groupBy
+    # + join) appeared on BOTH sides of the candidate join, the
+    # exact-cosine truth pass ran twice inside ranking_eval (hits join
+    # + |truth| guard), and the candidate ranking three times — 12
+    # parquet scans of embeddings in one plan. truth/cand are
+    # k·|queries| rows; codes is the long-form code table the scoring
+    # join needs materialized anyway.
+    truth = tracked_local_checkpoint(
+        brute_force_topk(emb, queries_df, k=10).select(
+            "query_id", "neighbor_id"
+        ),
+        eager=False,
     )
-    codes = sq8_codes(emb).localCheckpoint(eager=False)
+    codes = tracked_local_checkpoint(sq8_codes(emb), eager=False)
     qc = codes.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("code").alias("qcode")
     )
@@ -10690,14 +10722,13 @@ def retrieval_eval_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("qcode") * F.col("code")).alias("iscore"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("vec_id"))
-    cand = (
+    cand = tracked_local_checkpoint(
         scored.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.row_number().over(w).alias("rank_c"),
-        )
-        .filter(F.col("rank_c") <= 10)
-        .localCheckpoint(eager=False)
+        ).filter(F.col("rank_c") <= 10),
+        eager=False,
     )
     return ranking_eval(truth, cand, k=10)
 

@@ -2001,7 +2001,12 @@ def test_ivm_randomized_insert_delete_soak(spark, tmp_path):
 
     merges = [F.sum("n_p").alias("n"), F.sum("s_p").cast("double").alias("s")]
 
-    for seed in (7, 23):
+    # one seeded sweep: seed 23 drives all three increment kinds
+    # (insert, join-key delete, attribute delete — seed 7's sequence
+    # never reached the attribute-delete branch), so the dropped seed
+    # added wall time without branch coverage — the suite must fit the
+    # driver's verify window (VERDICT r13 item 1)
+    for seed in (23,):
         rng = random.Random(seed)
         store = str(tmp_path / f"soak_{seed}")
         left: list = []   # (k, grp) multiset

@@ -577,11 +577,26 @@ def test_dsir_scoring_join_broadcasts_log_ratios(spark):
 def test_kmv_sketch_pass_is_partial_aggregated(spark):
     """The KMV distinct pass must combine map-side (partial HashAggregate
     before the exchange) and the pair stage must join the k-row sketches
-    by broadcast — the corpus shuffles once, the estimators never do."""
+    by broadcast — the corpus shuffles once, the estimators never do.
+    The pair stage sits above a lazy localCheckpoint that hides the
+    sketch build from the query's displayed plan, so the two properties
+    are pinned on their own subplans: the sketch build (distinct pass)
+    and the full query (pair join)."""
+    from demo_apache_beam_spark.operators.sketches import kmv_sketches
+    from demo_apache_beam_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    sketch_plan = explain_str(
+        kmv_sketches(ev, "event_type", "user_id", k=32), "simple"
+    )
+    assert "HashAggregate" in sketch_plan  # partial distinct, map-side
     plan = explain_str(REGISTRY["team_overlap_kmv"].fn(spark, SF_SMALL), "simple")
-    assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # the estimator is per-row array algebra: no rank window and no
+    # re-aggregation anywhere in the pair stage
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
 
 
 def test_containment_join_is_hash_not_nested_loop(spark):

@@ -370,23 +370,28 @@ def test_streaming_cms_store_equals_batch_sketch(spark, tmp_path):
 
     # a key NEVER seen in the stream whose cells include an empty one
     # must report the zero-cell minimum (0), not a positive count from
-    # an inner join that silently dropped the empty cells
-    import itertools
-
+    # an inner join that silently dropped the empty cells. All
+    # candidate ids are hashed in ONE job (a per-candidate collect
+    # loop here ran hundreds of Spark jobs and dominated the suite's
+    # wall time); the probe picked is the same lowest-id candidate the
+    # old sequential scan chose.
     seen_cells = {(r[0], r[1]) for r in got_cells}
-    probe_unseen = None
-    all_ids = {r[0] for r in all_rows}
-    for cand_id in itertools.count(10_000):
-        if cand_id in all_ids:
-            continue
-        cells = spark.createDataFrame([(cand_id,)], "user_id long").select(
-            F.explode(cms_hash_structs(F.col("user_id"))).alias("x")
-        ).select("x.i", "x.h").collect()
-        if any((r["i"], r["h"]) not in seen_cells for r in cells):
-            probe_unseen = cand_id
-            break
-        if cand_id > 11_000:
-            break
+    cand_cells = (
+        spark.range(10_000, 11_002)
+        .select(F.col("id").alias("user_id"))
+        .select(
+            "user_id",
+            F.explode(cms_hash_structs(F.col("user_id"))).alias("x"),
+        )
+        .select("user_id", "x.i", "x.h")
+        .collect()
+    )
+    unseen_ids = {
+        r["user_id"]
+        for r in cand_cells
+        if (r["i"], r["h"]) not in seen_cells
+    }
+    probe_unseen = min(unseen_ids) if unseen_ids else None
     if probe_unseen is not None:
         est = cms_store_estimates(
             spark, store,
