@@ -116,8 +116,16 @@ def bloom_prefilter(
         hit = (b[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
         return pd.Series(hit.all(axis=1))
 
+    # asNondeterministic stops the optimizer from CLONING the probe: a
+    # downstream equi-join on key_col lets constraint inference copy
+    # this filter (as maybe_member(xxhash64(key), ...)) onto the OTHER
+    # join side — where it is a no-op by construction (that side built
+    # the bitset) but still pays a full Arrow pass over its rows. The
+    # UDF is genuinely deterministic; the flag only pins it where it
+    # was placed (guide §4.4 discipline).
+    probe = maybe_member.asNondeterministic()
     return (
         _with_hashes(df, key_col)
-        .filter(maybe_member(F.col("_h1"), F.col("_h2")))
+        .filter(probe(F.col("_h1"), F.col("_h2")))
         .drop("_h1", "_h2")
     )
